@@ -1,0 +1,396 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json
+north-star): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — each over ``documents`` / ``embeddings``.
+
+Scale design (100 TB):
+- exact dedup is a hash groupBy (one shuffle on the content hash)
+- pairwise similarity NEVER runs all-pairs: candidates are generated
+  by blocking (source key), LSH band buckets, or SimHash buckets, then
+  verified exactly. The all-pairs joins below are *within-block*
+  self-joins whose block sizes are bounded (so the join fan-out is
+  |block|² per block, not |corpus|²).
+- all hashes are the portable md5-derived 60-bit integers from
+  ops.text (bit-identical in DuckDB) so every operator here has a full
+  value oracle — including MinHash signatures and SimHash bit vectors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from pro_etl_spark.io import load
+from pro_etl_spark.ops.text import DUCK_HASH60, hash60
+from pro_etl_spark.registry import register
+
+JACCARD_THRESHOLD = 0.5
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4  # 4 rows per band
+#: skew guard: LSH buckets larger than this are dropped as
+#: "too-common" (stop-bucket removal) — without it a degenerate
+#: corpus (every doc near-identical, like this synthetic word-salad
+#: one) collapses into one giant bucket and the candidate self-join
+#: goes quadratic in the corpus instead of quadratic in the bucket.
+MAX_BUCKET = 64
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+COSINE_THRESHOLD = 0.8
+
+_TOKSET_SQL = r"list_distinct(regexp_split_to_array(trim(text), '\s+'))"
+
+
+def tokset() -> Column:
+    """Distinct unigram token set of a document (the shingle set for
+    Jaccard/MinHash; unigrams because the synthetic corpus is
+    word-salad — swap for 3-gram shingles on real text)."""
+    return F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, d: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, deterministic survivor
+    (min doc_id). One shuffle on the 128-bit content hash; at 100 TB
+    the hash (not the text) is what shuffles."""
+    return (
+        load(spark, d, "documents")
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, {_TOKSET_SQL} AS ts FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                 / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6)
+             AS jaccard
+    FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+          / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, d: str) -> DataFrame:
+    """N-gram Jaccard near-dup: within-block (source) pairwise Jaccard
+    over token sets, τ-thresholded. Blocking bounds the self-join;
+    the LSH variant below is the unblocked scale path."""
+    s = load(spark, d, "documents").select("doc_id", "source", tokset().alias("ts"))
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts"))).cast("double")
+    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - F.size(
+        F.array_intersect(F.col("a.ts"), F.col("b.ts"))
+    )
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def _minhash_sig() -> Column:
+    """MinHash signature: for each of the 16 'permutations' j, the min
+    over the token set of a salted portable hash h_j(t) = md5(j ':' t).
+    """
+    ts = tokset()
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                ts,
+                lambda t: hash60(F.concat(j.cast("string"), F.lit(":"), t)),
+            )
+        ),
+    )
+
+
+_MINHASH_SIG_SQL = f"""
+      list_transform(range(0, {MINHASH_PERMS}),
+        j -> list_min(list_transform({_TOKSET_SQL},
+               t -> {DUCK_HASH60.format(x="(CAST(j AS VARCHAR) || ':' || t)")})))
+"""
+
+
+@register(
+    "dedup_minhash",
+    oracle=f"""
+    SELECT doc_id, {_MINHASH_SIG_SQL} AS sig
+    FROM documents
+    """,
+)
+def dedup_minhash(spark: SparkSession, d: str) -> DataFrame:
+    """MinHash signatures (16 salted-md5 'permutations' over the token
+    set) — the per-document half of MinHash-LSH, verified value-exact
+    against the oracle."""
+    return load(spark, d, "documents").select("doc_id", _minhash_sig().alias("sig"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, {_TOKSET_SQL} AS ts, {_MINHASH_SIG_SQL} AS sig
+      FROM documents
+    ), bands AS (
+      SELECT doc_id, ts, b.band,
+             md5(array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4), '-'))
+               AS bucket
+      FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS band) b
+    ), capped AS (
+      SELECT * FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {MAX_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             any_value(a.ts) AS ts_a, any_value(b.ts) AS ts_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(ts_a, ts_b)) AS DOUBLE)
+                 / (len(ts_a) + len(ts_b) - len(list_intersect(ts_a, ts_b))), 6)
+             AS jaccard
+    FROM cand
+    WHERE CAST(len(list_intersect(ts_a, ts_b)) AS DOUBLE)
+          / (len(ts_a) + len(ts_b) - len(list_intersect(ts_a, ts_b)))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
+    """MinHash + LSH near-dup: signature → 4 bands × 4 rows → band
+    buckets → candidate pairs from bucket self-join → exact Jaccard
+    verification. The 100 TB path: the only shuffle keys are (band,
+    bucket-hash); no all-pairs join ever materializes, and the
+    MAX_BUCKET frequency cap bounds the per-bucket fan-out (the LSH
+    analogue of AQE's skew-join splitting: a bucket shared by the
+    whole corpus is noise, not signal)."""
+    docs = load(spark, d, "documents").select(
+        "doc_id", tokset().alias("ts"), _minhash_sig().alias("sig")
+    )
+    bands = docs.select(
+        "doc_id",
+        "ts",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
+                lambda band: F.md5(
+                    F.array_join(
+                        F.slice(F.col("sig"), band * 4 + 1, 4).cast("array<string>"), "-"
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    from pyspark.sql import Window
+
+    bucket_n = Window.partitionBy("band", "bucket")
+    capped = (
+        bands.withColumn("bucket_n", F.count("*").over(bucket_n))
+        .where(F.col("bucket_n") <= MAX_BUCKET)
+        .drop("bucket_n")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.any_value(F.col("a.ts")).alias("ts_a"),
+            F.any_value(F.col("b.ts")).alias("ts_b"),
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b"))).cast("double")
+    union = F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - F.size(
+        F.array_intersect(F.col("ts_a"), F.col("ts_b"))
+    )
+    jac = inter / union
+    return cand.where(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def _simhash(tokens: Column) -> Column:
+    """32-bit SimHash: per token, each bit of its hash votes ±1; the
+    fingerprint sets bit b where the vote sum is positive. Bit indices
+    are Python-level constants (shiftright takes a literal), so the
+    per-token vote vector is an array literal of 32 expressions."""
+
+    def votes(t: Column) -> Column:
+        return F.array(
+            *[
+                F.when(F.shiftright(hash60(t), b).bitwiseAND(1) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(SIMHASH_BITS)
+            ]
+        )
+
+    bitvotes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, t: F.zip_with(acc, votes(t), lambda a, v: a + v),
+    )
+    out = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        out = out + F.when(
+            F.element_at(bitvotes, b + 1) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+_SIMHASH_SQL = f"""
+      list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, {SIMHASH_BITS})),
+        (acc, bit) -> acc + CASE WHEN
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform({_TOKSET_SQL},
+                t -> CASE WHEN ({DUCK_HASH60.format(x='t')} >> bit) & 1 = 1
+                          THEN 1 ELSE -1 END)),
+              (a, v) -> a + v) > 0
+          THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, {_SIMHASH_SQL} AS simhash
+    FROM documents
+    """,
+)
+def dedup_simhash(spark: SparkSession, d: str) -> DataFrame:
+    """SimHash fingerprints (32-bit, ±1 bit votes over the token set),
+    value-exact against the oracle. Near-dup = small Hamming distance;
+    at scale candidates come from bucketing on bit-chunks of the
+    fingerprint (Hamming-LSH), then exact verification."""
+    return load(spark, d, "documents").select(
+        "doc_id", _simhash(tokset()).alias("simhash")
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, {_SIMHASH_SQL} AS simhash FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, d: str) -> DataFrame:
+    """SimHash near-dup pairs: within-block self-join, Hamming ≤ 3."""
+    s = load(spark, d, "documents").select(
+        "doc_id", "source", _simhash(tokset()).alias("simhash")
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(hamming <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right dot product (same fold order as the
+    oracle's list_reduce → bit-identical doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+DUCK_DOT = """
+  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(range(1, 65),
+      i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+    (acc, v) -> acc + v)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({DUCK_DOT.format(a="a.embedding", b="b.embedding")}
+                 / (a.nrm * b.nrm), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {DUCK_DOT.format(a="a.embedding", b="b.embedding")}
+          / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, d: str) -> DataFrame:
+    """Embedding near-dup: within-cluster (label-blocked) pairwise
+    cosine ≥ τ. At scale the blocks come from a coarse quantizer (IVF
+    cells) so the self-join stays per-cell."""
+    e = load(spark, d, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,220 @@
+"""Scalar function surface (SURVEY §2.8 F1–F8 + the *(gen)* math/map/
+json additions).
+
+The reference's scalar vocabulary is tiny — str(), strip(), lower(),
+regex, f-string concat, strftime, uuid4, coalesce-with-default
+(migrate.py:82-182, 97, 35, 143-144). Each is re-expressed as a
+JVM-side Column expression (whole-stage-codegen'd, no Python in the
+hot path), then generalized with math/map/json families the checklist
+demands.
+
+Determinism notes: double→int conversions use explicit floor() because
+Spark CAST truncates while DuckDB CAST rounds; per-row float arithmetic
+(a*b, round) is IEEE-deterministic and identical across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pro_etl_spark.io import load
+from pro_etl_spark.registry import register
+
+
+@register(
+    "fn_cast",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    """,
+)
+def fn_cast(spark: SparkSession, d: str) -> DataFrame:
+    """F1: explicit casts (the reference str()-coerces everything at the
+    XML boundary, migrate.py:82,109-110; typed internally here)."""
+    o = load(spark, d, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+@register(
+    "fn_trim",
+    oracle="""
+    SELECT c_custkey, TRIM('  ' || c_name || ' ') AS name_trimmed
+    FROM customer
+    """,
+)
+def fn_trim(spark: SparkSession, d: str) -> DataFrame:
+    """F2: trim (migrate.py:110,120 strips ids before matching)."""
+    return load(spark, d, "customer").select(
+        "c_custkey",
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("name_trimmed"),
+    )
+
+
+@register(
+    "fn_lower",
+    oracle="SELECT c_custkey, LOWER(c_mktsegment) AS segment_lower FROM customer",
+)
+def fn_lower(spark: SparkSession, d: str) -> DataFrame:
+    """F3: lower-casing (the reference lower-cases boolean text,
+    migrate.py:210,215)."""
+    return load(spark, d, "customer").select(
+        "c_custkey", F.lower("c_mktsegment").alias("segment_lower")
+    )
+
+
+@register(
+    "fn_concat",
+    oracle="""
+    SELECT o_orderkey,
+           'order-' || CAST(o_orderkey AS VARCHAR) || '/' || o_orderstatus AS tag
+    FROM orders
+    """,
+)
+def fn_concat(spark: SparkSession, d: str) -> DataFrame:
+    """F5: string concatenation (the reference's f-string message/XPath
+    building, migrate.py:115,287-288)."""
+    return load(spark, d, "orders").select(
+        "o_orderkey",
+        F.concat(
+            F.lit("order-"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("/"),
+            F.col("o_orderstatus"),
+        ).alias("tag"),
+    )
+
+
+@register(
+    "fn_date_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           strftime(o_orderdate, '%Y-%m-%dT00:00:00+00:00') AS order_ts_text
+    FROM orders
+    """,
+)
+def fn_date_format(spark: SparkSession, d: str) -> DataFrame:
+    """F6: timestamp formatting — including the reference's exact
+    creation-date format ``%Y-%m-%dT00:00:00+00:00`` (migrate.py:97)."""
+    o = load(spark, d, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'00:00:00+00:00").alias("order_ts_text"),
+    )
+
+
+@register("fn_uuid")  # rows-only: uuid() is nondeterministic by design
+def fn_uuid(spark: SparkSession, d: str) -> DataFrame:
+    """F7: uuid literal per run (migrate.py:35 names outputs with
+    uuid4). Nondeterministic → no value oracle; driver checks rows."""
+    return load(spark, d, "orders").select(
+        "o_orderkey", F.expr("uuid()").alias("run_id")
+    )
+
+
+@register(
+    "fn_coalesce",
+    oracle="""
+    SELECT event_id,
+           COALESCE(NULLIF(props, ''), '{"k": -3}') AS props_defaulted
+    FROM events
+    """,
+)
+def fn_coalesce(spark: SparkSession, d: str) -> DataFrame:
+    """F8: coalesce-with-default — the reference's delivery_day → '-3D'
+    defaulting (migrate.py:143-144), incl. empty-string-as-null."""
+    return load(spark, d, "events").select(
+        "event_id",
+        F.coalesce(
+            F.nullif(F.col("props"), F.lit("")), F.lit('{"k": -3}')
+        ).alias("props_defaulted"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)), 2)
+                AS DOUBLE) AS disc_price,
+           ABS(l_discount - 0.05) AS disc_dev,
+           ROUND(POW(1 + l_tax, 2), 8) AS tax_sq,
+           CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_decile
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def fn_math(spark: SparkSession, d: str) -> DataFrame:
+    """F-gen: math functions (round/abs/pow/floor + arithmetic on the
+    classic discounted-price expression). Absent in the reference; per-
+    row IEEE arithmetic so Spark and DuckDB agree bit-for-bit."""
+    li = load(spark, d, "lineitem").where(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # double-rounding at an .xx5 boundary differs between engines'
+        # double ROUND; route through DECIMAL where HALF_UP is universal
+        F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"), 2)
+        .cast("double")
+        .alias("disc_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 8).alias("tax_sq"),
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_decile"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_from_map,
+           o_orderpriority AS priority_from_map,
+           2 AS map_size
+    FROM orders
+    """,
+)
+def fn_map(spark: SparkSession, d: str) -> DataFrame:
+    """F-gen: map functions — build a map from entry structs (the
+    attr-array→map view of the reference's custom-attributes,
+    SURVEY §2.8) and read it back with element_at. The oracle checks
+    the round-trip invariant relationally."""
+    o = load(spark, d, "orders")
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("status").alias("key"), F.col("o_orderstatus").alias("value")),
+            F.struct(F.lit("priority").alias("key"), F.col("o_orderpriority").alias("value")),
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_from_map"),
+        F.element_at(m, "priority").alias("priority_from_map"),
+        F.size(F.map_keys(m)).alias("map_size"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_mod
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, d: str) -> DataFrame:
+    """F-gen: JSON extraction from the events.props JSON-string column
+    (get_json_object / from_json)."""
+    ev = load(spark, d, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod"),
+    )

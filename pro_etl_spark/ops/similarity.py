@@ -1,0 +1,152 @@
+"""Similarity search over the ``embeddings`` table (BASELINE.json
+north-star): brute-force cosine top-k as the exact baseline, plus an
+IVF-style cell-probed variant as the scale path.
+
+Scale design: the query set is tiny and broadcast; the corpus never
+shuffles for brute force (narrow scan → per-partition partial top-k via
+window). The IVF variant prunes the corpus scan to the probed cell —
+at 100 TB the cells are the partition layout, so probing is partition
+pruning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pro_etl_spark.io import load
+from pro_etl_spark.ops.dedup import DUCK_DOT, dot
+from pro_etl_spark.registry import register
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {DUCK_DOT.format(a="q.embedding", b="c.embedding")}
+               / (q.nrm * c.nrm) AS cos
+      FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, d: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors, score
+    every corpus vector (JVM-side fold — no UDF), per-query top-k via
+    window (deterministic tiebreak on neighbor id)."""
+    e = load(spark, d, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+#: IVF-style coarse cell: quantize the first two dimensions. A real
+#: deployment uses k-means centroids; the grid keeps the assignment
+#: deterministic and oracle-checkable while exercising the same plan
+#: shape (cell-pruned candidate scan → exact re-rank).
+_CELL_SQL = "CAST(FLOOR(CAST({e}[1] AS DOUBLE) * 2) * 100 + FLOOR(CAST({e}[2] AS DOUBLE) * 2) AS BIGINT)"
+
+
+def _cell(e):
+    return (
+        F.floor(F.element_at(e, 1).cast("double") * 2) * 100
+        + F.floor(F.element_at(e, 2).cast("double") * 2)
+    ).cast("long")
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm,
+             {_CELL_SQL.format(e="embedding")} AS cell
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {DUCK_DOT.format(a="q.embedding", b="c.embedding")}
+               / (q.nrm * c.nrm) AS cos
+      FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+                        AND q.cell = c.cell
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, d: str) -> DataFrame:
+    """IVF-bucketed ANN: candidates restricted to the query's coarse
+    cell (nprobe=1), exact cosine re-rank inside the cell. Trades
+    recall for a corpus scan bounded by cell size; the brute-force
+    twin above is the recall baseline."""
+    e = load(spark, d, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _cell(F.col("embedding")).alias("cell"),
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cell").alias("q_cell"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("vec_id")) & (F.col("q_cell") == F.col("cell")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,144 @@
+"""Sources & sinks (SURVEY §2.1 S1–S7).
+
+The reference reads a CSV + an XML document and writes a delta XML +
+a CSV log into a date-partitioned, uuid-named folder
+(migrate.py:39-91, 274-305). Spark-side: schema'd CSV reader (no
+inference — fixes migrate.py:79), file-metadata-based latest-N
+discovery, CSV/XML sinks, and audit columns on a partitioned layout.
+
+Filesystem-writing queries use a per-process tmp dir; at scale these
+writers are plain distributed ``df.write`` (one file per partition, no
+driver materialization).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+from pro_etl_spark.io import load
+from pro_etl_spark.ops.migration import MAPPING_SQL, mapping_df, reconciliation
+from pro_etl_spark.registry import register
+
+MAPPING_SCHEMA = StructType(
+    [
+        StructField("current_customer_id", StringType(), False),
+        StructField("new_customer_id", StringType(), False),
+        StructField("new_source_id", StringType(), False),
+        StructField("new_store_id", StringType(), False),
+        StructField("new_store_name", StringType(), False),
+        StructField("mandatory_reference", StringType(), True),
+        StructField("delivery_day", StringType(), True),
+        StructField("ord", StringType(), True),
+    ]
+)
+
+
+def _tmp(sub: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), "pro_etl_spark", sub)
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+@register(
+    "scan_csv",
+    oracle=MAPPING_SQL
+    + """
+    SELECT current_customer_id, new_customer_id, new_source_id,
+           new_store_id, new_store_name, mandatory_reference, delivery_day
+    FROM raw_mapping
+    """,
+)
+def scan_csv(spark: SparkSession, d: str) -> DataFrame:
+    """S3: CSV scan with an explicit StructType (the reference lets
+    pandas infer, migrate.py:78-79 — SURVEY §1.5 fixes that). Write the
+    mapping to CSV, read it back schema-first; the oracle recomputes
+    the same rows from the parquet base, proving a lossless round-trip
+    (nulls included)."""
+    path = _tmp(f"scan_csv_{abs(hash(d)) % 10**8}")
+    mapping_df(spark, d).write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.schema(MAPPING_SCHEMA)
+        .option("header", True)
+        .csv(path)
+        .drop("ord")
+    )
+
+
+@register("scan_latest_files")  # rows-only: file mtimes are run-dependent
+def scan_latest_files(spark: SparkSession, d: str) -> DataFrame:
+    """S1: latest-N file discovery — the reference lists files by
+    extension sorted by mtime desc and takes the top 5
+    (migrate.py:39-42). Spark-side: the hidden ``_metadata`` column of
+    a file scan gives per-row file path + modification time; order and
+    limit on the distinct file set."""
+    path = _tmp(f"latest_{abs(hash(d)) % 10**8}")
+    m = mapping_df(spark, d)
+    for i in range(3):  # several distinct files, as in the reference's input dir
+        m.limit(10 + i).write.mode("overwrite").option("header", True).csv(f"{path}/f{i}")
+    df = spark.read.schema(MAPPING_SCHEMA).option("header", True).csv(f"{path}/f*")
+    return (
+        df.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_modification_time").alias("mtime"),
+        )
+        .distinct()
+        .orderBy(F.desc("mtime"), F.desc("file_path"))
+        .limit(5)
+    )
+
+
+@register("sink_csv")  # rows-only: exercises the writer path end-to-end
+def sink_csv(spark: SparkSession, d: str) -> DataFrame:
+    """S6: CSV sink — the reconciliation log written with headers
+    (migrate.py:303-305) and read back."""
+    path = _tmp(f"sink_csv_{abs(hash(d)) % 10**8}")
+    reconciliation(spark, d).write.mode("overwrite").option("header", True).csv(path)
+    schema = "current_id string, new_id string, status string, reason string"
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@register("sink_xml")  # rows-only: XML round-trip fidelity
+def sink_xml(spark: SparkSession, d: str) -> DataFrame:
+    """S5: XML sink + rescan. Spark 4.x has a native XML source; write
+    the nested customers with rowTag=customer (the reference's record
+    element, migrate.py:94/257) and read them back. Envelope fidelity
+    (root attrs, nsmap — migrate.py:274-284) is handled by
+    pro_etl_spark.xml_io and its unit tests."""
+    from pro_etl_spark.ops.nested import nested_customers
+
+    path = _tmp(f"sink_xml_{abs(hash(d)) % 10**8}")
+    n = nested_customers(spark, d).drop("key")
+    n.write.mode("overwrite").format("xml").option("rowTag", "customer").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .load(path)
+    )
+    return back.select(F.col("id").cast("string").alias("id")).orderBy("id")
+
+
+@register(
+    "run_audit_columns",
+    oracle="""
+    SELECT o_orderkey,
+           (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders) AS run_date,
+           'run-000' AS run_id
+    FROM orders
+    """,
+)
+def run_audit_columns(spark: SparkSession, d: str) -> DataFrame:
+    """S7: date-partitioned layout + run-id audit columns
+    (migrate.py:286-293 writes output/YYYY-MM-DD/output-<uuid>.xml).
+    The run date is data-derived (max order date) so the check is
+    deterministic; in production this is current_date + F.uuid() and
+    ``.write.partitionBy("run_date")``."""
+    o = load(spark, d, "orders")
+    run_date = o.agg(F.max("o_orderdate").cast("date").alias("run_date"))
+    return o.select("o_orderkey").crossJoin(F.broadcast(run_date)).withColumn(
+        "run_id", F.lit("run-000")
+    )

@@ -1,0 +1,157 @@
+"""Time-window / streaming operators (SURVEY §2.9 T1–T5).
+
+Absent from the reference (batch-only script); mandated by the
+category checklist. Each operator is written once as a time-windowed
+DataFrame expression so the *same function* runs in batch (DuckDB-
+oracle-testable, below) and under Structured Streaming
+(`pro_etl_spark.streaming_jobs` wires readStream → withWatermark →
+the same transform → writeStream; pytest drives it with a file source
++ availableNow trigger).
+
+Window origins: Spark aligns tumbling/sliding windows to the Unix
+epoch; DuckDB's time_bucket origin (2000-01-03) is itself a whole
+multiple of 5/10 minutes since the epoch, so bucket boundaries agree.
+Value sums go through DECIMAL (order-independent, bit-exact across
+engines). Session windows use Spark's gap semantics: a gap >= the
+timeout splits (oracle reconstructs sessions with lag + cumulative
+sum — the classic gaps-and-islands rewrite).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pro_etl_spark.io import load
+from pro_etl_spark.registry import register
+
+DECV = "decimal(18,6)"
+
+
+def tumbling(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DECV)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, d: str) -> DataFrame:
+    """T1: tumbling 10-minute window aggregate per event type."""
+    return tumbling(load(spark, d, "events"))
+
+
+def sliding(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DECV)).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value
+      FROM events
+    )
+    SELECT win_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM assigned GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, d: str) -> DataFrame:
+    """T2: sliding window (10 min length, 5 min slide) — every event
+    lands in exactly two windows; the oracle materializes both
+    assignments explicitly."""
+    return sliding(load(spark, d, "events"))
+
+
+def session_agg(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '5 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, d: str) -> DataFrame:
+    """T3: session window (5-minute inactivity gap) per user. The
+    oracle is the gaps-and-islands reconstruction of the same
+    semantics: a new session starts when the gap to the previous event
+    is >= the timeout."""
+    return session_agg(load(spark, d, "events"))
+
+
+def dedup_events(ev: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"),
+                F.col("ts").alias("first_ts"))
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, d: str) -> DataFrame:
+    """T5: stateful dedup — keep the first event per (user, type) under
+    a total order; in streaming mode this is
+    dropDuplicatesWithinWatermark on the same keys."""
+    return dedup_events(load(spark, d, "events"))

@@ -1,0 +1,207 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north-star: language-ID, quality scoring, token counting, document
+fingerprinting) over the ``documents`` table.
+
+All pure Column expressions — tokenization, counting, and rolling
+hashes run inside whole-stage codegen with zero Python; each document
+is processed independently (narrow, shuffle-free → trivially scales to
+100 TB of text).
+
+Portability: token hashing uses the first 15 hex chars of md5 parsed
+as a 60-bit integer — bit-identical in Spark
+(``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+(``('0x'||substr(md5(x),1,15))::BIGINT``) — so even hash-based
+fingerprints get full value oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from pro_etl_spark.io import load
+from pro_etl_spark.registry import register
+
+def TOKENS() -> Column:
+    """Whitespace tokens of the text column (lazy: Column creation
+    needs an active SparkSession)."""
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to")
+
+FP_MOD = 2147483647  # 2^31 - 1: h*31+t stays far below int64 overflow
+
+
+def hash60(col: Column) -> Column:
+    """Portable 60-bit md5-derived hash (same value in DuckDB via
+    ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+DUCK_HASH60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+@register(
+    "text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, d: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex lexer
+    (word / number token classes)."""
+    return load(spark, d, "documents").select(
+        "doc_id",
+        F.size(TOKENS()).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0))
+        .cast("long")
+        .alias("n_num_tokens"),
+    )
+
+
+_SW_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_quality",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             length(replace(text, ' ', '')) AS n_nonspace
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_nonspace AS DOUBLE) / len(toks), 6) AS avg_token_len,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ({_SW_IN}))) AS DOUBLE)
+                 / len(toks), 6) AS stopword_ratio,
+           ROUND(LEAST(CAST(len(toks) AS DOUBLE) / 100, 1.0), 6) AS length_score
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, d: str) -> DataFrame:
+    """Quality scoring: token stats, average token length, stopword
+    ratio, saturating length score (the classic pre-train quality
+    heuristics; exact integer counts → deterministic ratios)."""
+    docs = load(spark, d, "documents")
+    toks = TOKENS()
+    n_toks = F.size(toks).cast("double")
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_toks,
+            6,
+        ).alias("avg_token_len"),
+        F.round(sw / n_toks, 6).alias("stopword_ratio"),
+        F.round(F.least(n_toks / 100, F.lit(1.0)), 6).alias("length_score"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "los", "y", "las"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({words})))"
+
+
+@register(
+    "text_langid",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+             CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS BIGINT)
+               AS n_nonascii
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({_marker_sql('en')} AS BIGINT) AS score_en,
+           CAST({_marker_sql('fr')} AS BIGINT) AS score_fr,
+           CAST({_marker_sql('de')} AS BIGINT) AS score_de,
+           CAST({_marker_sql('es')} AS BIGINT) AS score_es,
+           n_nonascii,
+           CASE WHEN n_nonascii > 0 THEN 'other'
+                WHEN {_marker_sql('fr')} > {_marker_sql('en')} THEN 'fr'
+                WHEN {_marker_sql('de')} > {_marker_sql('en')} THEN 'de'
+                WHEN {_marker_sql('es')} > {_marker_sql('en')} THEN 'es'
+                ELSE 'en' END AS pred_lang
+    FROM t
+    """,
+)
+def text_langid(spark: SparkSession, d: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker hit counts per language +
+    a non-ASCII script check, argmax with a deterministic tiebreak.
+    (A real pipeline swaps in fastText/CLD3 behind the same schema.)"""
+    docs = load(spark, d, "documents")
+    toks = TOKENS()
+
+    def score(lang: str) -> Column:
+        return F.size(
+            F.filter(toks, lambda t: t.isin(*_LANG_MARKERS[lang]))
+        ).cast("long")
+
+    n_nonascii = F.length(
+        F.regexp_replace(F.col("text"), F.lit("[ -~]"), F.lit(""))
+    ).cast("long")
+    pred = (
+        F.when(n_nonascii > 0, "other")
+        .when(score("fr") > score("en"), "fr")
+        .when(score("de") > score("en"), "de")
+        .when(score("es") > score("en"), "es")
+        .otherwise("en")
+    )
+    return docs.select(
+        "doc_id",
+        score("en").alias("score_en"),
+        score("fr").alias("score_fr"),
+        score("de").alias("score_de"),
+        score("es").alias("score_es"),
+        n_nonascii.alias("n_nonascii"),
+        pred.alias("pred_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            s -> {DUCK_HASH60.format(x='s')} % 65536) AS th
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                       (acc, x) -> (acc * 31 + x) % {FP_MOD}) AS fingerprint
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, d: str) -> DataFrame:
+    """Document fingerprint: order-sensitive polynomial rolling hash
+    over the token stream (h ← (31·h + hash(tok)) mod 2³¹−1) — two
+    documents with the same token sequence collide, reordered ones
+    don't. Sequential fold in both engines → bit-identical."""
+    docs = load(spark, d, "documents")
+    th = F.transform(TOKENS(), lambda t: hash60(t) % 65536)
+    fp = F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,108 @@
+"""Query/oracle registry.
+
+Every operator from SURVEY.md §2 registers a ``(spark, sf_dir) ->
+DataFrame`` callable under its stable query key, optionally paired with
+an ANSI-SQL oracle string that DuckDB can evaluate over the same
+parquet tables. The driver compares row count + schema +
+order-insensitive value hash, so:
+
+- every computed column is explicitly aliased identically on both sides
+- float aggregations go through DECIMAL casts (order-independent exact
+  sums) and are cast back to DOUBLE at the end, so Spark and DuckDB
+  produce bit-identical values regardless of partition/summation order
+- session timezone is pinned to UTC so timestamp rendering matches
+  DuckDB's naive parquet timestamps
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+#: runtime-settable confs applied before every registered query runs.
+#: (The driver owns the SparkSession, so session-level tuning must be
+#: applied at call time; all of these are runtime-mutable.)
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # local[32] test harness: 32 shuffle partitions ≈ 1 per core; on a
+    # real cluster AQE coalescing makes the initial number non-critical.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executor Python workers.
+
+    UDF closures (pandas_udf / applyInPandas / mapInPandas) are
+    cloudpickled **by reference** to ``pro_etl_spark.ops.*``, so the
+    worker interpreter must be able to ``import pro_etl_spark`` — true
+    neither on a multi-node cluster where the package isn't pip-installed
+    on workers, nor in local mode when the driver process was launched
+    from a different cwd. ``addPyFile`` with a zip of the package is the
+    standard cluster-deployment answer and covers both.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_pro_etl_spark_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zpath = tempfile.mkstemp(prefix="pro_etl_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._pro_etl_spark_shipped = True
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment — skip
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # read-only SparkContext (e.g. Connect) — rely on installed pkg
+    return spark
+
+
+def register(name: str, oracle: Optional[str] = None):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as query
+    ``name`` with an optional DuckDB oracle SQL string.
+
+    Oracle SQL may reference the pre-registered views ``region nation
+    customer supplier part orders lineitem events documents
+    embeddings``.
+    """
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
