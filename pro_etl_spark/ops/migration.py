@@ -22,7 +22,7 @@ derivation are per-row narrow expressions.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from pro_etl_spark.io import load
 from pro_etl_spark.registry import register
@@ -193,6 +193,189 @@ def migration_reconciliation(spark: SparkSession, d: str) -> DataFrame:
     migrate.py:103-104/259-270 semantics, advisory-validation policy
     (§2.11.4: invalid rows still flow, only the log flags them)."""
     return reconciliation(spark, d)
+
+
+#: run timestamp written into profile/creation-date (migrate.py:97 uses
+#: now(); pinned here so the oracle is deterministic)
+RUN_TS = "2026-08-13T00:00:00+00:00"
+
+
+def apply_migration(nested: DataFrame, mapping: DataFrame) -> DataFrame:
+    """The reference's whole per-customer transform (migrate.py:116-257)
+    as one immutable Column-expression chain over the nested docs:
+
+    - id := new_customer_id                        (migrate.py:153)
+    - attr rewrites by name: MEK_Store_Id /
+      MEK_WarehouseID → new_store_id, MEK_Store_Name → new_store_name,
+      MEK_DataAreaID / MEK_SourceID → new_source_id (migrate.py:161-173)
+    - upsert MEK_DefaultDeliveryday (dt:dt=string, default '-3D')
+                                                   (migrate.py:143-150, 181-200)
+    - upsert MEK_CustomerOrderNumberMandatory (dt:dt=boolean,
+      lower-cased) only when mapped value is non-null
+                                                   (migrate.py:203-216; isNotNull
+                                                    per SURVEY §2.11.2, not the
+                                                    reference's NaN bug)
+    - per user: business-partner-no := new id      (migrate.py:221-222)
+      · any descendant field equal to the old id := new id
+                                                   (migrate.py:223-225)
+      · add CG_Mekonomen to user-groups if absent  (migrate.py:227-234)
+      · delete LastOrderDate attr                  (migrate.py:236-240)
+      · delete credentials/last-logged-in          (migrate.py:242-247)
+      · profile/creation-date := run date          (migrate.py:249-254)
+
+    Advisory validation (§2.11.4): invalid delivery_day rows still flow
+    through this transform — only the reconciliation log flags them.
+
+    Join strategy: mapping ≪ corpus ⇒ broadcast inner join; the corpus
+    side stays narrow (no shuffle), the transform is per-row expressions.
+    """
+    j = nested.join(
+        F.broadcast(mapping),
+        nested["id"] == mapping["current_customer_id"],
+        "inner",
+    )
+    # bind to the source frames, not F.col: the final select aliases its
+    # output column "id", and name-based refs inside lambdas resolve
+    # against the select's own aliases (verified on Spark 4.1)
+    old_id = nested["id"]
+    new_id = mapping["new_customer_id"]
+    delivery = F.coalesce(F.nullif(F.col("delivery_day"), F.lit("")), F.lit("-3D"))
+    mandatory = F.lower(F.col("mandatory_reference"))
+
+    def rewrite_attr(a: Column) -> Column:
+        value = (
+            F.when(a["name"].isin("MEK_Store_Id", "MEK_WarehouseID"), F.col("new_store_id"))
+            .when(a["name"] == "MEK_Store_Name", F.col("new_store_name"))
+            .when(a["name"].isin("MEK_DataAreaID", "MEK_SourceID"), F.col("new_source_id"))
+            .otherwise(a["value"])
+        )
+        return F.struct(a["name"].alias("name"), a["dt"].alias("dt"), value.alias("value"))
+
+    def upsert(arr: Column, name: str, dt: str, value: Column) -> Column:
+        updated = F.transform(
+            arr,
+            lambda a: F.struct(
+                a["name"].alias("name"),
+                F.when(a["name"] == name, F.lit(dt)).otherwise(a["dt"]).alias("dt"),
+                F.when(a["name"] == name, value).otherwise(a["value"]).alias("value"),
+            ),
+        )
+        return F.when(
+            F.exists(arr, lambda a: a["name"] == name), updated
+        ).otherwise(F.concat(arr, F.array(F.struct(
+            F.lit(name).alias("name"), F.lit(dt).alias("dt"), value.alias("value")
+        ))))
+
+    attrs = F.transform(F.col("custom_attributes"), rewrite_attr)
+    attrs = upsert(attrs, "MEK_DefaultDeliveryday", "string", delivery)
+    attrs = F.when(
+        mandatory.isNotNull(),
+        upsert(attrs, "MEK_CustomerOrderNumberMandatory", "boolean", mandatory),
+    ).otherwise(attrs)
+
+    def rewrite_user(u: Column) -> Column:
+        u = u.withField("business_partner_no", new_id)
+        # subtree rewrite (F15): enumerate id-carrying fields per SURVEY
+        # §7.3.2 — default_customer is the schema's id-valued descendant
+        u = u.withField(
+            "default_customer",
+            F.when(u["default_customer"] == old_id, new_id).otherwise(
+                u["default_customer"]
+            ),
+        )
+        u = u.withField(
+            "user_groups",
+            F.when(
+                F.array_contains(u["user_groups"], "CG_Mekonomen"), u["user_groups"]
+            ).otherwise(F.concat(u["user_groups"], F.array(F.lit("CG_Mekonomen")))),
+        )
+        u = u.withField(
+            "custom_attributes",
+            F.filter(u["custom_attributes"], lambda a: a["name"] != "LastOrderDate"),
+        )
+        u = u.withField("credentials", u["credentials"].dropFields("last_logged_in"))
+        u = u.withField("profile.creation_date", F.lit(RUN_TS))
+        return u
+
+    return j.select(
+        new_id.alias("id"),
+        attrs.alias("custom_attributes"),
+        F.transform(F.col("users"), rewrite_user).alias("users"),
+    )
+
+
+@register(
+    "migration_transform",
+    oracle=MAPPING_SQL
+    + MAPPING_DEDUP_SQL
+    + f"""
+    , matched AS (
+      SELECT c.c_custkey AS key, m.*
+      FROM mapping m
+      JOIN customer c ON m.current_customer_id = CAST(c.c_custkey AS VARCHAR)
+    ), users AS (
+      SELECT key, 0 AS user_no FROM matched
+      UNION ALL
+      SELECT key, 1 FROM matched WHERE key % 10 = 0
+    )
+    SELECT m.new_customer_id AS id,
+           2 + 1 + CASE WHEN lower(m.mandatory_reference) IS NOT NULL
+                        THEN 1 ELSE 0 END AS n_attrs,
+           COALESCE(NULLIF(m.delivery_day, ''), '-3D') AS delivery_value,
+           lower(m.mandatory_reference) AS mandatory_value,
+           m.new_store_id AS store_id_value,
+           m.new_customer_id AS business_partner_no,
+           m.new_customer_id AS default_customer,
+           TRUE AS in_mek_group,
+           FALSE AS has_last_order_date,
+           '{RUN_TS}' AS creation_date
+    FROM matched m JOIN users u ON m.key = u.key
+    """,
+)
+def migration_transform(spark: SparkSession, d: str) -> DataFrame:
+    """The reference's *output document* (the delta XML content,
+    migrate.py:256-257), flattened one row per (customer, user) so the
+    oracle can verify every transformed field: rewritten id/store attrs,
+    delivery-day upsert with default, boolean-typed mandatory flag,
+    FK + subtree id rewrite, group insert, attr/credential deletion,
+    and creation-date overwrite.
+
+    Note the nested build gives every matched customer (key%3==0) a
+    pre-existing MEK_DefaultDeliveryday ('-5D'), so n_attrs counts the
+    *update* branch of that upsert; the insert branch is covered by
+    ``arr_upsert``.
+    """
+    from pro_etl_spark.ops.nested import nested_customers
+
+    nested = nested_customers(spark, d).drop("key")
+    m = mapping_df(spark, d)
+    w = Window.partitionBy("current_customer_id").orderBy("ord", "new_store_id")
+    m = m.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn", "ord")
+    out = apply_migration(nested, m)
+    attr = lambda name: F.get(  # noqa: E731
+        F.filter(F.col("custom_attributes"), lambda a: a["name"] == name), 0
+    )["value"]
+    return out.select(
+        "id",
+        F.size("custom_attributes").alias("n_attrs"),
+        attr("MEK_DefaultDeliveryday").alias("delivery_value"),
+        attr("MEK_CustomerOrderNumberMandatory").alias("mandatory_value"),
+        attr("MEK_Store_Id").alias("store_id_value"),
+        F.explode("users").alias("u"),
+    ).select(
+        "id",
+        "n_attrs",
+        "delivery_value",
+        "mandatory_value",
+        "store_id_value",
+        F.col("u.business_partner_no").alias("business_partner_no"),
+        F.col("u.default_customer").alias("default_customer"),
+        F.array_contains("u.user_groups", "CG_Mekonomen").alias("in_mek_group"),
+        F.exists(
+            "u.custom_attributes", lambda a: a["name"] == "LastOrderDate"
+        ).alias("has_last_order_date"),
+        F.col("u.profile.creation_date").alias("creation_date"),
+    )
 
 
 @register(

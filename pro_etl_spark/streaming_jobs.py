@@ -1,0 +1,95 @@
+"""Structured Streaming wiring for the time-window operators (SURVEY
+§2.9 T1–T5).
+
+The batch-testable transforms in ``pro_etl_spark.ops.streaming``
+(tumbling / sliding / session_agg) are plain DataFrame functions, so
+the *same code object* runs under the micro-batch engine here:
+
+    file source (readStream) → withWatermark → transform → writeStream
+
+The reference has no streaming at all (SURVEY §2.9); these jobs are the
+capability generalization over the ``events`` table. Tests drive them
+with ``trigger(availableNow=True)`` + a memory sink and assert parity
+with the batch run of the identical transform.
+
+Scale notes (100 TB / continuous):
+- watermarks bound state: windowed aggregates drop state for windows
+  older than the watermark; ``dropDuplicatesWithinWatermark`` bounds the
+  dedup key store the same way.
+- the shuffle key is the window/group key — identical to the batch
+  plan; state lives in the executor-local state store (RocksDB in
+  production, ``spark.sql.streaming.stateStore.providerClass``).
+- ``availableNow`` gives batch-like backfill runs over file listings
+  without changing the query, i.e. the lambda-architecture collapse
+  Structured Streaming is designed for.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from pro_etl_spark.ops.streaming import session_agg, sliding, tumbling
+
+#: events file schema as the parquet stores it (ts is TIMESTAMP(NANOS),
+#: which Spark reads as long under the nanosAsLong legacy conf)
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files,
+    normalizing the nanosecond `ts` to a proper timestamp exactly as the
+    batch reader does (io.load)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stream(ev: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T1+T4: watermarked tumbling window — same `tumbling` transform as
+    the batch/oracle query."""
+    return tumbling(ev.withWatermark("ts", watermark))
+
+
+def sliding_stream(ev: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T2+T4: watermarked sliding window."""
+    return sliding(ev.withWatermark("ts", watermark))
+
+
+def session_stream(ev: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T3+T4: watermarked session window (5-minute gap)."""
+    return session_agg(ev.withWatermark("ts", watermark))
+
+
+def dedup_stream(ev: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T5: stateful streaming dedup — one surviving event per
+    (user_id, event_type) with state expiry bounded by the watermark."""
+    return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> StreamingQuery:
+    """Run a streaming DataFrame to completion into an in-memory table
+    with availableNow (processes every available file, then stops)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

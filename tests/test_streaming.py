@@ -1,0 +1,125 @@
+"""Structured Streaming parity tests (SURVEY §2.9 T1–T5).
+
+Each windowed transform is one function used by both the batch oracle
+query and the streaming job; these tests run the *streaming* side with
+a file source + availableNow and assert it reproduces the batch result,
+plus a watermark late-data drop check with a two-file stream.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from pro_etl_spark import streaming_jobs as SJ
+from pro_etl_spark.io import load
+from pro_etl_spark.ops.streaming import dedup_events, session_agg, sliding, tumbling
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """A stream-source directory holding the sf0.001 events parquet."""
+    d = tempfile.mkdtemp(prefix="pro_etl_stream_")
+    shutil.copy(f"{SF}/events.parquet", f"{d}/events.parquet")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    ev = SJ.read_events_stream(spark, events_dir)
+    SJ.run_to_memory(SJ.tumbling_stream(ev), "t_tumbling")
+    got = rows(spark.table("t_tumbling"))
+    want = rows(tumbling(load(spark, SF, "events")))
+    assert got == want
+
+
+def test_sliding_stream_matches_batch(spark, events_dir):
+    ev = SJ.read_events_stream(spark, events_dir)
+    SJ.run_to_memory(SJ.sliding_stream(ev), "t_sliding")
+    assert rows(spark.table("t_sliding")) == rows(sliding(load(spark, SF, "events")))
+
+
+def test_session_stream_matches_batch(spark, events_dir):
+    ev = SJ.read_events_stream(spark, events_dir)
+    SJ.run_to_memory(SJ.session_stream(ev), "t_session")
+    assert rows(spark.table("t_session")) == rows(
+        session_agg(load(spark, SF, "events"))
+    )
+
+
+def test_dedup_stream_keyset_matches_batch(spark, events_dir):
+    """dropDuplicatesWithinWatermark keeps an arbitrary first-seen row
+    per key (order depends on file/partition order), so parity is on the
+    key set + one-row-per-key, not on which row survived."""
+    ev = SJ.read_events_stream(spark, events_dir)
+    SJ.run_to_memory(SJ.dedup_stream(ev), "t_dedup", output_mode="append")
+    got = spark.table("t_dedup").select("user_id", "event_type")
+    keys = rows(got)
+    assert len(keys) == len(set(keys)), "one surviving row per key"
+    want = rows(dedup_events(load(spark, SF, "events")).select("user_id", "event_type"))
+    assert sorted(set(keys)) == want
+
+
+def test_watermark_drops_late_data(spark):
+    """T4: two availableNow runs over a shared checkpoint. Run 1 sees
+    on-time events and persists watermark = max(ts) − 10 min in the
+    checkpoint; run 2 (restart, same checkpoint) ingests a file whose
+    event is an hour older than that watermark, so the windowed
+    aggregate must drop it — its window never appears, in either run's
+    append output. Also exercises checkpoint recovery."""
+    d = tempfile.mkdtemp(prefix="pro_etl_late_")
+    src, ckpt = f"{d}/src", f"{d}/ckpt"
+    os.makedirs(src)
+    try:
+        base = 1_700_000_000  # seconds
+        spark.createDataFrame(
+            [(1, (base + 3600) * 10**9, 1, "click", 1.0, "{}"),
+             (2, (base + 3660) * 10**9, 1, "click", 1.0, "{}"),
+             # a second hour so the first hour's window closes in run 1
+             (4, (base + 7200) * 10**9, 1, "click", 1.0, "{}")],
+            SJ.EVENTS_RAW_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        out = f"{d}/out"
+
+        def run(_name):
+            ev = SJ.read_events_stream(spark, src)
+            q = (
+                SJ.tumbling_stream(ev, watermark="10 minutes")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(out)
+
+        got1 = run("t_late_r1")
+        # run 1 closed the [base+3600, base+4200) window (watermark is
+        # base+7200-600s past its end)
+        assert got1.where(F.col("n_events") == 2).count() == 1
+
+        spark.createDataFrame(
+            [(3, base * 10**9, 1, "click", 99.0, "{}")],  # ~2 h late
+            SJ.EVENTS_RAW_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+        got2 = run("t_late_r2")
+        late_windows = got2.where(
+            F.col("win_start") <= F.timestamp_seconds(F.lit(base))
+        )
+        assert late_windows.count() == 0, "late event must be dropped"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,122 @@
+"""XML envelope round-trip tests (SURVEY §2.1 S5, §7.3.1: namespaces on
+attributes, preserved nsmap, root version attrs — "round-trip tests
+mandatory")."""
+
+from __future__ import annotations
+
+import tempfile
+import xml.etree.ElementTree as ET
+
+import pyspark.sql.functions as F
+import pytest
+
+from pro_etl_spark import xml_io
+from pro_etl_spark.ops.migration import RUN_TS, apply_migration, mapping_df
+from pro_etl_spark.ops.nested import nested_customers
+from pyspark.sql import Window
+
+SF = "/root/testdata/sf0.001"
+
+ROOT_ATTRS = {
+    "xsi:schemaLocation": (
+        "http://www.intershop.com/xml/ns/intershop/customer/impex/7.3 customer.xsd"
+    ),
+    "major": "7",
+    "minor": "3",
+    "family": "enfinity",
+}
+
+
+@pytest.fixture(scope="module")
+def migrated(spark):
+    nested = nested_customers(spark, SF).drop("key")
+    m = mapping_df(spark, SF)
+    w = Window.partitionBy("current_customer_id").orderBy("ord", "new_store_id")
+    m = m.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn", "ord")
+    return apply_migration(nested, m)
+
+
+@pytest.fixture(scope="module")
+def doc(spark, migrated, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("xml") / "output.xml")
+    xml_io.write_xml_document(
+        xml_io.customer_xml(migrated),
+        out,
+        root_tag="enfinity",
+        root_attrs=ROOT_ATTRS,
+        nsmap=xml_io.ENFINITY_NSMAP,
+    )
+    return out
+
+
+def test_envelope_is_valid_xml_with_root_attrs(doc):
+    tag, attrs = xml_io.read_root_attrs(doc)
+    assert tag == "enfinity"
+    assert attrs["major"] == "7" and attrs["minor"] == "3"
+    # namespaced attribute round-trips through the xsi binding
+    assert attrs["{http://www.w3.org/2001/XMLSchema-instance}schemaLocation"].endswith(
+        "customer.xsd"
+    )
+    # whole document parses (stdlib, strict)
+    root = ET.parse(doc).getroot()
+    assert root.tag == "enfinity"
+
+
+def test_record_count_and_ids_roundtrip(spark, migrated, doc):
+    back = xml_io.read_xml_document(spark, doc)
+    assert back.count() == migrated.count()
+    got = sorted(r._id for r in back.select("_id").collect())
+    want = sorted(r.id for r in migrated.select("id").collect())
+    assert got == want
+
+
+def test_namespaced_attr_types_roundtrip(spark, migrated, doc):
+    """The dt:dt type tags (boolean for the mandatory flag, string for
+    delivery day — migrate.py:195,200,210-216) survive the round-trip."""
+    back = xml_io.read_xml_document(spark, doc)
+    attrs = back.select(
+        F.explode(F.col("custom-attributes")["custom-attribute"]).alias("a")
+    ).select(
+        F.col("a._name").alias("name"),
+        F.col("a.`_dt:dt`").alias("dt"),
+        F.col("a._VALUE").cast("string").alias("value"),
+    )
+    mand = attrs.where(F.col("name") == "MEK_CustomerOrderNumberMandatory")
+    assert mand.count() > 0
+    assert mand.where(F.col("dt") != "boolean").count() == 0
+    assert mand.where(~F.col("value").isin("true", "false")).count() == 0
+    dd = attrs.where(F.col("name") == "MEK_DefaultDeliveryday")
+    assert dd.where(F.col("dt") != "string").count() == 0
+
+
+def test_migration_invariants_in_document(spark, doc):
+    """SURVEY §5.2.3 property checks, asserted on the *written document*:
+    every user carries CG_Mekonomen, no LastOrderDate attr and no
+    last-logged-in survive, creation-date is the run timestamp."""
+    back = xml_io.read_xml_document(spark, doc)
+    # single-user customers parse as struct, multi-user as array; the
+    # sf0.001 build has both — normalize via to_json containment checks
+    txt = back.select(F.to_json(F.struct(F.col("user"))).alias("j"))
+    assert txt.where(~F.col("j").contains("CG_Mekonomen")).count() == 0
+    assert txt.where(F.col("j").contains("LastOrderDate")).count() == 0
+    assert txt.where(F.col("j").contains("last-logged-in")).count() == 0
+    assert txt.where(~F.col("j").contains(RUN_TS.replace("+00:00", ""))).count() == 0
+
+
+def test_escaping_special_chars(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("A&B<C>", [("N&me", "string", 'va<l"ue')],
+          [("BP&1", "A&B<C>", ("2026-01-01T00:00:00+00:00",), ["G<1"], [])])],
+        "id string, custom_attributes array<struct<name:string,dt:string,value:string>>, "
+        "users array<struct<business_partner_no:string, default_customer:string, "
+        "profile:struct<creation_date:string>, user_groups:array<string>, "
+        "custom_attributes:array<struct<name:string,dt:string,value:string>>>>",
+    )
+    out = str(tmp_path / "esc.xml")
+    xml_io.write_xml_document(xml_io.customer_xml(df), out, nsmap=xml_io.ENFINITY_NSMAP)
+    root = ET.parse(out).getroot()  # strict parser: raises on bad escaping
+    cust = root.find("customer")
+    assert cust.attrib["id"] == "A&B<C>"
+    attr = cust.find("custom-attributes/custom-attribute")
+    assert attr.attrib["name"] == "N&me"
+    assert attr.text == 'va<l"ue'
