@@ -1,0 +1,326 @@
+"""End-to-end migration job: the reference's whole program
+(``python migrate.py``, README.md:48-51 of the reference) as a
+Spark-native CLI.
+
+    python -m pro_etl_spark.migrate_cli \
+        --xml input/export.xml --csv input/migration_list.csv \
+        --output-dir output/
+
+Pipeline (mirrors SURVEY §3.1's trace, set-based):
+
+1. mapping CSV with an **explicit schema** (no inference — fixes
+   migrate.py:79), first-row-wins dedup on the join key (J4)
+2. customer XML via Spark's native XML source with an **explicit
+   schema** (arrays stay arrays even for single elements), normalized
+   to the canonical nested shape of SURVEY §1.5
+3. validation (delivery-day regex + '-3D' default, null checks) and
+   the OK / Not OK / Not-found reconciliation log (migrate.py:103-270)
+4. ``apply_migration`` — the full nested-document rewrite
+   (migrate.py:116-257) on the semi-join side
+5. sinks: one enveloped delta XML (nsmap + root attrs preserved from
+   the input document) + a log CSV under
+   ``<output-dir>/<YYYY-MM-DD>/output-<uuid>/`` (migrate.py:286-305),
+   and the found/total summary on stdout (migrate.py:272)
+
+Scale: the mapping broadcasts; the corpus never shuffles; the document
+rewrite and XML record serialization are narrow Column expressions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pro_etl_spark import xml_io
+from pro_etl_spark.ops.migration import (
+    DELIVERY_RE,
+    REASON_INVALID,
+    REASON_NOT_FOUND,
+    REASON_OK,
+    apply_migration,
+)
+
+#: run timestamp written into profile/creation-date — the reference's
+#: ``%Y-%m-%dT00:00:00+00:00`` of "today" (migrate.py:97)
+RUN_TS_TEXT = datetime.date.today().isoformat() + "T00:00:00+00:00"
+
+#: CSV contract of the reference (README.md:16-24 of the reference)
+CSV_SCHEMA = StructType(
+    [
+        StructField("current_customer_id", StringType(), True),
+        StructField("new_customer_id", StringType(), True),
+        StructField("new_source_id", StringType(), True),
+        StructField("new_store_id", StringType(), True),
+        StructField("new_store_name", StringType(), True),
+        StructField("mandatory_reference", StringType(), True),
+        StructField("delivery_day", StringType(), True),
+    ]
+)
+
+
+def _attr_st() -> ArrayType:
+    return ArrayType(
+        StructType(
+            [
+                StructField("_VALUE", StringType(), True),
+                StructField("_dt:dt", StringType(), True),
+                StructField("_name", StringType(), True),
+            ]
+        )
+    )
+
+
+#: explicit read schema for the customer XML (field names follow the
+#: native XML source's attribute conventions: attributes are
+#: ``_``-prefixed, element text is ``_VALUE``); declaring it keeps
+#: single-element collections as arrays
+XML_SCHEMA = StructType(
+    [
+        StructField("_id", StringType(), True),
+        StructField(
+            "custom-attributes",
+            StructType([StructField("custom-attribute", _attr_st(), True)]),
+            True,
+        ),
+        StructField(
+            "user",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("_business-partner-no", StringType(), True),
+                        StructField("default-customer", StringType(), True),
+                        StructField(
+                            "user-groups",
+                            StructType(
+                                [
+                                    StructField(
+                                        "user-group",
+                                        ArrayType(
+                                            StructType(
+                                                [StructField("_id", StringType(), True)]
+                                            )
+                                        ),
+                                        True,
+                                    )
+                                ]
+                            ),
+                            True,
+                        ),
+                        StructField(
+                            "custom-attributes",
+                            StructType(
+                                [StructField("custom-attribute", _attr_st(), True)]
+                            ),
+                            True,
+                        ),
+                        StructField(
+                            "credentials",
+                            StructType(
+                                [
+                                    StructField("login", StringType(), True),
+                                    StructField("last-logged-in", StringType(), True),
+                                ]
+                            ),
+                            True,
+                        ),
+                        StructField(
+                            "profile",
+                            StructType(
+                                [StructField("creation-date", StringType(), True)]
+                            ),
+                            True,
+                        ),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def _canon_attrs(c: F.Column) -> F.Column:
+    arr = F.coalesce(c["custom-attribute"], F.array().cast(_attr_st()))
+    return F.transform(
+        arr,
+        lambda a: F.struct(
+            a["_name"].alias("name"),
+            F.coalesce(a["_dt:dt"], F.lit("string")).alias("dt"),
+            F.coalesce(a["_VALUE"], F.lit("")).alias("value"),
+        ),
+    )
+
+
+def read_customers_xml(spark: SparkSession, path: str) -> DataFrame:
+    """Native XML scan with the explicit schema, normalized to the
+    canonical nested shape (SURVEY §1.5) that ``apply_migration`` and
+    ``xml_io.customer_xml`` operate on."""
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema(XML_SCHEMA)
+        .load(path)
+    )
+    users = F.transform(
+        F.coalesce(F.col("user"), F.array().cast(XML_SCHEMA["user"].dataType)),
+        lambda u: F.struct(
+            F.coalesce(u["_business-partner-no"], F.lit("")).alias(
+                "business_partner_no"
+            ),
+            F.coalesce(u["default-customer"], F.lit("")).alias("default_customer"),
+            F.struct(
+                F.coalesce(u["profile"]["creation-date"], F.lit("")).alias(
+                    "creation_date"
+                )
+            ).alias("profile"),
+            F.struct(
+                u["credentials"]["login"].alias("login"),
+                u["credentials"]["last-logged-in"].alias("last_logged_in"),
+            ).alias("credentials"),
+            F.transform(
+                F.coalesce(
+                    u["user-groups"]["user-group"],
+                    F.array().cast(
+                        ArrayType(StructType([StructField("_id", StringType())]))
+                    ),
+                ),
+                lambda g: g["_id"],
+            ).alias("user_groups"),
+            _canon_attrs(u["custom-attributes"]).alias("custom_attributes"),
+        ),
+    )
+    return raw.select(
+        F.col("_id").alias("id"),
+        _canon_attrs(F.col("custom-attributes")).alias("custom_attributes"),
+        users.alias("users"),
+    )
+
+
+def read_mapping_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Schema'd CSV read + first-row-wins dedup (J4: the reference's
+    emergent first-match semantics made explicit, SURVEY §2.3)."""
+    m = spark.read.schema(CSV_SCHEMA).option("header", True).csv(path)
+    m = m.withColumn("ord", F.monotonically_increasing_id())
+    w = Window.partitionBy("current_customer_id").orderBy("ord")
+    return (
+        m.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn", "ord")
+    )
+
+
+def reconcile(mapping: DataFrame, customers: DataFrame) -> DataFrame:
+    """The OK / Not OK / Not-found log (migrate.py:103-104, 259-266) —
+    semi side validated, anti side flagged, one broadcast plan."""
+    delivery = F.coalesce(F.nullif(F.trim(F.col("delivery_day")), F.lit("")), F.lit("-3D"))
+    # 100 TB posture (same as ops.migration.reconciliation): Spark can't
+    # broadcast the preserved side of an outer join, so semi-filter the
+    # corpus by the broadcast key set first (narrow scan of the big
+    # side), then left-join the mapping against the now-small match set.
+    keys = mapping.select(F.trim(F.col("current_customer_id")).alias("_k"))
+    matched = (
+        customers.join(F.broadcast(keys), customers["id"] == keys["_k"], "left_semi")
+        .select(F.col("id").alias("_cid"))
+    )
+    j = mapping.join(
+        F.broadcast(matched),
+        F.trim(mapping["current_customer_id"]) == matched["_cid"],
+        "left",
+    )
+    missing = (
+        F.col("current_customer_id").isNull()
+        | F.col("new_customer_id").isNull()
+        | F.col("new_source_id").isNull()
+        | F.col("new_store_id").isNull()
+        | F.col("new_store_name").isNull()
+    )
+    return j.select(
+        F.col("current_customer_id").alias("current_id"),
+        F.col("new_customer_id").alias("new_id"),
+        F.when(F.col("_cid").isNull(), "Not OK")
+        .when(missing, "Not OK")
+        .when(~delivery.rlike(DELIVERY_RE), "Not OK")
+        .otherwise("OK")
+        .alias("status"),
+        F.when(F.col("_cid").isNull(), REASON_NOT_FOUND)
+        .when(missing, "Missing values! Please check CSV input file")
+        .when(~delivery.rlike(DELIVERY_RE), REASON_INVALID)
+        .otherwise(REASON_OK)
+        .alias("reason"),
+    )
+
+
+def run(
+    spark: SparkSession, xml_path: str, csv_path: str, output_dir: str
+) -> dict[str, str]:
+    """Execute the full migration; returns the output file paths."""
+    mapping = read_mapping_csv(spark, csv_path)
+    customers = read_customers_xml(spark, xml_path)
+
+    log = reconcile(F.broadcast(mapping), customers)
+    migrated = apply_migration(customers, mapping, run_ts=RUN_TS_TEXT)
+
+    run_date = datetime.date.today().isoformat()
+    run_id = uuid.uuid4().hex[:12]
+    out_base = f"{output_dir}/{run_date}/output-{run_id}"
+    # envelope fidelity: carry the input document's root attributes
+    # (xsi:schemaLocation, version attrs — migrate.py:274-284) forward
+    _tag, root_attrs = xml_io.read_root_attrs(xml_path)
+    nsmap = dict(xml_io.ENFINITY_NSMAP)
+    attrs_out = {}
+    for k, v in root_attrs.items():
+        if k.startswith("{"):
+            uri, local = k[1:].split("}")
+            pfx = next((p for p, u in nsmap.items() if u == uri), None)
+            if pfx:
+                attrs_out[f"{pfx}:{local}"] = v
+        else:
+            attrs_out[k] = v
+
+    xml_out = f"{out_base}/delta.xml"
+    import os
+
+    os.makedirs(out_base, exist_ok=True)
+    xml_io.write_xml_document(
+        xml_io.customer_xml(migrated), xml_out,
+        root_tag="enfinity", root_attrs=attrs_out, nsmap=nsmap,
+    )
+    log_out = f"{out_base}/migration_log"
+    log.coalesce(1).write.mode("overwrite").option("header", True).csv(log_out)
+
+    total = mapping.count()
+    found = log.where(F.col("reason") != REASON_NOT_FOUND).count()
+    print(f"{found}/{total} customers found in source XML")
+    print(f"delta XML: {xml_out}")
+    print(f"log CSV:   {log_out}")
+    return {"xml": xml_out, "log": log_out, "found": str(found), "total": str(total)}
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--xml", required=True, help="customer export XML")
+    p.add_argument("--csv", required=True, help="migration list CSV")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--master", default="local[*]")
+    a = p.parse_args(argv)
+    spark = (
+        SparkSession.builder.master(a.master)
+        .appName("pro_etl_spark-migrate")
+        .getOrCreate()
+    )
+    try:
+        run(spark, a.xml, a.csv, a.output_dir)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

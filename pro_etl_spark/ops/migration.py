@@ -200,7 +200,9 @@ def migration_reconciliation(spark: SparkSession, d: str) -> DataFrame:
 RUN_TS = "2026-08-13T00:00:00+00:00"
 
 
-def apply_migration(nested: DataFrame, mapping: DataFrame) -> DataFrame:
+def apply_migration(
+    nested: DataFrame, mapping: DataFrame, run_ts: str = RUN_TS
+) -> DataFrame:
     """The reference's whole per-customer transform (migrate.py:116-257)
     as one immutable Column-expression chain over the nested docs:
 
@@ -294,7 +296,7 @@ def apply_migration(nested: DataFrame, mapping: DataFrame) -> DataFrame:
             F.filter(u["custom_attributes"], lambda a: a["name"] != "LastOrderDate"),
         )
         u = u.withField("credentials", u["credentials"].dropFields("last_logged_in"))
-        u = u.withField("profile.creation_date", F.lit(RUN_TS))
+        u = u.withField("profile.creation_date", F.lit(run_ts))
         return u
 
     return j.select(

@@ -75,10 +75,12 @@ def _attrs_xml(arr: Column, indent: str) -> Column:
     )).otherwise(F.lit(f"{indent}<custom-attributes/>"))
 
 
-def _user_xml(u: Column) -> Column:
+def _user_xml(u: Column, cred_fields: tuple[str, ...]) -> Column:
     """<user> block for the canonical users element (SURVEY §1.2):
     business-partner-no attribute, user-groups set, custom-attributes,
-    credentials (last-logged-in removed by the migration), profile."""
+    credentials (whatever fields survive the migration — the reference
+    deletes only last-logged-in, keeping siblings, migrate.py:242-247),
+    profile."""
     groups = F.array_join(
         F.transform(
             u["user_groups"],
@@ -87,6 +89,27 @@ def _user_xml(u: Column) -> Column:
             ),
         ),
         "\n",
+    )
+    creds: list[Column] = []
+    for f in cred_fields:
+        el = f.replace("_", "-")
+        creds.append(
+            F.when(
+                u["credentials"][f].isNotNull(),
+                F.concat(
+                    F.lit(f"      <{el}>"),
+                    xml_escape(u["credentials"][f]),
+                    F.lit(f"</{el}>\n"),
+                ),
+            ).otherwise(F.lit(""))
+        )
+    cred_block = (
+        F.when(
+            F.concat(*creds) != "",
+            F.concat(F.lit("    <credentials>\n"), F.concat(*creds), F.lit("    </credentials>\n")),
+        ).otherwise(F.lit(""))
+        if creds
+        else F.lit("")
     )
     return F.concat(
         F.lit('  <user business-partner-no="'),
@@ -99,7 +122,9 @@ def _user_xml(u: Column) -> Column:
         groups,
         F.lit("\n    </user-groups>\n"),
         _attrs_xml(u["custom_attributes"], "    "),
-        F.lit("\n    <profile>\n      <creation-date>"),
+        F.lit("\n"),
+        cred_block,
+        F.lit("    <profile>\n      <creation-date>"),
         xml_escape(u["profile"]["creation_date"]),
         F.lit("</creation-date>\n    </profile>\n  </user>"),
     )
@@ -108,14 +133,25 @@ def _user_xml(u: Column) -> Column:
 def customer_xml(df: DataFrame) -> DataFrame:
     """Render each nested customer row (post-``apply_migration`` schema)
     to its ``<customer>`` element — a single-column DataFrame of XML
-    text, computed entirely executor-side."""
+    text, computed entirely executor-side. The credentials fields to
+    emit are discovered from the input schema (string fields only)."""
+    users_t = df.schema["users"].dataType.elementType
+    cred_fields: tuple[str, ...] = ()
+    if "credentials" in users_t.fieldNames():
+        cred_fields = tuple(
+            f.name
+            for f in users_t["credentials"].dataType.fields
+            if f.dataType.simpleString() == "string"
+        )
     rec = F.concat(
         F.lit('<customer id="'),
         xml_escape(F.col("id")),
         F.lit('">\n'),
         _attrs_xml(F.col("custom_attributes"), "  "),
         F.lit("\n"),
-        F.array_join(F.transform(F.col("users"), _user_xml), "\n"),
+        F.array_join(
+            F.transform(F.col("users"), lambda u: _user_xml(u, cred_fields)), "\n"
+        ),
         F.lit("\n</customer>"),
     )
     return df.select(rec.alias("value"))
