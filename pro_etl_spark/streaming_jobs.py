@@ -77,6 +77,42 @@ def dedup_stream(ev: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+def running_totals_stream(ev: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (count, total-value) accumulator maintained in the
+    state store across micro-batches — the escape hatch for stateful
+    semantics Spark's built-in windowed aggregates can't express
+    (SURVEY §2.9/§2.10; the Arrow-batched generalization of the
+    reference's per-entity loop state).
+
+    Emits each user's cumulative totals once per micro-batch in which
+    that user appears (update semantics); state never times out here —
+    production jobs would pass a TTL via GroupStateTimeout and
+    ``state.setTimeoutDuration`` to bound the store.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # executor-side
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     sdf: DataFrame,
     name: str,

@@ -71,6 +71,48 @@ def test_dedup_stream_keyset_matches_batch(spark, events_dir):
     assert sorted(set(keys)) == want
 
 
+def test_apply_in_pandas_with_state_running_totals(spark):
+    """Custom stateful operator: two micro-batches (one file each) feed
+    a per-user accumulator in the state store; the final emission per
+    user must equal the batch groupBy over both files, proving state
+    carried across micro-batches."""
+    d = tempfile.mkdtemp(prefix="pro_etl_state_")
+    try:
+        base = 1_700_000_000
+        rows1 = [(1, (base + i) * 10**9, 100 + (i % 2), "click", 1.5, "{}") for i in range(6)]
+        rows2 = [(10 + i, (base + 60 + i) * 10**9, 100 + (i % 3), "view", 2.0, "{}") for i in range(6)]
+        spark.createDataFrame(rows1, SJ.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(f"{d}/f1")
+        time.sleep(1.1)
+        spark.createDataFrame(rows2, SJ.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(f"{d}/f2")
+
+        ev = SJ.read_events_stream(spark, f"{d}/f*")
+        SJ.run_to_memory(
+            SJ.running_totals_stream(ev), "t_state", output_mode="update"
+        )
+        emitted = spark.table("t_state")
+        # totals are monotone, so the max per user is the final state
+        final = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in emitted.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+            .collect()
+        }
+        both = spark.createDataFrame(rows1 + rows2, SJ.EVENTS_RAW_SCHEMA)
+        want = {
+            r.user_id: (r.n, r.t)
+            for r in both.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+            .collect()
+        }
+        assert final == want
+        # state actually crossed batches: user 100/101 appear in both
+        # files, so they must have >1 emission
+        multi = emitted.groupBy("user_id").count().where("count > 1").count()
+        assert multi >= 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_watermark_drops_late_data(spark):
     """T4: two availableNow runs over a shared checkpoint. Run 1 sees
     on-time events and persists watermark = max(ts) − 10 min in the
