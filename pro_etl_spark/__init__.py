@@ -21,6 +21,7 @@ def load_all() -> None:
     """Import every operator module so registration side effects run."""
     from pro_etl_spark.ops import (  # noqa: F401
         relational,
+        relational_ext,
         scalars,
         nested,
         migration,

@@ -1,0 +1,214 @@
+"""Extended relational operators: cube / grouping sets, multi-distinct
+aggregation, exact percentiles, pivot, analytic window functions
+(ntile / percent_rank / cume_dist), and range-frame windows.
+
+Capability generalizations of SURVEY §2.4 A5 and §2.5 W1–W3 beyond the
+first wave in ``relational.py`` — each exercises a distinct physical
+plan shape worth owning at 100 TB:
+
+- cube/rollup/grouping-sets → one Expand + single hash aggregate (not
+  2^n scans)
+- multiple DISTINCT aggregates → Expand-based rewrite, one shuffle
+- pivot with an explicit value list → conditional aggregation, no
+  second pass to discover values (at scale, *always* pass the list:
+  otherwise Spark runs a distinct job first)
+- range frames → bounded window state keyed by a numeric order column
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pro_etl_spark.io import load
+from pro_etl_spark.ops.relational import DEC, _dsum
+from pro_etl_spark.registry import register
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS grouping_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, d: str) -> DataFrame:
+    """A5: CUBE over (returnflag, linestatus) — all 2² grouping
+    combinations in ONE Expand + hash aggregate (the plan to insist on
+    at scale: 4 aggregates for one scan/shuffle, not 4 scans)."""
+    li = load(spark, d, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_id"),
+            F.count("*").alias("n"),
+            _dsum("l_quantity", "sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "grouping_id", "n", "sum_qty")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, d: str) -> DataFrame:
+    """A5: explicit GROUPING SETS through the SQL surface (two
+    independent rollup dimensions, one scan). Uses spark.sql on a temp
+    view — the engine's SQL entry point, same Catalyst plan as the
+    DataFrame form."""
+    load(spark, d, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_prios,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, d: str) -> DataFrame:
+    """Multiple DISTINCT aggregates over different columns in one query
+    — Catalyst's Expand rewrite (one row replicated per distinct set),
+    a single shuffle instead of one job per distinct."""
+    o = load(spark, d, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, d: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — same definition as
+    DuckDB's quantile_cont; l_quantity is integral-valued so the
+    interpolated midpoints are exact binary fractions, bit-stable
+    across engines). At 100 TB exact percentile means a sort per group
+    — prefer approx_percentile (t-digest) there; this is the exactness
+    baseline the sketch is judged against."""
+    li = load(spark, d, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    )
+
+
+@register(
+    "pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_partial
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, d: str) -> DataFrame:
+    """Pivot with an explicit value list (never omit it at scale —
+    without the list Spark first runs a distinct job to discover the
+    columns). Compiles to conditional aggregation: one scan, one
+    shuffle."""
+    o = load(spark, d, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile(spark: SparkSession, d: str) -> DataFrame:
+    """W1 extras: ntile / percent_rank / cume_dist per customer
+    (deterministic total order via the unique orderkey tiebreak).
+    percent_rank and cume_dist are exact rationals of row counts —
+    bit-identical across engines."""
+    o = load(spark, d, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, day_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY day_n
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS spend_30d
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                 CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day_n
+          FROM orders)
+    """,
+)
+def window_range_frame(spark: SparkSession, d: str) -> DataFrame:
+    """W3: RANGE frame — trailing-30-day spend per customer, keyed on a
+    numeric day column (Spark's rangeBetween requires a numeric order
+    key). Bounded frame ⇒ bounded per-partition window state."""
+    o = load(spark, d, "orders").withColumn(
+        "day_n", (F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_n")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_n",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("spend_30d"),
+    )
