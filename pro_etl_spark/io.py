@@ -22,6 +22,14 @@ TABLES = (
 )
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so users can drive
+    the engine through plain ``spark.sql`` — the SQL twin of the
+    DataFrame surface (same Catalyst plans)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")

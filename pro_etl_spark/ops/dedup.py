@@ -109,17 +109,25 @@ def dedup_ngram_jaccard(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+#: universal-hash modulus for MinHash permutations (Mersenne 2^31−1);
+#: base hashes are reduced mod P first so (2j+1)·h + c stays < 2^62
+MH_P = 2_147_483_647
+MH_C = 99_991
+
+
 def _minhash_sig() -> Column:
-    """MinHash signature: for each of the 16 'permutations' j, the min
-    over the token set of a salted portable hash h_j(t) = md5(j ':' t).
-    """
-    ts = tokset()
+    """MinHash signature via universal hashing: each token is md5-hashed
+    ONCE (h = hash60(t) mod P), then permutation j is the affine map
+    h_j = ((2j+1)·h + j·C + 7) mod P. One md5 per token instead of one
+    per (token, permutation) — 16× less hashing on the scan-dominated
+    path — with the standard (aX+b) mod P family's collision bounds."""
+    th = F.transform(tokset(), lambda t: hash60(t) % MH_P)
     return F.transform(
         F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1)),
         lambda j: F.array_min(
             F.transform(
-                ts,
-                lambda t: hash60(F.concat(j.cast("string"), F.lit(":"), t)),
+                th,
+                lambda h: ((2 * j + 1) * h + j * MH_C + 7) % MH_P,
             )
         ),
     )
@@ -127,8 +135,9 @@ def _minhash_sig() -> Column:
 
 _MINHASH_SIG_SQL = f"""
       list_transform(range(0, {MINHASH_PERMS}),
-        j -> list_min(list_transform({_TOKSET_SQL},
-               t -> {DUCK_HASH60.format(x="(CAST(j AS VARCHAR) || ':' || t)")})))
+        j -> list_min(list_transform(
+               list_transform({_TOKSET_SQL}, t -> {DUCK_HASH60.format(x="t")} % {MH_P}),
+               h -> ((2*j + 1) * h + j * {MH_C} + 7) % {MH_P})))
 """
 
 
@@ -185,12 +194,15 @@ def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
     MAX_BUCKET frequency cap bounds the per-bucket fan-out (the LSH
     analogue of AQE's skew-join splitting: a bucket shared by the
     whole corpus is noise, not signal)."""
-    docs = load(spark, d, "documents").select(
-        "doc_id", tokset().alias("ts"), _minhash_sig().alias("sig")
-    )
-    bands = docs.select(
+    # Stage 1 — candidates from signatures ONLY, with NO self-join: the
+    # (band, bucket) shuffle carries just (doc_id, bucket-hash); each
+    # bucket collects its ≤ MAX_BUCKET member ids into one row and the
+    # (i<j) pairs are generated *inside* that row (array transform, at
+    # most MAX_BUCKET²/2 per bucket) — the shuffle volume is O(docs ×
+    # bands), never O(pairs), and no subtree is computed twice.
+    sigs = load(spark, d, "documents").select("doc_id", _minhash_sig().alias("sig"))
+    bands = sigs.select(
         "doc_id",
-        "ts",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
@@ -202,37 +214,59 @@ def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    from pyspark.sql import Window
-
-    bucket_n = Window.partitionBy("band", "bucket")
-    capped = (
-        bands.withColumn("bucket_n", F.count("*").over(bucket_n))
-        .where(F.col("bucket_n") <= MAX_BUCKET)
-        .drop("bucket_n")
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids").between(2, MAX_BUCKET))
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                # elements strictly after position i (slice is 1-based)
+                F.slice(F.col("ids"), i + 2, MAX_BUCKET),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(
-            F.any_value(F.col("a.ts")).alias("ts_a"),
-            F.any_value(F.col("b.ts")).alias("ts_b"),
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    # Stage 2 — exact verification: join the (small) candidate pair set
+    # back to the token sets, broadcast the pairs so the corpus-side
+    # lookups stay shuffle-free.
+    # tokenization runs once (cached), not once per join side; at scale
+    # this is the persisted token-set table next to the signature table
+    ts = load(spark, d, "documents").select("doc_id", tokset().alias("ts")).cache()
+    # join order: corpus ⨝ broadcast(bare pairs) — the pair set is ids
+    # only (~16 B/row); then the enriched pairs ⨝ broadcast of the
+    # second token-set lookup. At 100 TB the second join becomes a
+    # shuffle-hash join on doc_b; the pair set is still the small side.
+    paired = (
+        ts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ts", "ts_a")
+        .join(F.broadcast(cand), "doc_a")
+        .join(
+            F.broadcast(
+                ts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ts", "ts_b")
+            ),
+            "doc_b",
         )
     )
-    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b"))).cast("double")
-    union = F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - F.size(
-        F.array_intersect(F.col("ts_a"), F.col("ts_b"))
+    # evaluate the intersect ONCE: materialize sizes in a projection,
+    # then filter — keeps array_intersect out of both the filter and
+    # the final select
+    sized = paired.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+        .cast("double")
+        .alias("n_inter"),
+        (F.size(F.col("ts_a")) + F.size(F.col("ts_b"))).alias("n_sum"),
     )
-    jac = inter / union
-    return cand.where(jac >= JACCARD_THRESHOLD).select(
+    jac = F.col("n_inter") / (F.col("n_sum") - F.col("n_inter"))
+    return sized.where(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 

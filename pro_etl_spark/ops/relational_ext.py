@@ -154,6 +154,96 @@ def pivot_status(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+SALT_BUCKETS = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey, l.l_linenumber, o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, d: str) -> DataFrame:
+    """Skew-mitigated join via salting: the (potentially hot-keyed) fact
+    side gets a random-ish salt in [0, 8); the dimension side is
+    replicated once per salt value (`explode(sequence)`), and the join
+    key becomes (key, salt) — a hot key's rows spread over 8 reducers
+    instead of one. The oracle is the UNSALTED join: salting must be
+    result-invariant, which is exactly what the value hash proves.
+
+    (AQE's skewJoin handles this automatically for sort-merge joins;
+    manual salting remains the tool for skewed *aggregations* and for
+    engines/paths AQE doesn't cover. Salt derives from a stable key
+    hash, not rand(), so retried tasks stay deterministic.)"""
+    li = load(spark, d, "lineitem").withColumn(
+        "salt", (F.crc32(F.col("l_linenumber").cast("string")) % SALT_BUCKETS).cast("int")
+    )
+    o = (
+        load(spark, d, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))))
+    )
+    j = li.join(o, (li["l_orderkey"] == o["o_orderkey"]) & (li["salt"] == o["salt"]))
+    return j.groupBy("l_orderkey", "l_linenumber", "o_orderpriority").agg(
+        _dsum("l_extendedprice", "revenue")
+    )
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def join_bucketed(spark: SparkSession, d: str) -> DataFrame:
+    """Co-located join via bucketing: both tables written bucketed on
+    the join key (`bucketBy(8, key)` + sortBy) into managed tables, so
+    the join plan has NO shuffle exchange — each bucket pair joins
+    in place. The write is a one-time cost amortized over every later
+    join/aggregation on that key; at 100 TB bucket layout IS the
+    partitioning strategy. Oracle: the same join on the raw parquet
+    (bucketing must be result-invariant)."""
+    import tempfile
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    suffix = abs(hash(d)) % 10**8
+    on, ln = f"bkt.orders_b{suffix}", f"bkt.lineitem_b{suffix}"
+    base = f"{tempfile.gettempdir()}/pro_etl_spark/bucketed_{suffix}"
+    if not spark.catalog.tableExists(on):
+        (
+            load(spark, d, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", f"{base}/orders")
+            .mode("overwrite").saveAsTable(on)
+        )
+    if not spark.catalog.tableExists(ln):
+        (
+            load(spark, d, "lineitem")
+            .select("l_orderkey")
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", f"{base}/lineitem")
+            .mode("overwrite").saveAsTable(ln)
+        )
+    o = spark.table(on)
+    li = spark.table(ln)
+    # hint("merge"): force the sort-merge path so the plan demonstrates
+    # the bucket property (at tiny SF Catalyst would otherwise pick a
+    # broadcast join); with both sides bucketed+sorted on the key the
+    # SMJ has zero Exchange and zero Sort nodes.
+    return (
+        o.join(li.hint("merge"), o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("*").alias("n_items"))
+    )
+
+
 @register(
     "window_ntile",
     oracle="""
