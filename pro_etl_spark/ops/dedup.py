@@ -366,6 +366,96 @@ def dedup_simhash_pairs(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+_JACCARD_PAIRS_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, source, {_TOKSET_SQL} AS ts FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+            / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+            >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_JACCARD_PAIRS_SQL
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), lp AS (
+      -- fixpoint min-label propagation: every label reachable from a
+      -- node is enumerated; MIN per node = component id
+      WITH RECURSIVE reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, reach.label FROM reach JOIN edges e ON reach.node = e.src
+      )
+      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT node AS doc_id, cluster_id,
+           (node = cluster_id) AS is_survivor
+    FROM lp
+    """,
+)
+def dedup_clusters(spark: SparkSession, d: str) -> DataFrame:
+    """Duplicate clustering: connected components over the near-dup
+    pair graph (Jaccard ≥ τ within source blocks), survivor = min doc
+    id per component — the step that turns pairwise matches into
+    keep/drop decisions.
+
+    Spark-native iterative min-label propagation (the Pregel pattern as
+    plain DataFrame ops): each round joins current labels across the
+    symmetric edge list and keeps the per-node min; converges in
+    O(diameter) rounds (bounded at 15; near-dup components are
+    low-diameter in practice). Each round is one shuffle; lineage is
+    truncated with localCheckpoint so plans don't grow exponentially —
+    the same loop runs at 100 TB (this is how GraphFrames/GraphX do CC).
+    The oracle recomputes components with a recursive-CTE fixpoint.
+    """
+    jac = dedup_ngram_jaccard(spark, d).select("doc_a", "doc_b")
+    edges = jac.union(
+        jac.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(15):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_survivor"),
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right dot product (same fold order as the
     oracle's list_reduce → bit-identical doubles)."""

@@ -154,6 +154,33 @@ def pivot_status(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+@register("agg_approx_distinct")  # rows-only: sketch values are estimates
+def agg_approx_distinct(spark: SparkSession, d: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch next to the exact count —
+    the 100 TB default for COUNT(DISTINCT): mergeable partial sketches,
+    one pass, no Expand. tests/test_sketches.py bounds the relative
+    error at the configured 2% rsd."""
+    o = load(spark, d, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+
+
+@register("agg_approx_percentile")  # rows-only: estimates
+def agg_approx_percentile(spark: SparkSession, d: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna / t-digest style sketch) —
+    the scale path percentile; exact twin agg_percentile is the
+    accuracy baseline (error bounded in tests)."""
+    li = load(spark, d, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias(
+            "approx_p"
+        ),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("exact_p"),
+    )
+
+
 SALT_BUCKETS = 8
 
 

@@ -1,0 +1,127 @@
+"""Property-based checks (SURVEY §5.2.3) on the composed migration
+transform: for randomized nested customers × randomized mappings, the
+reference invariants must hold (hypothesis drives the corpus shape;
+Spark executes the real Column-expression pipeline)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pro_etl_spark.ops.migration import apply_migration
+
+RUN_TS = "2026-08-13T00:00:00+00:00"
+
+NESTED_SCHEMA = (
+    "id string, "
+    "custom_attributes array<struct<name:string,dt:string,value:string>>, "
+    "users array<struct<business_partner_no:string, default_customer:string, "
+    "profile:struct<creation_date:string>, "
+    "credentials:struct<login:string,last_logged_in:string>, "
+    "user_groups:array<string>, "
+    "custom_attributes:array<struct<name:string,dt:string,value:string>>>>"
+)
+MAPPING_SCHEMA = (
+    "current_customer_id string, new_customer_id string, new_source_id string, "
+    "new_store_id string, new_store_name string, mandatory_reference string, "
+    "delivery_day string"
+)
+
+attr_name = st.sampled_from(
+    ["MEK_Store_Id", "MEK_Store_Name", "MEK_DataAreaID", "MEK_SourceID",
+     "MEK_DefaultDeliveryday", "MEK_Company", "LastOrderDate", "Other"]
+)
+attr = st.tuples(attr_name, st.just("string"), st.text(
+    alphabet="abcXYZ019 &<>\"", min_size=0, max_size=8))
+groups = st.lists(
+    st.sampled_from(["CG_Mekonomen", "CG_Other", "CG_Third"]),
+    max_size=3, unique=True)
+
+
+def customer(i: int):
+    return st.tuples(
+        st.just(str(1000 + i)),
+        st.lists(attr, max_size=4),
+        st.lists(
+            st.tuples(
+                st.just(f"BP{i}"),
+                st.sampled_from([str(1000 + i), "unrelated"]),
+                st.tuples(st.just("2020-01-01T00:00:00+00:00")),
+                st.tuples(st.just(f"u{i}"), st.just("2023-01-01T00:00:00")),
+                groups,
+                st.lists(attr, max_size=3),
+            ),
+            min_size=1,
+            max_size=2,
+        ),
+    )
+
+
+corpus = st.integers(min_value=1, max_value=4).flatmap(
+    lambda n: st.tuples(*[customer(i) for i in range(n)])
+)
+mapping_rows = st.lists(
+    st.tuples(
+        st.sampled_from([str(1000 + i) for i in range(4)] + ["9999"]),
+        st.sampled_from(["-2D", "-12D", "", None]),
+        st.sampled_from(["TRUE", "false", None]),
+    ),
+    min_size=1, max_size=5,
+    unique_by=lambda r: r[0],
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(docs=corpus, mrows=mapping_rows)
+def test_migration_invariants(spark, docs, mrows):
+    nested = spark.createDataFrame(list(docs), NESTED_SCHEMA)
+    mapping = spark.createDataFrame(
+        [(cid, f"X{cid}", "S1", "ST1", "Store One", mand, dd)
+         for cid, dd, mand in mrows],
+        MAPPING_SCHEMA,
+    )
+    out = apply_migration(nested, mapping, run_ts=RUN_TS).collect()
+
+    doc_ids = {d[0] for d in docs}
+    matched = {cid for cid, _, _ in mrows if cid in doc_ids}
+    by_map = {cid: (dd, mand) for cid, dd, mand in mrows}
+
+    # semi-join cardinality: one output doc per matched customer
+    assert {r.id for r in out} == {f"X{cid}" for cid in matched}
+    for r in out:
+        old_id = r.id[1:]
+        dd, mand = by_map[old_id]
+        attrs = {a.name: a for a in r.custom_attributes}
+        # delivery upsert: mapped value or '-3D' default, dt=string;
+        # advisory -12D flows through unchanged
+        expect_dd = dd if dd not in (None, "") else "-3D"
+        assert attrs["MEK_DefaultDeliveryday"].value == expect_dd
+        assert attrs["MEK_DefaultDeliveryday"].dt == "string"
+        # mandatory flag present iff mapped non-null, lower-cased, boolean-tagged
+        if mand is None:
+            assert "MEK_CustomerOrderNumberMandatory" not in attrs
+        else:
+            a = attrs["MEK_CustomerOrderNumberMandatory"]
+            assert (a.value, a.dt) == (mand.lower(), "boolean")
+        # store/source attr rewrites by name
+        for name, new in [("MEK_Store_Id", "ST1"), ("MEK_WarehouseID", "ST1"),
+                          ("MEK_Store_Name", "Store One"),
+                          ("MEK_DataAreaID", "S1"), ("MEK_SourceID", "S1")]:
+            if name in attrs:
+                assert attrs[name].value == new
+        for u in r.users:
+            assert u.business_partner_no == r.id
+            # subtree rewrite: exact old-id matches become the new id,
+            # anything else is untouched — the old id never survives
+            assert u.default_customer in (r.id, "unrelated")
+            assert u.default_customer != old_id
+            assert u.user_groups.count("CG_Mekonomen") == 1
+            assert all(a.name != "LastOrderDate" for a in u.custom_attributes)
+            assert u.profile.creation_date == RUN_TS
+            assert "last_logged_in" not in u.credentials.asDict()
+            assert u.credentials.login is not None

@@ -1,0 +1,46 @@
+"""Accuracy bounds for the approximate-sketch operators (rows-only in
+the driver contract — their values are estimates, so the check lives
+here: sketch vs exact within the sketch's configured error)."""
+
+from __future__ import annotations
+
+import pro_etl_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_distinct_within_rsd(spark):
+    q = pro_etl_spark.get_queries()["agg_approx_distinct"]
+    for r in q(spark, SF).collect():
+        assert r.exact_custs > 0
+        rel_err = abs(r.approx_custs - r.exact_custs) / r.exact_custs
+        assert rel_err <= 0.06, (r.o_orderstatus, rel_err)  # 3× the 2% rsd
+
+
+def test_approx_percentile_close_to_exact(spark):
+    q = pro_etl_spark.get_queries()["agg_approx_percentile"]
+    for r in q(spark, SF).collect():
+        for approx, exact in zip(r.approx_p, r.exact_p):
+            assert abs(approx - exact) / max(abs(exact), 1e-9) <= 0.05, (
+                r.l_returnflag,
+                approx,
+                exact,
+            )
+
+
+def test_clusters_invariants(spark):
+    """Property checks on dedup_clusters beyond the oracle: labels are
+    component minima, survivors are unique per cluster, and every
+    clustered doc appears in some near-dup pair."""
+    qs = pro_etl_spark.get_queries()
+    clusters = qs["dedup_clusters"](spark, SF).collect()
+    pairs = qs["dedup_ngram_jaccard"](spark, SF).collect()
+    in_pairs = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    by_cluster: dict[int, list] = {}
+    for r in clusters:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+        assert r.doc_id in in_pairs
+    for cid, members in by_cluster.items():
+        ids = {m.doc_id for m in members}
+        assert cid == min(ids), "cluster id is the component minimum"
+        assert sum(m.is_survivor for m in members) == 1
