@@ -259,14 +259,35 @@ def reconcile(mapping: DataFrame, customers: DataFrame) -> DataFrame:
 
 
 def run(
-    spark: SparkSession, xml_path: str, csv_path: str, output_dir: str
+    spark: SparkSession,
+    xml_path: str,
+    csv_path: str,
+    output_dir: str,
+    strict: bool = False,
 ) -> dict[str, str]:
-    """Execute the full migration; returns the output file paths."""
+    """Execute the full migration; returns the output file paths.
+
+    ``strict=False`` (default) replicates the reference's advisory
+    policy (SURVEY §2.11.4): rows failing validation still flow to the
+    output document, only the log flags them. ``strict=True`` excludes
+    every "Not OK" row from the output document — the log is unchanged
+    either way, so the reconciliation trail is complete in both modes.
+    """
     mapping = read_mapping_csv(spark, csv_path)
     customers = read_customers_xml(spark, xml_path)
 
     log = reconcile(F.broadcast(mapping), customers)
-    migrated = apply_migration(customers, mapping, run_ts=RUN_TS_TEXT)
+    transform_input = mapping
+    if strict:
+        ok_keys = log.where(F.col("status") == "OK").select(
+            F.col("current_id").alias("_ok")
+        )
+        transform_input = mapping.join(
+            F.broadcast(ok_keys),
+            F.trim(mapping["current_customer_id"]) == ok_keys["_ok"],
+            "left_semi",
+        )
+    migrated = apply_migration(customers, transform_input, run_ts=RUN_TS_TEXT)
 
     run_date = datetime.date.today().isoformat()
     run_id = uuid.uuid4().hex[:12]
@@ -310,6 +331,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--csv", required=True, help="migration list CSV")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--master", default="local[*]")
+    p.add_argument(
+        "--strict",
+        action="store_true",
+        help="exclude validation-failed rows from the output document "
+        "(default: advisory — they flow through and the log flags them)",
+    )
     a = p.parse_args(argv)
     spark = (
         SparkSession.builder.master(a.master)
@@ -317,7 +344,7 @@ def main(argv: list[str] | None = None) -> None:
         .getOrCreate()
     )
     try:
-        run(spark, a.xml, a.csv, a.output_dir)
+        run(spark, a.xml, a.csv, a.output_dir, strict=a.strict)
     finally:
         spark.stop()
 

@@ -92,6 +92,28 @@ def scan_latest_files(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_json",
+    oracle="SELECT event_id, event_type, value FROM events",
+)
+def scan_json(spark: SparkSession, d: str) -> DataFrame:
+    """S-gen: JSON source round-trip — write a projection of events as
+    JSON lines, read it back with an explicit schema (never inferred:
+    inference is a full extra pass at scale). Doubles survive exactly
+    (Spark writes shortest-round-trip literals); the oracle recomputes
+    from the parquet base, proving losslessness."""
+    path = _tmp(f"scan_json_{abs(hash(d)) % 10**8}")
+    (
+        load(spark, d, "events")
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    return spark.read.schema("event_id bigint, event_type string, value double").json(
+        path
+    )
+
+
 @register("sink_csv")  # rows-only: exercises the writer path end-to-end
 def sink_csv(spark: SparkSession, d: str) -> DataFrame:
     """S6: CSV sink — the reconciliation log written with headers

@@ -185,6 +185,21 @@ def test_delta_xml_document(spark, cli_out):
     assert u1.find("profile/creation-date").text == migrate_cli.RUN_TS_TEXT
 
 
+def test_strict_mode_excludes_invalid(spark, tmp_path):
+    """strict=True drops 'Not OK' rows from the output document while
+    the log keeps the complete reconciliation trail (SURVEY §7.3.4)."""
+    xml = tmp_path / "export.xml"
+    csv = tmp_path / "mapping.csv"
+    xml.write_text(FIXTURE_XML, encoding="utf-8")
+    csv.write_text(FIXTURE_CSV, encoding="utf-8")
+    out = migrate_cli.run(spark, str(xml), str(csv), str(tmp_path / "out"), strict=True)
+    root = ET.parse(out["xml"]).getroot()
+    ids = {c.attrib["id"] for c in root.findall("customer")}
+    assert ids == {"N1001", "N1002"}  # N1003 (-12D) excluded under strict
+    log = spark.read.option("header", True).csv(out["log"])
+    assert log.count() == 4  # log unchanged: full trail
+
+
 def test_group_not_duplicated(spark, cli_out):
     root = ET.parse(cli_out["xml"]).getroot()
     n1002 = [c for c in root.findall("customer") if c.attrib["id"] == "N1002"][0]
