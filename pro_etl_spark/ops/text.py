@@ -178,6 +178,88 @@ def text_langid(spark: SparkSession, d: str) -> DataFrame:
 
 
 @register(
+    "split_train_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {DUCK_HASH60.format(x="(CAST(doc_id AS VARCHAR) || ':split')")} % 100 < 80
+                THEN 'train'
+                WHEN {DUCK_HASH60.format(x="(CAST(doc_id AS VARCHAR) || ':split')")} % 100 < 90
+                THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_test(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by salted
+    content-key hash — never `rand()`: the split must be reproducible
+    across reruns, engines, and partitionings (a training-data pipeline
+    invariant), and adding documents later never reassigns existing
+    ones. Narrow, shuffle-free, verified value-exact cross-engine."""
+    h = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))) % 100
+    return load(spark, d, "documents").select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test").alias("split"),
+    )
+
+
+MIN_TOKENS = 30
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=rf"""
+    WITH s AS (
+      SELECT doc_id, source,
+             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+            / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), comp AS (
+      WITH RECURSIVE reach(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.label FROM reach JOIN edges e ON reach.node = e.src
+      )
+      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens
+    FROM s LEFT JOIN comp ON s.doc_id = comp.node
+    WHERE s.n_tokens >= {MIN_TOKENS}
+      AND (comp.node IS NULL OR comp.node = comp.cluster_id)
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, d: str) -> DataFrame:
+    """End-to-end corpus cleaning — the composition a pre-training
+    pipeline actually runs: quality gate (token count ≥ 30) ∘ near-dup
+    removal (keep only each duplicate cluster's survivor, via the
+    connected-components operator). One declarative plan: the quality
+    filter is a narrow scan predicate; dedup survivors arrive as a
+    broadcast-able exclusion set (non-survivors only — typically a tiny
+    fraction of the corpus)."""
+    from pro_etl_spark.ops.dedup import dedup_clusters
+
+    docs = load(spark, d, "documents").select(
+        "doc_id", F.size(TOKENS()).cast("long").alias("n_tokens")
+    )
+    losers = (
+        dedup_clusters(spark, d)
+        .where(~F.col("is_survivor"))
+        .select(F.col("doc_id").alias("_loser"))
+    )
+    return (
+        docs.where(F.col("n_tokens") >= MIN_TOKENS)
+        .join(F.broadcast(losers), docs["doc_id"] == losers["_loser"], "left_anti")
+    )
+
+
+@register(
     "text_fingerprint",
     oracle=rf"""
     WITH t AS (
