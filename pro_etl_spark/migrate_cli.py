@@ -50,9 +50,12 @@ from pro_etl_spark.ops.migration import (
     apply_migration,
 )
 
-#: run timestamp written into profile/creation-date — the reference's
-#: ``%Y-%m-%dT00:00:00+00:00`` of "today" (migrate.py:97)
-RUN_TS_TEXT = datetime.date.today().isoformat() + "T00:00:00+00:00"
+def run_ts_text() -> str:
+    """Run timestamp written into profile/creation-date — the
+    reference's ``%Y-%m-%dT00:00:00+00:00`` of "today" (migrate.py:97),
+    computed per run() (not at import) so long-lived drivers crossing
+    midnight stamp the actual run date."""
+    return datetime.date.today().isoformat() + "T00:00:00+00:00"
 
 #: CSV contract of the reference (README.md:16-24 of the reference)
 CSV_SCHEMA = StructType(
@@ -208,31 +211,49 @@ def read_customers_xml(spark: SparkSession, path: str) -> DataFrame:
 
 def read_mapping_csv(spark: SparkSession, path: str) -> DataFrame:
     """Schema'd CSV read + first-row-wins dedup (J4: the reference's
-    emergent first-match semantics made explicit, SURVEY §2.3)."""
+    emergent first-match semantics made explicit, SURVEY §2.3).
+
+    Normalization happens HERE, once: ids and delivery_day are trimmed
+    at ingestion (the reference strips ids before matching,
+    migrate.py:110,120) so the log, the transform join, and strict-mode
+    filtering all see identical keys. First-wins order is
+    (file path, in-partition row id): exact row order within each file
+    for unsplit small files — the mapping contract — and deterministic
+    file order if a glob ever matches several."""
     m = spark.read.schema(CSV_SCHEMA).option("header", True).csv(path)
-    m = m.withColumn("ord", F.monotonically_increasing_id())
-    w = Window.partitionBy("current_customer_id").orderBy("ord")
+    m = m.withColumn("_file", F.col("_metadata.file_path")).withColumn(
+        "ord", F.monotonically_increasing_id()
+    )
+    m = m.withColumn("current_customer_id", F.trim("current_customer_id")).withColumn(
+        "delivery_day", F.trim("delivery_day")
+    )
+    w = Window.partitionBy("current_customer_id").orderBy("_file", "ord")
     return (
-        m.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn", "ord")
+        m.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("rn", "ord", "_file")
     )
 
 
 def reconcile(mapping: DataFrame, customers: DataFrame) -> DataFrame:
     """The OK / Not OK / Not-found log (migrate.py:103-104, 259-266) —
     semi side validated, anti side flagged, one broadcast plan."""
-    delivery = F.coalesce(F.nullif(F.trim(F.col("delivery_day")), F.lit("")), F.lit("-3D"))
+    # inputs arrive normalized (trimmed) from read_mapping_csv — one
+    # normalization point keeps log, transform, and strict filter in
+    # agreement on the same keys/values
+    delivery = F.coalesce(F.nullif(F.col("delivery_day"), F.lit("")), F.lit("-3D"))
     # 100 TB posture (same as ops.migration.reconciliation): Spark can't
     # broadcast the preserved side of an outer join, so semi-filter the
     # corpus by the broadcast key set first (narrow scan of the big
     # side), then left-join the mapping against the now-small match set.
-    keys = mapping.select(F.trim(F.col("current_customer_id")).alias("_k"))
+    keys = mapping.select(F.col("current_customer_id").alias("_k"))
     matched = (
         customers.join(F.broadcast(keys), customers["id"] == keys["_k"], "left_semi")
         .select(F.col("id").alias("_cid"))
     )
     j = mapping.join(
         F.broadcast(matched),
-        F.trim(mapping["current_customer_id"]) == matched["_cid"],
+        mapping["current_customer_id"] == matched["_cid"],
         "left",
     )
     missing = (
@@ -277,6 +298,10 @@ def run(
     customers = read_customers_xml(spark, xml_path)
 
     log = reconcile(F.broadcast(mapping), customers)
+    # the log feeds the CSV sink, the summary counts, and (in strict
+    # mode) the transform filter — persist so the reconciliation join
+    # runs once, not once per consumer
+    log = log.persist()
     transform_input = mapping
     if strict:
         ok_keys = log.where(F.col("status") == "OK").select(
@@ -284,12 +309,13 @@ def run(
         )
         transform_input = mapping.join(
             F.broadcast(ok_keys),
-            F.trim(mapping["current_customer_id"]) == ok_keys["_ok"],
+            mapping["current_customer_id"] == ok_keys["_ok"],
             "left_semi",
         )
-    migrated = apply_migration(customers, transform_input, run_ts=RUN_TS_TEXT)
+    run_ts = run_ts_text()
+    migrated = apply_migration(customers, transform_input, run_ts=run_ts)
 
-    run_date = datetime.date.today().isoformat()
+    run_date = run_ts[:10]  # same clock read as the document timestamps
     run_id = uuid.uuid4().hex[:12]
     out_base = f"{output_dir}/{run_date}/output-{run_id}"
     # envelope fidelity: carry the input document's root attributes
@@ -317,12 +343,21 @@ def run(
     log_out = f"{out_base}/migration_log"
     log.coalesce(1).write.mode("overwrite").option("header", True).csv(log_out)
 
-    total = mapping.count()
+    # log is persisted and already materialized by the CSV write above,
+    # so both counts are cache hits, not re-joins
+    total = log.count()
     found = log.where(F.col("reason") != REASON_NOT_FOUND).count()
+    log.unpersist()
     print(f"{found}/{total} customers found in source XML")
     print(f"delta XML: {xml_out}")
     print(f"log CSV:   {log_out}")
-    return {"xml": xml_out, "log": log_out, "found": str(found), "total": str(total)}
+    return {
+        "xml": xml_out,
+        "log": log_out,
+        "found": str(found),
+        "total": str(total),
+        "run_ts": run_ts,
+    }
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -428,6 +428,7 @@ def dedup_clusters(spark: SparkSession, d: str) -> DataFrame:
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
+    changed = 1
     for _ in range(15):
         prop = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -449,6 +450,14 @@ def dedup_clusters(spark: SparkSession, d: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # fail loudly rather than return a partially-propagated labeling
+        # (a >15-diameter component would otherwise silently yield
+        # multiple survivors per real cluster)
+        raise RuntimeError(
+            "dedup_clusters did not converge within 15 rounds — "
+            "component diameter exceeds the bound; raise the round cap"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

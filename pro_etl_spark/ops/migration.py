@@ -253,26 +253,15 @@ def apply_migration(
         )
         return F.struct(a["name"].alias("name"), a["dt"].alias("dt"), value.alias("value"))
 
-    def upsert(arr: Column, name: str, dt: str, value: Column) -> Column:
-        updated = F.transform(
-            arr,
-            lambda a: F.struct(
-                a["name"].alias("name"),
-                F.when(a["name"] == name, F.lit(dt)).otherwise(a["dt"]).alias("dt"),
-                F.when(a["name"] == name, value).otherwise(a["value"]).alias("value"),
-            ),
-        )
-        return F.when(
-            F.exists(arr, lambda a: a["name"] == name), updated
-        ).otherwise(F.concat(arr, F.array(F.struct(
-            F.lit(name).alias("name"), F.lit(dt).alias("dt"), value.alias("value")
-        ))))
+    from pro_etl_spark.ops.nested import attr_upsert
 
     attrs = F.transform(F.col("custom_attributes"), rewrite_attr)
-    attrs = upsert(attrs, "MEK_DefaultDeliveryday", "string", delivery)
+    attrs = attr_upsert(attrs, "MEK_DefaultDeliveryday", "string", delivery, delivery)
     attrs = F.when(
         mandatory.isNotNull(),
-        upsert(attrs, "MEK_CustomerOrderNumberMandatory", "boolean", mandatory),
+        attr_upsert(
+            attrs, "MEK_CustomerOrderNumberMandatory", "boolean", mandatory, mandatory
+        ),
     ).otherwise(attrs)
 
     def rewrite_user(u: Column) -> Column:

@@ -87,12 +87,13 @@ def mm_frame_sample(spark: SparkSession, d: str) -> DataFrame:
     100th byte) — the explode pattern a video pipeline uses to turn
     one blob row into N frame rows without driver involvement."""
     m = binary_manifest(load(spark, d, "documents"))
-    return m.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.col("n_bytes") - 1, F.lit(100).cast("long"))
-        ).alias("frame_offset"),
-    )
+    # empty payloads yield no frames (sequence(0,-1) would throw); the
+    # when-guard mirrors the oracle's empty range(0,0)
+    offsets = F.when(
+        F.col("n_bytes") > 0,
+        F.sequence(F.lit(0).cast("long"), F.col("n_bytes") - 1, F.lit(100).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    return m.select("doc_id", F.explode(offsets).alias("frame_offset"))
 
 
 @register("mm_decode_features")  # rows-only: exercises Arrow binary batches

@@ -39,6 +39,27 @@ def _attr(name: str, dt: str, value: Column) -> Column:
     )
 
 
+def attr_upsert(
+    arr: Column, name: str, dt: str, on_update: Column, on_insert: Column
+) -> Column:
+    """F11 combinator — update the named attribute in place when it
+    exists (value := on_update, dt retagged), append
+    ``(name, dt, on_insert)`` otherwise (migrate.py:186-216). Shared by
+    the standalone ``arr_upsert`` operator and ``apply_migration``."""
+    updated = F.transform(
+        arr,
+        lambda a: F.struct(
+            a["name"].alias("name"),
+            F.when(a["name"] == name, F.lit(dt)).otherwise(a["dt"]).alias("dt"),
+            F.when(a["name"] == name, on_update).otherwise(a["value"]).alias("value"),
+        ),
+    )
+    appended = F.concat(arr, F.array(_attr(name, dt, on_insert)))
+    return F.when(F.exists(arr, lambda a: a["name"] == name), updated).otherwise(
+        appended
+    )
+
+
 def nested_customers(spark: SparkSession, d: str) -> DataFrame:
     """Deterministic nested stand-in for the reference's XML export
     (schema per SURVEY §1.2/§1.5; variety per FIXTURES.md A2: attrs
@@ -233,28 +254,14 @@ def arr_upsert(spark: SparkSession, d: str) -> DataFrame:
     (migrate.py:143-144); the mandatory flag is typed dt:dt=boolean
     with lower-cased text (migrate.py:210-216)."""
     n = nested_customers(spark, d)
-
-    def upsert(arr: Column, name: str, dt: str, on_update: Column, on_insert: Column) -> Column:
-        exists = F.exists(arr, lambda a: a["name"] == name)
-        updated = F.transform(
-            arr,
-            lambda a: F.struct(
-                a["name"].alias("name"),
-                F.when(a["name"] == name, F.lit(dt)).otherwise(a["dt"]).alias("dt"),
-                F.when(a["name"] == name, on_update).otherwise(a["value"]).alias("value"),
-            ),
-        )
-        appended = F.concat(arr, F.array(_attr(name, dt, on_insert)))
-        return F.when(exists, updated).otherwise(appended)
-
-    arr = upsert(
+    arr = attr_upsert(
         F.col("custom_attributes"),
         "MEK_DefaultDeliveryday",
         "string",
         F.lit("-2D"),
         F.lit("-3D"),
     )
-    arr = upsert(
+    arr = attr_upsert(
         arr,
         "MEK_CustomerOrderNumberMandatory",
         "boolean",

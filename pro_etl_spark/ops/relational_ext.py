@@ -238,8 +238,10 @@ def join_bucketed(spark: SparkSession, d: str) -> DataFrame:
     (bucketing must be result-invariant)."""
     import tempfile
 
+    from pro_etl_spark.ops.sources import dataset_suffix
+
     spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
-    suffix = abs(hash(d)) % 10**8
+    suffix = dataset_suffix(d)
     on, ln = f"bkt.orders_b{suffix}", f"bkt.lineitem_b{suffix}"
     base = f"{tempfile.gettempdir()}/pro_etl_spark/bucketed_{suffix}"
     if not spark.catalog.tableExists(on):

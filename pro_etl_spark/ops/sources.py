@@ -44,6 +44,16 @@ def _tmp(sub: str) -> str:
     return base
 
 
+def dataset_suffix(d: str) -> str:
+    """Stable per-dataset-path suffix for scratch dirs / table names.
+    md5, NOT Python hash(): str hashing is PYTHONHASHSEED-salted per
+    process, which would mint fresh dirs every run and defeat
+    table-exists reuse."""
+    import hashlib
+
+    return hashlib.md5(d.encode()).hexdigest()[:8]
+
+
 @register(
     "scan_csv",
     oracle=MAPPING_SQL
@@ -59,7 +69,7 @@ def scan_csv(spark: SparkSession, d: str) -> DataFrame:
     mapping to CSV, read it back schema-first; the oracle recomputes
     the same rows from the parquet base, proving a lossless round-trip
     (nulls included)."""
-    path = _tmp(f"scan_csv_{abs(hash(d)) % 10**8}")
+    path = _tmp(f"scan_csv_{dataset_suffix(d)}")
     mapping_df(spark, d).write.mode("overwrite").option("header", True).csv(path)
     return (
         spark.read.schema(MAPPING_SCHEMA)
@@ -76,7 +86,7 @@ def scan_latest_files(spark: SparkSession, d: str) -> DataFrame:
     (migrate.py:39-42). Spark-side: the hidden ``_metadata`` column of
     a file scan gives per-row file path + modification time; order and
     limit on the distinct file set."""
-    path = _tmp(f"latest_{abs(hash(d)) % 10**8}")
+    path = _tmp(f"latest_{dataset_suffix(d)}")
     m = mapping_df(spark, d)
     for i in range(3):  # several distinct files, as in the reference's input dir
         m.limit(10 + i).write.mode("overwrite").option("header", True).csv(f"{path}/f{i}")
@@ -102,7 +112,7 @@ def scan_json(spark: SparkSession, d: str) -> DataFrame:
     inference is a full extra pass at scale). Doubles survive exactly
     (Spark writes shortest-round-trip literals); the oracle recomputes
     from the parquet base, proving losslessness."""
-    path = _tmp(f"scan_json_{abs(hash(d)) % 10**8}")
+    path = _tmp(f"scan_json_{dataset_suffix(d)}")
     (
         load(spark, d, "events")
         .select("event_id", "event_type", "value")
@@ -118,7 +128,7 @@ def scan_json(spark: SparkSession, d: str) -> DataFrame:
 def sink_csv(spark: SparkSession, d: str) -> DataFrame:
     """S6: CSV sink — the reconciliation log written with headers
     (migrate.py:303-305) and read back."""
-    path = _tmp(f"sink_csv_{abs(hash(d)) % 10**8}")
+    path = _tmp(f"sink_csv_{dataset_suffix(d)}")
     reconciliation(spark, d).write.mode("overwrite").option("header", True).csv(path)
     schema = "current_id string, new_id string, status string, reason string"
     return spark.read.schema(schema).option("header", True).csv(path)
@@ -133,7 +143,7 @@ def sink_xml(spark: SparkSession, d: str) -> DataFrame:
     pro_etl_spark.xml_io and its unit tests."""
     from pro_etl_spark.ops.nested import nested_customers
 
-    path = _tmp(f"sink_xml_{abs(hash(d)) % 10**8}")
+    path = _tmp(f"sink_xml_{dataset_suffix(d)}")
     n = nested_customers(spark, d).drop("key")
     n.write.mode("overwrite").format("xml").option("rowTag", "customer").save(path)
     back = (

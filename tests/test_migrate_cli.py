@@ -182,7 +182,7 @@ def test_delta_xml_document(spark, cli_out):
     assert "LastOrderDate" not in ua and "Keep" in ua
     assert u1.find("credentials/last-logged-in") is None
     assert u1.find("credentials/login").text == "u1001"
-    assert u1.find("profile/creation-date").text == migrate_cli.RUN_TS_TEXT
+    assert u1.find("profile/creation-date").text == cli_out["run_ts"]
 
 
 def test_strict_mode_excludes_invalid(spark, tmp_path):
