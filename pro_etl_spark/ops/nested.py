@@ -106,12 +106,15 @@ def nested_customers(spark: SparkSession, d: str) -> DataFrame:
         )
 
     users = F.when(k % 10 == 0, F.array(user(0), user(1))).otherwise(F.array(user(0)))
+    # cached: ~10 queries derive from this build, and Spark's
+    # CacheManager matches by logical plan, so every invocation in the
+    # same session (the driver's whole sweep) shares one materialization
     return c.select(
         ks.alias("id"),
         k.alias("key"),
         attrs.alias("custom_attributes"),
         users.alias("users"),
-    )
+    ).cache()
 
 
 #: oracle-side flat reconstruction of the same nested build

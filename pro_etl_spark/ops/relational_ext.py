@@ -173,11 +173,13 @@ def agg_approx_percentile(spark: SparkSession, d: str) -> DataFrame:
     the scale path percentile; exact twin agg_percentile is the
     accuracy baseline (error bounded in tests)."""
     li = load(spark, d, "lineitem")
+    # Scalar output columns (not array<double>): the driver's pandas
+    # canonicalizer sorts cells and cannot factorize ndarray values.
     return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias(
-            "approx_p"
-        ),
-        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("exact_p"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("approx_p95"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
     )
 
 

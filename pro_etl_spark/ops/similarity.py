@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pro_etl_spark.io import load
-from pro_etl_spark.ops.dedup import DUCK_DOT, dot
+from pro_etl_spark.ops.dedup import COSINE_THRESHOLD, DUCK_DOT, dot
 from pro_etl_spark.registry import register
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -149,4 +149,59 @@ def ann_ivf_topk(spark: SparkSession, d: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "dedup_embedding_cosine_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm,
+             {_CELL_SQL.format(e="embedding")} AS cell
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({DUCK_DOT.format(a="a.embedding", b="b.embedding")}
+                 / (a.nrm * b.nrm), 6) AS cosine
+    FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {DUCK_DOT.format(a="a.embedding", b="b.embedding")}
+          / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine_ivf(spark: SparkSession, d: str) -> DataFrame:
+    """Embedding near-dup, IVF-cell-blocked — the scale path for the
+    embedding-cosine dedup family (its label-blocked twin
+    ``dedup_embedding_cosine`` is the exactness baseline whose blocks
+    grow with the corpus): candidate pairs come only from within a
+    coarse quantizer cell, so the self-join cost is |cell|² per cell and
+    the only shuffle key is the cell id. At 100 TB the cells are the
+    table's partition layout (k-means centroids instead of this
+    deterministic grid) and the per-cell join is partition-local.
+    Near-identical vectors quantize to the same cell, which is exactly
+    the near-dup regime; the documented recall trade is cross-cell
+    borderline pairs."""
+    e = load(spark, d, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _cell(F.col("embedding")).alias("cell"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
     )

@@ -20,6 +20,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from pro_etl_spark.io import load
+from pro_etl_spark.ops.dedup import _LSH_PAIRS_CTE
+from pro_etl_spark.ops.hashing import DUCK_HASH60, hash60  # noqa: F401 (re-export)
 from pro_etl_spark.registry import register
 
 def TOKENS() -> Column:
@@ -30,15 +32,6 @@ def TOKENS() -> Column:
 STOPWORDS = ("the", "a", "of", "and", "in", "to")
 
 FP_MOD = 2147483647  # 2^31 - 1: h*31+t stays far below int64 overflow
-
-
-def hash60(col: Column) -> Column:
-    """Portable 60-bit md5-derived hash (same value in DuckDB via
-    ('0x'||substr(md5(x),1,15))::BIGINT)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
-DUCK_HASH60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
 @register(
@@ -207,18 +200,9 @@ MIN_TOKENS = 30
 
 @register(
     "pipeline_clean_corpus",
-    oracle=rf"""
-    WITH s AS (
-      SELECT doc_id, source,
-             list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts,
-             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
-      FROM documents
-    ), pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-            / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.5
-    ), edges AS (
+    oracle=_LSH_PAIRS_CTE
+    + rf"""
+    , edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
     ), comp AS (
@@ -228,10 +212,14 @@ MIN_TOKENS = 30
         SELECT e.dst, reach.label FROM reach JOIN edges e ON reach.node = e.src
       )
       SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    ), q AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      FROM documents
     )
-    SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens
-    FROM s LEFT JOIN comp ON s.doc_id = comp.node
-    WHERE s.n_tokens >= {MIN_TOKENS}
+    SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens
+    FROM q LEFT JOIN comp ON q.doc_id = comp.node
+    WHERE q.n_tokens >= {MIN_TOKENS}
       AND (comp.node IS NULL OR comp.node = comp.cluster_id)
     """,
 )
@@ -239,10 +227,11 @@ def pipeline_clean_corpus(spark: SparkSession, d: str) -> DataFrame:
     """End-to-end corpus cleaning — the composition a pre-training
     pipeline actually runs: quality gate (token count ≥ 30) ∘ near-dup
     removal (keep only each duplicate cluster's survivor, via the
-    connected-components operator). One declarative plan: the quality
-    filter is a narrow scan predicate; dedup survivors arrive as a
-    broadcast-able exclusion set (non-survivors only — typically a tiny
-    fraction of the corpus)."""
+    connected-components operator over LSH-verified near-dup pairs —
+    the scale-safe candidate generator, see ``dedup_clusters``). One
+    declarative plan: the quality filter is a narrow scan predicate;
+    dedup survivors arrive as a broadcast-able exclusion set
+    (non-survivors only — typically a tiny fraction of the corpus)."""
     from pro_etl_spark.ops.dedup import dedup_clusters
 
     docs = load(spark, d, "documents").select(

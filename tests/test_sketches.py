@@ -20,7 +20,7 @@ def test_approx_distinct_within_rsd(spark):
 def test_approx_percentile_close_to_exact(spark):
     q = pro_etl_spark.get_queries()["agg_approx_percentile"]
     for r in q(spark, SF).collect():
-        for approx, exact in zip(r.approx_p, r.exact_p):
+        for approx, exact in ((r.approx_p50, r.exact_p50), (r.approx_p95, r.exact_p95)):
             assert abs(approx - exact) / max(abs(exact), 1e-9) <= 0.05, (
                 r.l_returnflag,
                 approx,
@@ -34,7 +34,7 @@ def test_clusters_invariants(spark):
     clustered doc appears in some near-dup pair."""
     qs = pro_etl_spark.get_queries()
     clusters = qs["dedup_clusters"](spark, SF).collect()
-    pairs = qs["dedup_ngram_jaccard"](spark, SF).collect()
+    pairs = qs["dedup_minhash_lsh"](spark, SF).collect()
     in_pairs = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
     by_cluster: dict[int, list] = {}
     for r in clusters:
