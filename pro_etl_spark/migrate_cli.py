@@ -360,10 +360,43 @@ def run(
     }
 
 
+def latest_file(directory: str, extension: str) -> str | None:
+    """Newest file with the extension in ``directory``, by mtime — the
+    reference's default input-discovery mode (migrate.py:39-42 lists by
+    extension sorted by mtime desc; its interactive pick defaults to
+    the newest when not answered). Driver-side like the reference:
+    file discovery is a metadata operation, not a data scan (the
+    Spark-side ``_metadata``-based variant is ``ops.sources.
+    scan_latest_files``)."""
+    import os
+
+    try:
+        paths = [
+            os.path.join(directory, f)
+            for f in os.listdir(directory)
+            if f.endswith(extension)
+        ]
+    except FileNotFoundError:
+        return None
+    return max(paths, key=os.path.getmtime) if paths else None
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--xml", required=True, help="customer export XML")
-    p.add_argument("--csv", required=True, help="migration list CSV")
+    p.add_argument(
+        "--xml",
+        help="customer export XML (default: newest *.xml in --input-dir)",
+    )
+    p.add_argument(
+        "--csv",
+        help="migration list CSV (default: newest *.csv in --input-dir)",
+    )
+    p.add_argument(
+        "--input-dir",
+        default="input",
+        help="directory searched for the newest .xml/.csv when --xml/--csv "
+        "are omitted (reference migrate.py:56-69 default mode)",
+    )
     p.add_argument("--output-dir", required=True)
     p.add_argument("--master", default="local[*]")
     p.add_argument(
@@ -373,13 +406,22 @@ def main(argv: list[str] | None = None) -> None:
         "(default: advisory — they flow through and the log flags them)",
     )
     a = p.parse_args(argv)
+    xml_path = a.xml or latest_file(a.input_dir, ".xml")
+    csv_path = a.csv or latest_file(a.input_dir, ".csv")
+    if not xml_path or not csv_path:
+        p.error(
+            f"no --xml/--csv given and no .xml/.csv files found in "
+            f"'{a.input_dir}' (pass --input-dir or explicit paths)"
+        )
+    if not a.xml or not a.csv:
+        print(f"discovered inputs: xml={xml_path} csv={csv_path}")
     spark = (
         SparkSession.builder.master(a.master)
         .appName("pro_etl_spark-migrate")
         .getOrCreate()
     )
     try:
-        run(spark, a.xml, a.csv, a.output_dir, strict=a.strict)
+        run(spark, xml_path, csv_path, a.output_dir, strict=a.strict)
     finally:
         spark.stop()
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql.types import ArrayType, DataType, StringType, StructType
 
 from pro_etl_spark.io import load
 from pro_etl_spark.registry import register
@@ -200,6 +201,48 @@ def migration_reconciliation(spark: SparkSession, d: str) -> DataFrame:
 RUN_TS = "2026-08-13T00:00:00+00:00"
 
 
+#: struct fields of the canonical user shape that serialize as XML
+#: *attributes*, not element text — the reference's id-rewrite loop
+#: (``for element in user.iter(): if element.text == current_id``,
+#: migrate.py:223-225) touches text nodes only, so these are exempt.
+#: (``business_partner_no`` is an attribute too, but the reference
+#: rewrites it under the same equals-old-id condition, migrate.py:221-222,
+#: so it is NOT exempt.)
+_XML_ATTR_FIELDS = frozenset({"name", "dt"})
+_XML_ATTR_ARRAYS = frozenset({"user_groups"})
+
+
+def _rewrite_id_nodes(col: Column, dtype: DataType, subst, path=()) -> Column:
+    """Schema-driven generalized subtree id-rewrite (migrate.py:221-225):
+    apply ``subst`` to EVERY string field in the user subtree except the
+    fields that serialize as XML attributes the reference never
+    id-rewrites (user-group ids, custom-attribute name/dt:dt). Works on
+    any user schema — the ops corpus (credentials.last_logged_in/last_ip)
+    and the CLI XML shape (credentials.login) alike — so a login equal
+    to the old customer id is rewritten exactly as the reference does."""
+    if isinstance(dtype, StringType):
+        leaf = path[-1] if path else ""
+        parent = path[-2] if len(path) > 1 else ""
+        if leaf in _XML_ATTR_FIELDS or parent in _XML_ATTR_ARRAYS:
+            return col
+        return subst(col)
+    if isinstance(dtype, StructType):
+        return F.struct(
+            *[
+                _rewrite_id_nodes(
+                    col[f.name], f.dataType, subst, path + (f.name,)
+                ).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, ArrayType):
+        return F.transform(
+            col,
+            lambda e: _rewrite_id_nodes(e, dtype.elementType, subst, path + ("[]",)),
+        )
+    return col
+
+
 def apply_migration(
     nested: DataFrame, mapping: DataFrame, run_ts: str = RUN_TS
 ) -> DataFrame:
@@ -217,8 +260,11 @@ def apply_migration(
                                                    (migrate.py:203-216; isNotNull
                                                     per SURVEY §2.11.2, not the
                                                     reference's NaN bug)
-    - per user: business-partner-no := new id      (migrate.py:221-222)
-      · any descendant field equal to the old id := new id
+    - per user: business-partner-no := new id when it equals the old id
+                                                   (migrate.py:221-222)
+      · any descendant text field equal to the old id := new id —
+        default_customer, credentials.login, custom-attribute values
+        (schema-driven, see ``_rewrite_id_nodes``)
                                                    (migrate.py:223-225)
       · add CG_Mekonomen to user-groups if absent  (migrate.py:227-234)
       · delete LastOrderDate attr                  (migrate.py:236-240)
@@ -264,16 +310,18 @@ def apply_migration(
         ),
     ).otherwise(attrs)
 
+    user_type = nested.schema["users"].dataType.elementType
+
+    def subst(c: Column) -> Column:
+        return F.when(c == old_id, new_id).otherwise(c)
+
     def rewrite_user(u: Column) -> Column:
-        u = u.withField("business_partner_no", new_id)
-        # subtree rewrite (F15): enumerate id-carrying fields per SURVEY
-        # §7.3.2 — default_customer is the schema's id-valued descendant
-        u = u.withField(
-            "default_customer",
-            F.when(u["default_customer"] == old_id, new_id).otherwise(
-                u["default_customer"]
-            ),
-        )
+        # generalized subtree id-rewrite (migrate.py:221-225): EVERY
+        # text-node field equal to the old id becomes the new id —
+        # default_customer, credentials.login, custom-attribute values —
+        # and business-partner-no under the same condition
+        # (migrate.py:221-222: set only when it equals the old id)
+        u = _rewrite_id_nodes(u, user_type, subst)
         u = u.withField(
             "user_groups",
             F.when(
@@ -315,7 +363,11 @@ def apply_migration(
            COALESCE(NULLIF(m.delivery_day, ''), '-3D') AS delivery_value,
            lower(m.mandatory_reference) AS mandatory_value,
            m.new_store_id AS store_id_value,
-           m.new_customer_id AS business_partner_no,
+           -- bp-no is rewritten only when it equals the old id
+           -- (migrate.py:221-222); the synthetic corpus prefixes it
+           -- 'BP', so it never matches and survives unchanged
+           'BP' || CAST(u.key AS VARCHAR) || '-' || CAST(u.user_no AS VARCHAR)
+             AS business_partner_no,
            m.new_customer_id AS default_customer,
            TRUE AS in_mek_group,
            FALSE AS has_last_order_date,

@@ -205,3 +205,73 @@ def test_group_not_duplicated(spark, cli_out):
     n1002 = [c for c in root.findall("customer") if c.attrib["id"] == "N1002"][0]
     groups = [g.attrib["id"] for g in n1002.findall("user/user-groups/user-group")]
     assert groups.count("CG_Mekonomen") == 1
+
+
+def test_login_not_rewritten_when_distinct(spark, cli_out):
+    """The generalized id-rewrite touches only text equal to the old id:
+    u1001 != 1001, so the login survives (migrate.py:223-225)."""
+    root = ET.parse(cli_out["xml"]).getroot()
+    n1001 = [c for c in root.findall("customer") if c.attrib["id"] == "N1001"][0]
+    assert n1001.find("user/credentials/login").text == "u1001"
+
+
+FIXTURE_XML_LOGIN_IS_ID = FIXTURE_XML.replace(
+    "<login>u1002</login>", "<login>1002</login>"
+)
+
+
+def test_subtree_rewrite_hits_login(spark, tmp_path):
+    """Golden case for the reference's generalized descendant rewrite
+    (migrate.py:223-225): a login whose text equals the old customer id
+    comes out rewritten to the new id."""
+    xml = tmp_path / "export.xml"
+    csv = tmp_path / "mapping.csv"
+    xml.write_text(FIXTURE_XML_LOGIN_IS_ID, encoding="utf-8")
+    csv.write_text(FIXTURE_CSV, encoding="utf-8")
+    out = migrate_cli.run(spark, str(xml), str(csv), str(tmp_path / "out"))
+    root = ET.parse(out["xml"]).getroot()
+    n1002 = [c for c in root.findall("customer") if c.attrib["id"] == "N1002"][0]
+    assert n1002.find("user/credentials/login").text == "N1002"
+
+
+def test_default_input_discovery(spark, tmp_path, capsys, monkeypatch):
+    """--xml/--csv omitted → the CLI picks the newest .xml/.csv from
+    --input-dir by mtime (reference migrate.py:39-69 default mode)."""
+    import os
+    import time
+
+    inp = tmp_path / "input"
+    inp.mkdir()
+    (inp / "old.xml").write_text("<enfinity/>", encoding="utf-8")
+    (inp / "old.csv").write_text("x\n", encoding="utf-8")
+    (inp / "export.xml").write_text(FIXTURE_XML, encoding="utf-8")
+    (inp / "mapping.csv").write_text(FIXTURE_CSV, encoding="utf-8")
+    now = time.time()
+    os.utime(inp / "old.xml", (now - 1000, now - 1000))
+    os.utime(inp / "old.csv", (now - 1000, now - 1000))
+    os.utime(inp / "export.xml", (now, now))
+    os.utime(inp / "mapping.csv", (now, now))
+
+    assert migrate_cli.latest_file(str(inp), ".xml") == str(inp / "export.xml")
+    assert migrate_cli.latest_file(str(inp), ".csv") == str(inp / "mapping.csv")
+    assert migrate_cli.latest_file(str(tmp_path / "nope"), ".xml") is None
+
+    # end-to-end through main(): the builder returns the already-active
+    # test session; neuter stop() so main()'s finally doesn't tear down
+    # the shared fixture
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    migrate_cli.main(
+        [
+            "--input-dir",
+            str(inp),
+            "--output-dir",
+            str(tmp_path / "out"),
+            "--master",
+            spark.sparkContext.master,
+        ]
+    )
+    printed = capsys.readouterr().out
+    assert f"discovered inputs: xml={inp / 'export.xml'}" in printed
+    assert "3/4 customers found in source XML" in printed

@@ -40,15 +40,21 @@ groups = st.lists(
 
 
 def customer(i: int):
+    # business-partner-no and login each sample both the equals-old-id
+    # value (→ rewritten, migrate.py:221-225) and an unrelated one
+    # (→ preserved)
     return st.tuples(
         st.just(str(1000 + i)),
         st.lists(attr, max_size=4),
         st.lists(
             st.tuples(
-                st.just(f"BP{i}"),
+                st.sampled_from([str(1000 + i), f"BP{i}"]),
                 st.sampled_from([str(1000 + i), "unrelated"]),
                 st.tuples(st.just("2020-01-01T00:00:00+00:00")),
-                st.tuples(st.just(f"u{i}"), st.just("2023-01-01T00:00:00")),
+                st.tuples(
+                    st.sampled_from([str(1000 + i), f"u{i}"]),
+                    st.just("2023-01-01T00:00:00"),
+                ),
                 groups,
                 st.lists(attr, max_size=3),
             ),
@@ -114,12 +120,18 @@ def test_migration_invariants(spark, docs, mrows):
                           ("MEK_DataAreaID", "S1"), ("MEK_SourceID", "S1")]:
             if name in attrs:
                 assert attrs[name].value == new
-        for u in r.users:
-            assert u.business_partner_no == r.id
-            # subtree rewrite: exact old-id matches become the new id,
-            # anything else is untouched — the old id never survives
+        doc = next(d for d in docs if d[0] == old_id)
+        for u_in, u in zip(doc[2], r.users):
+            # generalized subtree rewrite: any text field equal to the
+            # old id becomes the new id (bp-no conditionally too,
+            # migrate.py:221-225); everything else is untouched — the
+            # old id never survives anywhere in the user subtree
+            bp_in, login_in = u_in[0], u_in[3][0]
+            assert u.business_partner_no == (r.id if bp_in == old_id else bp_in)
+            assert u.credentials.login == (r.id if login_in == old_id else login_in)
             assert u.default_customer in (r.id, "unrelated")
             assert u.default_customer != old_id
+            assert all(a.value != old_id for a in u.custom_attributes)
             assert u.user_groups.count("CG_Mekonomen") == 1
             assert all(a.name != "LastOrderDate" for a in u.custom_attributes)
             assert u.profile.creation_date == RUN_TS
