@@ -90,7 +90,7 @@ def dedup_ngram_jaccard(spark: SparkSession, d: str) -> DataFrame:
     """N-gram Jaccard near-dup: within-block (source) pairwise Jaccard
     over token sets, τ-thresholded. Blocking bounds the self-join;
     the LSH variant below is the unblocked scale path."""
-    s = load(spark, d, "documents").select("doc_id", "source", tokset().alias("ts"))
+    s = _token_table(spark, d).select("doc_id", "source", "ts")
     a = s.alias("a")
     b = s.alias("b")
     inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts"))).cast("double")
@@ -119,43 +119,36 @@ MH_P = 2_147_483_647
 MH_C = 99_991
 
 
-def _token_hashes(ts: Column) -> Column:
-    """Base token hashes for MinHash: h = hash60(t) mod P, one md5 per
-    token. MUST be materialized (cached / checkpointed) before the
-    permutation stage — Catalyst's CollapseProject would otherwise
-    inline this subtree into the per-permutation lambda and evaluate
-    the md5 once per (token, permutation), 16× the hashing (measured:
-    ~3 s → ~1 s for the sf0.1 signature stage)."""
-    return F.transform(ts, lambda t: hash60(t) % MH_P)
-
-
-def _minhash_perms(th: Column) -> Column:
-    """MinHash signature from materialized base hashes via universal
-    hashing: permutation j is the affine map
-    h_j = ((2j+1)·h + j·C + 7) mod P — the standard (aX+b) mod P
+def _minhash_perms(th60: Column) -> Column:
+    """MinHash signature from materialized base token hashes via
+    universal hashing: h' = h mod P, then permutation j is the affine
+    map h_j = ((2j+1)·h' + j·C + 7) mod P — the standard (aX+b) mod P
     family's collision bounds, no per-permutation md5."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1)),
         lambda j: F.array_min(
             F.transform(
-                th,
-                lambda h: ((2 * j + 1) * h + j * MH_C + 7) % MH_P,
+                th60,
+                lambda h: ((2 * j + 1) * (h % MH_P) + j * MH_C + 7) % MH_P,
             )
         ),
     )
 
 
 def _token_table(spark: SparkSession, d: str) -> DataFrame:
-    """Cached (doc_id, ts, th) table: token sets + base token hashes,
-    computed once per session per dataset (Spark's CacheManager matches
-    the identical plan across invocations). This is the materialization
-    barrier that keeps md5 at one-per-token, and the shared input of
-    the signature, LSH-verification, and plain-signature operators. At
+    """Cached (doc_id, source, ts, th60) table: token sets + raw 60-bit
+    token hashes (one md5 per token), computed once per session per
+    dataset (Spark's CacheManager matches the identical plan across
+    invocations). This is the materialization barrier every hash-fan-out
+    operator builds on: Catalyst's CollapseProject would otherwise
+    inline the md5 subtree into per-permutation / per-bit lambdas and
+    evaluate it once per (token, permutation) — 16× the hashing for
+    MinHash, 32× for SimHash (measured: sf0.1 LSH 5.1 s → 3.3 s). At
     100 TB this is the persisted tokenization table next to the corpus."""
     return (
         load(spark, d, "documents")
-        .select("doc_id", tokset().alias("ts"))
-        .withColumn("th", _token_hashes(F.col("ts")))
+        .select("doc_id", "source", tokset().alias("ts"))
+        .withColumn("th60", F.transform(F.col("ts"), hash60))
         .cache()
     )
 
@@ -180,7 +173,7 @@ def dedup_minhash(spark: SparkSession, d: str) -> DataFrame:
     md5 token hashes) — the per-document half of MinHash-LSH, verified
     value-exact against the oracle."""
     return _token_table(spark, d).select(
-        "doc_id", _minhash_perms(F.col("th")).alias("sig")
+        "doc_id", _minhash_perms(F.col("th60")).alias("sig")
     )
 
 
@@ -245,7 +238,7 @@ def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
     # (i<j) pairs are generated *inside* that row (array transform, at
     # most MAX_BUCKET²/2 per bucket) — the shuffle volume is O(docs ×
     # bands), never O(pairs), and no subtree is computed twice.
-    sigs = tok.select("doc_id", _minhash_perms(F.col("th")).alias("sig"))
+    sigs = tok.select("doc_id", _minhash_perms(F.col("th60")).alias("sig"))
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -313,16 +306,19 @@ def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-def _simhash(tokens: Column) -> Column:
-    """32-bit SimHash: per token, each bit of its hash votes ±1; the
-    fingerprint sets bit b where the vote sum is positive. Bit indices
-    are Python-level constants (shiftright takes a literal), so the
-    per-token vote vector is an array literal of 32 expressions."""
+def _simhash_from_hashes(th60: Column) -> Column:
+    """32-bit SimHash from materialized raw token hashes: per token,
+    each bit of its hash votes ±1; the fingerprint sets bit b where the
+    vote sum is positive. Bit indices are Python-level constants
+    (shiftright takes a literal), so the per-token vote vector is an
+    array literal of 32 expressions — operating on the pre-computed
+    hash (see ``_token_table``: inlining the md5 here would evaluate it
+    once per bit)."""
 
-    def votes(t: Column) -> Column:
+    def votes(h: Column) -> Column:
         return F.array(
             *[
-                F.when(F.shiftright(hash60(t), b).bitwiseAND(1) == 1, F.lit(1))
+                F.when(F.shiftright(h, b).bitwiseAND(1) == 1, F.lit(1))
                 .otherwise(F.lit(-1))
                 .cast("long")
                 for b in range(SIMHASH_BITS)
@@ -330,9 +326,9 @@ def _simhash(tokens: Column) -> Column:
         )
 
     bitvotes = F.aggregate(
-        tokens,
+        th60,
         F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
-        lambda acc, t: F.zip_with(acc, votes(t), lambda a, v: a + v),
+        lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
     )
     out = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
@@ -340,6 +336,18 @@ def _simhash(tokens: Column) -> Column:
             F.element_at(bitvotes, b + 1) > 0, F.lit(1 << b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def _simhash_table(spark: SparkSession, d: str) -> DataFrame:
+    """Cached (doc_id, source, simhash) fingerprint table — the
+    interpreted vote-fold runs once per session per dataset and all
+    three SimHash operators (fingerprints, blocked pairs, Hamming-LSH)
+    read the cached result instead of re-folding per join side."""
+    return (
+        _token_table(spark, d)
+        .select("doc_id", "source", _simhash_from_hashes(F.col("th60")).alias("simhash"))
+        .cache()
+    )
 
 
 _SIMHASH_SQL = f"""
@@ -366,9 +374,7 @@ def dedup_simhash(spark: SparkSession, d: str) -> DataFrame:
     value-exact against the oracle. Near-dup = small Hamming distance;
     at scale candidates come from bucketing on bit-chunks of the
     fingerprint (Hamming-LSH), then exact verification."""
-    return load(spark, d, "documents").select(
-        "doc_id", _simhash(tokset()).alias("simhash")
-    )
+    return _simhash_table(spark, d).select("doc_id", "simhash")
 
 
 @register(
@@ -385,9 +391,7 @@ def dedup_simhash(spark: SparkSession, d: str) -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, d: str) -> DataFrame:
     """SimHash near-dup pairs: within-block self-join, Hamming ≤ 3."""
-    s = load(spark, d, "documents").select(
-        "doc_id", "source", _simhash(tokset()).alias("simhash")
-    )
+    s = _simhash_table(spark, d)
     a = s.alias("a")
     b = s.alias("b")
     hamming = F.bit_count(
@@ -447,9 +451,7 @@ def dedup_simhash_lsh(spark: SparkSession, d: str) -> DataFrame:
     self-join ever materializes. The fingerprint (one long) rides along
     in the bucket row, so verification needs no join back to the corpus
     at all."""
-    s = load(spark, d, "documents").select(
-        "doc_id", _simhash(tokset()).alias("simhash")
-    )
+    s = _simhash_table(spark, d).select("doc_id", "simhash")
     chunks = s.select(
         "doc_id",
         F.posexplode(
