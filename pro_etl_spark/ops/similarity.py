@@ -205,3 +205,116 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, d: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+#: multi-probe neighborhood: the query's cell plus its 8 grid
+#: neighbors (nprobe=9). Probing adjacent cells recovers the borderline
+#: neighbors single-probe IVF misses when a query sits near a cell
+#: boundary — the standard IVF recall/cost knob, still an equi-join.
+_PROBE_OFFSETS = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+
+_CELL_I_SQL = "FLOOR(CAST({e}[1] AS DOUBLE) * 2)"
+_CELL_J_SQL = "FLOOR(CAST({e}[2] AS DOUBLE) * 2)"
+
+
+def _cell_i(e):
+    return F.floor(F.element_at(e, 1).cast("double") * 2)
+
+
+def _cell_j(e):
+    return F.floor(F.element_at(e, 2).cast("double") * 2)
+
+
+@register(
+    "ann_ivf_multiprobe",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm,
+             {_CELL_I_SQL.format(e="embedding")} AS ci,
+             {_CELL_J_SQL.format(e="embedding")} AS cj
+      FROM embeddings
+    ), probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS q_emb, q.nrm AS q_nrm,
+             CAST((q.ci + o.di) * 100 + (q.cj + o.dj) AS BIGINT) AS pcell
+      FROM e q, (VALUES {", ".join(f"({di}, {dj})" for di, dj in _PROBE_OFFSETS)}) o(di, dj)
+      WHERE q.vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {DUCK_DOT.format(a="p.q_emb", b="c.embedding")}
+               / (p.q_nrm * c.nrm) AS cos
+      FROM probes p JOIN e c
+        ON CAST(c.ci * 100 + c.cj AS BIGINT) = p.pcell
+       AND p.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivf_multiprobe(spark: SparkSession, d: str) -> DataFrame:
+    """Multi-probe IVF ANN (nprobe=9): each query probes its own coarse
+    cell AND the adjacent cells, then exact cosine re-rank over the
+    union of probed candidates. Each corpus vector belongs to exactly
+    one cell and the probed cells are distinct per query, so no
+    candidate duplicates and the join stays a plain equi-join on the
+    cell id — at 100 TB: 9 partition lookups per query instead of 1,
+    recall close to brute force at a small multiple of single-probe
+    cost."""
+    e = load(spark, d, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _cell_i(F.col("embedding")).alias("ci"),
+        _cell_j(F.col("embedding")).alias("cj"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di, dj in _PROBE_OFFSETS
+        ]
+    )
+    probes = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "ci",
+            "cj",
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            ((F.col("ci") + F.col("o.di")) * 100 + (F.col("cj") + F.col("o.dj")))
+            .cast("long")
+            .alias("pcell"),
+        )
+    )
+    scored = (
+        e.withColumn("ccell", (F.col("ci") * 100 + F.col("cj")).cast("long"))
+        .join(
+            F.broadcast(probes),
+            (F.col("ccell") == F.col("pcell"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )

@@ -44,3 +44,27 @@ def test_clusters_invariants(spark):
         ids = {m.doc_id for m in members}
         assert cid == min(ids), "cluster id is the component minimum"
         assert sum(m.is_survivor for m in members) == 1
+
+
+def test_ivf_multiprobe_recall_monotone(spark):
+    """Recall vs brute force is monotone in the probed candidate set:
+    multi-probe (query cell + 8 neighbors) can only recover MORE of the
+    true top-k than single-probe, never less — each true neighbor found
+    in the probed set ranks within the probed top-k."""
+    qs = pro_etl_spark.get_queries()
+    brute = {(r.query_id, r.neighbor_id) for r in qs["ann_cosine_topk"](spark, SF).collect()}
+    single = {(r.query_id, r.neighbor_id) for r in qs["ann_ivf_topk"](spark, SF).collect()}
+    multi = {(r.query_id, r.neighbor_id) for r in qs["ann_ivf_multiprobe"](spark, SF).collect()}
+    assert single & brute <= multi & brute
+    assert len(multi & brute) >= len(single & brute)
+
+
+def test_simhash_lsh_covers_blocked_pairs(spark):
+    """Pigeonhole completeness of Hamming-LSH: Hamming <= 3 over 4
+    chunks means at least one chunk matches exactly, so (absent bucket
+    caps, which this corpus does not trip) the unblocked LSH pair set
+    must contain every source-blocked exact pair."""
+    qs = pro_etl_spark.get_queries()
+    lsh = {(r.doc_a, r.doc_b) for r in qs["dedup_simhash_lsh"](spark, SF).collect()}
+    blocked = {(r.doc_a, r.doc_b) for r in qs["dedup_simhash_pairs"](spark, SF).collect()}
+    assert blocked <= lsh
