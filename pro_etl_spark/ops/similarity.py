@@ -318,3 +318,279 @@ def ann_ivf_multiprobe(spark: SparkSession, d: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
     )
+
+
+K_CELLS = 8  # coarse-quantizer centroid count (seeds: vec_id < K)
+
+_SQDIST_SQL = """
+  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(range(1, 65),
+      i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))),
+    (acc, v) -> acc + v)
+"""
+
+_EMB6_SQL = "list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))"
+
+
+#: The synthetic embeddings are isotropic-random (no planted
+#: near-dups), so the production τ=0.8 of ``dedup_embedding_cosine``
+#: matches nothing at test SFs; the IVF variant uses a lower τ so its
+#: oracle check exercises real pairs instead of an empty set.
+IVF_COSINE_THRESHOLD = 0.35
+
+#: Shared CTE chain ending in ``acell(vec_id, cell, dist)`` — the
+#: one-Lloyd-iteration k-means assignment. Reused by the assignment
+#: query's oracle and by ``dedup_embedding_kmeans``'s.
+_KMEANS_CTES = f"""
+    e AS (
+      SELECT vec_id, {_EMB6_SQL} AS emb FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {K_CELLS}
+    ), a0 AS (
+      SELECT vec_id, emb, cid
+      FROM (
+        SELECT e.vec_id, e.emb, s.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQDIST_SQL.format(a="e.emb", b="s.cemb")}, s.cid
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ), members AS (
+      SELECT cid, list(emb ORDER BY vec_id) AS ms FROM a0 GROUP BY cid
+    ), cent1 AS (
+      SELECT cid,
+             list_transform(range(1, 65),
+               d -> list_reduce(
+                      list_prepend(CAST(0 AS DOUBLE),
+                                   list_transform(ms, m -> m[d])),
+                      (acc, v) -> acc + v) / len(ms)) AS cemb
+      FROM members
+    ), acell AS (
+      SELECT vec_id, cid AS cell, dist
+      FROM (
+        SELECT e.vec_id, c.cid,
+               {_SQDIST_SQL.format(a="e.emb", b="c.cemb")} AS dist,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQDIST_SQL.format(a="e.emb", b="c.cemb")}, c.cid
+               ) AS rn
+        FROM e CROSS JOIN cent1 c
+      ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "ivf_kmeans_assign",
+    oracle=f"""
+    WITH {_KMEANS_CTES}
+    SELECT vec_id, cell, ROUND(dist, 6) AS dist FROM acell
+    """,
+)
+def ivf_kmeans_assign(spark: SparkSession, d: str) -> DataFrame:
+    """Coarse-quantizer training for IVF — one deterministic Lloyd
+    iteration as pure DataFrame ops: seed centroids (first K vectors) →
+    nearest-centroid assignment (squared L2, sequential fold, tie-break
+    on centroid id) → per-cluster mean refinement → re-assignment.
+    Upgrades the grid stand-in of ``ann_ivf_topk`` to real k-means
+    cells while staying value-exact cross-engine:
+
+    - inputs normalized to ROUND(x, 6) doubles (tie-free for binary
+      floats, so both engines round identically),
+    - centroid means fold cluster members in vec_id order (sequential
+      double adds — bit-identical to the oracle's list_reduce, no
+      order-nondeterministic SUM),
+    - distances are the same left-to-right fold both sides.
+
+    Scale notes: quantizer TRAINING runs on a bounded sample (standard
+    IVF practice — the per-cluster ordered fold assumes that), while
+    ASSIGNMENT (the expensive part, one pass over the corpus ×
+    broadcast centroids) is the narrow, shuffle-free plan shown here;
+    at 100 TB you keep this assignment stage verbatim and train the
+    centroids on a 1e6-row sample."""
+    return _kmeans_assignment(spark, d).select(
+        "vec_id", "cell", F.round("dist", 6).alias("dist")
+    )
+
+
+def _kmeans_assignment(spark: SparkSession, d: str) -> DataFrame:
+    """One-Lloyd-iteration assignment ``(vec_id, cell, dist)`` — shared
+    by ``ivf_kmeans_assign`` and ``dedup_embedding_kmeans``."""
+    e = load(spark, d, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
+        ).alias("emb"),
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "emb", "cid", sqdist(F.col("emb"), F.col("cemb")).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    seeds = e.where(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    a0 = assign(e, seeds)
+    members = a0.groupBy("cid").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("ms")
+    )
+    cent1 = members.select(
+        "cid",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda dim: F.aggregate(
+                F.col("ms"),
+                F.lit(0.0),
+                lambda acc, m: acc + F.element_at(m["emb"], dim),
+            )
+            / F.size("ms"),
+        ).alias("cemb"),
+    )
+    return assign(e, cent1).select(
+        "vec_id", F.col("cid").alias("cell"), "dist"
+    )
+
+
+@register(
+    "dedup_embedding_kmeans",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    raw AS (
+      SELECT vec_id, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    ), j AS (
+      SELECT r.vec_id, r.embedding, r.nrm, a.cell
+      FROM raw r JOIN acell a USING (vec_id)
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({DUCK_DOT.format(a="a.embedding", b="b.embedding")}
+                 / (a.nrm * b.nrm), 6) AS cosine
+    FROM j a JOIN j b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {DUCK_DOT.format(a="a.embedding", b="b.embedding")}
+          / (a.nrm * b.nrm) >= {IVF_COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_kmeans(spark: SparkSession, d: str) -> DataFrame:
+    """Embedding near-dup with IVF-cell blocking — the scale path for
+    ``dedup_embedding_cosine`` (which blocks on the data's own `label`
+    column and degrades to all-pairs when labels are few). Cells come
+    from the k-means coarse quantizer (``_kmeans_assignment``), so the
+    pairwise cosine self-join stays per-cell: at 100 TB the corpus is
+    written partitioned by cell and the join is a co-located
+    per-partition product, never a global one. Recall is approximate by
+    design (near-dups straddling a cell boundary are missed — standard
+    IVF trade, recoverable with multi-assignment); the oracle applies
+    the identical blocking so the check stays value-exact."""
+    cells = _kmeans_assignment(spark, d).select("vec_id", "cell")
+    e = (
+        load(spark, d, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .join(cells, "vec_id")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= IVF_COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    raw AS (
+      SELECT vec_id, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    ), j AS (
+      SELECT r.vec_id, r.embedding, r.nrm, a.cell
+      FROM raw r JOIN acell a USING (vec_id)
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {DUCK_DOT.format(a="q.embedding", b="c.embedding")}
+               / (q.nrm * c.nrm) AS cos
+      FROM j q JOIN j c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+                        AND q.cell = c.cell
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, d: str) -> DataFrame:
+    """IVF ANN over REAL k-means cells (upgrading the deterministic
+    grid of ``ann_ivf_topk``): candidates restricted to the query's
+    quantizer cell (nprobe=1), exact cosine re-rank inside the cell.
+    Same scale shape as the grid variant — the corpus is laid out by
+    cell, probing is partition pruning, the query set is broadcast —
+    but the cells now come from data-driven centroids, so cell
+    populations stay balanced on clustered real-world embeddings where
+    a fixed grid degenerates (empty cells + one mega-cell)."""
+    cells = _kmeans_assignment(spark, d).select("vec_id", "cell")
+    e = (
+        load(spark, d, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .join(cells, "vec_id")
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cell").alias("q_cell"),
+    )
+    scored = e.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("vec_id")) & (F.col("q_cell") == F.col("cell")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )

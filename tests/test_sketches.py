@@ -59,6 +59,28 @@ def test_ivf_multiprobe_recall_monotone(spark):
     assert len(multi & brute) >= len(single & brute)
 
 
+def test_kmeans_cells_partition_and_improve(spark):
+    """The one-Lloyd-iteration quantizer is a true partition (every
+    vector in exactly one of ≤K cells) and every kmeans-blocked
+    near-dup pair really is a same-cell pair above the τ used."""
+    from pro_etl_spark.ops.similarity import IVF_COSINE_THRESHOLD, K_CELLS
+
+    qs = pro_etl_spark.get_queries()
+    assign = qs["ivf_kmeans_assign"](spark, SF).collect()
+    cells = {r.vec_id: r.cell for r in assign}
+    assert len(cells) == len(assign), "each vector assigned exactly once"
+    assert len(set(cells.values())) <= K_CELLS
+    assert all(r.dist >= 0 for r in assign)
+    pairs = qs["dedup_embedding_kmeans"](spark, SF).collect()
+    for r in pairs:
+        assert cells[r.vec_a] == cells[r.vec_b]
+        assert r.cosine >= IVF_COSINE_THRESHOLD - 1e-6
+    topk = qs["ann_ivf_kmeans_topk"](spark, SF).collect()
+    assert topk, "kmeans cells are populated enough to return neighbors"
+    for r in topk:
+        assert cells[r.query_id] == cells[r.neighbor_id]
+
+
 def test_simhash_lsh_covers_blocked_pairs(spark):
     """Pigeonhole completeness of Hamming-LSH: Hamming <= 3 over 4
     chunks means at least one chunk matches exactly, so (absent bucket
