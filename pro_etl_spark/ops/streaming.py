@@ -155,3 +155,47 @@ def stream_dedup(spark: SparkSession, d: str) -> DataFrame:
     a total order; in streaming mode this is
     dropDuplicatesWithinWatermark on the same keys."""
     return dedup_events(load(spark, d, "events"))
+
+
+def enrich_segment(ev: DataFrame, cust: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the (possibly streaming) events
+    side to a small static customer dimension — broadcast, so a
+    streaming micro-batch never shuffles for the join — then tumbling
+    10-minute counts/sums per market segment. Events without a matching
+    customer keep flowing under segment 'UNKNOWN' (left join, the
+    drop-nothing policy a pipeline wants for audit parity)."""
+    dim = F.broadcast(
+        cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        ev.join(dim, "user_id", "left")
+        .groupBy(
+            F.window("ts", "10 minutes").alias("win"),
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DECV)).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "segment", "n_events", "total_value")
+    )
+
+
+@register(
+    "stream_join_static",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', e.ts) AS win_start,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_join_static(spark: SparkSession, d: str) -> DataFrame:
+    """T-family extension: stream-static join — the canonical
+    Structured Streaming enrichment pattern (stream side joined to a
+    broadcast static dimension, no stream-side shuffle for the join;
+    state is only the downstream windowed agg). Same transform runs
+    under readStream in ``streaming_jobs.enriched_stream``."""
+    return enrich_segment(load(spark, d, "events"), load(spark, d, "customer"))

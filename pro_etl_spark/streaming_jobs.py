@@ -30,7 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from pro_etl_spark.ops.streaming import session_agg, sliding, tumbling
+from pro_etl_spark.ops.streaming import enrich_segment, session_agg, sliding, tumbling
 
 #: events file schema as the parquet stores it (ts is TIMESTAMP(NANOS),
 #: which Spark reads as long under the nanosAsLong legacy conf)
@@ -67,6 +67,17 @@ def sliding_stream(ev: DataFrame, watermark: str = "10 minutes") -> DataFrame:
 def session_stream(ev: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """T3+T4: watermarked session window (5-minute gap)."""
     return session_agg(ev.withWatermark("ts", watermark))
+
+
+def enriched_stream(
+    ev: DataFrame, cust: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-static join + windowed agg: the static customer dimension
+    is broadcast into every micro-batch (Spark re-resolves the static
+    side per batch, so a dimension refresh is picked up without a
+    restart); the stream side never shuffles for the join — the only
+    stateful operator is the downstream watermarked window."""
+    return enrich_segment(ev.withWatermark("ts", watermark), cust)
 
 
 def dedup_stream(ev: DataFrame, watermark: str = "10 minutes") -> DataFrame:

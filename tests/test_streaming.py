@@ -18,7 +18,13 @@ import pytest
 
 from pro_etl_spark import streaming_jobs as SJ
 from pro_etl_spark.io import load
-from pro_etl_spark.ops.streaming import dedup_events, session_agg, sliding, tumbling
+from pro_etl_spark.ops.streaming import (
+    dedup_events,
+    enrich_segment,
+    session_agg,
+    sliding,
+    tumbling,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -56,6 +62,15 @@ def test_session_stream_matches_batch(spark, events_dir):
     assert rows(spark.table("t_session")) == rows(
         session_agg(load(spark, SF, "events"))
     )
+
+
+def test_stream_static_join_matches_batch(spark, events_dir):
+    ev = SJ.read_events_stream(spark, events_dir)
+    cust = load(spark, SF, "customer")
+    SJ.run_to_memory(SJ.enriched_stream(ev, cust), "t_enriched")
+    got = rows(spark.table("t_enriched"))
+    want = rows(enrich_segment(load(spark, SF, "events"), cust))
+    assert got == want
 
 
 def test_dedup_stream_keyset_matches_batch(spark, events_dir):
