@@ -31,6 +31,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_exact",
     "ann_cosine_topk",
+    "ann_ivf_kmeans_topk",
+    "stream_join_static",
     "text_quality",
     "text_fingerprint",
 ]

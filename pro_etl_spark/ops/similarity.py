@@ -414,15 +414,31 @@ def ivf_kmeans_assign(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _emb_table(spark: SparkSession, d: str) -> DataFrame:
+    """Cached (vec_id, emb) table of ROUND(x, 6) doubles — the
+    materialization barrier for the k-means family (same reason as
+    ``dedup._token_table``): without it CollapseProject inlines the
+    rounding transform into the per-centroid argmin lambda and
+    re-rounds the 64-dim vector once per centroid."""
+    return (
+        load(spark, d, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
+            ).alias("emb"),
+        )
+        .cache()
+    )
+
+
 def _kmeans_assignment(spark: SparkSession, d: str) -> DataFrame:
     """One-Lloyd-iteration assignment ``(vec_id, cell, dist)`` — shared
-    by ``ivf_kmeans_assign`` and ``dedup_embedding_kmeans``."""
-    e = load(spark, d, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
-        ).alias("emb"),
-    )
+    by ``ivf_kmeans_assign``, ``dedup_embedding_kmeans`` and
+    ``ann_ivf_kmeans_topk`` (cached: identical plans across the three
+    queries hit Spark's CacheManager, so training runs once per
+    session per dataset)."""
+    e = _emb_table(spark, d)
 
     def sqdist(a, b):
         return F.aggregate(
@@ -432,14 +448,34 @@ def _kmeans_assignment(spark: SparkSession, d: str) -> DataFrame:
         )
 
     def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
-        scored = vectors.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "emb", "cid", sqdist(F.col("emb"), F.col("cemb")).alias("dist")
+        # Fold the (tiny) centroid table into ONE broadcast row holding
+        # an array<struct<cid,cemb>>, then take the per-row argmin with
+        # array_min over struct(dist, cid) — struct comparison is
+        # field-order lexicographic, so this is exactly the oracle's
+        # ORDER BY dist, cid tie-break. Fully narrow: no window, no
+        # shuffle of the corpus — the plan a 100 TB assignment needs
+        # (the old row_number() variant shuffled corpus × K rows).
+        carr = cents.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias("carr")
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        best = F.array_min(
+            F.transform(
+                F.col("carr"),
+                lambda c: F.struct(
+                    sqdist(F.col("emb"), c["cemb"]).alias("dist"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
+            vectors.crossJoin(F.broadcast(carr))
+            .select("vec_id", "emb", best.alias("b"))
+            .select(
+                "vec_id",
+                "emb",
+                F.col("b.cid").alias("cid"),
+                F.col("b.dist").alias("dist"),
+            )
         )
 
     seeds = e.where(F.col("vec_id") < K_CELLS).select(
@@ -463,7 +499,7 @@ def _kmeans_assignment(spark: SparkSession, d: str) -> DataFrame:
     )
     return assign(e, cent1).select(
         "vec_id", F.col("cid").alias("cell"), "dist"
-    )
+    ).cache()
 
 
 @register(
