@@ -36,6 +36,7 @@ def load_all() -> None:
         similarity,
         multimodal,
         sources,
+        cdc,
         nested,
         relational,
         relational_ext,

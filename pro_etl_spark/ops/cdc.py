@@ -1,0 +1,158 @@
+"""Warehouse-maintenance / CDC operators: SCD1 merge-upsert and SCD2
+validity intervals.
+
+The reference's whole pipeline is a change-application job (join an
+export against a mapping, rewrite matched rows, keep the rest —
+/root/reference/migrate.py:186-236), i.e. an SCD1 MERGE in disguise.
+These operators generalize that into the two standard dimension-
+maintenance patterns a warehouse/ETL user expects:
+
+- ``merge_scd1``: MERGE INTO semantics (update matched, insert new,
+  keep untouched) expressed as one full-outer join — the table-format-
+  agnostic core of Delta/Iceberg MERGE. A ``row_action`` column tags
+  each row so a writer can split update/insert/keep outputs (the
+  reference's found/total audit generalized per-row).
+- ``scd2_intervals``: type-2 history — compress consecutive duplicate
+  states per key, then derive [valid_from, valid_to) intervals and an
+  is_current flag with lead().
+
+Scale posture: merge is ONE shuffle join on the natural key (AQE skew
+handles hot keys; at 100 TB both sides bucket/cluster by the key so the
+join is co-located). SCD2 is two window passes over the SAME partition
+key — Spark reuses the first shuffle's partitioning for the second
+window, so it costs one shuffle of the change feed, not two.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pro_etl_spark.io import load
+from pro_etl_spark.registry import register
+
+DECV = "decimal(18,6)"
+
+#: source keys shifted by this become "new account" inserts, so the
+#: merge exercises all three MERGE branches on the synthetic data
+INSERT_KEY_SHIFT = 10_000
+#: order-count cutoff selecting which rollup rows also spawn an insert
+INSERT_MIN_ORDERS = 15
+#: rollup rows below this stay OUT of the change feed, so low-activity
+#: customers exercise the untouched pass-through ('keep') branch
+UPDATE_MIN_ORDERS = 5
+
+
+@register(
+    "merge_scd1",
+    oracle=f"""
+    WITH src0 AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS new_bal,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), src AS (
+      SELECT k, new_bal FROM src0 WHERE n_orders >= {UPDATE_MIN_ORDERS}
+      UNION ALL
+      SELECT k + {INSERT_KEY_SHIFT}, new_bal FROM src0
+      WHERE n_orders >= {INSERT_MIN_ORDERS}
+    )
+    SELECT COALESCE(c.c_custkey, s.k) AS c_custkey,
+           COALESCE(c.c_name, 'NEW ACCOUNT') AS c_name,
+           COALESCE(c.c_nationkey, -1) AS c_nationkey,
+           CASE WHEN s.k IS NOT NULL THEN s.new_bal
+                ELSE c.c_acctbal END AS c_acctbal,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+           CASE WHEN s.k IS NOT NULL AND c.c_custkey IS NOT NULL THEN 'update'
+                WHEN c.c_custkey IS NULL THEN 'insert'
+                ELSE 'keep' END AS row_action
+    FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
+    """,
+)
+def merge_scd1(spark: SparkSession, d: str) -> DataFrame:
+    """SCD1 MERGE (upsert) without a table format: target ``customer``
+    merged with a change feed derived from ``orders`` (per-customer
+    spend rollup; rollup rows past a cutoff are re-keyed to act as
+    brand-new accounts so insert/update/keep all occur). Update wins on
+    match, unmatched source rows insert with defaults, unmatched target
+    rows pass through — the semantics of ``MERGE INTO t USING s``,
+    produced by one full-outer shuffle join. Float sums ride DECIMAL so
+    the merged balance is bit-identical cross-engine."""
+    src0 = (
+        load(spark, d, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DECV)).cast("double").alias("new_bal"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    src = src0.where(F.col("n_orders") >= UPDATE_MIN_ORDERS).select(
+        "k", "new_bal"
+    ).unionAll(
+        src0.where(F.col("n_orders") >= INSERT_MIN_ORDERS).select(
+            (F.col("k") + INSERT_KEY_SHIFT).alias("k"), "new_bal"
+        )
+    )
+    c = load(spark, d, "customer")
+    matched = F.col("k").isNotNull()
+    existed = F.col("c_custkey").isNotNull()
+    return c.join(src, c.c_custkey == src.k, "full_outer").select(
+        F.coalesce("c_custkey", "k").alias("c_custkey"),
+        F.coalesce("c_name", F.lit("NEW ACCOUNT")).alias("c_name"),
+        F.coalesce("c_nationkey", F.lit(-1)).alias("c_nationkey"),
+        F.when(matched, F.col("new_bal")).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("c_mktsegment"),
+        F.when(matched & existed, F.lit("update"))
+        .when(~existed, F.lit("insert"))
+        .otherwise(F.lit("keep"))
+        .alias("row_action"),
+    )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS ok,
+             o_orderstatus AS status,
+             LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+               AS prev_status
+      FROM orders
+    ), comp AS (
+      SELECT custkey, ts, ok, status FROM ch
+      WHERE prev_status IS NULL OR status <> prev_status
+    )
+    SELECT custkey, status, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts, ok) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts, ok) IS NULL)
+             AS is_current
+    FROM comp
+    """,
+)
+def scd2_intervals(spark: SparkSession, d: str) -> DataFrame:
+    """SCD2 (type-2 dimension) build: treat each order as a state
+    observation of its customer, drop consecutive repeats of the same
+    status (lag filter — classic change compression), then turn the
+    surviving change points into [valid_from, valid_to) validity
+    intervals with lead(); the open interval is flagged is_current.
+    Both window passes share the custkey partitioning, so the whole
+    history build costs one shuffle of the change feed."""
+    w = Window.partitionBy("custkey").orderBy("ts", "ok")
+    ch = load(spark, d, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("status"),
+    ).withColumn("prev_status", F.lag("status").over(w))
+    comp = ch.where(
+        F.col("prev_status").isNull() | (F.col("status") != F.col("prev_status"))
+    )
+    w2 = Window.partitionBy("custkey").orderBy("ts", "ok")
+    return comp.select(
+        "custkey",
+        "status",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

@@ -137,3 +137,51 @@ def test_migration_invariants(spark, docs, mrows):
             assert u.profile.creation_date == RUN_TS
             assert "last_logged_in" not in u.credentials.asDict()
             assert u.credentials.login is not None
+
+
+def test_scd2_intervals_chain(spark):
+    """SCD2 invariants beyond the oracle: per key exactly one open
+    (is_current) interval, intervals chain with no gaps (each valid_to
+    equals the next valid_from), and consecutive intervals never carry
+    the same status (compression is complete)."""
+    import pro_etl_spark
+
+    rows = pro_etl_spark.get_queries()["scd2_intervals"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.custkey, []).append(r)
+    for key, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in ivs) == 1, key
+        assert ivs[-1].is_current and ivs[-1].valid_to is None
+        for cur, nxt in zip(ivs, ivs[1:]):
+            assert cur.valid_to == nxt.valid_from, key
+            assert cur.status != nxt.status, key
+
+
+def test_merge_scd1_action_semantics(spark):
+    """MERGE branch semantics: every target key appears exactly once,
+    inserts are exactly the shifted keys, and 'keep' rows carry their
+    original target values."""
+    import pro_etl_spark
+    from pro_etl_spark.io import load
+    from pro_etl_spark.ops.cdc import INSERT_KEY_SHIFT
+
+    sf = "/root/testdata/sf0.001"
+    merged = pro_etl_spark.get_queries()["merge_scd1"](spark, sf).collect()
+    target = {r.c_custkey: r for r in load(spark, sf, "customer").collect()}
+    seen = set()
+    for r in merged:
+        assert r.c_custkey not in seen, "key emitted twice"
+        seen.add(r.c_custkey)
+        if r.row_action == "insert":
+            assert r.c_custkey >= INSERT_KEY_SHIFT
+            assert r.c_name == "NEW ACCOUNT"
+        elif r.row_action == "keep":
+            t = target[r.c_custkey]
+            assert (r.c_acctbal, r.c_name) == (t.c_acctbal, t.c_name)
+        else:
+            assert r.row_action == "update" and r.c_custkey in target
+    assert set(target) <= seen, "no target row dropped"
