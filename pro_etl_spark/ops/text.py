@@ -276,3 +276,144 @@ def text_fingerprint(spark: SparkSession, d: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % FP_MOD,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "text_repetition",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])
+             ELSE [] END AS bigrams,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             ELSE [] END AS trigrams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           ROUND(CASE WHEN len(bigrams) > 0
+                      THEN 1.0 - len(list_distinct(bigrams)) / len(bigrams)
+                      ELSE 0.0 END, 6) AS dup_bigram_ratio,
+           ROUND(CASE WHEN len(trigrams) > 0
+                      THEN 1.0 - len(list_distinct(trigrams)) / len(trigrams)
+                      ELSE 0.0 END, 6) AS dup_trigram_ratio,
+           ROUND(CASE WHEN n > 0 THEN
+                   list_max(list_transform(list_distinct(toks),
+                     tok -> len(list_filter(toks, x -> x = tok)))) / n
+                 ELSE 0.0 END, 6) AS top_token_ratio
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, d: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 family of
+    filters): fraction of duplicate word 2-grams and 3-grams, plus the
+    frequency share of the single most common token. High values mark
+    boilerplate/spam documents that repetition filters drop before LLM
+    training. All pure Column expressions — n-grams are built with
+    transform over an index sequence (guarded: Spark's sequence()
+    DESCENDS when start > stop, so short documents need an explicit
+    empty-array branch), counts with array_distinct/filter — narrow,
+    shuffle-free, codegen-side."""
+    toks = TOKENS()
+    docs = load(spark, d, "documents").select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+
+    def ngrams(k: int) -> Column:
+        gram = lambda i: F.concat_ws(
+            " ", *[F.element_at("toks", i + j) for j in range(k)]
+        )
+        return F.when(
+            n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_ratio(grams: Column) -> Column:
+        total = F.size(grams)
+        return F.round(
+            F.when(
+                total > 0,
+                F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    top_ratio = F.round(
+        F.when(
+            n > 0,
+            F.array_max(
+                F.transform(
+                    F.array_distinct("toks"),
+                    lambda tok: F.size(
+                        F.filter("toks", lambda x: x == tok)
+                    ),
+                )
+            )
+            / n,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        dup_ratio(ngrams(2)).alias("dup_bigram_ratio"),
+        dup_ratio(ngrams(3)).alias("dup_trigram_ratio"),
+        top_ratio.alias("top_token_ratio"),
+    )
+
+
+#: PII patterns (email, phone-like digit runs with separators, bare
+#: numeric ids). The synthetic corpus only triggers the numeric-id
+#: class, but all three rewrites execute in the scrub chain.
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+PII_NUMID = r"[0-9]+"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT event_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(props, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g'),
+             '{PII_NUMID}', '<NUM>', 'g') AS props_scrubbed,
+           CAST(len(regexp_extract_all(props, '{PII_EMAIL}'))
+              + len(regexp_extract_all(props, '{PII_PHONE}'))
+              + len(regexp_extract_all(props, '{PII_NUMID}')) AS BIGINT)
+             AS n_redactions
+    FROM events
+    """,
+)
+def text_pii_scrub(spark: SparkSession, d: str) -> DataFrame:
+    """PII scrubbing: chained regexp_replace passes (email → phone →
+    bare numeric id) over the free-text ``props`` payload, with a
+    per-row redaction count for audit. Narrow and codegen-side —
+    exactly the shape of a pre-training scrub pass, where the pattern
+    list grows but the plan stays a single projection. Spark's
+    regexp_replace is replace-all by default; the oracle passes the
+    'g' flag for identical semantics."""
+    props = F.col("props")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(props, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_NUMID,
+        "<NUM>",
+    )
+    n_red = (
+        F.size(F.regexp_extract_all(props, F.lit(PII_EMAIL), 0))
+        + F.size(F.regexp_extract_all(props, F.lit(PII_PHONE), 0))
+        + F.size(F.regexp_extract_all(props, F.lit(PII_NUMID), 0))
+    ).cast("long")
+    return load(spark, d, "events").select(
+        "event_id", scrubbed.alias("props_scrubbed"), n_red.alias("n_redactions")
+    )

@@ -1,0 +1,86 @@
+"""Physical-plan shape regression tests (100 TB posture).
+
+The oracle suite proves VALUES; these pin the PLANS — the properties
+that decide whether an operator survives a 1000-executor cluster:
+narrow ops must not shuffle, filters must reach the parquet scan,
+small-side joins must broadcast, top-k must not global-sort. A
+regression here can stay value-correct while silently becoming a
+scale-killer, which is exactly what these assertions catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import pro_etl_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = pro_etl_spark.get_queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+#: per-document / per-row ops: one narrow projection over the scan —
+#: any Exchange means someone introduced a shuffle into a map-only op
+NARROW = [
+    "text_tokens",
+    "text_quality",
+    "text_fingerprint",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_langid",
+    "dedup_simhash",
+    "split_train_test",
+    "fn_cast",
+    "fn_math",
+]
+
+
+@pytest.mark.parametrize("name", NARROW)
+def test_narrow_ops_do_not_shuffle(spark, name):
+    assert "Exchange" not in plan_of(spark, name), name
+
+
+def test_filter_reaches_parquet_scan(spark):
+    plan = plan_of(spark, "filter_eq")
+    assert "PushedFilters: [" in plan
+    # the predicate itself, not just IsNotNull, must be pushed
+    assert "EqualTo" in plan
+
+
+def test_small_side_joins_broadcast(spark):
+    assert "BroadcastHashJoin" in plan_of(spark, "join_broadcast_inner")
+
+
+def test_asof_join_is_union_window_not_pairwise(spark):
+    # the as-of join is the union + window last-value design: ONE
+    # shuffle on the join key, no pairwise join operator anywhere
+    plan = plan_of(spark, "join_asof")
+    assert "Union" in plan
+    assert "Join" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    # orderBy + limit must compile to TakeOrderedAndProject (per-
+    # partition partial top-k), never a global Sort of the fact table
+    plan = plan_of(spark, "topk_orderby_limit")
+    assert "TakeOrderedAndProject" in plan
+    assert "\n+- Sort" not in plan
+
+
+def test_kmeans_assignment_never_shuffles_corpus(spark):
+    # the quantizer may shuffle its (tiny) training aggregates, but an
+    # assignment shuffle keyed by vector id means the narrow argmin
+    # regressed to the old crossJoin + window plan
+    plan = plan_of(spark, "ivf_kmeans_assign")
+    assert "hashpartitioning(vec_id" not in plan
+    assert "Window" not in plan
+
+
+def test_multi_measure_agg_is_partial_then_final(spark):
+    # map-side combine: two HashAggregate levels around the exchange
+    plan = plan_of(spark, "agg_multi_measure")
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [" in plan
