@@ -625,6 +625,23 @@ DUCK_DOT = """
 """
 
 
+def corpus_table(spark: SparkSession, d: str) -> DataFrame:
+    """Cached (vec_id, label, embedding, nrm) corpus — the shared
+    materialization barrier for every cosine operator (ANN brute/IVF,
+    embedding dedup): the norm is an interpreted 64-element fold, so
+    computing it once per session per dataset instead of once per
+    query is the same win ``_token_table`` gives the hash family. At
+    100 TB this is the persisted `nrm` column stored next to the
+    embeddings."""
+    e = load(spark, d, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    ).cache()
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -645,12 +662,7 @@ def dedup_embedding_cosine(spark: SparkSession, d: str) -> DataFrame:
     """Embedding near-dup: within-cluster (label-blocked) pairwise
     cosine ≥ τ. At scale the blocks come from a coarse quantizer (IVF
     cells) so the self-join stays per-cell."""
-    e = load(spark, d, "embeddings").select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
+    e = corpus_table(spark, d)
     a = e.alias("a")
     b = e.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (

@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pro_etl_spark.io import load
-from pro_etl_spark.ops.dedup import COSINE_THRESHOLD, DUCK_DOT, dot
+from pro_etl_spark.ops.dedup import COSINE_THRESHOLD, DUCK_DOT, corpus_table, dot
 from pro_etl_spark.registry import register
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -48,11 +48,7 @@ def ann_cosine_topk(spark: SparkSession, d: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query vectors, score
     every corpus vector (JVM-side fold — no UDF), per-query top-k via
     window (deterministic tiebreak on neighbor id)."""
-    e = load(spark, d, "embeddings").select(
-        "vec_id",
-        "embedding",
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
+    e = corpus_table(spark, d)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -119,12 +115,7 @@ def ann_ivf_topk(spark: SparkSession, d: str) -> DataFrame:
     cell (nprobe=1), exact cosine re-rank inside the cell. Trades
     recall for a corpus scan bounded by cell size; the brute-force
     twin above is the recall baseline."""
-    e = load(spark, d, "embeddings").select(
-        "vec_id",
-        "embedding",
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-        _cell(F.col("embedding")).alias("cell"),
-    )
+    e = corpus_table(spark, d).withColumn("cell", _cell(F.col("embedding")))
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -181,12 +172,7 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, d: str) -> DataFrame:
     Near-identical vectors quantize to the same cell, which is exactly
     the near-dup regime; the documented recall trade is cross-cell
     borderline pairs."""
-    e = load(spark, d, "embeddings").select(
-        "vec_id",
-        "embedding",
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-        _cell(F.col("embedding")).alias("cell"),
-    )
+    e = corpus_table(spark, d).withColumn("cell", _cell(F.col("embedding")))
     a = e.alias("a")
     b = e.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
@@ -265,10 +251,10 @@ def ann_ivf_multiprobe(spark: SparkSession, d: str) -> DataFrame:
     cell id — at 100 TB: 9 partition lookups per query instead of 1,
     recall close to brute force at a small multiple of single-probe
     cost."""
-    e = load(spark, d, "embeddings").select(
+    e = corpus_table(spark, d).select(
         "vec_id",
         "embedding",
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        "nrm",
         _cell_i(F.col("embedding")).alias("ci"),
         _cell_j(F.col("embedding")).alias("cj"),
     )
@@ -322,6 +308,12 @@ def ann_ivf_multiprobe(spark: SparkSession, d: str) -> DataFrame:
 
 K_CELLS = 8  # coarse-quantizer centroid count (seeds: vec_id < K)
 
+#: quantizer TRAINING reads only the first TRAIN_N vectors (a
+#: deterministic sample — standard IVF practice; at 100 TB you train on
+#: ~1e6 rows and assign the full corpus). Covers every vector at the
+#: correctness SFs (≤512 rows), becomes a real sample at bench SFs.
+TRAIN_N = 512
+
 _SQDIST_SQL = """
   list_reduce(list_prepend(CAST(0 AS DOUBLE),
     list_transform(range(1, 65),
@@ -355,6 +347,7 @@ _KMEANS_CTES = f"""
                  ORDER BY {_SQDIST_SQL.format(a="e.emb", b="s.cemb")}, s.cid
                ) AS rn
         FROM e CROSS JOIN seeds s
+        WHERE e.vec_id < {TRAIN_N}
       ) WHERE rn = 1
     ), members AS (
       SELECT cid, list(emb ORDER BY vec_id) AS ms FROM a0 GROUP BY cid
@@ -481,7 +474,7 @@ def _kmeans_assignment(spark: SparkSession, d: str) -> DataFrame:
     seeds = e.where(F.col("vec_id") < K_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
-    a0 = assign(e, seeds)
+    a0 = assign(e.where(F.col("vec_id") < TRAIN_N), seeds)
     members = a0.groupBy("cid").agg(
         F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("ms")
     )
@@ -534,15 +527,7 @@ def dedup_embedding_kmeans(spark: SparkSession, d: str) -> DataFrame:
     IVF trade, recoverable with multi-assignment); the oracle applies
     the identical blocking so the check stays value-exact."""
     cells = _kmeans_assignment(spark, d).select("vec_id", "cell")
-    e = (
-        load(spark, d, "embeddings")
-        .select(
-            "vec_id",
-            "embedding",
-            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-        )
-        .join(cells, "vec_id")
-    )
+    e = corpus_table(spark, d).join(cells, "vec_id")
     a, b = e.alias("a"), e.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -599,15 +584,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, d: str) -> DataFrame:
     populations stay balanced on clustered real-world embeddings where
     a fixed grid degenerates (empty cells + one mega-cell)."""
     cells = _kmeans_assignment(spark, d).select("vec_id", "cell")
-    e = (
-        load(spark, d, "embeddings")
-        .select(
-            "vec_id",
-            "embedding",
-            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-        )
-        .join(cells, "vec_id")
-    )
+    e = corpus_table(spark, d).join(cells, "vec_id")
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -417,3 +417,81 @@ def text_pii_scrub(spark: SparkSession, d: str) -> DataFrame:
     return load(spark, d, "events").select(
         "event_id", scrubbed.alias("props_scrubbed"), n_red.alias("n_redactions")
     )
+
+
+#: Gopher-style keep/drop thresholds, tuned so both branches are
+#: populated on the synthetic corpus (n_tokens p5≈16, dup-bigram
+#: p90≈0.065, top-token p90≈0.14, stopword median≈0.06)
+GOPHER_MIN_TOKENS = 25
+GOPHER_MIN_STOPWORD = 0.02
+GOPHER_MAX_DUP_BIGRAM = 0.07
+GOPHER_MAX_TOP_TOKEN = 0.14
+
+from pro_etl_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register(
+    "pipeline_gopher_filter",
+    oracle=f"""
+    WITH q AS ({_ORACLES["text_quality"]}),
+         r AS ({_ORACLES["text_repetition"]}),
+    j AS (
+      SELECT q.doc_id, q.n_tokens, q.stopword_ratio,
+             r.dup_bigram_ratio, r.top_token_ratio,
+             list_filter([
+               CASE WHEN q.n_tokens < {GOPHER_MIN_TOKENS}
+                    THEN 'too_short' END,
+               CASE WHEN q.stopword_ratio < {GOPHER_MIN_STOPWORD}
+                    THEN 'low_stopword' END,
+               CASE WHEN r.dup_bigram_ratio > {GOPHER_MAX_DUP_BIGRAM}
+                    THEN 'repetitive_bigrams' END,
+               CASE WHEN r.top_token_ratio > {GOPHER_MAX_TOP_TOKEN}
+                    THEN 'dominant_token' END
+             ], x -> x IS NOT NULL) AS reasons
+      FROM q JOIN r ON q.doc_id = r.doc_id
+    )
+    SELECT doc_id, n_tokens, stopword_ratio, dup_bigram_ratio,
+           top_token_ratio, reasons,
+           (len(reasons) = 0) AS keep
+    FROM j
+    """,
+)
+def pipeline_gopher_filter(spark: SparkSession, d: str) -> DataFrame:
+    """Composed Gopher-style quality gate: join the quality-signal and
+    repetition-signal tables on doc_id and derive a keep/drop decision
+    with machine-readable reason tags (the audit trail a training-data
+    pipeline keeps for every dropped document). Composition mirrors
+    production: signal tables are computed once (both narrow) and
+    joined on the document key — at 100 TB both sides are
+    bucket-sorted by doc_id so the join is co-located; fusing the
+    signals into one projection is the other valid layout, but loses
+    the reusable signal tables."""
+    q = text_quality(spark, d)
+    r = text_repetition(spark, d).drop("n_tokens")
+    j = q.join(r, "doc_id")
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("n_tokens") < GOPHER_MIN_TOKENS, F.lit("too_short")),
+            F.when(
+                F.col("stopword_ratio") < GOPHER_MIN_STOPWORD,
+                F.lit("low_stopword"),
+            ),
+            F.when(
+                F.col("dup_bigram_ratio") > GOPHER_MAX_DUP_BIGRAM,
+                F.lit("repetitive_bigrams"),
+            ),
+            F.when(
+                F.col("top_token_ratio") > GOPHER_MAX_TOP_TOKEN,
+                F.lit("dominant_token"),
+            ),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "dup_bigram_ratio",
+        "top_token_ratio",
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )
