@@ -17,10 +17,10 @@ Pipeline (mirrors SURVEY §3.1's trace, set-based):
    the OK / Not OK / Not-found reconciliation log (migrate.py:103-270)
 4. ``apply_migration`` — the full nested-document rewrite
    (migrate.py:116-257) on the semi-join side
-5. sinks: one enveloped delta XML (nsmap + root attrs preserved from
-   the input document) + a log CSV under
-   ``<output-dir>/<YYYY-MM-DD>/output-<uuid>/`` (migrate.py:286-305),
-   and the found/total summary on stdout (migrate.py:272)
+5. sinks: one enveloped delta XML written as the reference's flat
+   ``<output-dir>/<YYYY-MM-DD>/output-<uuid>.xml`` (migrate.py:286-293)
+   + a log CSV in a sibling ``output-<uuid>-log/`` directory, and the
+   found/total summary on stdout (migrate.py:272)
 
 Scale: the mapping broadcasts; the corpus never shuffles; the document
 rewrite and XML record serialization are narrow Column expressions.
@@ -317,7 +317,7 @@ def run(
 
     run_date = run_ts[:10]  # same clock read as the document timestamps
     run_id = uuid.uuid4().hex[:12]
-    out_base = f"{output_dir}/{run_date}/output-{run_id}"
+    out_dir = f"{output_dir}/{run_date}"
     # envelope fidelity: carry the input document's root attributes
     # (xsi:schemaLocation, version attrs — migrate.py:274-284) forward
     _tag, root_attrs = xml_io.read_root_attrs(xml_path)
@@ -332,15 +332,19 @@ def run(
         else:
             attrs_out[k] = v
 
-    xml_out = f"{out_base}/delta.xml"
+    # reference file layout: output/<YYYY-MM-DD>/output-<uuid>.xml as a
+    # FLAT file (migrate.py:286-293) — the XML sink is a driver-side
+    # single-document write, so no Spark part-directory is needed; the
+    # row-wise log (no reference counterpart) lands in a sibling dir
+    xml_out = f"{out_dir}/output-{run_id}.xml"
     import os
 
-    os.makedirs(out_base, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     xml_io.write_xml_document(
         xml_io.customer_xml(migrated), xml_out,
         root_tag="enfinity", root_attrs=attrs_out, nsmap=nsmap,
     )
-    log_out = f"{out_base}/migration_log"
+    log_out = f"{out_dir}/output-{run_id}-log"
     log.coalesce(1).write.mode("overwrite").option("header", True).csv(log_out)
 
     # log is persisted and already materialized by the CSV write above,

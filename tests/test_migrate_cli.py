@@ -123,6 +123,19 @@ def test_summary_counts(cli_out):
     assert cli_out["found"] == "3"  # 4123Ö47 not in XML
 
 
+def test_output_layout_matches_reference(cli_out):
+    # reference writes output/<YYYY-MM-DD>/output-<uuid>.xml as a flat
+    # file (migrate.py:286-293)
+    import re
+    from pathlib import Path
+
+    p = Path(cli_out["xml"])
+    assert p.is_file()
+    assert re.fullmatch(r"output-[0-9a-f]{12}\.xml", p.name)
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2}", p.parent.name)
+    assert cli_out["run_ts"].startswith(p.parent.name)
+
+
 def test_log_statuses(spark, cli_out):
     log = spark.read.option("header", True).csv(cli_out["log"])
     got = {r.current_id: (r.status, r.reason) for r in log.collect()}
