@@ -37,6 +37,7 @@ def load_all() -> None:
         multimodal,
         sources,
         cdc,
+        sqlapi,
         nested,
         relational,
         relational_ext,

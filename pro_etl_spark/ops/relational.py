@@ -356,6 +356,17 @@ def join_asof(spark: SparkSession, d: str) -> DataFrame:
     timestamp forward with ``last(..., ignorenulls=True)``. One shuffle
     on user_id, linear state — scales where a naive range join would
     explode quadratically."""
+    return _asof_carried(spark, d).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+    )
+
+
+def _asof_carried(spark: SparkSession, d: str) -> DataFrame:
+    """Union+window core of the as-of family: purchases with the
+    nearest prior click ts carried forward (one shuffle on user_id)."""
     ev = load(spark, d, "events")
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", "ts", F.lit(None).cast("long").alias("event_id"), F.lit(0).alias("is_p")
@@ -375,11 +386,34 @@ def join_asof(spark: SparkSession, d: str) -> DataFrame:
         "last_click_ts",
         F.last(F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True).over(w),
     )
-    return carried.where(F.col("is_p") == 1).select(
+    return carried.where(F.col("is_p") == 1)
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           (SELECT MAX(c.ts) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = p.user_id
+               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 12 HOUR)
+             AS last_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, d: str) -> DataFrame:
+    """J7b: as-of join with a staleness bound (pandas
+    ``merge_asof(tolerance=...)`` semantics): a prior click only counts
+    if it happened within 12 hours of the purchase. Same one-shuffle
+    union+window core as ``join_asof`` — the bound is a post-filter on
+    the carried value (exact interval arithmetic on microsecond
+    timestamps, identical in both engines), so the tolerance costs
+    nothing extra at any scale."""
+    within = F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 12 HOURS")
+    return _asof_carried(spark, d).select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("ts").alias("purchase_ts"),
-        "last_click_ts",
+        F.when(within, F.col("last_click_ts")).alias("last_click_ts"),
     )
 
 

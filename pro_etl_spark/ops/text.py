@@ -495,3 +495,55 @@ def pipeline_gopher_filter(spark: SparkSession, d: str) -> DataFrame:
         reasons.alias("reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )
+
+
+#: data-mixing rates in basis points of 10000 by source prefix class;
+#: sources not listed fall back to DEFAULT. Deterministic: rates are
+#: config, membership is a salted hash — rerunning or re-partitioning
+#: never changes the sampled set, and upweighting a source later only
+#: ADDS documents (hash threshold grows), never swaps them.
+MIX_RATES_BP = {"src0": 10_000, "src1": 7_500, "src2": 5_000, "src3": 2_500}
+MIX_DEFAULT_BP = 1_000
+
+
+@register(
+    "sample_mix",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE source
+               WHEN 'src0' THEN 10000
+               WHEN 'src1' THEN 7500
+               WHEN 'src2' THEN 5000
+               WHEN 'src3' THEN 2500
+               ELSE {MIX_DEFAULT_BP} END AS rate_bp,
+             {DUCK_HASH60.format(x="(CAST(doc_id AS VARCHAR) || ':mix')")}
+               % 10000 AS h
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rate_bp AS BIGINT) AS rate_bp
+    FROM rated WHERE h < rate_bp
+    """,
+)
+def sample_mix(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic data mixing (stratified downsampling): each source
+    gets a configured sampling rate; membership is salted-hash
+    thresholding per document, never rand() — the same reproducibility
+    contract as ``split_train_test``, and monotone under rate changes
+    (raising a source's weight only adds documents). This is the mixer
+    in front of LLM pre-training: one narrow, shuffle-free pass at any
+    corpus size, with the weight table as pure config."""
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(bp))
+            for s, bp in MIX_RATES_BP.items()
+        ],
+        F.lit(MIX_DEFAULT_BP),
+    )
+    h = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))) % 10_000
+    return (
+        load(spark, d, "documents")
+        .select("doc_id", "source", rate.cast("long").alias("rate_bp"), h.alias("h"))
+        .where(F.col("h") < F.col("rate_bp"))
+        .drop("h")
+    )
