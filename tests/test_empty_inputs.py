@@ -1,0 +1,86 @@
+"""Empty-input robustness: every operator family must handle 0-row
+tables without raising (ANSI mode makes this non-trivial: element_at /
+array_min / division / sequence() all have empty-input edge cases).
+
+A 100 TB pipeline sees empty slices constantly — an empty date
+partition, a source with no documents today, a dimension refresh that
+matched nothing. The oracle suite never exercises that regime because
+the test tables are always populated; this one does.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import pro_etl_spark
+from pro_etl_spark.io import load
+
+SF = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+#: one representative per family (scan, filter, agg, window, join,
+#: set, scalar, nested, streaming-batch, dedup, ANN, text, CDC, SQL,
+#: sampling). dedup_clusters is excluded: its driver loop is memoized
+#: per dataset and costs a round trip per probe — the LSH generator it
+#: consumes is covered.
+REPRESENTATIVES = [
+    "filter_eq",
+    "case_when_status",
+    "agg_multi_measure",
+    "agg_groupby_count",
+    "window_rank",
+    "join_broadcast_inner",
+    "join_asof",
+    "join_asof_tolerance",
+    "set_union",
+    "fn_json",
+    "explode_attrs",
+    "stream_tumbling",
+    "stream_join_static",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_lsh",
+    "dedup_embedding_kmeans",
+    "ann_cosine_topk",
+    "ann_ivf_kmeans_topk",
+    "ivf_kmeans_assign",
+    "text_quality",
+    "text_repetition",
+    "text_pii_scrub",
+    "pipeline_gopher_filter",
+    "sample_mix",
+    "split_train_test",
+    "merge_scd1",
+    "scd2_intervals",
+    "sql_shipping_priority",
+    "sql_local_supplier_volume",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    """A dataset directory with every table present but 0 rows
+    (schemas preserved from sf0.001)."""
+    import pyspark.sql.functions as F
+
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        df = load(spark, SF, t)
+        if t == "events":
+            # mimic the raw file layout: ts stored as nanos-since-epoch
+            # (io.load expects to truncate `ts div 1000` itself)
+            df = df.withColumn("ts", F.unix_micros("ts") * 1000)
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            str(d / f"{t}.parquet")
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_runs_on_empty_tables(spark, empty_sf, name):
+    rows = pro_etl_spark.get_queries()[name](spark, empty_sf).collect()
+    assert rows == [] or len(rows) >= 0  # must not raise; row count free
