@@ -38,6 +38,7 @@ def load_all() -> None:
         sources,
         cdc,
         sqlapi,
+        graph,
         nested,
         relational,
         relational_ext,

@@ -301,8 +301,14 @@ def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
         (F.size(F.col("ts_a")) + F.size(F.col("ts_b"))).alias("n_sum"),
     )
     jac = F.col("n_inter") / (F.col("n_sum") - F.col("n_inter"))
-    return sized.where(jac >= JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    # cached: the verified pair set is consumed by dedup_clusters,
+    # pipeline_clean_corpus, and graph_pagerank in the same session —
+    # Spark's CacheManager matches the identical plan, so LSH runs once
+    # per dataset (at 100 TB this is the persisted pair table)
+    return (
+        sized.where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .cache()
     )
 
 

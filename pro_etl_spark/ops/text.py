@@ -547,3 +547,83 @@ def sample_mix(spark: SparkSession, d: str) -> DataFrame:
         .where(F.col("h") < F.col("rate_bp"))
         .drop("h")
     )
+
+
+#: winnowing parameters: k-gram size and window width (guarantee: any
+#: shared substring of length >= W + K - 1 tokens yields a shared
+#: selected fingerprint — the MOSS matching bound)
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+@register(
+    "text_winnow",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {WINNOW_K} THEN
+               list_transform(range(1, len(toks) - {WINNOW_K} + 2),
+                 i -> {DUCK_HASH60.format(x="(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")}
+                      % 65536)
+             ELSE [] END AS kh
+      FROM t
+    ), w AS (
+      SELECT doc_id,
+             CASE WHEN len(kh) >= {WINNOW_W} THEN
+               list_sort(list_distinct(
+                 list_transform(range(1, len(kh) - {WINNOW_W} + 2),
+                   j -> list_min(kh[j:j+{WINNOW_W}-1]))))
+             WHEN len(kh) > 0 THEN [list_min(kh)]
+             ELSE [] END AS fp
+      FROM g
+    )
+    SELECT doc_id, CAST(unnest(fp) AS BIGINT) AS fp FROM w
+    """,
+)
+def text_winnow(spark: SparkSession, d: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    k-gram, slide a width-W window over the hash sequence, keep each
+    window's minimum, dedupe. Guarantees any shared token run of
+    length >= W+K-1 produces a shared fingerprint, while storing only
+    ~2/(W+1) of the k-gram hashes — the standard overlap/plagiarism
+    detector at corpus scale. Pure HOFs, narrow; output is exploded to
+    flat (doc_id, fp) rows — the join-ready posting-list layout (and
+    array-free driver output)."""
+    toks = TOKENS()
+    n = F.size(toks)
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j) for j in range(WINNOW_K)]
+    )
+    kh = F.when(
+        n >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+            lambda i: hash60(gram(i)) % 65536,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # materialization barrier (same pattern as dedup._token_table) so
+    # CollapseProject can never inline the kh build into the per-window
+    # slice lambda; the remaining cost is the interpreted HOF window
+    # scan itself, which stays narrow — the property that matters at
+    # scale
+    docs = load(spark, d, "documents").select("doc_id", kh.alias("kh")).cache()
+    m = F.size("kh")
+    fp = (
+        F.when(
+            m >= WINNOW_W,
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), m - (WINNOW_W - 1)),
+                        lambda j: F.array_min(F.slice("kh", j, WINNOW_W)),
+                    )
+                )
+            ),
+        )
+        .when(m > 0, F.array(F.array_min("kh")))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return docs.select("doc_id", F.explode(fp).alias("fp"))

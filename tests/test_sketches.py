@@ -90,3 +90,13 @@ def test_simhash_lsh_covers_blocked_pairs(spark):
     lsh = {(r.doc_a, r.doc_b) for r in qs["dedup_simhash_lsh"](spark, SF).collect()}
     blocked = {(r.doc_a, r.doc_b) for r in qs["dedup_simhash_pairs"](spark, SF).collect()}
     assert blocked <= lsh
+
+
+def test_pagerank_mass_and_positivity(spark):
+    """Rank mass is conserved (no dangling nodes in an undirected
+    graph, so total rank stays 1 after every damped round) and every
+    participating document gets positive rank."""
+    rows = pro_etl_spark.get_queries()["graph_pagerank"](spark, SF).collect()
+    assert rows
+    assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-3
+    assert all(r.pagerank > 0 for r in rows)
