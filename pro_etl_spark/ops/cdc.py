@@ -156,3 +156,62 @@ def scd2_intervals(spark: SparkSession, d: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+SESSION_GAP = "30 MINUTE"
+
+
+@register(
+    "sessionize",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           user_id || '-' || CAST(session_num AS VARCHAR) AS session_id,
+           session_num
+    FROM (
+      SELECT event_id, user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_num
+      FROM (
+        SELECT event_id, user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      )
+    )
+    """,
+)
+def sessionize(spark: SparkSession, d: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): assign every event a stable
+    session id — a new session starts after a 30-minute silence. Same
+    change-compression machinery as ``scd2_intervals`` (lag → flag →
+    running sum), sharing the user_id partitioning across both window
+    passes, so the whole assignment is one shuffle of the events. The
+    batch twin of ``stream_session``'s session windows: that one
+    aggregates per session, this one labels the raw events (what a
+    sessionized clickstream table stores)."""
+    from pro_etl_spark.io import load as _load
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = prev.isNull() | (
+        F.col("ts") > prev + F.expr(f"INTERVAL {SESSION_GAP}")
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ev = _load(spark, d, "events").select("event_id", "user_id", "ts")
+    return (
+        ev.withColumn("is_new", is_new.cast("long"))
+        .withColumn("session_num", F.sum("is_new").over(run))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.concat_ws("-", "user_id", "session_num").alias("session_id"),
+            "session_num",
+        )
+    )

@@ -210,3 +210,41 @@ def run_audit_columns(spark: SparkSession, d: str) -> DataFrame:
     return o.select("o_orderkey").crossJoin(F.broadcast(run_date)).withColumn(
         "run_id", F.lit("run-000")
     )
+
+
+@register(
+    "scan_schema_drift",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(NULL AS DOUBLE) AS c_acctbal,
+           CAST(NULL AS VARCHAR) AS c_mktsegment
+    FROM customer WHERE c_nationkey < 10
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer WHERE c_nationkey >= 10
+    """,
+)
+def scan_schema_drift(spark: SparkSession, d: str) -> DataFrame:
+    """Schema-evolution scan: two parquet generations of the same
+    table — an old one with (c_custkey, c_name) and a new one that
+    added (c_acctbal, c_mktsegment) — read in one pass with
+    ``mergeSchema``, old rows null-padded by name. This is how a
+    long-lived 100 TB table actually looks on disk (columns accrete
+    over years of writers); the oracle recomputes the same null-padded
+    union from the parquet base, proving the merge is lossless."""
+    path = _tmp(f"drift_{dataset_suffix(d)}")
+    old_p, new_p = os.path.join(path, "gen_old"), os.path.join(path, "gen_new")
+    c = load(spark, d, "customer")
+
+    def write_both() -> None:
+        c.where(F.col("c_nationkey") < 10).select("c_custkey", "c_name").write.mode(
+            "overwrite"
+        ).parquet(old_p)
+        c.where(F.col("c_nationkey") >= 10).select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        ).write.mode("overwrite").parquet(new_p)
+        # single marker for _write_once: both generations completed
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+
+    _write_once(path, write_both)
+    return spark.read.option("mergeSchema", "true").parquet(old_p, new_p)

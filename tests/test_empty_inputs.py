@@ -56,6 +56,10 @@ REPRESENTATIVES = [
     "split_train_test",
     "merge_scd1",
     "scd2_intervals",
+    "sessionize",
+    "scan_schema_drift",
+    "graph_pagerank",
+    "text_winnow",
     "sql_shipping_priority",
     "sql_local_supplier_volume",
 ]
