@@ -39,6 +39,7 @@ def load_all() -> None:
         cdc,
         sqlapi,
         graph,
+        analytics,
         nested,
         relational,
         relational_ext,

@@ -1,0 +1,123 @@
+"""Product-analytics operators over the event stream: ordered funnel
+conversion and time-range rolling aggregates.
+
+Both are staples of clickstream warehouses that the §2 window family
+doesn't cover directly: the funnel needs ORDER-aware step matching
+(a click only counts after the user's first view), the rolling
+aggregate needs a TIME-range frame rather than a row frame.
+
+Scale posture: every stage is keyed by user_id — the funnel's three
+conditional aggregations and the rolling window all reuse one
+partitioning of the events table, and each step's output is one row
+per user (tiny), so the chained semi-joins broadcast naturally under
+AQE.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pro_etl_spark.io import load
+from pro_etl_spark.registry import register
+
+DECV = "decimal(18,6)"
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS ct
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.vt
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS pt
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.ct
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_no,
+             COUNT(*) AS n_users FROM v
+      UNION ALL
+      SELECT 'click', 2, COUNT(*) FROM c
+      UNION ALL
+      SELECT 'purchase', 3, COUNT(*) FROM p
+    )
+    """,
+)
+def funnel_conversion(spark: SparkSession, d: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a step only counts when
+    it happens at-or-after the user's entry into the previous step
+    (first qualifying timestamp carried forward), so out-of-order
+    events never inflate conversion. Three conditional MIN aggregations
+    chained by user-keyed joins — each intermediate is one row per
+    user, broadcast-sized at any corpus scale."""
+    ev = load(spark, d, "events")
+
+    def first_after(step: str, prev: DataFrame, prev_ts: str, out: str) -> DataFrame:
+        e = ev.where(F.col("event_type") == step)
+        return (
+            e.join(prev, "user_id")
+            .where(F.col("ts") >= F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = first_after("click", v, "vt", "ct")
+    p = first_after("purchase", c, "ct", "pt")
+
+    def count_row(df: DataFrame, step: str, no: int) -> DataFrame:
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(no).cast("long").alias("step_no"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        count_row(v, "view", 1)
+        .unionByName(count_row(c, "click", 2))
+        .unionByName(count_row(p, "purchase", 3))
+    )
+
+
+@register(
+    "window_rolling_24h",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS value_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_24h(spark: SparkSession, d: str) -> DataFrame:
+    """Time-range rolling aggregate: per user, the count and DECIMAL-
+    exact value sum of all events in the trailing 24 hours. Spark's
+    rangeBetween is numeric, so the order key is exact epoch
+    MICROSECONDS (never truncated seconds) and the frame is
+    [-24h_in_µs, 0] — identical to the oracle's INTERVAL range frame on
+    microsecond timestamps. One shuffle on user_id, state bounded by
+    the 24 h horizon — the batch twin of a watermarked sliding window."""
+    day_us = 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-day_us, 0)
+    )
+    return load(spark, d, "events").select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_24h"),
+        F.sum(F.col("value").cast(DECV)).over(w).cast("double").alias("value_24h"),
+    )

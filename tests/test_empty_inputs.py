@@ -58,6 +58,8 @@ REPRESENTATIVES = [
     "scd2_intervals",
     "sessionize",
     "scan_schema_drift",
+    "funnel_conversion",
+    "window_rolling_24h",
     "graph_pagerank",
     "text_winnow",
     "sql_shipping_priority",
