@@ -79,6 +79,16 @@ def test_kmeans_assignment_never_shuffles_corpus(spark):
     assert "Window" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["scd2_intervals", "sessionize", "window_rolling_24h"]
+)
+def test_chained_windows_share_one_shuffle(spark, name):
+    # both window passes are partitioned by the same key, so the whole
+    # op must compile to exactly ONE Exchange — a second one means the
+    # shared-partitioning contract in the docstrings regressed
+    assert plan_of(spark, name).count("Exchange") == 1, name
+
+
 def test_multi_measure_agg_is_partial_then_final(spark):
     # map-side combine: two HashAggregate levels around the exchange
     plan = plan_of(spark, "agg_multi_measure")
