@@ -425,22 +425,54 @@ def _emb_table(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _sqdist(a, b):
+    """Squared L2 as the same left-to-right fold as the oracle's
+    ``_SQDIST_SQL`` — bit-identical doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _kmeans_centroids(spark: SparkSession, d: str) -> DataFrame:
+    """Refined centroids ``(cid, cemb)`` after one Lloyd iteration over
+    the TRAIN_N sample (seeds → assign sample → ordered per-cluster
+    mean)."""
+    e = _emb_table(spark, d)
+    seeds = e.where(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    a0 = _assign(e.where(F.col("vec_id") < TRAIN_N), seeds)
+    members = a0.groupBy("cid").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("ms")
+    )
+    return members.select(
+        "cid",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda dim: F.aggregate(
+                F.col("ms"),
+                F.lit(0.0),
+                lambda acc, m: acc + F.element_at(m["emb"], dim),
+            )
+            / F.size("ms"),
+        ).alias("cemb"),
+    )
+
+
 def _kmeans_assignment(spark: SparkSession, d: str) -> DataFrame:
     """One-Lloyd-iteration assignment ``(vec_id, cell, dist)`` — shared
-    by ``ivf_kmeans_assign``, ``dedup_embedding_kmeans`` and
-    ``ann_ivf_kmeans_topk`` (cached: identical plans across the three
-    queries hit Spark's CacheManager, so training runs once per
-    session per dataset)."""
-    e = _emb_table(spark, d)
+    by ``ivf_kmeans_assign``, ``dedup_embedding_kmeans`` and the
+    k-means ANN queries (cached: identical plans across the consumers
+    hit Spark's CacheManager, so training runs once per session per
+    dataset)."""
+    return _assign(_emb_table(spark, d), _kmeans_centroids(spark, d)).select(
+        "vec_id", F.col("cid").alias("cell"), "dist"
+    ).cache()
 
-    def sqdist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
 
-    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
         # Fold the (tiny) centroid table into ONE broadcast row holding
         # an array<struct<cid,cemb>>, then take the per-row argmin with
         # array_min over struct(dist, cid) — struct comparison is
@@ -455,7 +487,7 @@ def _kmeans_assignment(spark: SparkSession, d: str) -> DataFrame:
             F.transform(
                 F.col("carr"),
                 lambda c: F.struct(
-                    sqdist(F.col("emb"), c["cemb"]).alias("dist"),
+                    _sqdist(F.col("emb"), c["cemb"]).alias("dist"),
                     c["cid"].alias("cid"),
                 ),
             )
@@ -470,29 +502,6 @@ def _kmeans_assignment(spark: SparkSession, d: str) -> DataFrame:
                 F.col("b.dist").alias("dist"),
             )
         )
-
-    seeds = e.where(F.col("vec_id") < K_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
-    )
-    a0 = assign(e.where(F.col("vec_id") < TRAIN_N), seeds)
-    members = a0.groupBy("cid").agg(
-        F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("ms")
-    )
-    cent1 = members.select(
-        "cid",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda dim: F.aggregate(
-                F.col("ms"),
-                F.lit(0.0),
-                lambda acc, m: acc + F.element_at(m["emb"], dim),
-            )
-            / F.size("ms"),
-        ).alias("cemb"),
-    )
-    return assign(e, cent1).select(
-        "vec_id", F.col("cid").alias("cell"), "dist"
-    ).cache()
 
 
 @register(
@@ -604,6 +613,97 @@ def ann_ivf_kmeans_topk(spark: SparkSession, d: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+NPROBE_KMEANS = 3  # probe the 3 nearest trained cells per query
+
+
+@register(
+    "ann_ivf_kmeans_multiprobe",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    raw AS (
+      SELECT vec_id, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    ), j AS (
+      SELECT r.vec_id, r.embedding, r.nrm, a.cell
+      FROM raw r JOIN acell a USING (vec_id)
+    ), qprobe AS (
+      SELECT vec_id AS query_id, cid AS pcell
+      FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQDIST_SQL.format(a="e.emb", b="c.cemb")}, c.cid
+               ) AS rn
+        FROM e CROSS JOIN cent1 c
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE rn <= {NPROBE_KMEANS}
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {DUCK_DOT.format(a="q.embedding", b="c.embedding")}
+               / (q.nrm * c.nrm) AS cos
+      FROM qprobe p
+      JOIN j c ON c.cell = p.pcell AND c.vec_id <> p.query_id
+      JOIN raw q ON q.vec_id = p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivf_kmeans_multiprobe(spark: SparkSession, d: str) -> DataFrame:
+    """Multi-probe ANN over the trained k-means cells: each query
+    probes its NPROBE nearest centroids (ranked by the same squared-L2
+    fold the assignment uses), then exact cosine re-rank over the
+    union of probed cells — the recall/cost knob of a production IVF
+    index, here with data-driven cells instead of the fixed grid of
+    ``ann_ivf_multiprobe``. The probe list is rows-per-query × NPROBE
+    (broadcast-sized); the corpus side is touched only via the cell
+    equi-join, i.e. NPROBE partition lookups per query at scale."""
+    cells = _kmeans_assignment(spark, d).select("vec_id", "cell")
+    corpus = corpus_table(spark, d).join(cells, "vec_id")
+    cents = _kmeans_centroids(spark, d)
+    q6 = _emb_table(spark, d).where(F.col("vec_id") < N_QUERIES)
+    w = Window.partitionBy("vec_id").orderBy("pdist", "cid")
+    probes = (
+        q6.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            _sqdist(F.col("emb"), F.col("cemb")).alias("pdist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= NPROBE_KMEANS)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcell"))
+    )
+    qraw = corpus_table(spark, d).where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = corpus.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).join(F.broadcast(qraw), "query_id")
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+            "cos"
+        ),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
     )

@@ -79,6 +79,14 @@ def test_kmeans_cells_partition_and_improve(spark):
     assert topk, "kmeans cells are populated enough to return neighbors"
     for r in topk:
         assert cells[r.query_id] == cells[r.neighbor_id]
+    # multi-probe recall is monotone vs single-probe, same as the grid
+    brute = {(r.query_id, r.neighbor_id) for r in qs["ann_cosine_topk"](spark, SF).collect()}
+    single = {(r.query_id, r.neighbor_id) for r in topk}
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_ivf_kmeans_multiprobe"](spark, SF).collect()
+    }
+    assert len(multi & brute) >= len(single & brute)
 
 
 def test_simhash_lsh_covers_blocked_pairs(spark):
