@@ -121,3 +121,70 @@ def window_rolling_24h(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("n_24h"),
         F.sum(F.col("value").cast(DECV)).over(w).cast("double").alias("value_24h"),
     )
+
+
+HIST_BIN_WIDTH = 50_000
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+           CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT)
+             * {HIST_BIN_WIDTH} AS bin_lo,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, d: str) -> DataFrame:
+    """Value histogram (fixed-width binning) — the profiling pass a
+    pipeline runs before choosing filters/partitioning. floor-division
+    binning is a pure projection, so the whole histogram is one
+    map-side-combined aggregation; identical double division on both
+    engines makes the bin assignment bit-stable."""
+    o = load(spark, d, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH).cast("long")
+    return o.groupBy(
+        bin_.alias("bin"), (bin_ * HIST_BIN_WIDTH).alias("bin_lo")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "fn_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.05) AS lo,
+             quantile_cont(l_quantity, 0.95) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           l.l_quantity,
+           GREATEST(LEAST(l.l_quantity, b.hi), b.lo) AS quantity_w
+    FROM lineitem l JOIN b USING (l_returnflag)
+    """,
+)
+def fn_winsorize(spark: SparkSession, d: str) -> DataFrame:
+    """Winsorization: clip each value to its group's [p5, p95] — the
+    outlier-taming transform feature pipelines apply before scaling.
+    Group bounds are one tiny aggregate (3 rows) broadcast back onto
+    the fact table, so the clip pass stays shuffle-free on the fact
+    side. Exactness note: quantiles interpolate over integral-valued
+    l_quantity, so the bounds are exact binary fractions and the
+    comparisons are bit-stable cross-engine (same caveat as
+    ``agg_percentile``)."""
+    li = load(spark, d, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.05)").alias("lo"),
+        F.expr("percentile(l_quantity, 0.95)").alias("hi"),
+    )
+    return li.join(F.broadcast(b), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.greatest(F.least(F.col("l_quantity"), F.col("hi")), F.col("lo")).alias(
+            "quantity_w"
+        ),
+    )

@@ -60,6 +60,9 @@ REPRESENTATIVES = [
     "scan_schema_drift",
     "funnel_conversion",
     "window_rolling_24h",
+    "agg_histogram",
+    "fn_winsorize",
+    "ann_ivf_kmeans_multiprobe",
     "graph_pagerank",
     "text_winnow",
     "sql_shipping_priority",
