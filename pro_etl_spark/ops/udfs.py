@@ -94,3 +94,41 @@ def udf_grouped_agg(spark: SparkSession, d: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(price_range(F.col("o_totalprice")).alias("price_range"))
     )
+
+
+@register(
+    "udtf_bigrams",
+    oracle=r"""
+    SELECT d.doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+           toks[u.i] || ' ' || toks[u.i + 1] AS bigram
+    FROM (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ) d, unnest(range(1, len(toks))) AS u(i)
+    """,
+)
+def udtf_bigrams(spark: SparkSession, d: str) -> DataFrame:
+    """X4b: a REAL Python UDTF (Spark 3.5+ ``@udtf``) — one input row
+    expands to many output rows via a table function in the FROM
+    clause, LATERAL-joined so the input's columns ride along. Emits
+    positional word bigrams; the oracle recomputes them relationally,
+    proving the UDTF row fan-out exactly. The built-in ``explode``
+    (X4) is the fast path for this shape — the UDTF exists for
+    expansions that genuinely need imperative Python per row, and this
+    query proves that surface end-to-end (class pickled by reference →
+    shipped to workers via the registry's addPyFile zip)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, bigram string", useArrow=False)
+    class BigramUDTF:
+        def eval(self, text: str):
+            toks = text.split()
+            for i in range(len(toks) - 1):
+                yield (i, toks[i] + " " + toks[i + 1])
+
+    spark.udtf.register("bigram_udtf", BigramUDTF)
+    load(spark, d, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.bigram "
+        "FROM documents d, LATERAL bigram_udtf(d.text) t"
+    )

@@ -63,6 +63,7 @@ REPRESENTATIVES = [
     "agg_histogram",
     "fn_winsorize",
     "ann_ivf_kmeans_multiprobe",
+    "udtf_bigrams",
     "graph_pagerank",
     "text_winnow",
     "sql_shipping_priority",
