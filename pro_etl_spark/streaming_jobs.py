@@ -124,6 +124,35 @@ def running_totals_stream(ev: DataFrame) -> DataFrame:
     )
 
 
+def run_foreach_batch_parquet(
+    sdf: DataFrame,
+    out_dir: str,
+) -> StreamingQuery:
+    """``foreachBatch`` sink — the production escape hatch when the
+    target needs batch-only APIs (JDBC upsert, MERGE INTO, multi-table
+    fan-out). Each micro-batch arrives as a normal batch DataFrame with
+    its epoch id; writing it into an epoch-keyed partition makes the
+    sink idempotent — a replayed epoch overwrites its own partition
+    instead of duplicating rows (the standard exactly-once recipe on
+    top of at-least-once replay)."""
+
+    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        bdf.withColumn("_epoch", F.lit(epoch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "_epoch"
+        ).parquet(out_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(
     sdf: DataFrame,
     name: str,

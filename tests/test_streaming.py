@@ -64,6 +64,32 @@ def test_session_stream_matches_batch(spark, events_dir):
     )
 
 
+def test_foreach_batch_sink_idempotent(spark, events_dir, tmp_path):
+    """foreachBatch parquet sink: contents match the batch dedup, and
+    re-running the stream from scratch (replaying every epoch) leaves
+    the output identical — the epoch-partition overwrite makes replays
+    idempotent."""
+    out = str(tmp_path / "fb_out")
+    counts = []
+    for _ in range(2):  # second run replays all epochs from scratch
+        ev = SJ.read_events_stream(spark, events_dir)
+        SJ.run_foreach_batch_parquet(SJ.dedup_stream(ev), out)
+        counts.append(spark.read.parquet(out).count())
+    assert counts[0] == counts[1], "replay duplicated rows — sink not idempotent"
+    got_keys = {
+        (r.user_id, r.event_type)
+        for r in spark.read.parquet(out).select("user_id", "event_type").collect()
+    }
+    want_keys = {
+        (r.user_id, r.event_type)
+        for r in load(spark, SF, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got_keys == want_keys
+
+
 def test_stream_static_join_matches_batch(spark, events_dir):
     ev = SJ.read_events_stream(spark, events_dir)
     cust = load(spark, SF, "customer")
