@@ -218,3 +218,58 @@ def fn_json(spark: SparkSession, d: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
         (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod"),
     )
+
+
+@register(
+    "fn_datetime_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(month(o_orderdate) AS INTEGER) AS mon,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+    FROM orders
+    """,
+)
+def fn_datetime_parts(spark: SparkSession, d: str) -> DataFrame:
+    """F-gen: calendar-part extraction — the derived columns every
+    date-partitioned warehouse computes at ingest. Day-of-week rides
+    the ISO convention (Monday=1) explicitly because the engines'
+    defaults disagree (Spark dayofweek is Sunday=1, DuckDB dow is
+    Sunday=0): Spark's weekday() (Monday=0) + 1 == DuckDB isodow."""
+    o = load(spark, d, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )
+
+
+@register(
+    "fn_levenshtein",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS dist,
+           (levenshtein(c_name, 'Customer#000000001') <= 3) AS is_close
+    FROM customer
+    """,
+)
+def fn_levenshtein(spark: SparkSession, d: str) -> DataFrame:
+    """F-gen: edit-distance fuzzy matching — the scalar primitive
+    behind fuzzy key reconciliation (the reference's id matching is
+    exact; real migrations also need near-miss detection). Both
+    engines implement the standard Wagner-Fischer DP, so distances are
+    integer-exact; the thresholded flag is the usual blocking
+    predicate."""
+    c = load(spark, d, "customer")
+    dist = F.levenshtein(F.col("c_name"), F.lit("Customer#000000001"))
+    return c.select(
+        "c_custkey",
+        "c_name",
+        dist.cast("long").alias("dist"),
+        (dist <= 3).alias("is_close"),
+    )
