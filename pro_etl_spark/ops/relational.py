@@ -709,3 +709,50 @@ def set_intersect(spark: SparkSession, d: str) -> DataFrame:
     c = load(spark, d, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, d, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
+
+
+@register(
+    "join_fuzzy",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_key,
+             substr(c_name, 1, length(c_name) - 1) || 'X' AS dirty_name
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT d.dirty_key, c.c_custkey AS clean_key,
+           CAST(levenshtein(d.dirty_name, c.c_name) AS BIGINT) AS dist
+    FROM dirty d JOIN customer c
+      ON substr(d.dirty_name, 1, 16) = substr(c.c_name, 1, 16)
+    WHERE levenshtein(d.dirty_name, c.c_name) <= 1
+    """,
+)
+def join_fuzzy(spark: SparkSession, d: str) -> DataFrame:
+    """J8 *(gen)*: blocked fuzzy join — reconcile corrupted keys
+    against the clean dimension without an all-pairs product. The
+    dirty side is a deterministic corruption of a seventh of the
+    customer names (last character replaced); candidates come from an
+    EQUI-join on a shared prefix block, then edit distance verifies —
+    the same block → verify shape as the LSH dedup family, applied to
+    record linkage. Block key choice is the scale lever: the prefix
+    must be long enough that blocks stay bounded (here first-16 chars
+    → ~100-row blocks) and short enough to survive the corruption."""
+    c = load(spark, d, "customer")
+    dirty = c.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("dirty_name"),
+    )
+    dist = F.levenshtein(F.col("dirty_name"), F.col("c_name"))
+    return (
+        dirty.join(
+            c,
+            F.expr("substr(dirty_name, 1, 16)") == F.expr("substr(c_name, 1, 16)"),
+        )
+        .where(dist <= 1)
+        .select(
+            "dirty_key",
+            F.col("c_custkey").alias("clean_key"),
+            dist.cast("long").alias("dist"),
+        )
+    )
