@@ -215,3 +215,92 @@ def sessionize(spark: SparkSession, d: str) -> DataFrame:
             "session_num",
         )
     )
+
+
+#: deterministic snapshot windows carved from `orders` so the diff
+#: exercises all three change kinds: rows only in A (deletes), only in
+#: B (inserts), and overlapping rows whose payload was perturbed
+#: (updates)
+SNAP_A_MAX = "1997-07-01"
+SNAP_B_MIN = "1996-01-01"
+UPDATE_MOD = 13
+
+_SNAPSHOT_CTE = f"""
+    snap_a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < DATE '{SNAP_A_MAX}'
+    ),
+    snap_b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % {UPDATE_MOD} = 0
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderdate >= DATE '{SNAP_B_MIN}'
+    )
+"""
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH {_SNAPSHOT_CTE}
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           a.o_totalprice AS old_price,
+           b.o_totalprice AS new_price
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+       OR a.o_orderstatus <> b.o_orderstatus
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, d: str) -> DataFrame:
+    """Snapshot differencing — derive a change feed (insert / update /
+    delete rows) from two full table snapshots, the standard way to
+    bootstrap CDC when the source system exposes only periodic dumps.
+    One full-outer join co-partitioned on the natural key classifies
+    every row; unchanged rows (the overwhelming majority at 100 TB) are
+    filtered out BEFORE anything downstream sees them, so the emitted
+    feed is proportional to the churn, not the table. At scale both
+    snapshots are bucketed by the key, making the join co-located and
+    shuffle-free; AQE skew-join covers hot keys otherwise. Payload
+    comparison is column-wise here (two columns); a wide table would
+    compare a single ``xxhash64(struct(*))`` row digest instead — same
+    plan shape, one expression."""
+    o = load(spark, d, "orders")
+    a = o.where(F.col("o_orderdate") < F.lit(SNAP_A_MAX).cast("date")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = o.where(F.col("o_orderdate") >= F.lit(SNAP_B_MIN).cast("date")).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % UPDATE_MOD == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    aj = a.alias("a")
+    bj = b.alias("b")
+    changed = (
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+    )
+    return (
+        aj.join(bj, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+        .where(changed)
+        .select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("a.o_orderkey").isNull(), "insert")
+            .when(F.col("b.o_orderkey").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col("a.o_totalprice").alias("old_price"),
+            F.col("b.o_totalprice").alias("new_price"),
+        )
+    )

@@ -21,7 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pro_etl_spark.io import load
-from pro_etl_spark.ops.relational import DEC, _dsum
+from pro_etl_spark.ops.relational import DEC, DEC6, _dsum
 from pro_etl_spark.registry import register
 
 
@@ -332,4 +332,39 @@ def window_range_frame(spark: SparkSession, d: str) -> DataFrame:
         "o_custkey",
         "day_n",
         F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_returnflag, measure,
+           CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+    ) GROUP BY 1, 2
+    """,
+)
+def unpivot_measures(spark: SparkSession, d: str) -> DataFrame:
+    """Unpivot (melt): wide measure columns → long (measure, value)
+    rows, then a per-measure rollup — the inverse of ``pivot_status``
+    and the standard reshape before generic per-metric processing.
+    Spark's native ``unpivot`` expands in-task (narrow — the 3× row
+    fan-out never hits the shuffle as raw rows because the agg's
+    map-side combine collapses them first); the only shuffle is the
+    final 3×|flags| group key. The SQL twin is the UNION ALL spelling —
+    what the optimizer desugars unpivot into."""
+    li = load(spark, d, "lineitem")
+    melted = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.sum(F.col("val").cast(DEC6)).cast("double").alias("total")
     )

@@ -248,3 +248,30 @@ def scan_schema_drift(spark: SparkSession, d: str) -> DataFrame:
 
     _write_once(path, write_both)
     return spark.read.option("mergeSchema", "true").parquet(old_p, new_p)
+
+
+@register(
+    "sink_orc",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+)
+def sink_orc(spark: SparkSession, d: str) -> DataFrame:
+    """S-gen: ORC sink + rescan — the other columnar format a Spark
+    warehouse interoperates with (Hive/Trino estates are ORC-first).
+    Write a lineitem projection as ORC, read it back with an explicit
+    schema, and prove losslessness by value-matching the parquet base:
+    bigints, doubles, and strings survive bit-exactly. Spark's native
+    ORC reader is vectorized and supports the same predicate pushdown /
+    column pruning as parquet, so the scan-side posture at 100 TB is
+    unchanged; zlib-by-default compression is the only default that
+    differs."""
+    path = _tmp(f"sink_orc_{dataset_suffix(d)}")
+    _write_once(
+        path,
+        lambda: load(spark, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite")
+        .orc(path),
+    )
+    return spark.read.schema(
+        "l_orderkey bigint, l_linenumber int, l_quantity double, l_returnflag string"
+    ).orc(path)

@@ -199,3 +199,60 @@ def stream_join_static(spark: SparkSession, d: str) -> DataFrame:
     state is only the downstream windowed agg). Same transform runs
     under readStream in ``streaming_jobs.enriched_stream``."""
     return enrich_segment(load(spark, d, "events"), load(spark, d, "customer"))
+
+
+def click_error_interval_join(clicks: DataFrame, errors: DataFrame) -> DataFrame:
+    """Core transform shared by the batch oracle query and the
+    watermarked stream-stream twin: every error an affected user raised
+    within 10 minutes AFTER a click — the attribution/correlation shape
+    (ad click → conversion, deploy → error burst)."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    e = errors.select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    return (
+        c.join(
+            e,
+            (F.col("user_id") == F.col("e_user_id"))
+            & (F.col("error_ts") >= F.col("click_ts"))
+            & (
+                F.col("error_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+            ),
+        )
+        .select("click_id", "error_id", "user_id", "click_ts", "error_ts")
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+           c.ts AS click_ts, e.ts AS error_ts
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL '10 minutes'
+    """,
+)
+def stream_stream_join(spark: SparkSession, d: str) -> DataFrame:
+    """T-family extension: stream-stream interval join. In batch this
+    is an equi-join on user_id with the time-range predicate applied as
+    a post-join filter (one shuffle per side, AQE-sized); under
+    Structured Streaming the SAME transform with watermarks on both
+    sides (``streaming_jobs.click_error_stream``) gives Spark the
+    bound it needs to expire join state — the time-range condition on
+    both event times is what makes unbounded-stream join state finite.
+    The event-type split means each side scans a pushed-down predicate
+    slice of the same source, not the full firehose."""
+    ev = load(spark, d, "events")
+    return click_error_interval_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "error"),
+    )

@@ -627,3 +627,169 @@ def text_winnow(spark: SparkSession, d: str) -> DataFrame:
         .otherwise(F.array().cast("array<long>"))
     )
     return docs.select("doc_id", F.explode(fp).alias("fp"))
+
+
+PACK_CAP = 512  # context-window capacity in tokens
+
+
+@register(
+    "seq_pack",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+           CAST((SUM(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS chunk_id,
+           CAST((SUM(n_tokens) OVER w - 1) // 512
+                - (SUM(n_tokens) OVER w - n_tokens) // 512 AS BIGINT)
+             AS chunks_spanned
+    FROM toks
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def seq_pack(spark: SparkSession, d: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk): lay every document out in
+    a deterministic token stream per source shard and assign each doc
+    the fixed-capacity context chunk its first token lands in — the
+    standard GPT-style pretraining layout (concatenate docs, slice into
+    PACK_CAP-token windows; boundary docs straddle, counted by
+    ``chunks_spanned``). The running offset is a prefix sum windowed
+    BY SOURCE, never a global window: an unpartitioned cumulative sum
+    would funnel 100 TB through one task, while per-shard packing is
+    one shuffle on ``source`` and each shard's stream is independent —
+    exactly how a sharded tokenizer/packer runs in production. Order
+    within shard is doc_id (stable across reruns), so the packing is
+    reproducible — the same invariant as ``split_train_test``."""
+    from pyspark.sql import Window
+
+    docs = load(spark, d, "documents").select(
+        "doc_id", "source", F.size(TOKENS()).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum("n_tokens").over(w)
+    offsets = docs.select(
+        "doc_id", "source", "n_tokens", (end - F.col("n_tokens")).alias("start_offset")
+    )
+    first_chunk = F.expr(f"start_offset div {PACK_CAP}")
+    last_chunk = F.expr(f"(start_offset + n_tokens - 1) div {PACK_CAP}")
+    return offsets.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        first_chunk.cast("long").alias("chunk_id"),
+        (last_chunk - first_chunk).cast("long").alias("chunks_spanned"),
+    )
+
+
+#: per-language keep rates (permille) — downsample the dominant
+#: language, keep the long tail whole (the standard corpus-balancing
+#: move when one language dwarfs the rest)
+STRAT_PERMILLE = {"en": 250, "de": 600}
+STRAT_DEFAULT = 1000
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {DUCK_HASH60.format(x="doc_id::VARCHAR || ':strat'")} % 1000
+          < CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 600 ELSE 1000 END
+    """,
+)
+def sample_stratified(spark: SparkSession, d: str) -> DataFrame:
+    """Stratified downsampling with per-language keep rates — the
+    corpus-balancing step of a training-data mix. Deterministic salted-
+    hash thresholding per row, never ``rand()`` or ``sampleBy``: the
+    same document always gets the same verdict regardless of engine,
+    partitioning, or rerun, and the keep set only shrinks/grows
+    monotonically when a rate changes. Pure narrow filter — no shuffle,
+    no driver-side fraction map lookup — so it composes with any scan
+    at 100 TB and pushes down past column pruning."""
+    h = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))) % 1000
+    rate = F.when(F.col("lang") == "en", STRAT_PERMILLE["en"]).when(
+        F.col("lang") == "de", STRAT_PERMILLE["de"]
+    ).otherwise(STRAT_DEFAULT)
+    return (
+        load(spark, d, "documents")
+        .where(h < rate)
+        .select("doc_id", "lang", "source")
+    )
+
+
+TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+             tf.tf * (n.n_docs + 1.0) / (df.df + 1.0) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, d: str) -> DataFrame:
+    """Distributed TF-IDF: top-3 most characteristic tokens per
+    document. Four-stage plan, each stage the cheapest shape available:
+    explode is narrow; term frequency is one map-side-combined agg on
+    (doc, token); document frequency REUSES the tf table (a second agg
+    over it, never a second pass over the corpus); the tf⋈df join
+    shuffles on token (the vocabulary — far smaller than the corpus but
+    too big to assume broadcast at 100 TB); top-k is a per-doc window.
+    The score is the rational tf·(N+1)/(df+1) — deliberately log-free:
+    IEEE division is exactly rounded so both engines compute the
+    bit-identical double, whereas ln() is libm-dependent and would make
+    the oracle ulp-fragile. Ties break on token for full determinism."""
+    from pyspark.sql import Window
+
+    tok = load(spark, d, "documents").select(
+        "doc_id", F.explode(TOKENS()).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = load(spark, d, "documents").agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            (
+                F.col("tf") * (F.col("n_docs") + F.lit(1.0))
+                / (F.col("df") + F.lit(1.0))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TFIDF_TOPK)
+        .drop("rn")
+    )

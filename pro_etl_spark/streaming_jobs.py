@@ -30,7 +30,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from pro_etl_spark.ops.streaming import enrich_segment, session_agg, sliding, tumbling
+from pro_etl_spark.ops.streaming import (
+    click_error_interval_join,
+    enrich_segment,
+    session_agg,
+    sliding,
+    tumbling,
+)
 
 #: events file schema as the parquet stores it (ts is TIMESTAMP(NANOS),
 #: which Spark reads as long under the nanosAsLong legacy conf)
@@ -86,6 +92,21 @@ def dedup_stream(ev: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def click_error_stream(
+    ev: DataFrame, watermark: str = "20 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: clicks joined to subsequent errors
+    by the same user within 10 minutes. Both sides carry a watermark
+    and the join condition bounds both event times, so the state store
+    holds only ~watermark+interval of each side per key — the finite-
+    state requirement for joining two unbounded streams. Same
+    ``click_error_interval_join`` transform as the batch oracle query
+    (`stream_stream_join`)."""
+    clicks = ev.where(F.col("event_type") == "click").withWatermark("ts", watermark)
+    errors = ev.where(F.col("event_type") == "error").withWatermark("ts", watermark)
+    return click_error_interval_join(clicks, errors)
 
 
 def running_totals_stream(ev: DataFrame) -> DataFrame:

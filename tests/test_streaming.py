@@ -19,6 +19,7 @@ import pytest
 from pro_etl_spark import streaming_jobs as SJ
 from pro_etl_spark.io import load
 from pro_etl_spark.ops.streaming import (
+    click_error_interval_join,
     dedup_events,
     enrich_segment,
     session_agg,
@@ -96,6 +97,22 @@ def test_stream_static_join_matches_batch(spark, events_dir):
     SJ.run_to_memory(SJ.enriched_stream(ev, cust), "t_enriched")
     got = rows(spark.table("t_enriched"))
     want = rows(enrich_segment(load(spark, SF, "events"), cust))
+    assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream interval join (append mode) emits
+    exactly the batch join's pairs once both watermarks pass."""
+    ev = SJ.read_events_stream(spark, events_dir)
+    SJ.run_to_memory(SJ.click_error_stream(ev), "t_ssjoin", output_mode="append")
+    got = rows(spark.table("t_ssjoin"))
+    bev = load(spark, SF, "events")
+    want = rows(
+        click_error_interval_join(
+            bev.where(F.col("event_type") == "click"),
+            bev.where(F.col("event_type") == "error"),
+        )
+    )
     assert got == want
 
 
