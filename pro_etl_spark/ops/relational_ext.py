@@ -368,3 +368,48 @@ def unpivot_measures(spark: SparkSession, d: str) -> DataFrame:
     return melted.groupBy("l_returnflag", "measure").agg(
         F.sum(F.col("val").cast(DEC6)).cast("double").alias("total")
     )
+
+
+#: the "already materialized" cutoff: orders strictly before this are
+#: yesterday's aggregate; on/after is today's delta batch
+INCR_CUTOFF = "1997-01-01"
+
+
+@register(
+    "agg_incremental",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_incremental(spark: SparkSession, d: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view
+    refresh pattern: yesterday's persisted per-group partials (count +
+    DECIMAL sum) merged with the partials of today's delta batch by
+    re-aggregating the UNION of the two partial tables. COUNT and SUM
+    are mergeable, so the refresh touches only |groups| + |delta| rows
+    — never the full history, which is THE difference between an O(1
+    day) and an O(all time) nightly job at 100 TB. The oracle is the
+    full recompute over everything: merged partials must equal it
+    exactly (DECIMAL partials make the sum order/batching-independent —
+    double partials would NOT re-merge bit-exactly)."""
+    o = load(spark, d, "orders")
+    cutoff = F.lit(INCR_CUTOFF).cast("date")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_partial"),
+        )
+
+    yesterday = partials(o.where(F.col("o_orderdate") < cutoff))
+    delta = partials(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        yesterday.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("rev_partial").cast("double").alias("revenue"),
+        )
+    )

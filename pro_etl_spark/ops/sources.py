@@ -275,3 +275,78 @@ def sink_orc(spark: SparkSession, d: str) -> DataFrame:
     return spark.read.schema(
         "l_orderkey bigint, l_linenumber int, l_quantity double, l_returnflag string"
     ).orc(path)
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, d: str) -> DataFrame:
+    """Partition-pruned scan — the first-order 100 TB lever: a
+    date-partitioned layout (`partitionBy("event_date")`, the
+    standard fact-table layout the reference's date-partitioned output
+    dir gestures at, migrate.py:286-293) read with an equality filter
+    on the partition column. Spark prunes at PLANNING time: only the
+    one date directory is listed and scanned — on a year of data that
+    is 1/365th of the I/O before a single row is read. The oracle
+    recomputes the same slice from the unpartitioned base, proving the
+    partitioned round-trip loses nothing."""
+    path = _tmp(f"part_events_{dataset_suffix(d)}")
+    _write_once(
+        path,
+        lambda: load(spark, d, "events")
+        .withColumn("event_date", F.col("ts").cast("date"))
+        .select("event_id", "event_type", "value", "event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path),
+    )
+    return (
+        spark.read.parquet(path)
+        .where(F.col("event_date") == F.lit("2024-01-05").cast("date"))
+        .select("event_id", "event_type", "value")
+    )
+
+
+#: target in-memory rows per compacted file for the demo layout; at
+#: scale you size by bytes (maxRecordsPerFile / target file size)
+COMPACT_FILES = 4
+
+
+@register(
+    "compact_small_files",
+    oracle="SELECT event_id, user_id, value FROM events",
+)
+def compact_small_files(spark: SparkSession, d: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every 100 TB
+    estate runs: a landing zone of many tiny files (simulated by a
+    64-way repartition write) is rewritten into few right-sized files.
+    ``repartition(n)`` (round-robin shuffle) gives uniformly sized
+    outputs regardless of input skew — the property that matters, since
+    compaction exists to fix pathological layouts; `coalesce` would be
+    shuffle-free but inherits whatever skew the small files had. The
+    oracle value-matches the compacted read-back against the original
+    table: compaction moves bytes, never changes them. The file-count
+    drop itself is asserted in tests/test_sources_maintenance.py."""
+    small = _tmp(f"small_events_{dataset_suffix(d)}")
+    _write_once(
+        small,
+        lambda: load(spark, d, "events")
+        .select("event_id", "user_id", "value")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(small),
+    )
+    compacted = _tmp(f"compacted_events_{dataset_suffix(d)}")
+    _write_once(
+        compacted,
+        lambda: spark.read.parquet(small)
+        .repartition(COMPACT_FILES)
+        .write.mode("overwrite")
+        .parquet(compacted),
+    )
+    return spark.read.parquet(compacted)

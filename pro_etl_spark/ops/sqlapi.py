@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pro_etl_spark.io import load
 from pro_etl_spark.registry import register
 
-_VIEW_TABLES = ("customer", "orders", "lineitem", "supplier", "nation", "region")
+_VIEW_TABLES = (
+    "customer", "orders", "lineitem", "supplier", "nation", "region", "part"
+)
 
 
 def _views(spark: SparkSession, d: str) -> None:
@@ -79,3 +81,34 @@ def sql_local_supplier_volume(spark: SparkSession, d: str) -> DataFrame:
     dims), DECIMAL-routed revenue, one shuffle agg on the nation key."""
     _views(spark, d)
     return spark.sql(SQL_LOCAL_SUPPLIER_VOLUME)
+
+
+#: TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED scalar
+#: subquery — each lineitem compared against its own part's average
+#: quantity. The average is spelled SUM(DECIMAL)/COUNT so both engines
+#: compute the identical double (a bare AVG(double) is summation-order-
+#: dependent and would be partition-count-sensitive in Spark).
+SQL_SMALL_QTY_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 5
+  AND l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@register("sql_small_qty_revenue", oracle=SQL_SMALL_QTY_REVENUE)
+def sql_small_qty_revenue(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery. Catalyst
+    decorrelates it into an aggregate-then-join (one per-part average
+    table joined back to the facts) — the rewrite you'd hand-write at
+    100 TB, obtained from the declarative form for free. The SQL string
+    runs verbatim on DuckDB too, proving the decorrelated plan computes
+    exactly the correlated semantics."""
+    _views(spark, d)
+    return spark.sql(SQL_SMALL_QTY_REVENUE)
