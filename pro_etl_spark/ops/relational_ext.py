@@ -413,3 +413,84 @@ def agg_incremental(spark: SparkSession, d: str) -> DataFrame:
             F.sum("rev_partial").cast("double").alias("revenue"),
         )
     )
+
+
+ZSCORE_CUT = 3.0
+
+
+@register(
+    "agg_zscore_outliers",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(cnt) AS s, SUM(cnt * cnt) AS sq FROM counts
+    )
+    SELECT o_custkey, CAST(cnt AS BIGINT) AS cnt,
+           (cnt - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+             AS z
+    FROM counts, stats
+    WHERE abs((cnt - CAST(s AS DOUBLE) / n)
+              / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)))
+          > 3.0
+    """,
+)
+def agg_zscore_outliers(spark: SparkSession, d: str) -> DataFrame:
+    """Z-score anomaly detection over a BEHAVIORAL feature: customers
+    whose order frequency sits >3σ from the population (the
+    volume-anomaly gate of a monitoring pipeline; raw uniform columns
+    like o_totalprice have max |z| = √3 by construction — frequency
+    counts are where real tails live). Moments come from exact integer
+    Σcnt / Σcnt² partials ((Σx² − (Σx)²/n)/(n−1)), never stddev_samp():
+    the builtin accumulates doubles in partition order and two engines
+    (or two partitionings) disagree in the last ulps, while integer
+    partials are exact and everything after is deterministic IEEE
+    arithmetic. Two map-side-combinable aggs (per-key count, then
+    global moments); the one-row stats table broadcasts into a
+    literal-like join — no second shuffle of the counts."""
+    o = load(spark, d, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .where(F.abs(z) > ZSCORE_CUT)
+        .select("o_custkey", F.col("cnt").cast("long").alias("cnt"), z.alias("z"))
+    )
+
+
+@register(
+    "window_share_of_total",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                               OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+             AS share
+    FROM orders
+    """,
+)
+def window_share_of_total(spark: SparkSession, d: str) -> DataFrame:
+    """Share-of-total: each order's fraction of its priority class's
+    revenue — an unordered full-partition window (no sort in the frame,
+    so the physical plan is shuffle + per-partition single-pass, not a
+    sort). The denominator sum is DECIMAL-routed for order
+    independence; the division is then bit-deterministic."""
+    o = load(spark, d, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    denom = F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_totalprice") / denom).alias("share"),
+    )

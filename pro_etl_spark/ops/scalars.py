@@ -273,3 +273,88 @@ def fn_levenshtein(spark: SparkSession, d: str) -> DataFrame:
         dist.cast("long").alias("dist"),
         (dist <= 3).alias("is_close"),
     )
+
+
+#: deterministic synthetic URL per customer, exercising the three
+#: canonicalization branches: tracked+fragment, bare, clean query
+_URL_SQL = """
+      'https://Shop' || CAST(c_custkey % 5 AS VARCHAR)
+        || '.Example.COM/cust/' || CAST(c_custkey AS VARCHAR)
+        || CASE CAST(c_custkey % 3 AS INTEGER)
+             WHEN 0 THEN '?utm_source=mail&ref=' || lower(c_mktsegment) || '#top'
+             WHEN 1 THEN ''
+             ELSE '?ref=' || lower(c_mktsegment)
+           END
+"""
+
+
+@register(
+    "fn_url_canon",
+    oracle=f"""
+    WITH u AS (SELECT c_custkey, {_URL_SQL} AS url FROM customer),
+    s1 AS (SELECT c_custkey, url,
+                  regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+    s2 AS (SELECT c_custkey, url,
+                  regexp_replace(
+                    regexp_replace(nofrag, '\\?utm_[^&#]*&', '?'),
+                    '\\?utm_[^&#]*$', '') AS noutm FROM s1),
+    canon AS (SELECT c_custkey, url,
+                     lower(regexp_extract(noutm, '^https?://[^/]+', 0))
+                       || regexp_extract(noutm, '^https?://[^/]+(.*)$', 1)
+                       AS canon_url FROM s2)
+    SELECT c_custkey, url, canon_url,
+           regexp_extract(canon_url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(canon_url, '^https?://[^/]+([^?]*)', 1) AS path
+    FROM canon
+    """,
+)
+def fn_url_canon(spark: SparkSession, d: str) -> DataFrame:
+    """URL canonicalization — the normalization pass a web-crawl dedup
+    pipeline runs before exact/near-dup hashing (two crawls of one page
+    differ only in tracking params, fragments, and host casing). Steps:
+    drop the fragment, strip ``utm_*`` tracking params (healing the
+    ``?``/``&`` delimiter), lowercase scheme+host but NEVER the path
+    (paths are case-sensitive), then split host/path. All chained
+    regexp Column expressions — narrow, codegen'd, zero Python — and
+    every regex stays in the RE2-compatible subset so Spark's Java
+    regex and DuckDB's RE2 agree. The synthetic URLs are built from
+    customer rows so the check is deterministic."""
+    c = load(spark, d, "customer")
+    url = F.concat(
+        F.lit("https://Shop"),
+        (F.col("c_custkey") % 5).cast("string"),
+        F.lit(".Example.COM/cust/"),
+        F.col("c_custkey").cast("string"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=mail&ref="),
+                F.lower(F.col("c_mktsegment")),
+                F.lit("#top"),
+            ),
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("?ref="), F.lower(F.col("c_mktsegment")))),
+    )
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    noutm = F.regexp_replace(
+        F.regexp_replace(nofrag, r"\?utm_[^&#]*&", "?"), r"\?utm_[^&#]*$", ""
+    )
+    canon = F.concat(
+        F.lower(F.regexp_extract(noutm, r"^https?://[^/]+", 0)),
+        F.regexp_extract(noutm, r"^https?://[^/]+(.*)$", 1),
+    )
+    out = c.select(
+        "c_custkey",
+        url.alias("url"),
+        canon.alias("canon_url"),
+    )
+    return out.select(
+        "c_custkey",
+        "url",
+        "canon_url",
+        F.regexp_extract(F.col("canon_url"), r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract(F.col("canon_url"), r"^https?://[^/]+([^?]*)", 1).alias(
+            "path"
+        ),
+    )
