@@ -35,6 +35,8 @@ HEADLINE = [
     "stream_join_static",
     "text_quality",
     "text_fingerprint",
+    "text_tfidf",
+    "cdc_snapshot_diff",
 ]
 
 

@@ -793,3 +793,97 @@ def text_tfidf(spark: SparkSession, d: str) -> DataFrame:
         .where(F.col("rn") <= TFIDF_TOPK)
         .drop("rn")
     )
+
+
+VOCAB_MIN_DF = 30  # drop hapax/noise tokens
+VOCAB_MAX_DF_FRAC = 0.78  # drop corpus-wide stop-like tokens
+
+
+@register(
+    "corpus_vocab",
+    oracle=r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token, CAST(df AS BIGINT) AS df,
+           CAST(row_number() OVER (ORDER BY df DESC, token) - 1 AS BIGINT)
+             AS token_id
+    FROM df, n
+    WHERE df >= 30 AND df <= 0.78 * n_docs
+    """,
+)
+def corpus_vocab(spark: SparkSession, d: str) -> DataFrame:
+    """Vocabulary construction — the tokenizer-building step of a
+    training pipeline: document frequency per distinct token, min_df /
+    max_df thresholds (hapax noise out, corpus-wide stopwords out),
+    and contiguous token ids assigned by (df desc, token) — the
+    deterministic id order every run reproduces. The df agg is
+    corpus-scale (explode + distinct + count, map-side combined); the
+    id-assigning window is a SINGLE-PARTITION sort over the *surviving
+    vocabulary only* — legitimate because a vocab is ~10⁵–10⁶ rows no
+    matter how big the corpus (that asymmetry, corpus-sized work
+    distributed / vocab-sized work centralized, is the standard
+    shape; a 10⁹-row "vocabulary" means your min_df is wrong)."""
+    from pyspark.sql import Window
+
+    tok = (
+        load(spark, d, "documents")
+        .select("doc_id", F.explode(TOKENS()).alias("token"))
+        .distinct()
+    )
+    df_t = tok.groupBy("token").agg(F.count("*").alias("df"))
+    n = load(spark, d, "documents").agg(F.count("*").alias("n_docs"))
+    kept = (
+        df_t.crossJoin(F.broadcast(n))
+        .where(
+            (F.col("df") >= VOCAB_MIN_DF)
+            & (F.col("df") <= VOCAB_MAX_DF_FRAC * F.col("n_docs"))
+        )
+        .select("token", F.col("df").cast("long").alias("df"))
+    )
+    w = Window.orderBy(F.desc("df"), "token")
+    return kept.select(
+        "token", "df", (F.row_number().over(w) - 1).cast("long").alias("token_id")
+    )
+
+
+HASH_DIM = 1 << 18  # feature-hash space (collisions are the contract)
+
+
+@register(
+    "feature_hash",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    )
+    SELECT doc_id,
+           {DUCK_HASH60.format(x="token")} % {HASH_DIM} AS bucket,
+           COUNT(*) AS cnt
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def feature_hash(spark: SparkSession, d: str) -> DataFrame:
+    """Feature hashing (the hashing trick): token → fixed 2¹⁸-bucket
+    id by portable hash, per-doc bucket counts — the vocabulary-free
+    featurizer for models that tolerate collisions. Unlike
+    ``corpus_vocab`` there is NO global state, no second pass, and no
+    driver-side dictionary: one explode + one map-side-combinable agg,
+    fully narrow until the (doc, bucket) shuffle — which is why the
+    trick is the default at 100 TB. Sparse output layout (doc_id,
+    bucket, cnt): the join-ready posting form, never a 2¹⁸-wide dense
+    row."""
+    tok = load(spark, d, "documents").select(
+        "doc_id", F.explode(TOKENS()).alias("token")
+    )
+    return (
+        tok.groupBy(
+            "doc_id", (hash60(F.col("token")) % HASH_DIM).alias("bucket")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -94,3 +94,43 @@ def test_multi_measure_agg_is_partial_then_final(spark):
     plan = plan_of(spark, "agg_multi_measure")
     assert plan.count("HashAggregate") >= 2
     assert "PushedFilters: [" in plan
+
+
+def test_seq_pack_shuffles_once_on_shard(spark):
+    # per-shard prefix sum: exactly one Exchange (hashpartitioning on
+    # source) — a global-order window would show a single-partition
+    # Exchange and be a 100 TB funnel
+    plan = plan_of(spark, "seq_pack")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_unpivot_compiles_to_expand(spark):
+    # native unpivot desugars to Expand (in-task fan-out), and the agg
+    # must still be partial-then-final around its one shuffle
+    plan = plan_of(spark, "unpivot_measures")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_zscore_stats_broadcast_back(spark):
+    # the one-row moments table must come back as a broadcast nested
+    # loop (a literal-like join), never a shuffle of the counts
+    plan = plan_of(spark, "agg_zscore_outliers")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cdc_diff_is_one_key_join(spark):
+    # full-outer snapshot diff: a single join on the natural key and
+    # nothing resembling a second pass over either snapshot
+    plan = plan_of(spark, "cdc_snapshot_diff")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+
+
+def test_share_of_total_window_is_unsorted(spark):
+    # unordered full-partition frame: the window exchange exists, but
+    # no Sort is required to evaluate it... Spark still sorts by the
+    # partition key for window grouping, so assert the cheap property:
+    # one exchange only
+    plan = plan_of(spark, "window_share_of_total")
+    assert plan.count("Exchange hashpartitioning") == 1
