@@ -188,3 +188,40 @@ def fn_winsorize(spark: SparkSession, d: str) -> DataFrame:
             "quantity_w"
         ),
     )
+
+
+@register(
+    "run_observed_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+    FROM events
+    """,
+)
+def run_observed_metrics(spark: SparkSession, d: str) -> DataFrame:
+    """Pipeline observability via ``Dataset.observe`` — data-quality
+    metrics (row count, value total, error count) collected as a
+    side-channel of a job that is already running, with ZERO extra
+    passes: the accumulators ride the noop-sink write of the main
+    DataFrame, where a naive metrics step would re-scan the table (at
+    100 TB, a second multi-hour job). The oracle recomputes the same
+    metrics as a standalone aggregate, proving the piggybacked
+    accumulators are exact — DECIMAL-routed so even the float total
+    merges order-independently across tasks."""
+    from pyspark.sql import Observation
+
+    obs = Observation("pipeline_metrics")
+    ev = load(spark, d, "events")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast(DECV)).cast("double").alias("total_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_value"], m["n_errors"])],
+        schema="n_rows bigint, total_value double, n_errors bigint",
+    )

@@ -132,3 +132,49 @@ def udtf_bigrams(spark: SparkSession, d: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.bigram "
         "FROM documents d, LATERAL bigram_udtf(d.text) t"
     )
+
+
+@register(
+    "udf_grouped_arrow",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source
+    """,
+)
+def udf_grouped_arrow(spark: SparkSession, d: str) -> DataFrame:
+    """X-gen: ``applyInPandas``'s Arrow-native sibling —
+    ``groupBy().applyInArrow`` hands each group to Python as a raw
+    ``pyarrow.Table`` with NO pandas conversion layer (Spark 4
+    surface). For numeric kernels that stay in Arrow/NumPy, skipping
+    the pandas materialization removes a full copy of every batch —
+    the cheapest possible Python escape hatch. Integer-only
+    aggregation keeps the oracle exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        chars = tbl.column("n_chars")
+        return pa.table(
+            {
+                "source": [tbl.column("source")[0].as_py()],
+                "n_docs": pa.array([tbl.num_rows], pa.int64()),
+                "total_chars": pa.array(
+                    [pc.sum(chars).as_py()], pa.int64()
+                ),
+                "max_chars": pa.array([pc.max(chars).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        load(spark, d, "documents")
+        .select("source", "n_chars")
+        .groupBy("source")
+        .applyInArrow(
+            stats,
+            schema="source string, n_docs bigint, total_chars bigint, "
+            "max_chars bigint",
+        )
+    )
