@@ -756,3 +756,39 @@ def join_fuzzy(spark: SparkSession, d: str) -> DataFrame:
             dist.cast("long").alias("dist"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, NULLIF(c_nationkey % 7, 3) AS grp FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey, NULLIF(s_nationkey % 7, 3) AS grp FROM supplier
+    )
+    SELECT c.grp AS grp, COUNT(*) AS n_pairs
+    FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, d: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): plain
+    ``=`` silently DROPS every row whose key is null — the classic
+    reconciliation bug when "unknown" is itself a matchable category
+    (here a seventh of the synthetic group keys are nulled). Spark
+    plans ``<=>`` as a real hash join on the null-safe key exactly
+    like ``=`` (one co-partitioned shuffle, null keys hash to one
+    bucket — a known hot-bucket risk at scale: cap or pre-split the
+    null class when it dominates), NOT a nested loop."""
+    c = load(spark, d, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("grp")
+    )
+    s = load(spark, d, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 7, F.lit(3)).alias("grp")
+    )
+    return (
+        c.join(s, c["grp"].eqNullSafe(s["grp"]))
+        .groupBy(c["grp"].alias("grp"))
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -358,3 +358,54 @@ def fn_url_canon(spark: SparkSession, d: str) -> DataFrame:
             "path"
         ),
     )
+
+
+@register(
+    "fn_try_cast",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey,
+             CASE CAST(c_custkey % 4 AS INTEGER)
+               WHEN 0 THEN CAST(c_custkey AS VARCHAR)
+               WHEN 1 THEN 'n/a'
+               WHEN 2 THEN CAST(c_custkey AS VARCHAR) || '.75'
+               ELSE '' END AS raw
+      FROM customer
+    )
+    SELECT c_custkey, raw,
+           -- DuckDB TRY_CAST rounds decimal strings to integers
+           -- ('123.75' -> 124); Spark's ANSI try_cast rejects them.
+           -- The guard pins the oracle to Spark's stricter semantics.
+           TRY_CAST(CASE WHEN raw LIKE '%.%' THEN NULL ELSE raw END
+                    AS BIGINT) AS as_long,
+           TRY_CAST(raw AS DOUBLE) AS as_double
+    FROM dirty
+    """,
+)
+def fn_try_cast(spark: SparkSession, d: str) -> DataFrame:
+    """ANSI-safe ingestion casts: this engine runs with ANSI mode ON
+    (a bad cast is an ERROR, not a silent null — the posture that
+    catches corruption at 100 TB instead of propagating it), so
+    ``try_cast`` is the explicit, per-column opt-out for fields that
+    are EXPECTED to be dirty: it yields null exactly where the strict
+    cast would throw, letting one malformed cell quarantine itself
+    instead of killing a 10-hour job. Both engines agree on every
+    branch: pure integers, garbage text, decimal strings, empty
+    strings."""
+    c = load(spark, d, "customer")
+    raw = (
+        F.when(F.col("c_custkey") % 4 == 0, F.col("c_custkey").cast("string"))
+        .when(F.col("c_custkey") % 4 == 1, F.lit("n/a"))
+        .when(
+            F.col("c_custkey") % 4 == 2,
+            F.concat(F.col("c_custkey").cast("string"), F.lit(".75")),
+        )
+        .otherwise(F.lit(""))
+    )
+    dirty = c.select("c_custkey", raw.alias("raw"))
+    return dirty.select(
+        "c_custkey",
+        "raw",
+        F.expr("try_cast(raw AS BIGINT)").alias("as_long"),
+        F.expr("try_cast(raw AS DOUBLE)").alias("as_double"),
+    )

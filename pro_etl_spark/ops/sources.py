@@ -350,3 +350,60 @@ def compact_small_files(spark: SparkSession, d: str) -> DataFrame:
         .parquet(compacted),
     )
     return spark.read.parquet(compacted)
+
+
+#: a deliberately corrupt CSV: one clean row, one bad int, one bad
+#: double, one clean, one structurally broken line
+_BAD_CSV = """id,qty,price
+1,5,10.5
+2,notanum,3.25
+3,7,bad
+4,8,2.0
+garbage line without commas
+"""
+
+
+@register(
+    "scan_bad_records",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 5, 10.5, CAST(NULL AS VARCHAR), false),
+      (2, CAST(NULL AS BIGINT), 3.25, '2,notanum,3.25', true),
+      (3, 7, CAST(NULL AS DOUBLE), '3,7,bad', true),
+      (4, 8, 2.0, CAST(NULL AS VARCHAR), false),
+      (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       'garbage line without commas', true)
+    ) t(id, qty, price, bad_raw, is_bad)
+    """,
+)
+def scan_bad_records(spark: SparkSession, d: str) -> DataFrame:
+    """Resilient ingestion — PERMISSIVE CSV parsing with a corrupt-
+    record column: well-formed fields of a damaged row are KEPT (the
+    bad cell nulls out), the raw line is captured for a quarantine
+    sink, and a structurally broken line becomes an all-null row with
+    its text preserved. This is the landing-zone posture at 100 TB:
+    FAILFAST would let one vendor's bad export kill the whole load,
+    DROPMALFORMED silently loses data — permissive + quarantine audit
+    is the only mode that is both complete and debuggable. The oracle
+    pins every branch's exact semantics as a VALUES literal."""
+    path = _tmp(f"bad_csv_{dataset_suffix(d)}")
+    fpath = os.path.join(path, "data.csv")
+    if not os.path.exists(fpath):
+        with open(fpath, "w") as f:
+            f.write(_BAD_CSV)
+    df = (
+        spark.read.schema(
+            "id bigint, qty bigint, price double, _corrupt_record string"
+        )
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return df.select(
+        "id",
+        "qty",
+        "price",
+        F.col("_corrupt_record").alias("bad_raw"),
+        F.col("_corrupt_record").isNotNull().alias("is_bad"),
+    )
