@@ -225,3 +225,69 @@ def run_observed_metrics(spark: SparkSession, d: str) -> DataFrame:
         [(m["n_rows"], m["total_value"], m["n_errors"])],
         schema="n_rows bigint, total_value double, n_errors bigint",
     )
+
+
+@register(
+    "rollup_two_level",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_two_level(spark: SparkSession, d: str) -> DataFrame:
+    """Hierarchical rollup reuse (the continuous-aggregate /
+    hypertable-rollup pattern): the DAILY aggregate is computed from
+    the HOURLY aggregate's partials, never from the raw events. At
+    100 TB the hourly table is ~3-4 orders of magnitude smaller than
+    the event stream, so every coarser granularity (day, week, month)
+    costs |hourly| instead of |raw| — the reason warehouses persist the
+    finest rollup and derive the rest. COUNT and DECIMAL-SUM partials
+    are exactly mergeable, so the oracle's direct day-from-raw
+    recompute must match bit-for-bit — proving the reuse loses
+    nothing."""
+    ev = load(spark, d, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DECV)).alias("v_partial"),
+    )
+    return (
+        hourly.groupBy(
+            F.col("hour").cast("date").alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("v_partial").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, d: str) -> DataFrame:
+    """Exact weighted average — Σ(w·x)/Σw with BOTH sums routed
+    through DECIMAL, then ONE double division at the end: the
+    order-independent spelling of a ratio aggregate (a double-
+    accumulated numerator would drift with partition order; a
+    per-group ratio-of-exact-sums cannot). One map-side-combinable
+    agg, same cost shape as a plain sum."""
+    li = load(spark, d, "lineitem")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.sum(dp * dq).cast("double") / F.sum(dq).cast("double")
+        ).alias("wavg_price")
+    )
