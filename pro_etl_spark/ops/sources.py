@@ -407,3 +407,65 @@ def scan_bad_records(spark: SparkSession, d: str) -> DataFrame:
         F.col("_corrupt_record").alias("bad_raw"),
         F.col("_corrupt_record").isNotNull().alias("is_bad"),
     )
+
+
+SYN_ROWS_PER_PART = 500
+SYN_PARTS = 8
+
+
+@register(
+    "scan_custom_source",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT) AS seq_id,
+           CAST(i % {SYN_PARTS} AS BIGINT) AS shard,
+           CAST(i * i AS BIGINT) AS sq
+    FROM range({SYN_PARTS * SYN_ROWS_PER_PART}) t(i)
+    """,
+)
+def scan_custom_source(spark: SparkSession, d: str) -> DataFrame:
+    """Custom connector via the Python DataSource API (Spark 4): a
+    from-scratch source that reports its own ``partitions()`` so Spark
+    schedules one task per shard — the same contract a real connector
+    (REST cursor, Kafka-like log, proprietary format) implements. The
+    reader yields plain tuples per partition; Spark handles Arrow
+    batching. The source is registered once per session and read
+    through the normal ``spark.read.format(...)`` path, proving the
+    plugin surface end-to-end: schema declaration, partition planning,
+    distributed generation, and the oracle's independent recompute."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _SeqReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_parts = int(options.get("parts", SYN_PARTS))
+            self.per_part = int(options.get("rowsperpart", SYN_ROWS_PER_PART))
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.n_parts)]
+
+        def read(self, partition):
+            p = partition.value
+            n_parts = self.n_parts
+            for k in range(self.per_part):
+                i = k * n_parts + p  # shard = i % n_parts
+                yield (i, i % n_parts, i * i)
+
+    class SeqDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pro_etl_seq"
+
+        def schema(self):
+            return "seq_id bigint, shard bigint, sq bigint"
+
+        def reader(self, schema):
+            return _SeqReader(self.options)
+
+    if not getattr(spark, "_pro_etl_seq_registered", False):
+        spark.dataSource.register(SeqDataSource)
+        spark._pro_etl_seq_registered = True
+    return (
+        spark.read.format("pro_etl_seq")
+        .option("parts", SYN_PARTS)
+        .option("rowsperpart", SYN_ROWS_PER_PART)
+        .load()
+    )
