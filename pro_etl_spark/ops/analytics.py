@@ -291,3 +291,113 @@ def agg_weighted_avg(spark: SparkSession, d: str) -> DataFrame:
             F.sum(dp * dq).cast("double") / F.sum(dq).cast("double")
         ).alias("wavg_price")
     )
+
+
+@register(
+    "window_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS h0,
+             max(date_trunc('hour', ts)) AS h1 FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, s.h AS hour
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+                  FROM bounds) s
+    )
+    SELECT s.hour, s.event_type,
+           COALESCE(h.n_events, 0) AS n_events,
+           CAST(h.n_events IS NULL AS VARCHAR) AS was_gap
+    FROM spine s LEFT JOIN hourly h
+      ON s.hour = h.hour AND s.event_type = h.event_type
+    """,
+)
+def window_gap_fill(spark: SparkSession, d: str) -> DataFrame:
+    """Time-series gap filling (the date-spine pattern): a dense
+    (hour × event_type) spine generated from the data's own bounds,
+    left-joined against the sparse hourly aggregate so silent hours
+    become explicit zero rows — the prerequisite for any rolling /
+    anomaly metric downstream (a gap that stays missing silently skews
+    every moving average over it). The spine is |hours|×|types| —
+    thousands of rows per year regardless of corpus size — so it
+    BROADCASTS into the join against the (already tiny) hourly
+    aggregate; the raw events are touched exactly once, by the hourly
+    rollup itself."""
+    ev = load(spark, d, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(hour.alias("hour"), F.col("event_type")).agg(
+        F.count("*").alias("n_events")
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    s, h = spine.alias("s"), hourly.alias("h")
+    return (
+        F.broadcast(s)
+        .join(
+            h,
+            (F.col("s.hour") == F.col("h.hour"))
+            & (F.col("s.event_type") == F.col("h.event_type")),
+            "left",
+        )
+        .select(
+            F.col("s.hour").alias("hour"),
+            F.col("s.event_type").alias("event_type"),
+            F.coalesce(F.col("h.n_events"), F.lit(0)).alias("n_events"),
+            F.col("h.n_events").isNull().cast("string").alias("was_gap"),
+        )
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(cnt AS BIGINT) AS n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, d: str) -> DataFrame:
+    """Exact per-group mode (most frequent value) with a deterministic
+    tiebreak — count-group-by-both then a top-1 window over the
+    GROUP-SIZED intermediate (|statuses × priorities| rows, not the
+    fact table): the two-level shape that keeps exact mode cheap at
+    any scale. Spark's own ``mode()`` aggregate is tiebreak-
+    nondeterministic, so this spelling is also the reproducible one."""
+    from pyspark.sql import Window
+
+    counts = (
+        load(spark, d, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").cast("long").alias("n"),
+        )
+    )
