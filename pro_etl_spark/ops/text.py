@@ -887,3 +887,39 @@ def feature_hash(spark: SparkSession, d: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@register(
+    "text_ttr",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+    FROM t
+    """,
+)
+def text_ttr(spark: SparkSession, d: str) -> DataFrame:
+    """Lexical-diversity quality signal: type-token ratio (distinct
+    tokens / total tokens) per document. Low TTR flags boilerplate and
+    generated spam (the same signal MassiveText/Gopher threshold on);
+    machine-translated or keyword-stuffed pages sit far below prose.
+    Entirely in-row — array_distinct/size are higher-order JVM
+    expressions, no explode, no shuffle, trivially 100 TB-narrow. The
+    ratio is a small-int division, so both engines produce the same
+    double bit-for-bit."""
+    docs = load(spark, d, "documents")
+    toks = TOKENS()
+    n = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        (nd.cast("double") / n.cast("double")).alias("ttr"),
+    )

@@ -145,6 +145,43 @@ def running_totals_stream(ev: DataFrame) -> DataFrame:
     )
 
 
+def running_totals_exact_stream(ev: DataFrame) -> DataFrame:
+    """Cross-engine-exact variant of ``running_totals_stream``: the
+    accumulator holds integer micro-units (``floor(value * 1e6)``)
+    instead of a float sum, so the final state is bit-identical no
+    matter how rows are batched or ordered — the property that lets the
+    driver value-check a *stateful streaming* operator against a plain
+    SQL oracle. Float accumulation across micro-batches is
+    order-dependent; integer accumulation is associative-exact (the
+    same trick the batch operators play with DECIMAL sums)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np  # executor-side
+        import pandas as pd
+
+        n, micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # np.floor on the double product == SQL FLOOR(value*1e6):
+            # identical IEEE multiply then floor on both engines
+            micros += int(
+                np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum()
+            )
+        state.update((n, micros))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_micros": [micros]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_micros bigint",
+        stateStructType="n bigint, micros bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_foreach_batch_parquet(
     sdf: DataFrame,
     out_dir: str,
