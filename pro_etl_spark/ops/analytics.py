@@ -363,6 +363,142 @@ def window_gap_fill(spark: SparkSession, d: str) -> DataFrame:
 
 
 @register(
+    "window_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS h0,
+             max(date_trunc('hour', ts)) AS h1 FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, s.h AS hour
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+                  FROM bounds) s
+    ),
+    filled AS (
+      SELECT s.hour, s.event_type, h.n_events
+      FROM spine s LEFT JOIN hourly h
+        ON s.hour = h.hour AND s.event_type = h.event_type
+    ),
+    anchored AS (
+      SELECT hour, event_type, n_events,
+        last_value(n_events IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+        last_value(CASE WHEN n_events IS NOT NULL THEN hour END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_hour,
+        first_value(n_events IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+        first_value(CASE WHEN n_events IS NOT NULL THEN hour END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_hour
+      FROM filled
+    )
+    SELECT hour, event_type,
+      CASE
+        WHEN n_events IS NOT NULL THEN CAST(n_events AS DOUBLE)
+        WHEN prev_val IS NULL THEN CAST(next_val AS DOUBLE)
+        WHEN next_val IS NULL THEN CAST(prev_val AS DOUBLE)
+        ELSE CAST(prev_val AS DOUBLE)
+             + CAST(next_val - prev_val AS DOUBLE)
+               * (CAST(epoch(hour) - epoch(prev_hour) AS DOUBLE)
+                  / CAST(epoch(next_hour) - epoch(prev_hour) AS DOUBLE))
+      END AS value_interp,
+      CAST(n_events IS NULL AS VARCHAR) AS was_interpolated
+    FROM anchored
+    """,
+)
+def window_interpolate(spark: SparkSession, d: str) -> DataFrame:
+    """Time-series linear interpolation over the gap-filled spine:
+    missing hours get ``prev + (next-prev) * elapsed/gap`` between
+    their nearest real observations (series edges fall back to the one
+    available anchor). The anchor scan is the IGNORE NULLS idiom —
+    ``last_value`` looking back, ``first_value`` looking forward — two
+    frames over one partition sort, so the whole operator is a single
+    shuffle on the series key regardless of gap length; no self-join,
+    no per-gap iteration. The arithmetic is the same literal expression
+    tree on both engines (exact-int anchors widened to double once), so
+    the interpolated doubles are bit-identical."""
+    ev = load(spark, d, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(hour.alias("hour"), F.col("event_type")).agg(
+        F.count("*").alias("n_events")
+    )
+    bounds = ev.agg(F.min(hour).alias("h0"), F.max(hour).alias("h1"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    s, h = spine.alias("s"), hourly.alias("h")
+    filled = F.broadcast(s).join(
+        h,
+        (F.col("s.hour") == F.col("h.hour"))
+        & (F.col("s.event_type") == F.col("h.event_type")),
+        "left",
+    ).select(
+        F.col("s.hour").alias("hour"),
+        F.col("s.event_type").alias("event_type"),
+        F.col("h.n_events").alias("n_events"),
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_hour = F.when(F.col("n_events").isNotNull(), F.col("hour"))
+    a = filled.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.last("n_events", ignorenulls=True).over(back).alias("prev_val"),
+        F.last(known_hour, ignorenulls=True).over(back).alias("prev_hour"),
+        F.first("n_events", ignorenulls=True).over(fwd).alias("next_val"),
+        F.first(known_hour, ignorenulls=True).over(fwd).alias("next_hour"),
+    )
+    elapsed = (
+        F.unix_timestamp("hour") - F.unix_timestamp("prev_hour")
+    ).cast("double")
+    gap = (
+        F.unix_timestamp("next_hour") - F.unix_timestamp("prev_hour")
+    ).cast("double")
+    interp = (
+        F.when(F.col("n_events").isNotNull(), F.col("n_events").cast("double"))
+        .when(F.col("prev_val").isNull(), F.col("next_val").cast("double"))
+        .when(F.col("next_val").isNull(), F.col("prev_val").cast("double"))
+        .otherwise(
+            F.col("prev_val").cast("double")
+            + (F.col("next_val") - F.col("prev_val")).cast("double")
+            * (elapsed / gap)
+        )
+    )
+    return a.select(
+        "hour",
+        "event_type",
+        interp.alias("value_interp"),
+        F.col("n_events").isNull().cast("string").alias("was_interpolated"),
+    )
+
+
+@register(
     "agg_mode",
     oracle="""
     SELECT o_orderstatus, o_orderpriority AS mode_priority,

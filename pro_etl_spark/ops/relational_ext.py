@@ -624,3 +624,29 @@ def agg_approx_topk(spark: SparkSession, d: str) -> DataFrame:
     return flat.select(
         F.row_number().over(w).cast("long").alias("rank"), "item", "cnt"
     ).orderBy("rank")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT n.n_name, r.r_name,
+           CAST(n.n_regionkey = r.r_regionkey AS VARCHAR) AS is_home
+    FROM nation n CROSS JOIN region r
+    """,
+)
+def join_cross(spark: SparkSession, d: str) -> DataFrame:
+    """J-family completion: explicit Cartesian product — every
+    (nation, region) combination tagged with whether it is the home
+    pairing. ``crossJoin`` is deliberate API friction: Spark refuses an
+    implicit cartesian plan precisely because an accidental one is the
+    single fastest way to turn 100 TB into 10 PB of shuffle. The
+    legitimate uses are dimension×dimension grids like this one —
+    both sides tiny, one side broadcast, output |A|×|B| rows by
+    construction (BroadcastNestedLoopJoin, no shuffle at all)."""
+    n = load(spark, d, "nation")
+    r = load(spark, d, "region")
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_name",
+        "r_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).cast("string").alias("is_home"),
+    )

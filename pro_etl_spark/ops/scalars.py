@@ -221,6 +221,39 @@ def fn_json(spark: SparkSession, d: str) -> DataFrame:
 
 
 @register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           'OBJECT<k: BIGINT>' AS vschema,
+           CAST(NULL AS BIGINT) AS missing_val
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, d: str) -> DataFrame:
+    """F-gen: Spark 4 VARIANT — the engine-native semi-structured type.
+    ``parse_json`` builds a binary variant ONCE per row; typed
+    ``variant_get`` path extraction then reads the offset-indexed
+    encoding directly, where ``get_json_object`` (fn_json) re-parses
+    the JSON text per call — at 100 TB with several extractions per
+    row, the variant encode-once/extract-many shape wins by the parse
+    count, and variant columns are storable/shreddable in Parquet.
+    ``schema_of_variant`` exposes per-row structure discovery;
+    ``try_variant_get`` on an absent path yields null (no ANSI error),
+    pinned by the oracle's NULL column."""
+    ev = load(spark, d, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+        F.schema_of_variant(v).alias("vschema"),
+        F.expr("try_variant_get(parse_json(props), '$.missing', 'bigint')").alias(
+            "missing_val"
+        ),
+    )
+
+
+@register(
     "fn_datetime_parts",
     oracle="""
     SELECT o_orderkey,

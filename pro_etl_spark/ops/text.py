@@ -923,3 +923,28 @@ def text_ttr(spark: SparkSession, d: str) -> DataFrame:
         nd.alias("n_distinct"),
         (nd.cast("double") / n.cast("double")).alias("ttr"),
     )
+
+
+@register(
+    "explode_pos",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+           unnest(toks) AS token
+    FROM t
+    """,
+)
+def explode_pos(spark: SparkSession, d: str) -> DataFrame:
+    """X4-family: ordinal-preserving explode — ``posexplode`` carries
+    each token's 0-based position into the flattened rows, the
+    information a plain explode throws away (and exactly what sequence
+    models, n-gram windows, and winnowing need downstream). Same
+    narrow-then-shuffle-free shape as explode: per-row fan-out inside
+    the scan stage, no wide exchange."""
+    return load(spark, d, "documents").select(
+        "doc_id", F.posexplode(TOKENS()).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
