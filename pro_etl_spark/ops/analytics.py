@@ -537,3 +537,64 @@ def agg_mode(spark: SparkSession, d: str) -> DataFrame:
             F.col("cnt").cast("long").alias("n"),
         )
     )
+
+
+@register(
+    "agg_corr",
+    oracle="""
+    WITH p AS (
+      -- decimal partials are routed DECIMAL -> VARCHAR -> DOUBLE:
+      -- DuckDB's direct DECIMAL->DOUBLE cast scales in double space
+      -- and mis-rounds the last ulp once the unscaled value exceeds
+      -- 2^53, while its string->double parse (like Spark's
+      -- BigDecimal->double) is correctly rounded to nearest
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM p
+    """,
+)
+def agg_corr(spark: SparkSession, d: str) -> DataFrame:
+    """Pearson correlation from EXACT integer-moment partials: n, Σx,
+    Σy, Σxy, Σx², Σy² accumulated in DECIMAL (order-independent), then
+    ONE double evaluation of the closed form. Never the built-in
+    ``corr()`` in a cross-engine or retry-sensitive pipeline: its
+    streaming co-moment update is partition-order-dependent in the
+    last ulps, so two runs of the same job can disagree. The partials
+    are also mergeable — the same six numbers roll up across shards,
+    days, or incremental refreshes (the agg_incremental pattern) with
+    zero drift."""
+    li = load(spark, d, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(18,2)")
+    dy = F.col("l_extendedprice").cast("decimal(18,2)")
+    p = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return p.select("l_returnflag", n.cast("long").alias("n"), corr.alias("corr_qty_price"))

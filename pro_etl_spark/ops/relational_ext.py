@@ -650,3 +650,34 @@ def join_cross(spark: SparkSession, d: str) -> DataFrame:
         "r_name",
         (F.col("n_regionkey") == F.col("r_regionkey")).cast("string").alias("is_home"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, d: str) -> DataFrame:
+    """EXACT distinct counting via bitmap indexes (Spark 3.5+ bitmap
+    family — the ClickHouse/Doris technique): bucket each key into a
+    32768-bit bitmap segment (``bitmap_bucket_number`` /
+    ``bitmap_bit_position``), OR the bitmaps per (group, bucket) with
+    ``bitmap_construct_agg``, then SUM the per-bucket popcounts.
+    Unlike COUNT(DISTINCT) there is no Expand rewrite and no
+    shuffle of raw keys — the shuffle payload is one ≤4 KB bitmap per
+    (group, bucket), mergeable by OR, which also makes it an
+    incremental-refresh-friendly partial (the agg_incremental
+    property, but for distinct counts). Unlike HLL
+    (agg_approx_distinct) the answer is exact."""
+    o = load(spark, d, "orders")
+    per_bucket = o.groupBy(
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm")
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_custs")
+    )

@@ -475,3 +475,39 @@ def fn_bitwise(spark: SparkSession, d: str) -> DataFrame:
         F.shiftright(k, 3).alias("shifted_r"),
         F.bit_count(k).cast("long").alias("popcount"),
     )
+
+
+@register(
+    "fn_date_arith",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt FROM orders)
+    SELECT o_orderkey, dt,
+           dt + 30 AS plus_30d,
+           CAST(dt + INTERVAL 1 MONTH AS DATE) AS next_month,
+           last_day(dt) AS month_end,
+           CAST(date_trunc('quarter', dt) AS DATE) AS quarter_start,
+           CAST(datediff('day', DATE '1995-01-01', dt) AS BIGINT) AS days_since
+    FROM t
+    """,
+)
+def fn_date_arith(spark: SparkSession, d: str) -> DataFrame:
+    """F-gen: calendar arithmetic — day offsets, clamped month
+    addition (Jan 31 + 1 month = Feb 28/29 on both engines), month-end
+    and quarter-start snapping, and day distance from an epoch date.
+    These are the primitives under every retention window, billing
+    period, and partition-key derivation; all evaluate in whole-stage
+    codegen on the internal days-since-epoch int, so a 100 TB scan
+    pays integer math, not calendar objects."""
+    o = load(spark, d, "orders")
+    dt = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        dt.alias("dt"),
+        F.date_add(dt, 30).alias("plus_30d"),
+        F.add_months(dt, 1).alias("next_month"),
+        F.last_day(dt).alias("month_end"),
+        F.trunc(dt, "quarter").alias("quarter_start"),
+        F.datediff(dt, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    )

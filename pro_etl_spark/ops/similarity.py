@@ -707,3 +707,46 @@ def ann_ivf_kmeans_multiprobe(spark: SparkSession, d: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
     )
+
+
+@register(
+    "embed_centroid",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    )
+    SELECT label, dim,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)
+             AS centroid
+    FROM flat GROUP BY label, dim
+    """,
+)
+def embed_centroid(spark: SparkSession, d: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus — the K-means/IVF
+    training step (a cell's centroid IS this aggregate) and the class
+    prototype for nearest-centroid classification. posexplode to
+    (label, dim, value) then ONE map-side-combinable aggregate: at
+    100 TB this is a single shuffle of 64·|labels| partial sums, not a
+    driver-side vector accumulation. Per-dimension sums are DECIMAL-
+    routed so the centroid is identical whatever the row order (tie
+    impossibility: a float is m/2^e, never landing on the half-ulp of
+    a 10^-12 grid, so the decimal rounding is unambiguous); the final
+    mean is one double division. Output in long (label, dim, value)
+    form — join-ready for the assignment pass, never a dense row."""
+    e = load(spark, d, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return flat.groupBy("label", "dim").agg(
+        F.count("*").alias("n_vectors"),
+        (F.sum(F.col("val").cast("decimal(27,12)")).cast("double") / F.count("*"))
+        .alias("centroid"),
+    )
