@@ -134,3 +134,45 @@ def test_share_of_total_window_is_unsorted(spark):
     # one exchange only
     plan = plan_of(spark, "window_share_of_total")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cross_join_is_broadcast_nested_loop(spark):
+    # the dimension grid must be a BroadcastNestedLoopJoin with ZERO
+    # exchanges — a shuffled cartesian of two broadcastable dims means
+    # the explicit-cross contract regressed
+    plan = plan_of(spark, "join_cross")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_interpolate_shuffles_once_per_series(spark):
+    # back-anchor and forward-anchor windows share (event_type, hour)
+    # partitioning: one series shuffle (plus the tiny spine build) —
+    # and never a per-gap self-join
+    plan = plan_of(spark, "window_interpolate")
+    assert plan.count("Exchange hashpartitioning(event_type") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_centroid_is_partial_then_final(spark):
+    # posexplode fan-out stays in-task (Generate, no pre-agg exchange);
+    # the (label, dim) aggregate must map-side combine around ONE shuffle
+    plan = plan_of(spark, "embed_centroid")
+    assert "Generate posexplode" in plan.replace("posexplode(", "posexplode")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bitmap_distinct_never_expands(spark):
+    # the bitmap rewrite exists to avoid COUNT(DISTINCT)'s Expand; the
+    # plan must aggregate bitmap partials, not replicate rows
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    assert "Expand" not in plan
+    assert "bitmap_construct_agg" in plan
+
+
+def test_variant_parses_in_codegen(spark):
+    # VARIANT extraction is a pure projection: no exchange, no UDF eval
+    plan = plan_of(spark, "fn_variant")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
