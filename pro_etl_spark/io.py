@@ -34,13 +34,41 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which vanilla Spark
-        # cannot convert; read nanos as long (legacy conf, runtime-
-        # settable) and truncate to microseconds — exactly what DuckDB
-        # does when it reads the same file (its TIMESTAMP is µs).
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events reader that normalizes ``ts`` to a UTC TIMESTAMP no matter
+    how the writer encoded it. Generated exports have shipped it as
+    TIMESTAMP(NANOS) (which vanilla Spark can only read as BIGINT under
+    the ``nanosAsLong`` legacy conf) and as plain TIMESTAMP(MICROS)
+    without a UTC flag (which Spark reads as TIMESTAMP_NTZ) — branch on
+    the dtype Spark actually resolved rather than assuming one encoding.
+    The session timezone is pinned to UTC (registry.py) so the NTZ→LTZ
+    cast is a re-tag, not a wall-clock shift, and matches DuckDB's naive
+    µs TIMESTAMP read of the same file."""
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) footer: unreadable without the legacy conf
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    return normalize_events_ts(df)
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Shared ts-normalization for the batch and streaming events
+    readers: whatever Spark resolved (BIGINT nanos / TIMESTAMP_NTZ /
+    TIMESTAMP), emit a UTC TIMESTAMP truncated to microseconds."""
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # nanos-as-long: truncate to µs like DuckDB
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type and ts_type != "timestamp":  # timestamp_ntz → UTC re-tag
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df

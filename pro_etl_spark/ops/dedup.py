@@ -164,16 +164,23 @@ _MINHASH_SIG_SQL = f"""
 @register(
     "dedup_minhash",
     oracle=f"""
-    SELECT doc_id, {_MINHASH_SIG_SQL} AS sig
+    SELECT doc_id, array_to_string({_MINHASH_SIG_SQL}, '-') AS sig
     FROM documents
     """,
 )
 def dedup_minhash(spark: SparkSession, d: str) -> DataFrame:
     """MinHash signatures (16 universal-hash 'permutations' over the
     md5 token hashes) — the per-document half of MinHash-LSH, verified
-    value-exact against the oracle."""
+    value-exact against the oracle. The signature is emitted '-'-joined
+    as one string column: the grading harness canonicalizes results
+    through a pandas sort, which cannot factorize ndarray cells, so
+    top-level array columns in registered outputs are serialized
+    (internally the LSH pipeline keeps the real array form)."""
     return _token_table(spark, d).select(
-        "doc_id", _minhash_perms(F.col("th60")).alias("sig")
+        "doc_id",
+        F.concat_ws(
+            "-", _minhash_perms(F.col("th60")).cast("array<string>")
+        ).alias("sig"),
     )
 
 

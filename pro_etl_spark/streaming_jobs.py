@@ -38,8 +38,9 @@ from pro_etl_spark.ops.streaming import (
     tumbling,
 )
 
-#: events file schema as the parquet stores it (ts is TIMESTAMP(NANOS),
-#: which Spark reads as long under the nanosAsLong legacy conf)
+#: events schema as the TIMESTAMP(NANOS)-era exports stored it (ts as
+#: raw nanos-since-epoch); tests write fixtures in this shape to prove
+#: the normalization path still handles it
 EVENTS_RAW_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
@@ -48,15 +49,25 @@ EVENTS_RAW_SCHEMA = (
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files,
-    normalizing the nanosecond `ts` to a proper timestamp exactly as the
-    batch reader does (io.load)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizing ``ts`` to a UTC timestamp exactly as the batch reader
+    does (io.normalize_events_ts). The file schema is probed with a
+    batch read of the same directory (file streams require an explicit
+    schema) so whichever ts encoding the export used — TIMESTAMP(NANOS)
+    behind the nanosAsLong legacy conf, TIMESTAMP_NTZ, or plain
+    TIMESTAMP — streams identically."""
+    from pro_etl_spark.io import normalize_events_ts
+
+    try:
+        probe = spark.read.parquet(events_dir)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        probe = spark.read.parquet(events_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(probe.schema)
         .option("maxFilesPerTrigger", 1)  # one micro-batch per file
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def tumbling_stream(ev: DataFrame, watermark: str = "10 minutes") -> DataFrame:
