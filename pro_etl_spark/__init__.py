@@ -44,6 +44,7 @@ def load_all() -> None:
         relational,
         relational_ext,
         scalars,
+        corpus,
     )
 
 

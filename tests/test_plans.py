@@ -176,3 +176,34 @@ def test_variant_parses_in_codegen(spark):
     plan = plan_of(spark, "fn_variant")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_paragraph_dedup_is_two_key_shuffles(spark):
+    # segment rank shuffle + doc reassembly shuffle, and NO join of any
+    # kind — the C4-style seen-hash design never compares pairs
+    plan = plan_of(spark, "dedup_paragraph")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    # the benchmark shingle set must be the broadcast side; a
+    # SortMergeJoin here would shuffle the full corpus by shingle text
+    plan = plan_of(spark, "decontaminate_ngrams")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_anti_join_broadcasts_drop_set(spark):
+    # survivors = new batch ANTI drop-set; the drop-set (≤ pair count)
+    # must broadcast so the batch side never shuffles
+    plan = plan_of(spark, "dedup_incremental")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_training_shuffle_has_no_global_sort(spark):
+    # position is per-shard: one shuffle on the shard key; a
+    # SinglePartition exchange would mean a global row_number crept in
+    plan = plan_of(spark, "shuffle_shards")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
