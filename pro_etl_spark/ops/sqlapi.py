@@ -112,3 +112,169 @@ def sql_small_qty_revenue(spark: SparkSession, d: str) -> DataFrame:
     exactly the correlated semantics."""
     _views(spark, d)
     return spark.sql(SQL_SMALL_QTY_REVENUE)
+
+
+#: TPC-H Q10 shape (returned-item reporting): which customers returned
+#: the most revenue in a quarter — 3 fact/dim joins, grouped agg,
+#: deterministic top-20.
+SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+            AS DOUBLE) AS revenue,
+       MAX(c_acctbal) AS acctbal
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("sql_returned_items", oracle=SQL_RETURNED_ITEMS)
+def sql_returned_items(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q10 shape via the SQL API: lineitem filters on the return
+    flag before the join (pushed to the scan), nation broadcasts, and
+    the LIMIT compiles to TakeOrderedAndProject — no global sort of the
+    grouped result."""
+    _views(spark, d)
+    return spark.sql(SQL_RETURNED_ITEMS)
+
+
+#: TPC-H Q18 shape (large-volume customers): HAVING over a fact-side
+#: pre-aggregate, then joined up to the order/customer dims.
+SQL_LARGE_VOLUME_CUSTOMERS = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("sql_large_volume_customers", oracle=SQL_LARGE_VOLUME_CUSTOMERS)
+def sql_large_volume_customers(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q18 shape: the HAVING aggregate runs on the fact table
+    FIRST (partial+final on l_orderkey), shrinking it to the rare
+    large-volume orders before any dimension join — the
+    aggregate-before-join ordering that matters at 100 TB, obtained
+    declaratively."""
+    _views(spark, d)
+    return spark.sql(SQL_LARGE_VOLUME_CUSTOMERS)
+
+
+#: TPC-H Q14 shape (promo revenue share): conditional aggregation over
+#: one joined scan — a single pass computes both numerator and
+#: denominator.
+SQL_PROMO_REVENUE = """
+SELECT ROUND(
+         100.0
+         * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(27,6))
+                         ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE),
+       6) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+@register("sql_promo_revenue", oracle=SQL_PROMO_REVENUE)
+def sql_promo_revenue(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q14 shape: promo share of revenue as conditional
+    aggregation — numerator and denominator in ONE scan/join pass
+    (never two queries diffed), date filter pushed to the lineitem
+    scan, part side broadcast-able."""
+    _views(spark, d)
+    return spark.sql(SQL_PROMO_REVENUE)
+
+
+#: TPC-H Q19 shape (disjunctive bracketed predicates): three OR'd
+#: brand/size/quantity brackets that must still prune at the scans.
+SQL_BRACKETED_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@register("sql_bracketed_revenue", oracle=SQL_BRACKETED_REVENUE)
+def sql_bracketed_revenue(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive predicates spanning both join
+    sides. Catalyst factors the per-side conjuncts out of the OR
+    (l_quantity bounds to the lineitem scan, brand/size bounds to the
+    part scan) so both scans prune before the join — the rewrite that
+    keeps an OR-of-ANDs from forcing full scans."""
+    _views(spark, d)
+    return spark.sql(SQL_BRACKETED_REVENUE)
+
+
+#: TPC-H Q4 shape (order-priority checking): EXISTS correlated
+#: semi-join against the fact table.
+SQL_PRIORITY_CHECK = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_priority_check", oracle=SQL_PRIORITY_CHECK)
+def sql_priority_check(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS planned as a LEFT SEMI join
+    (each order tested once, no fan-out duplication from multi-line
+    orders), then a small grouped count."""
+    _views(spark, d)
+    return spark.sql(SQL_PRIORITY_CHECK)
+
+
+#: TPC-H Q22 shape (lapsed rich customers): scalar subquery threshold
+#: + NOT EXISTS anti-join (against RECENT orders — every customer in
+#: the testdata has some order, so "no orders since 1999" is the
+#: populated analogue of Q22's "no orders at all").
+SQL_INACTIVE_RICH = """
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                               AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+@register("sql_inactive_rich", oracle=SQL_INACTIVE_RICH)
+def sql_inactive_rich(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q22 shape: an uncorrelated scalar subquery (computed once,
+    broadcast as a literal) gates the scan, then NOT EXISTS plans as a
+    LEFT ANTI join — never a NOT IN null-trap rewrite. The average is
+    spelled SUM(DECIMAL)/COUNT so both engines compute the identical
+    double."""
+    _views(spark, d)
+    return spark.sql(SQL_INACTIVE_RICH)

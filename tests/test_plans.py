@@ -207,3 +207,25 @@ def test_training_shuffle_has_no_global_sort(spark):
     plan = plan_of(spark, "shuffle_shards")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in plan
+
+
+def test_q18_aggregates_fact_before_join(spark):
+    # the HAVING aggregate must shrink lineitem (hash agg on
+    # l_orderkey) BEFORE the order/customer joins, and the top-20 must
+    # be TakeOrderedAndProject, not a global sort
+    plan = plan_of(spark, "sql_large_volume_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("HashAggregate") > plan.index("TakeOrderedAndProject")
+
+
+def test_q19_disjunction_prunes_both_scans(spark):
+    # Catalyst must factor per-side conjuncts out of the OR-of-ANDs so
+    # the part scan carries the brand/size brackets
+    plan = plan_of(spark, "sql_bracketed_revenue")
+    scan = plan[plan.index("FileScan parquet [p_partkey") :]
+    assert "Brand#" in scan.splitlines()[0]
+
+
+def test_exists_plans_as_semi_and_not_exists_as_anti(spark):
+    assert "LeftSemi" in plan_of(spark, "sql_priority_check")
+    assert "LeftAnti" in plan_of(spark, "sql_inactive_rich")
