@@ -29,7 +29,14 @@ HEADLINE = [
     "migration_reconciliation",
     "stream_tumbling",
     "dedup_minhash_lsh",
+    # runs after dedup_minhash_lsh on purpose: it consumes the cached
+    # verified pair table, like the production incremental pipeline
+    "dedup_incremental",
     "dedup_exact",
+    "dedup_paragraph",
+    "decontaminate_ngrams",
+    "shuffle_shards",
+    "sql_returned_items",
     "ann_cosine_topk",
     "ann_ivf_kmeans_topk",
     "stream_join_static",
