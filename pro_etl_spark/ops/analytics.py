@@ -598,3 +598,129 @@ def agg_corr(spark: SparkSession, d: str) -> DataFrame:
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
     return p.select("l_returnflag", n.cast("long").alias("n"), corr.alias("corr_qty_price"))
+
+
+#: columns profiled by ``profile_columns`` — mixed types to prove the
+#: cast discipline (string / int64 / timestamp / double-via-DECIMAL)
+_PROFILE_COLS = (
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderdate", "o_orderdate"),
+    ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+)
+
+
+@register(
+    "profile_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS col,
+           COUNT(*) AS n_rows,
+           COUNT({expr}) AS n_nonnull,
+           COUNT(DISTINCT {expr}) AS n_distinct,
+           CAST(MIN({expr}) AS VARCHAR) AS min_val,
+           CAST(MAX({expr}) AS VARCHAR) AS max_val
+    FROM orders
+    """
+        for name, expr in _PROFILE_COLS
+    ),
+)
+def profile_columns(spark: SparkSession, d: str) -> DataFrame:
+    """Table profiler (ANALYZE-style data-quality summary): one row per
+    profiled column with row/non-null/distinct counts and min/max, all
+    from a SINGLE scan — the per-column measures are computed in one
+    wide aggregate and pivoted long with ``stack``, never N passes.
+    Doubles route through DECIMAL(18,2) so the stringified min/max
+    renders identically in both engines.
+
+    Scale: multiple exact COUNT(DISTINCT)s in one aggregate plan via
+    Expand (scan replicated ×5 in the shuffle) — the exact-profile
+    shape for daily-partition audits. For a 100 TB full-table profile
+    swap ``countDistinct`` for ``approx_count_distinct`` and the Expand
+    disappears; everything else is identical (documented trade, same
+    output schema).
+    """
+    o = load(spark, d, "orders").withColumn(
+        "o_totalprice_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    spark_cols = {
+        "o_orderstatus": "o_orderstatus",
+        "o_orderpriority": "o_orderpriority",
+        "o_custkey": "o_custkey",
+        "o_orderdate": "o_orderdate",
+        "o_totalprice": "o_totalprice_dec",
+    }
+    aggs = [F.count("*").alias("n_rows")]
+    for name, c in spark_cols.items():
+        aggs += [
+            F.count(c).alias(f"nn_{name}"),
+            F.countDistinct(c).alias(f"nd_{name}"),
+            F.min(c).cast("string").alias(f"mn_{name}"),
+            F.max(c).cast("string").alias(f"mx_{name}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', nn_{name}, nd_{name}, mn_{name}, mx_{name}"
+        for name in spark_cols
+    )
+    return wide.selectExpr(
+        f"stack({len(spark_cols)}, {stack_args})"
+        " AS (col, n_nonnull, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("col", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")
+
+
+@register(
+    "anomaly_mad",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, value,
+             median(value) OVER (PARTITION BY event_type) AS med
+      FROM events
+    ), a AS (
+      SELECT event_type, value, med, abs(value - med) AS adev,
+             median(abs(value - med)) OVER (PARTITION BY event_type) AS mad
+      FROM m
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(MAX(med), 6) AS med,
+           ROUND(MAX(mad), 6) AS mad,
+           COUNT(*) FILTER (WHERE adev > 3 * mad) AS n_outliers
+    FROM a GROUP BY event_type
+    """,
+)
+def anomaly_mad(spark: SparkSession, d: str) -> DataFrame:
+    """Robust outlier gate: median absolute deviation (MAD) per event
+    type, flagging |value − median| > 3·MAD. The robust twin of
+    ``agg_zscore_outliers`` — medians don't move when the outliers
+    themselves get bigger, so the gate can't be dragged by what it's
+    trying to catch.
+
+    Scale: ONE shuffle on event_type; both median windows and the
+    final aggregate reuse the same partitioning (zero extra
+    exchanges). Exact percentiles sort within each partition — fine
+    while any one group fits an executor (events-per-type here); for
+    heavy-hitter groups at 100 TB swap ``approx_percentile``.
+    """
+    w = Window.partitionBy("event_type")
+    med = F.expr("percentile(value, 0.5)").over(w)
+    withmed = load(spark, d, "events").select(
+        "event_type", "value", med.alias("med")
+    )
+    adev = F.abs(F.col("value") - F.col("med"))
+    a = withmed.select(
+        "event_type",
+        "med",
+        adev.alias("adev"),
+        F.expr("percentile(abs(value - med), 0.5)").over(w).alias("mad"),
+    )
+    return a.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.max("med"), 6).alias("med"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.sum((F.col("adev") > 3 * F.col("mad")).cast("long")).alias(
+            "n_outliers"
+        ),
+    )

@@ -229,3 +229,11 @@ def test_q19_disjunction_prunes_both_scans(spark):
 def test_exists_plans_as_semi_and_not_exists_as_anti(spark):
     assert "LeftSemi" in plan_of(spark, "sql_priority_check")
     assert "LeftAnti" in plan_of(spark, "sql_inactive_rich")
+
+
+def test_mad_outliers_shuffle_once(spark):
+    # both median windows and the final aggregate share the event_type
+    # partitioning: exactly one hash exchange in the whole plan
+    plan = plan_of(spark, "anomaly_mad")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
