@@ -681,3 +681,54 @@ def agg_bitmap_distinct(spark: SparkSession, d: str) -> DataFrame:
     return per_bucket.groupBy("o_orderstatus").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_custs")
     )
+
+
+@register(
+    "join_bloom_runtime",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_runtime(spark: SparkSession, d: str) -> DataFrame:
+    """Runtime bloom-filter–pruned shuffle join: the selective dim-side
+    predicate is turned into a bloom filter that Catalyst injects into
+    the FACT side's scan (InjectRuntimeFilter), so most fact rows are
+    dropped before the shuffle — row-level runtime pruning, the sibling
+    of dynamic partition pruning for unpartitioned keys.
+
+    The op pins the confs that make the rewrite observable at test
+    scale: broadcasting is disabled for THIS plan only (a broadcast
+    join wouldn't need a bloom filter; ``registry.RUNTIME_CONFS``
+    restores the default threshold before every other query), and the
+    application-side size threshold drops to 0 because the testdata
+    fact side is MBs — at 100 TB the default thresholds trigger this
+    organically and no conf pinning is needed.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = load(spark, d, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load(spark, d, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -35,6 +35,11 @@ RUNTIME_CONFS = {
     # real cluster AQE coalescing makes the initial number non-critical.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # restore the default broadcast threshold before every query:
+    # join_bloom_runtime disables broadcasting for its own plan, and
+    # re-tuning here guarantees the -1 never leaks into the next
+    # query's planning
+    "spark.sql.autoBroadcastJoinThreshold": "10485760",
 }
 
 

@@ -237,3 +237,15 @@ def test_mad_outliers_shuffle_once(spark):
     plan = plan_of(spark, "anomaly_mad")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 2
+
+
+def test_runtime_bloom_filter_reaches_fact_side(spark):
+    # the dim predicate must materialize as a bloom filter applied on
+    # the fact side of the shuffle join (row-level runtime pruning)
+    df = pro_etl_spark.get_queries()["join_bloom_runtime"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter" in opt
+    assert "SortMergeJoin" in plan_of(spark, "join_bloom_runtime")
+    # and the conf pinning must not leak: the next tuned query still
+    # broadcasts its small side
+    assert "BroadcastHashJoin" in plan_of(spark, "join_broadcast_inner")
