@@ -307,3 +307,72 @@ def shuffle_shards(spark: SparkSession, d: str) -> DataFrame:
         Window.partitionBy("shard").orderBy("key", "doc_id")
     )
     return k.select("doc_id", "shard", pos.alias("pos"))
+
+
+#: passage window width / stride (tokens). Stride < width gives the
+#: overlap retrieval chunking uses so no answer span straddles a cut.
+PASSAGE_TOKENS = 32
+PASSAGE_STRIDE = 24
+
+
+@register(
+    "chunk_passages",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), n AS (
+      SELECT doc_id, toks, len(toks) AS n_tok,
+             1 + CASE WHEN len(toks) > {PASSAGE_TOKENS}
+                 THEN CAST(ceil((len(toks) - {PASSAGE_TOKENS})
+                                / {PASSAGE_STRIDE}.0) AS BIGINT)
+                 ELSE 0 END AS n_passages
+      FROM t
+    )
+    SELECT doc_id, i AS passage_idx,
+           array_to_string(
+             list_slice(toks, i * {PASSAGE_STRIDE} + 1,
+                        i * {PASSAGE_STRIDE} + {PASSAGE_TOKENS}), ' ')
+             AS passage,
+           least({PASSAGE_TOKENS},
+                 n_tok - i * {PASSAGE_STRIDE}) AS n_tokens
+    FROM n, UNNEST(range(0, n_passages)) AS u(i)
+    """,
+)
+def chunk_passages(spark: SparkSession, d: str) -> DataFrame:
+    """Retrieval-ingest chunking: split every document into
+    PASSAGE_TOKENS-token windows advancing by PASSAGE_STRIDE (8-token
+    overlap) so no span is cut without also appearing whole in a
+    neighbor — the standard passage layout for embedding indexes and
+    RAG stores. Output is (doc_id, passage_idx, passage, n_tokens);
+    the embedding stage maps over it (see ops.similarity /
+    ops.udfs for the vectorized patterns).
+
+    Scale: pure narrow fan-out — tokenize, compute the window count
+    in-row, posexplode the windows. No shuffle at all; at 100 TB this
+    is a map-only stage that writes passage files partitioned however
+    the index wants them.
+    """
+    W, S = PASSAGE_TOKENS, PASSAGE_STRIDE
+    docs = load(spark, d, "documents").select("doc_id", _toks().alias("toks"))
+    n_passages = F.lit(1) + F.when(
+        F.size("toks") > W,
+        F.ceil((F.size("toks") - W) / F.lit(float(S))).cast("long"),
+    ).otherwise(F.lit(0))
+    exploded = docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_passages - 1),
+                lambda i: F.array_join(F.slice("toks", i * S + 1, W), " "),
+            )
+        ).alias("passage_idx", "passage"),
+    )
+    return exploded.select(
+        "doc_id",
+        "passage_idx",
+        "passage",
+        F.least(
+            F.lit(W), F.col("n_tok") - F.col("passage_idx") * S
+        ).alias("n_tokens"),
+    )

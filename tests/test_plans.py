@@ -249,3 +249,9 @@ def test_runtime_bloom_filter_reaches_fact_side(spark):
     # and the conf pinning must not leak: the next tuned query still
     # broadcasts its small side
     assert "BroadcastHashJoin" in plan_of(spark, "join_broadcast_inner")
+
+
+def test_passage_chunking_is_map_only(spark):
+    # tokenize → window count → posexplode: a pure narrow fan-out with
+    # no shuffle anywhere
+    assert "Exchange" not in plan_of(spark, "chunk_passages")
