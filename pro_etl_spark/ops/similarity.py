@@ -750,3 +750,115 @@ def embed_centroid(spark: SparkSession, d: str) -> DataFrame:
         (F.sum(F.col("val").cast("decimal(27,12)")).cast("double") / F.count("*"))
         .alias("centroid"),
     )
+
+
+#: Lloyd iterations for the full quantizer-training query (the
+#: one-iteration `ivf_kmeans_assign` is the building block; this runs
+#: the loop to convergence-for-fixed-budget like a real IVF build)
+KMEANS_ITERS = 3
+
+
+def _ordered_mean(assigned: DataFrame) -> DataFrame:
+    """Per-cluster centroid means folding members in vec_id order —
+    sequential double adds, bit-identical to the oracle's list_reduce
+    (an unordered SUM would be partition-order-dependent)."""
+    members = assigned.groupBy("cid").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("ms")
+    )
+    return members.select(
+        "cid",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda dim: F.aggregate(
+                F.col("ms"),
+                F.lit(0.0),
+                lambda acc, m: acc + F.element_at(m["emb"], dim),
+            )
+            / F.size("ms"),
+        ).alias("cemb"),
+    )
+
+
+def _kmeans_train_ctes(iters: int) -> str:
+    """Unrolled Lloyd-iteration CTE chain: cent0 = seeds, then per
+    iteration assign-sample → ordered-mean refine. The unrolling is
+    what makes a driver-side training LOOP value-verifiable in pure
+    SQL."""
+    parts = [
+        f"e AS (SELECT vec_id, {_EMB6_SQL} AS emb FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, emb AS cemb FROM e"
+        f" WHERE vec_id < {K_CELLS})",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""a{t} AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQDIST_SQL.format(a="e.emb", b="c.cemb")}, c.cid
+               ) AS rn
+        FROM e CROSS JOIN cent{t} c
+        WHERE e.vec_id < {TRAIN_N}
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""m{t} AS (
+      SELECT cid, list(emb ORDER BY vec_id) AS ms FROM a{t} GROUP BY cid
+    )"""
+        )
+        parts.append(
+            f"""cent{t + 1} AS (
+      SELECT cid,
+             list_transform(range(1, 65),
+               d -> list_reduce(
+                      list_prepend(CAST(0 AS DOUBLE),
+                                   list_transform(ms, m -> m[d])),
+                      (acc, v) -> acc + v) / len(ms)) AS cemb
+      FROM m{t}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "kmeans_train",
+    oracle=f"""
+    WITH {_kmeans_train_ctes(KMEANS_ITERS)}
+    SELECT cid, d AS dim, ROUND(cemb[d], 6) AS cval
+    FROM cent{KMEANS_ITERS}, UNNEST(range(1, 65)) AS u(d)
+    """,
+)
+def kmeans_train(spark: SparkSession, d: str) -> DataFrame:
+    """Full k-means quantizer training: KMEANS_ITERS Lloyd iterations
+    as a driver-side loop over pure DataFrame ops (seed → assign the
+    training sample → ordered-mean refine → repeat), emitting the final
+    centroids one (cid, dim, cval) row per dimension. The oracle UNROLLS
+    the same loop into a CTE chain, so an ITERATIVE training algorithm
+    gets a full value oracle — not the weaker rows-only check iterative
+    ops usually settle for. Vanished clusters (a centroid losing every
+    member) drop out identically in both engines.
+
+    Scale: each iteration is one narrow assignment pass over the
+    bounded training sample (corpus × broadcast centroids, argmin
+    in-row — see ``_assign``) plus a K-row aggregate; the loop's only
+    driver-side state is the centroid DataFrame handle. At 100 TB,
+    training still touches only the ~1e6-row sample; the full-corpus
+    pass stays a single narrow assignment (``ivf_kmeans_assign``).
+    The deepening lineage is bounded by the fixed iteration budget
+    (localCheckpoint per round if the budget grows)."""
+    e = _emb_table(spark, d)
+    sample = e.where(F.col("vec_id") < TRAIN_N)
+    cent = e.where(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    for _ in range(KMEANS_ITERS):
+        cent = _ordered_mean(_assign(sample, cent))
+    return cent.select(
+        "cid", F.posexplode("cemb").alias("dim0", "cval")
+    ).select(
+        "cid",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.round("cval", 6).alias("cval"),
+    )
