@@ -185,3 +185,82 @@ def test_merge_scd1_action_semantics(spark):
         else:
             assert r.row_action == "update" and r.c_custkey in target
     assert set(target) <= seen, "no target row dropped"
+
+
+# ---------------------------------------------------------------------------
+# corpus-op invariants on the real testdata (sf0.001): cheap, deterministic
+# structural properties that the value oracles can't express directly
+# ---------------------------------------------------------------------------
+
+CORPUS_SF = "/root/testdata/sf0.001"
+
+
+def test_segment_dedup_conservation(spark):
+    """Per document: kept + removed segments == total segments, and the
+    reassembled text is a subsequence of the original tokens."""
+    import pro_etl_spark
+    from pro_etl_spark.io import load
+
+    out = pro_etl_spark.get_queries()["dedup_paragraph"](spark, CORPUS_SF)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in load(spark, CORPUS_SF, "documents").collect()
+    }
+    assert set(rows) == set(docs)
+    for doc_id, r in rows.items():
+        toks = docs[doc_id]
+        import math
+
+        assert r["n_segs"] == math.ceil(len(toks) / 20)
+        kept_toks = r["clean_text"].split() if r["clean_text"] else []
+        # kept text must be a subsequence of the original token stream
+        it = iter(toks)
+        assert all(t in it for t in kept_toks), doc_id
+
+
+def test_passage_chunking_covers_every_token(spark):
+    """Every source token position lands in at least one passage, the
+    stride/overlap arithmetic holds, and per-passage n_tokens is the
+    real token count."""
+    import pro_etl_spark
+    from pro_etl_spark.io import load
+    from pro_etl_spark.ops.corpus import PASSAGE_STRIDE, PASSAGE_TOKENS
+
+    out = pro_etl_spark.get_queries()["chunk_passages"](spark, CORPUS_SF)
+    by_doc: dict = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in load(spark, CORPUS_SF, "documents").collect()
+    }
+    for doc_id, toks in docs.items():
+        ps = sorted(by_doc[doc_id], key=lambda r: r["passage_idx"])
+        covered = 0  # tokens covered so far (contiguous from the left)
+        for r in ps:
+            start = r["passage_idx"] * PASSAGE_STRIDE
+            ptoks = r["passage"].split()
+            assert ptoks == toks[start : start + PASSAGE_TOKENS]
+            assert r["n_tokens"] == len(ptoks)
+            assert start <= covered  # no gap
+            covered = max(covered, start + len(ptoks))
+        assert covered == len(toks)  # full coverage
+
+
+def test_training_shuffle_is_a_permutation_and_seed_stable(spark):
+    """shuffle_shards emits every doc exactly once, positions are
+    1..n per shard, and rerunning yields the identical order."""
+    import pro_etl_spark
+
+    q = pro_etl_spark.get_queries()["shuffle_shards"]
+    a = q(spark, CORPUS_SF).collect()
+    b = q(spark, CORPUS_SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard: dict = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    n = sum(len(v) for v in by_shard.values())
+    assert n == len({r["doc_id"] for r in a})
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
