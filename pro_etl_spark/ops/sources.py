@@ -148,10 +148,21 @@ def scan_json(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-@register("sink_csv")  # rows-only: exercises the writer path end-to-end
+from pro_etl_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+#: sink_csv shares the reconciliation log's oracle: the CSV round-trip
+#: is lossless for this all-string schema (no empty-string cells, so
+#: the CSV null convention can't bite), which upgrades the sink from a
+#: rows-only check to a full value oracle.
+_RECON_ORACLE = _ORACLES["migration_reconciliation"]
+
+
+@register("sink_csv", oracle=_RECON_ORACLE)
 def sink_csv(spark: SparkSession, d: str) -> DataFrame:
     """S6: CSV sink — the reconciliation log written with headers
-    (migrate.py:303-305) and read back."""
+    (migrate.py:303-305) and read back; value-exact against the same
+    oracle as the in-memory reconciliation, proving the writer+reader
+    round-trip loses nothing."""
     path = _tmp(f"sink_csv_{dataset_suffix(d)}")
     _write_once(
         path,
