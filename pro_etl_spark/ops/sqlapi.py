@@ -278,3 +278,55 @@ def sql_inactive_rich(spark: SparkSession, d: str) -> DataFrame:
     double."""
     _views(spark, d)
     return spark.sql(SQL_INACTIVE_RICH)
+
+
+#: LATERAL correlated subquery with ORDER BY + LIMIT: top-1 order per
+#: customer. Catalyst decorrelates the per-row subquery into one
+#: hash-join + per-key ranking plan — never an N-queries loop.
+SQL_LATERAL_TOP1 = """
+SELECT c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+) l
+"""
+
+
+@register("sql_lateral_top1", oracle=SQL_LATERAL_TOP1)
+def sql_lateral_top1(spark: SparkSession, d: str) -> DataFrame:
+    """LATERAL subquery surface: each customer's single biggest order,
+    written as a correlated per-row query with its own ORDER BY/LIMIT.
+    Deterministic tiebreak (totalprice DESC, then key) makes the
+    decorrelated plan value-exact against DuckDB's LATERAL execution
+    of the identical string."""
+    _views(spark, d)
+    return spark.sql(SQL_LATERAL_TOP1)
+
+
+#: Recursive CTE: a month spine generated by recursion (the SQL-native
+#: date dimension), left-joined to order counts so empty months surface
+#: as zero — the time-series densification pattern.
+SQL_RECURSIVE_MONTHS = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+)
+SELECT m AS month, count(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+"""
+
+
+@register("sql_recursive_months", oracle=SQL_RECURSIVE_MONTHS)
+def sql_recursive_months(spark: SparkSession, d: str) -> DataFrame:
+    """Recursive CTE surface (Spark 4 WITH RECURSIVE): generate the
+    month spine by recursion and left-join order counts onto it, so
+    months with no orders appear as zeros. The recursion is bounded
+    (80 rows) and driver-light; the DataFrame twin is
+    ``window_gap_fill``'s sequence() spine — same densification, two
+    dialects. One string runs on both engines verbatim."""
+    _views(spark, d)
+    return spark.sql(SQL_RECURSIVE_MONTHS)
