@@ -480,3 +480,74 @@ def scan_custom_source(spark: SparkSession, d: str) -> DataFrame:
         .option("rowsperpart", SYN_ROWS_PER_PART)
         .load()
     )
+
+
+_Z_BITS = 8
+
+
+def _z_terms(a: str, b: str, shiftleft, shiftright) -> str:
+    """Bit-interleave expression text (Morton/Z-order) for two
+    _Z_BITS-wide keys, generated per dialect: Spark spells shifts
+    shiftleft()/shiftright(), DuckDB uses <</>>."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(shiftleft(f"({shiftright(a, i)} & 1)", 2 * i + 1))
+        terms.append(shiftleft(f"({shiftright(b, i)} & 1)", 2 * i))
+    return " | ".join(terms)
+
+
+_Z_SPARK = _z_terms(
+    "CAST(l_quantity AS INT)",
+    "dayofyear(l_shipdate) % 256",
+    lambda x, n: f"shiftleft({x}, {n})",
+    lambda x, n: f"shiftright({x}, {n})",
+)
+_Z_DUCK = _z_terms(
+    "CAST(l_quantity AS INT)",
+    "dayofyear(l_shipdate) % 256",
+    lambda x, n: f"({x} << {n})",
+    lambda x, n: f"({x} >> {n})",
+)
+
+
+@register(
+    "layout_zorder",
+    oracle=f"""
+    WITH z AS (
+      SELECT ({_Z_DUCK}) >> 10 AS bucket,
+             CAST(l_quantity AS INT) AS q, dayofyear(l_shipdate) AS doy
+      FROM lineitem
+    )
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(q) AS min_qty, MAX(q) AS max_qty,
+           MIN(doy) AS min_doy, MAX(doy) AS max_doy
+    FROM z GROUP BY bucket
+    """,
+)
+def layout_zorder(spark: SparkSession, d: str) -> DataFrame:
+    """Z-order (Morton) data-layout clustering: interleave the bits of
+    two filter dimensions (quantity, ship day-of-year) into one sort
+    key and bucket rows by its top bits — every bucket then spans a
+    NARROW range of BOTH dimensions simultaneously, which a linear sort
+    can only do for one. The emitted per-bucket min/max stats are
+    exactly the footer stats a writer would persist; a reader filtering
+    on either dimension prunes most buckets.
+
+    Scale: this query is the layout AUDIT (narrow projection + one
+    bucket shuffle). The write path at 100 TB is
+    ``repartitionByRange(zvalue).sortWithinPartitions(zvalue)`` +
+    per-file stats — OPTIMIZE ZORDER re-expressed as plain Spark
+    primitives, no table format required."""
+    li = load(spark, d, "lineitem")
+    z = li.selectExpr(
+        f"({_Z_SPARK}) >> 10 AS bucket",
+        "CAST(l_quantity AS INT) AS q",
+        "dayofyear(l_shipdate) AS doy",
+    )
+    return z.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("q").alias("min_qty"),
+        F.max("q").alias("max_qty"),
+        F.min("doy").alias("min_doy"),
+        F.max("doy").alias("max_doy"),
+    )
