@@ -511,3 +511,36 @@ def fn_date_arith(spark: SparkSession, d: str) -> DataFrame:
         .cast("long")
         .alias("days_since"),
     )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    SELECT lower(seg) AS segment, COUNT(*) AS n
+    FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                      ELSE lower(c_mktsegment) END AS seg
+          FROM customer)
+    GROUP BY lower(seg)
+    """,
+)
+def fn_collation(spark: SparkSession, d: str) -> DataFrame:
+    """Spark 4 collation surface: group a deliberately mixed-case
+    column under the UNICODE_CI collation, so 'BUILDING' and 'building'
+    hash and compare as one key with NO per-row lower() rewrite in the
+    grouping expression — collation-aware hashing happens inside the
+    hash aggregate. The emitted key is lower()ed only for display
+    determinism (the collated group's surviving representative is
+    partition-order-dependent); the oracle is the classic lower()
+    rewrite, proving the collated plan computes the same relation.
+    At 100 TB collation also drives collation-aware joins without
+    normalize-then-join materialization."""
+    c = load(spark, d, "customer").selectExpr(
+        "CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)"
+        " ELSE lower(c_mktsegment) END AS seg"
+    )
+    g = c.groupBy(
+        F.expr("collate(seg, 'UNICODE_CI')").alias("k")
+    ).agg(F.count("*").alias("n"))
+    return g.select(
+        F.lower(F.col("k")).cast("string").alias("segment"), "n"
+    )
