@@ -22,6 +22,12 @@ Scale notes (100 TB / continuous):
 - ``availableNow`` gives batch-like backfill runs over file listings
   without changing the query, i.e. the lambda-architecture collapse
   Structured Streaming is designed for.
+- custom stateful ops use ``applyInPandasWithState``. The Spark 4
+  successor (``transformWithStateInPandas``) is deliberately NOT used:
+  its driver worker requires google.protobuf, which this container
+  does not ship (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION
+  ImportError) — swap the accumulator in ``running_totals_exact_stream``
+  onto a StatefulProcessor when protobuf is available.
 """
 
 from __future__ import annotations
