@@ -954,3 +954,62 @@ def explode_pos(spark: SparkSession, d: str) -> DataFrame:
     return load(spark, d, "documents").select(
         "doc_id", F.posexplode(TOKENS()).alias("pos", "token")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+#: how many vocabulary rows the LM-stats query keeps (deterministic
+#: top-k by continuation count, then token)
+LM_TOP_TOKENS = 50
+
+
+@register(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT toks[i] AS l, toks[i + 1] AS r
+      FROM t, UNNEST(range(1, len(toks))) AS u(i)
+    )
+    SELECT r AS token,
+           COUNT(*) AS n_bigrams,
+           COUNT(DISTINCT l) AS n_left_contexts
+    FROM bg GROUP BY r
+    ORDER BY n_left_contexts DESC, token
+    LIMIT {LM_TOP_TOKENS}
+    """,
+)
+def text_bigram_lm(spark: SparkSession, d: str) -> DataFrame:
+    """Kneser-Ney smoothing ingredients for n-gram LM training: per
+    token, the raw bigram count and the CONTINUATION count (number of
+    distinct left contexts) — the statistic KN uses instead of raw
+    frequency, so 'Francisco' (frequent but only ever after 'San')
+    stops outranking genuinely versatile tokens. Deterministic top-k
+    by continuation count with a token tiebreak.
+
+    Scale: bigrams are generated IN-ROW from the token array (no
+    self-join, no window over the corpus); one shuffle on the right
+    token aggregates both statistics, and the top-k is
+    TakeOrderedAndProject over the vocabulary-sized aggregate —
+    corpus-sized data is touched exactly once.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    docs = load(spark, d, "documents").select(toks.alias("toks"))
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("l"),
+                F.element_at("toks", i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    bg = docs.select(F.explode(pairs).alias("p")).select("p.l", "p.r")
+    agg = bg.groupBy(F.col("r").alias("token")).agg(
+        F.count("*").alias("n_bigrams"),
+        F.countDistinct("l").alias("n_left_contexts"),
+    )
+    return agg.orderBy(
+        F.desc("n_left_contexts"), F.asc("token")
+    ).limit(LM_TOP_TOKENS)
