@@ -732,3 +732,66 @@ def join_bloom_runtime(spark: SparkSession, d: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "agg_distinct_overlap",
+    oracle="""
+    SELECT
+      (SELECT COUNT(DISTINCT user_id) FROM events
+       WHERE event_type = 'click') AS n_click,
+      (SELECT COUNT(DISTINCT user_id) FROM events
+       WHERE event_type = 'purchase') AS n_purchase,
+      (SELECT COUNT(DISTINCT user_id) FROM events
+       WHERE event_type IN ('click', 'purchase')) AS n_union,
+      (SELECT COUNT(*) FROM
+        (SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'))
+        AS n_both
+    """,
+)
+def agg_distinct_overlap(spark: SparkSession, d: str) -> DataFrame:
+    """Exact distinct-set algebra without any distinct-join: the
+    clickers∩purchasers audience size from bitmap aggregates via
+    inclusion-exclusion (|A∩B| = |A| + |B| − |A∪B|). Each term is a
+    bitmap_count over OR-mergeable per-bucket bitmaps, so ONE pass over
+    the events produces all four numbers — no INTERSECT materialization,
+    no Expand replication, no self-join. The oracle spells the same
+    quantities the classic way (scalar subqueries + INTERSECT).
+
+    Scale: per (bucket, type) bitmaps shuffle as ≤4 KB segments and
+    merge associatively — the same partial-merge shape sketches use,
+    but exact; the cross-type combination happens on the bucket-sized
+    aggregate, never on raw events."""
+    ev = load(spark, d, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    per_bucket = ev.groupBy(
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(CASE WHEN event_type = 'click'"
+            " THEN bitmap_bit_position(user_id) END)"
+        ).alias("bm_click"),
+        F.expr(
+            "bitmap_construct_agg(CASE WHEN event_type = 'purchase'"
+            " THEN bitmap_bit_position(user_id) END)"
+        ).alias("bm_purchase"),
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(user_id))"
+        ).alias("bm_union"),
+    )
+    totals = per_bucket.agg(
+        F.sum(F.expr("bitmap_count(bm_click)")).alias("n_click"),
+        F.sum(F.expr("bitmap_count(bm_purchase)")).alias("n_purchase"),
+        F.sum(F.expr("bitmap_count(bm_union)")).alias("n_union"),
+    )
+    return totals.select(
+        "n_click",
+        "n_purchase",
+        "n_union",
+        (F.col("n_click") + F.col("n_purchase") - F.col("n_union")).alias(
+            "n_both"
+        ),
+    )
