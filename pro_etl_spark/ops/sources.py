@@ -551,3 +551,59 @@ def layout_zorder(spark: SparkSession, d: str) -> DataFrame:
         F.min("doy").alias("min_doy"),
         F.max("doy").alias("max_doy"),
     )
+
+
+@register(
+    "sink_partition_overwrite",
+    oracle="""
+    WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS day0 FROM events)
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(
+             CASE WHEN CAST(ts AS DATE) = (SELECT day0 FROM d0)
+                  THEN value * 2 ELSE value END AS DECIMAL(18,6))) AS DOUBLE)
+             AS total
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def sink_partition_overwrite(spark: SparkSession, d: str) -> DataFrame:
+    """Dynamic partition overwrite (INSERT OVERWRITE semantics): the
+    events table is laid out day-partitioned; a restatement job rewrites
+    ONLY the first day's partition (values doubled, simulating a
+    correction) under
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` — Spark
+    replaces exactly the partitions present in the incoming frame and
+    leaves the other 29 days untouched. The read-back per-day aggregate
+    is value-checked against the expected restatement, proving both the
+    surgical overwrite AND the other partitions' integrity.
+
+    Scale: this is THE idempotent backfill primitive at 100 TB — a
+    day's re-run rewrites one partition directory atomically instead of
+    truncating the table (static mode) or appending duplicates. The
+    restated day is selected with a broadcast min-day join, never a
+    driver-side collect of the partition list."""
+    path = _tmp(f"sink_dynpart_{dataset_suffix(d)}")
+    ev = load(spark, d, "events").select(
+        "event_id", "ts", "value", F.to_date("ts").alias("day")
+    )
+    _write_once(
+        path,
+        lambda: ev.write.partitionBy("day").mode("overwrite").parquet(path),
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    day0 = ev.agg(F.min("day").alias("day"))
+    restated = (
+        ev.join(F.broadcast(day0), "day")
+        .withColumn("value", F.col("value") * 2)
+        .select("event_id", "ts", "value", "day")
+    )
+    # rewrites ONLY partition day=day0 (idempotent: derived from the
+    # base table, so re-running converges to the same bytes)
+    restated.write.partitionBy("day").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("day").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total"),
+    )

@@ -40,6 +40,8 @@ RUNTIME_CONFS = {
     # re-tuning here guarantees the -1 never leaks into the next
     # query's planning
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    # same leak-guard for sink_partition_overwrite's dynamic mode
+    "spark.sql.sources.partitionOverwriteMode": "static",
 }
 
 
