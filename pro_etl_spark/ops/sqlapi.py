@@ -330,3 +330,30 @@ def sql_recursive_months(spark: SparkSession, d: str) -> DataFrame:
     dialects. One string runs on both engines verbatim."""
     _views(spark, d)
     return spark.sql(SQL_RECURSIVE_MONTHS)
+
+
+#: ANSI aggregate FILTER clause: per-measure predicates inside ONE
+#: grouped aggregate — the standard spelling of conditional aggregation
+#: (the CASE WHEN rewrite is what Catalyst compiles it to).
+SQL_FILTER_CLAUSE = """
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_large,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+         AS urgent_revenue
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("sql_filter_clause", oracle=SQL_FILTER_CLAUSE)
+def sql_filter_clause(spark: SparkSession, d: str) -> DataFrame:
+    """ANSI FILTER-clause aggregation: several differently-predicated
+    measures computed in one pass over one grouped aggregate — no
+    self-joins of filtered subqueries, no repeated scans. One string
+    runs verbatim on both engines (NULL-emitting empty groups
+    included: SUM FILTER over an empty set is NULL, not 0, in both)."""
+    _views(spark, d)
+    return spark.sql(SQL_FILTER_CLAUSE)
