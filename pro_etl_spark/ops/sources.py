@@ -607,3 +607,84 @@ def sink_partition_overwrite(spark: SparkSession, d: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@register(
+    "sink_custom_source",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_custom_source(spark: SparkSession, d: str) -> DataFrame:
+    """Custom connector WRITER via the Python DataSource API (Spark 4):
+    the plugin implements ``writer()`` — each task serializes its
+    partition to one JSON-lines shard file (the same contract a real
+    connector uses for a REST bulk endpoint or proprietary format) and
+    returns a commit message; rereading the shards and aggregating must
+    value-match the oracle's direct recompute from parquet, proving the
+    distributed write path end-to-end (planning, per-task commit,
+    nothing through the driver).
+
+    Scale: one shard per task, no driver materialization; atomicity
+    comes from the standard write-then-commit protocol (abort drops
+    uncommitted shards)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+    out_dir = _tmp(f"sink_custom_{dataset_suffix(d)}")
+
+    class _ShardWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            tmp_f = _os.path.join(self.path, f"_tmp_shard_{pid}.jsonl")
+            with open(tmp_f, "w") as f:
+                n = 0
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            # task-local commit: rename into place atomically
+            _os.replace(tmp_f, _os.path.join(self.path, f"shard_{pid}.jsonl"))
+            return WriterCommitMessage()
+
+    class ShardSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "pro_etl_shard_sink"
+
+        def writer(self, schema, overwrite):
+            return _ShardWriter(self.options)
+
+    if not getattr(spark, "_pro_etl_shard_sink_registered", False):
+        spark.dataSource.register(ShardSink)
+        spark._pro_etl_shard_sink_registered = True
+
+    if not _os.path.exists(_os.path.join(out_dir, "_SUCCESS")):
+        (
+            load(spark, d, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.format("pro_etl_shard_sink")
+            .option("path", out_dir)
+            .mode("append")
+            .save()
+        )
+        open(_os.path.join(out_dir, "_SUCCESS"), "w").close()
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(f"{out_dir}/shard_*.jsonl")
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
