@@ -28,7 +28,11 @@ from pyspark.sql import Column, SparkSession, Window
 from pyspark.sql import DataFrame
 
 from pro_etl_spark.io import load
-from pro_etl_spark.ops.dedup import _LSH_PAIRS_CTE, dedup_minhash_lsh
+from pro_etl_spark.ops.dedup import (
+    _CLUSTERS_CTE,
+    _LSH_PAIRS_CTE,
+    dedup_minhash_lsh,
+)
 from pro_etl_spark.ops.hashing import DUCK_HASH60, hash60
 from pro_etl_spark.registry import register
 
@@ -375,4 +379,67 @@ def chunk_passages(spark: SparkSession, d: str) -> DataFrame:
         F.least(
             F.lit(W), F.col("n_tok") - F.col("passage_idx") * S
         ).alias("n_tokens"),
+    )
+
+
+@register(
+    "dedup_canonical_by_quality",
+    oracle=_CLUSTERS_CTE
+    + r"""
+    , q AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT lp.cluster_id, lp.node AS doc_id, q.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lp.cluster_id
+                                ORDER BY q.n_tokens DESC, lp.node) AS rn,
+             COUNT(*) OVER (PARTITION BY lp.cluster_id) AS n_members
+      FROM lp JOIN q ON lp.node = q.doc_id
+    )
+    SELECT cluster_id, doc_id AS canonical_doc_id,
+           n_tokens AS canonical_tokens, n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_canonical_by_quality(spark: SparkSession, d: str) -> DataFrame:
+    """Canonical-document selection: within each near-dup cluster keep
+    the HIGHEST-QUALITY copy (most tokens, doc_id tiebreak) instead of
+    the arbitrary min-id survivor — the policy real corpus builds use
+    (the longest crawl of a page usually has the least boilerplate
+    stripping damage). Consumes the memoized cluster labeling
+    (``dedup_clusters``) joined to per-doc token counts; one window
+    ranks members within each cluster.
+
+    Scale: the cluster table is |near-dup docs| (≪ corpus), so the
+    join and the per-cluster window are small; the corpus-sized work
+    already happened inside the LSH pair generation.
+    """
+    from pro_etl_spark.ops.dedup import dedup_clusters
+
+    clusters = dedup_clusters(spark, d).select("doc_id", "cluster_id")
+    q = (
+        load(spark, d, "documents")
+        .select(
+            "doc_id",
+            F.size(_toks()).cast("long").alias("n_tokens"),
+        )
+    )
+    j = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = j.select(
+        "cluster_id",
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("n_members"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        F.col("n_tokens").alias("canonical_tokens"),
+        "n_members",
     )

@@ -509,10 +509,10 @@ def dedup_simhash_lsh(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle=_LSH_PAIRS_CTE
-    + """
+#: pairs CTE extended to the connected-components labeling ``lp(node,
+#: cluster_id)`` — shared by ``dedup_clusters``' oracle and by
+#: composers that pick per-cluster canonicals (ops.corpus).
+_CLUSTERS_CTE = _LSH_PAIRS_CTE + """
     , edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
@@ -529,6 +529,13 @@ def dedup_simhash_lsh(spark: SparkSession, d: str) -> DataFrame:
       )
       SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
     )
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_CLUSTERS_CTE
+    + """
     SELECT node AS doc_id, cluster_id,
            (node = cluster_id) AS is_survivor
     FROM lp
