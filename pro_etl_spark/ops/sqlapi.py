@@ -357,3 +357,29 @@ def sql_filter_clause(spark: SparkSession, d: str) -> DataFrame:
     included: SUM FILTER over an empty set is NULL, not 0, in both)."""
     _views(spark, d)
     return spark.sql(SQL_FILTER_CLAUSE)
+
+
+#: ANSI ordered-set aggregates: WITHIN GROUP percentile syntax, both
+#: the discrete (an actual data value) and continuous (interpolated)
+#: forms, one string on both engines.
+SQL_PERCENTILE_WITHIN_GROUP = """
+SELECT l_returnflag,
+       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+         AS p50_disc,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6)
+         AS p50_cont,
+       PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY l_extendedprice)
+         AS p95_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("sql_percentile_within_group", oracle=SQL_PERCENTILE_WITHIN_GROUP)
+def sql_percentile_within_group(spark: SparkSession, d: str) -> DataFrame:
+    """ANSI ordered-set aggregate surface: PERCENTILE_DISC (returns an
+    actual data value — what latency SLO reporting needs) next to
+    PERCENTILE_CONT (interpolated) via WITHIN GROUP syntax. Exact
+    per-group sort; the approx_percentile sketch family is the
+    documented swap for heavy-hitter groups at 100 TB."""
+    _views(spark, d)
+    return spark.sql(SQL_PERCENTILE_WITHIN_GROUP)
