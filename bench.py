@@ -37,6 +37,10 @@ HEADLINE = [
     "decontaminate_ngrams",
     "shuffle_shards",
     "sql_returned_items",
+    # SQL-API + stateful-history coverage (round-5 ask): a 7-table
+    # TPC-H-ish join pipeline and an SCD2 interval reconstruction
+    "sql_large_volume_customers",
+    "scd2_intervals",
     "ann_cosine_topk",
     "ann_ivf_kmeans_topk",
     "stream_join_static",

@@ -53,8 +53,14 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     try:
         df = spark.read.parquet(path)
-    except Exception:
-        # TIMESTAMP(NANOS) footer: unreadable without the legacy conf
+    except Exception as e:
+        # Retry ONLY the TIMESTAMP(NANOS)-footer failure under the
+        # legacy conf; anything else (missing path, corrupt footer,
+        # permissions) re-raises unchanged — retrying those would mask
+        # the first error as the retry's and leak the conf session-wide.
+        msg = str(e)
+        if "nanosAsLong" not in msg and "TIMESTAMP(NANOS" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     return normalize_events_ts(df)

@@ -231,8 +231,11 @@ def dedup_incremental(spark: SparkSession, d: str) -> DataFrame:
     doc_id % INCR_NEW_MOD == 0 play "today's batch"; a new doc is
     DROPPED if it near-duplicates (verified LSH pair, Jaccard ≥ τ) any
     already-ingested doc or an earlier doc in the same batch; survivors
-    are emitted for ingestion. First-wins order is doc_id, matching
-    the reference's first-row-wins dedup policy
+    are emitted for ingestion. Drop policy: new-vs-existing always
+    prefers the existing corpus (the already-ingested doc wins even
+    when the new doc has the smaller doc_id); within the same batch,
+    ties are first-wins by doc_id — the within-batch analogue of the
+    reference's first-row-wins dedup policy
     (/root/reference/migrate.py:119-124) lifted to corpus scale.
 
     Scale: consumes the cached verified pair table from

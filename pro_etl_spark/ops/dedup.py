@@ -72,6 +72,7 @@ def dedup_exact(spark: SparkSession, d: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    baseline_twin="dedup_minhash_lsh",
     oracle=f"""
     WITH s AS (
       SELECT doc_id, source, {_TOKSET_SQL} AS ts FROM documents
@@ -392,6 +393,7 @@ def dedup_simhash(spark: SparkSession, d: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
+    baseline_twin="dedup_simhash_lsh",
     oracle=f"""
     WITH s AS (
       SELECT doc_id, source, {_SIMHASH_SQL} AS simhash FROM documents
@@ -664,6 +666,7 @@ def corpus_table(spark: SparkSession, d: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
+    baseline_twin="dedup_embedding_cosine_ivf",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label, embedding,

@@ -632,12 +632,22 @@ def sink_custom_source(spark: SparkSession, d: str) -> DataFrame:
     Scale: one shard per task, no driver materialization; atomicity
     comes from the standard write-then-commit protocol (abort drops
     uncommitted shards)."""
+    import glob as _glob
     import json as _json
     import os as _os
 
     from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
 
     out_dir = _tmp(f"sink_custom_{dataset_suffix(d)}")
+
+    def _clear_shards(path):
+        for f in _glob.glob(_os.path.join(path, "shard_*.jsonl")) + _glob.glob(
+            _os.path.join(path, "_tmp_shard_*")
+        ):
+            try:
+                _os.remove(f)
+            except OSError:
+                pass
 
     class _ShardWriter(DataSourceWriter):
         def __init__(self, options):
@@ -657,6 +667,12 @@ def sink_custom_source(spark: SparkSession, d: str) -> DataFrame:
             _os.replace(tmp_f, _os.path.join(self.path, f"shard_{pid}.jsonl"))
             return WriterCommitMessage()
 
+        def abort(self, messages):
+            # job-level abort: drop every shard (committed-by-task or
+            # temp) so a failed run leaves nothing the readback could
+            # aggregate
+            _clear_shards(self.path)
+
     class ShardSink(DataSource):
         @classmethod
         def name(cls):
@@ -670,6 +686,10 @@ def sink_custom_source(spark: SparkSession, d: str) -> DataFrame:
         spark._pro_etl_shard_sink_registered = True
 
     if not _os.path.exists(_os.path.join(out_dir, "_SUCCESS")):
+        # a prior aborted run (no _SUCCESS) may have task-committed more
+        # shards than this run will write; stale shard_N.jsonl files
+        # would survive os.replace and inflate the readback aggregate
+        _clear_shards(out_dir)
         (
             load(spark, d, "orders")
             .select("o_orderkey", "o_orderstatus", "o_totalprice")

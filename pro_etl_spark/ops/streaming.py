@@ -268,7 +268,14 @@ _RUNNING_TOTALS_MEMO: dict = {}
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS total_micros
+           -- outer BIGINT cast: DuckDB's SUM(BIGINT) yields HUGEINT,
+           -- which pandas materializes as float64 and the driver's
+           -- canonicalizer then formats as %.6g — hash-mismatching
+           -- Spark's exact int64 even though values are identical
+           -- (official red rows r3/r4). int64 keeps the pandas path
+           -- integer end-to-end.
+           CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS total_micros
     FROM events GROUP BY user_id
     """,
 )

@@ -35,13 +35,21 @@ def cmd_list(args, out=None) -> int:
     out = out or sys.stdout
     import pro_etl_spark
 
+    from pro_etl_spark.registry import BASELINE_TWINS
+
     queries = pro_etl_spark.get_queries()
     oracles = pro_etl_spark.get_oracles()
     for name in sorted(queries):
         if args.rows_only and name in oracles:
             continue
         tag = "rows-only" if name not in oracles else "oracle"
-        print(f"{name}\t{tag}", file=out)
+        line = f"{name}\t{tag}"
+        if name in BASELINE_TWINS:
+            line += (
+                f"\tEXACTNESS BASELINE — not a production path; "
+                f"use {BASELINE_TWINS[name]}"
+            )
+        print(line, file=out)
     return 0
 
 

@@ -23,6 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
 
+#: exactness baselines: query key -> its scale-safe production twin.
+#: These operators are correct but intentionally quadratic (blocked
+#: all-pairs) — kept to certify the LSH/IVF twins' recall, never to run
+#: on a real corpus. Surfaced by ``query_cli list`` so nobody picks a
+#: quadratic plan by accident.
+BASELINE_TWINS: Dict[str, str] = {}
+
 #: runtime-settable confs applied before every registered query runs.
 #: (The driver owns the SparkSession, so session-level tuning must be
 #: applied at call time; all of these are runtime-mutable.)
@@ -42,6 +49,14 @@ RUNTIME_CONFS = {
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
     # same leak-guard for sink_partition_overwrite's dynamic mode
     "spark.sql.sources.partitionOverwriteMode": "static",
+    # same leak-guard for join_bloom_runtime: it zeroes the
+    # application-side scan threshold to force the rewrite at test
+    # scale; without restoring the defaults (enabled=true, 10GB)
+    # every later shuffle join could get a bloom filter injected,
+    # perturbing plan-shape tests and bench timings
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": str(10 * 1024 * 1024 * 1024),
 }
 
 
@@ -90,13 +105,20 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def register(name: str, oracle: Optional[str] = None):
+def register(
+    name: str,
+    oracle: Optional[str] = None,
+    baseline_twin: Optional[str] = None,
+):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as query
     ``name`` with an optional DuckDB oracle SQL string.
 
     Oracle SQL may reference the pre-registered views ``region nation
     customer supplier part orders lineitem events documents
     embeddings``.
+
+    ``baseline_twin`` marks the query as an exactness baseline whose
+    production-path replacement is the named twin (see BASELINE_TWINS).
     """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
@@ -110,6 +132,8 @@ def register(name: str, oracle: Optional[str] = None):
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
+        if baseline_twin is not None:
+            BASELINE_TWINS[name] = baseline_twin
         return wrapped
 
     return deco

@@ -26,8 +26,9 @@ Scale notes (100 TB / continuous):
   successor (``transformWithStateInPandas``) is deliberately NOT used:
   its driver worker requires google.protobuf, which this container
   does not ship (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION
-  ImportError) — swap the accumulator in ``running_totals_exact_stream``
-  onto a StatefulProcessor when protobuf is available.
+  ImportError; re-probed each round, still absent as of round 5) —
+  swap the accumulator in ``running_totals_exact_stream`` onto a
+  StatefulProcessor when protobuf is available.
 """
 
 from __future__ import annotations

@@ -1,0 +1,88 @@
+"""Guard against grading-dtype artifacts in oracle SQL.
+
+The driver materializes each oracle through DuckDB's pandas ``.df()``
+path, where HUGEINT (DuckDB's SUM(BIGINT) result type) and nullable
+integer columns downcast to float64; its canonicalizer then formats
+floats as ``%.6g``, so an exact integer like 2480770000 renders as
+``2.48077e+09`` while Spark's int64 prints full digits — a hash
+mismatch with value-identical results. This bit ``stream_running_totals``
+for two official rounds (red rows in CORRECTNESS_r03/r04) because the
+in-repo mimic fetched via ``fetchall()`` (exact Python ints) and never
+saw it.
+
+These tests render every oracle through BOTH fetch paths with the
+driver's canonicalization recipe and assert the renderings agree, so
+any oracle whose pandas materialization changes a value's rendered form
+fails locally before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import pro_etl_spark
+from tests.conftest import SF_ORACLE
+
+ORACLES = pro_etl_spark.get_oracles()
+
+
+def _canon(v):
+    """The driver's value-rendering recipe (mirrors
+    .claude/skills/verify/drive_driver_contract.py:canon)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    try:
+        if v != v:  # NaN/NaT == SQL NULL
+            return "NULL"
+    except Exception:
+        pass
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if hasattr(v, "isoformat"):
+        s = v.isoformat()
+        if len(s) >= 19 and s[10:19] == "T00:00:00":
+            return s[:10]
+        return s[:19]
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def _render_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_pandas_path_rendering_stable(name, duck):
+    """fetchall() (exact) and .df() (pandas, the driver's path) must
+    render identically under the driver's recipe — i.e. no oracle may
+    emit a column whose pandas dtype changes its hashed form."""
+    rel = duck.execute(ORACLES[name])
+    exact_rows = rel.fetchall()
+    cols = [d[0] for d in rel.description]
+    pdf = duck.execute(ORACLES[name]).df()
+    pandas_rows = list(pdf.itertuples(index=False, name=None))
+    assert _render_multiset(cols, exact_rows) == _render_multiset(
+        [c for c in pdf.columns], pandas_rows
+    ), f"{name}: pandas materialization changes rendered values"
+
+
+def test_running_totals_oracle_stays_integer(duck):
+    """Regression for the r3/r4 red row: the stream_running_totals
+    oracle must come back from the pandas path as int64 (the outer
+    CAST ... AS BIGINT defeats DuckDB's HUGEINT sum type), and its
+    large magnitudes must print full digits, matching Spark's int64."""
+    pdf = duck.execute(ORACLES["stream_running_totals"]).df()
+    assert str(pdf.dtypes["total_micros"]) == "int64", pdf.dtypes
+    assert str(pdf.dtypes["n_events"]) == "int64", pdf.dtypes
+    big = pdf["total_micros"].abs().max()
+    if big > 10**6:  # magnitudes large enough that %.6g would mangle
+        v = pdf.loc[pdf["total_micros"].abs().idxmax(), "total_micros"]
+        assert _canon(v) == str(int(v))

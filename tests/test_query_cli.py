@@ -20,10 +20,21 @@ def run_cli(argv, spark=None):
 def test_list_names_every_registered_query():
     rc, out = run_cli(["list"])
     assert rc == 0
-    lines = dict(l.split("\t") for l in out.strip().splitlines())
+    rows = [l.split("\t") for l in out.strip().splitlines()]
+    lines = {r[0]: r[1] for r in rows}
     assert lines["migration_reconciliation"] == "oracle"
     assert lines["fn_uuid"] == "rows-only"
     assert len(lines) >= 180
+    # the quadratic exactness baselines must be marked so nobody picks
+    # them over their scale-safe twins by accident
+    marked = {r[0]: r[2] for r in rows if len(r) > 2}
+    for k, twin in {
+        "dedup_ngram_jaccard": "dedup_minhash_lsh",
+        "dedup_simhash_pairs": "dedup_simhash_lsh",
+        "dedup_embedding_cosine": "dedup_embedding_cosine_ivf",
+    }.items():
+        assert "not a production path" in marked[k]
+        assert twin in marked[k]
 
 
 def test_explain_shows_pushdown(spark):
