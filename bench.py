@@ -43,6 +43,9 @@ HEADLINE = [
     "scd2_intervals",
     "ann_cosine_topk",
     "ann_ivf_kmeans_topk",
+    # round-5 additions: full IVF-PQ pipeline + bigram-LM scoring
+    "ann_ivfpq_topk",
+    "text_lm_score",
     "stream_join_static",
     "text_quality",
     "text_fingerprint",

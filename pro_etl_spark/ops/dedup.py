@@ -1,6 +1,7 @@
 """Deduplication operators for training-data pipelines (BASELINE.json
-north-star): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
-embedding-cosine near-dup — each over ``documents`` / ``embeddings``.
+north-star): exact, n-gram Jaccard, MinHash+LSH (Jaccard and
+containment measures), SimHash, and embedding-cosine near-dup — each
+over ``documents`` / ``embeddings``.
 
 Scale design (100 TB):
 - exact dedup is a hash groupBy (one shuffle on the content hash)
@@ -232,34 +233,16 @@ _LSH_PAIRS_CTE = f"""
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=_LSH_PAIRS_CTE + "SELECT doc_a, doc_b, jaccard FROM pairs",
-)
-def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
-    """MinHash + LSH near-dup: signature → 4 bands × 4 rows → band
-    buckets → candidate pairs from bucket self-join → exact Jaccard
-    verification. The 100 TB path: the only shuffle keys are (band,
-    bucket-hash); no all-pairs join ever materializes, and the
-    MAX_BUCKET frequency cap bounds the per-bucket fan-out (the LSH
-    analogue of AQE's skew-join splitting: a bucket shared by the
-    whole corpus is noise, not signal)."""
-    # Tokenize + base-hash ONCE: the cached (ts, th) table feeds BOTH
-    # the signature stage and the exact-verification stage (at scale
-    # this is the persisted token table next to the signature table).
-    # Verification consumes the 60-bit hash arrays (th60), not the
-    # token strings: long-array intersects are measurably cheaper than
-    # string-array intersects (sf0.1: ~20% off the verify stage) and
-    # the Jaccard stays bit-identical because DuckDB applies the same
-    # md5-based hash to the same token sets (see _LSH_PAIRS_CTE).
-    tok = _token_table(spark, d)
-    th = tok.select("doc_id", F.col("th60").alias("th"))
-    # Stage 1 — candidates from signatures ONLY, with NO self-join: the
-    # (band, bucket) shuffle carries just (doc_id, bucket-hash); each
-    # bucket collects its ≤ MAX_BUCKET member ids into one row and the
-    # (i<j) pairs are generated *inside* that row (array transform, at
-    # most MAX_BUCKET²/2 per bucket) — the shuffle volume is O(docs ×
-    # bands), never O(pairs), and no subtree is computed twice.
+def _lsh_candidates(tok: DataFrame) -> DataFrame:
+    """Stage 1 of MinHash-LSH — candidate ``(doc_a, doc_b)`` pairs from
+    band buckets, with NO self-join: the (band, bucket) shuffle carries
+    just (doc_id, bucket-hash); each bucket collects its ≤ MAX_BUCKET
+    member ids into one row and the (i<j) pairs are generated *inside*
+    that row (array transform, at most MAX_BUCKET²/2 per bucket) — the
+    shuffle volume is O(docs × bands), never O(pairs), and no subtree
+    is computed twice. Shared by Jaccard verification
+    (``dedup_minhash_lsh``) and containment scoring
+    (``minhash_containment``)."""
     sigs = tok.select("doc_id", _minhash_perms(F.col("th60")).alias("sig"))
     bands = sigs.select(
         "doc_id",
@@ -289,20 +272,30 @@ def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
             ),
         )
     )
-    cand = (
+    return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    # Stage 2 — exact verification against the cached token sets.
-    # Join order: corpus ⨝ broadcast(bare pairs) — the pair set is ids
-    # only (~16 B/row), structurally small (≤ bands × MAX_BUCKET²/2 per
-    # bucket) — so the first corpus-side lookup stays shuffle-free.
-    # The second lookup carries NO hint: AQE broadcasts it at runtime
-    # when the enriched-pair side is small (always true locally) and
-    # falls back to a shuffle-hash join on doc_b at corpus sizes where
-    # a token-set broadcast would be impossible — the conditionality
-    # lives in the optimizer, not in a hard-coded hint.
+
+
+def _lsh_sized_pairs(tok: DataFrame) -> DataFrame:
+    """Stage 2 of MinHash-LSH — join the candidate pairs back to the
+    cached token-hash sets and materialize the exact set sizes
+    ``(doc_a, doc_b, n_inter, n_a, n_b)`` once, so each scoring
+    operator (Jaccard / containment) derives its measure without
+    re-evaluating the intersect.
+
+    Join order: corpus ⨝ broadcast(bare pairs) — the pair set is ids
+    only (~16 B/row), structurally small (≤ bands × MAX_BUCKET²/2 per
+    bucket) — so the first corpus-side lookup stays shuffle-free. The
+    second lookup carries NO hint: AQE broadcasts it at runtime when
+    the enriched-pair side is small (always true locally) and falls
+    back to a shuffle-hash join on doc_b at corpus sizes where a
+    token-set broadcast would be impossible — the conditionality lives
+    in the optimizer, not in a hard-coded hint."""
+    th = tok.select("doc_id", F.col("th60").alias("th"))
+    cand = _lsh_candidates(tok)
     paired = (
         th.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("th", "th_a")
         .join(F.broadcast(cand), "doc_a")
@@ -314,15 +307,40 @@ def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
     # evaluate the intersect ONCE: materialize sizes in a projection,
     # then filter — keeps array_intersect out of both the filter and
     # the final select
-    sized = paired.select(
+    return paired.select(
         "doc_a",
         "doc_b",
         F.size(F.array_intersect(F.col("th_a"), F.col("th_b")))
         .cast("double")
         .alias("n_inter"),
-        (F.size(F.col("th_a")) + F.size(F.col("th_b"))).alias("n_sum"),
+        F.size(F.col("th_a")).alias("n_a"),
+        F.size(F.col("th_b")).alias("n_b"),
     )
-    jac = F.col("n_inter") / (F.col("n_sum") - F.col("n_inter"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_LSH_PAIRS_CTE + "SELECT doc_a, doc_b, jaccard FROM pairs",
+)
+def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
+    """MinHash + LSH near-dup: signature → 4 bands × 4 rows → band
+    buckets → candidate pairs from bucket self-join → exact Jaccard
+    verification. The 100 TB path: the only shuffle keys are (band,
+    bucket-hash); no all-pairs join ever materializes, and the
+    MAX_BUCKET frequency cap bounds the per-bucket fan-out (the LSH
+    analogue of AQE's skew-join splitting: a bucket shared by the
+    whole corpus is noise, not signal).
+
+    Tokenize + base-hash ONCE: the cached (ts, th) table feeds BOTH
+    the signature stage and the exact-verification stage (at scale
+    this is the persisted token table next to the signature table).
+    Verification consumes the 60-bit hash arrays (th60), not the
+    token strings: long-array intersects are measurably cheaper than
+    string-array intersects (sf0.1: ~20% off the verify stage) and
+    the Jaccard stays bit-identical because DuckDB applies the same
+    md5-based hash to the same token sets (see _LSH_PAIRS_CTE)."""
+    sized = _lsh_sized_pairs(_token_table(spark, d))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     # cached: the verified pair set is consumed by dedup_clusters,
     # pipeline_clean_corpus, and graph_pagerank in the same session —
     # Spark's CacheManager matches the identical plan, so LSH runs once
@@ -331,6 +349,42 @@ def dedup_minhash_lsh(spark: SparkSession, d: str) -> DataFrame:
         sized.where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .cache()
+    )
+
+
+#: near-containment threshold (|A∩B| / min|A|,|B|): higher than the
+#: Jaccard τ because containment ≥ Jaccard by construction
+CONTAINMENT_THRESHOLD = 0.7
+
+
+@register(
+    "minhash_containment",
+    oracle=_LSH_PAIRS_CTE
+    + f"""
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(th_a, th_b)) AS DOUBLE)
+                 / LEAST(len(th_a), len(th_b)), 6) AS containment
+    FROM cand
+    WHERE CAST(len(list_intersect(th_a, th_b)) AS DOUBLE)
+          / LEAST(len(th_a), len(th_b)) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def minhash_containment(spark: SparkSession, d: str) -> DataFrame:
+    """Near-containment detection over the SAME LSH candidate pairs as
+    ``dedup_minhash_lsh``: score = |A∩B| / min(|A|, |B|) instead of
+    Jaccard. Containment catches document-inside-document duplication
+    (a page embedded in a longer crawl, a quoted article, boilerplate
+    wrappers) that Jaccard systematically misses when sizes differ —
+    |A∩B|/|A∪B| is dragged down by the larger doc, while containment
+    is size-invariant for the smaller one. Same 100 TB shape as the
+    Jaccard twin: band-bucket candidates, broadcast pair probe, exact
+    scoring on the cached token-hash sets; only the final measure
+    differs (shared ``_lsh_sized_pairs`` stage). Integer-over-integer
+    division, so the doubles are bit-identical cross-engine."""
+    sized = _lsh_sized_pairs(_token_table(spark, d))
+    cont = F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))
+    return sized.where(cont >= CONTAINMENT_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(cont, 6).alias("containment")
     )
 
 

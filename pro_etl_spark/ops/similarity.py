@@ -862,3 +862,333 @@ def kmeans_train(spark: SparkSession, d: str) -> DataFrame:
         (F.col("dim0") + 1).cast("long").alias("dim"),
         F.round("cval", 6).alias("cval"),
     )
+
+
+# --- Product quantization (PQ) ---------------------------------------
+
+PQ_M = 4        # subspaces
+PQ_SUBDIM = 16  # dims per subspace (4 × 16 = the 64-dim embedding)
+PQ_K = 8        # centroids per subspace codebook (3-bit sub-codes)
+
+_PQ_SQ16 = """
+  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(range(1, 17),
+      i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))),
+    (acc, v) -> acc + v)
+"""
+
+
+def _pq_sub_ctes(s: int) -> str:
+    """Per-subspace oracle CTE chain (slice → seed → one Lloyd
+    iteration → codebook k{s} → code{s}) — the 16-dim replica of
+    ``_KMEANS_CTES`` with the same exactness recipe: ordered member
+    folds for the centroid means, (dist, cid) tie-break for
+    assignments."""
+    lo = s * PQ_SUBDIM
+    sq_seed = _PQ_SQ16.format(a="t.sv", b="c.cemb")
+    return f"""
+    sub{s} AS (
+      SELECT vec_id, list_slice(emb, {lo + 1}, {lo + PQ_SUBDIM}) AS sv
+      FROM e
+    ), seeds{s} AS (
+      SELECT vec_id AS cid, sv AS cemb FROM sub{s} WHERE vec_id < {PQ_K}
+    ), pa{s} AS (
+      SELECT vec_id, sv, cid FROM (
+        SELECT t.vec_id, t.sv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                 ORDER BY {sq_seed}, c.cid) AS rn
+        FROM sub{s} t CROSS JOIN seeds{s} c
+        WHERE t.vec_id < {TRAIN_N}
+      ) WHERE rn = 1
+    ), m{s} AS (
+      SELECT cid, list(sv ORDER BY vec_id) AS ms FROM pa{s} GROUP BY cid
+    ), k{s} AS (
+      SELECT cid, list_transform(range(1, 17),
+               d -> list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(ms, m -> m[d])),
+                      (acc, v) -> acc + v) / len(ms)) AS cemb
+      FROM m{s}
+    ), code{s} AS (
+      SELECT vec_id, CAST(cid AS BIGINT) AS c{s} FROM (
+        SELECT t.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                 ORDER BY {sq_seed}, c.cid) AS rn
+        FROM sub{s} t CROSS JOIN k{s} c
+      ) WHERE rn = 1
+    )"""
+
+
+_PQ_ALL_CTES = (
+    f"e AS (SELECT vec_id, {_EMB6_SQL} AS emb FROM embeddings),"
+    + ",".join(_pq_sub_ctes(s) for s in range(PQ_M))
+)
+
+
+def _pq_codebook(spark: SparkSession, d: str, s: int) -> DataFrame:
+    """Trained codebook ``(cid, cemb)`` for subspace ``s``: seed with
+    the first PQ_K sub-vectors, one Lloyd iteration over the TRAIN_N
+    sample (same bounded-sample training posture as the IVF coarse
+    quantizer — at 100 TB the codebooks come from a ~1e6-row sample
+    and only encoding touches the corpus)."""
+    lo = s * PQ_SUBDIM + 1
+    sub = _emb_table(spark, d).select(
+        "vec_id", F.slice(F.col("emb"), lo, PQ_SUBDIM).alias("emb")
+    )
+    seeds = sub.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    a0 = _assign(sub.where(F.col("vec_id") < TRAIN_N), seeds)
+    members = a0.groupBy("cid").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("ms")
+    )
+    return members.select(
+        "cid",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(PQ_SUBDIM)),
+            lambda dim: F.aggregate(
+                F.col("ms"),
+                F.lit(0.0),
+                lambda acc, m: acc + F.element_at(m["emb"], dim),
+            )
+            / F.size("ms"),
+        ).alias("cemb"),
+    )
+
+
+@register(
+    "pq_encode",
+    oracle=f"""
+    WITH {_PQ_ALL_CTES}
+    SELECT vec_id, c0, c1, c2, c3
+    FROM code0 JOIN code1 USING (vec_id)
+               JOIN code2 USING (vec_id)
+               JOIN code3 USING (vec_id)
+    """,
+)
+def pq_encode(spark: SparkSession, d: str) -> DataFrame:
+    """Product-quantization encoder: split each 64-dim embedding into
+    4 sub-vectors of 16 dims, train an independent PQ_K-centroid
+    codebook per subspace (one deterministic Lloyd iteration over the
+    TRAIN_N sample, exactly the ``ivf_kmeans_assign`` recipe), and emit
+    each vector's 4 nearest-sub-centroid ids — the 4-byte code that
+    replaces a 256-byte vector in a production IVF-PQ index (64×
+    memory compression at recall governed by PQ_K/PQ_M).
+
+    Scale (100 TB): codebooks are trained on a bounded sample and
+    broadcast (4 × PQ_K × 16 doubles); encoding is ONE narrow pass over
+    the corpus computing 4 in-row argmins — no shuffle, no join, the
+    same plan an ANN build pipeline runs before writing the code table
+    next to the corpus. Exactness: sub-centroid means fold members in
+    vec_id order and assignments tie-break on (dist, cid), so codes
+    are bit-identical cross-engine."""
+    def best_code(carr_name, sv):
+        # factory scope: a plain 1-arg lambda for F.transform (a 2-arg
+        # lambda would be read as the (element, index) signature)
+        return F.array_min(
+            F.transform(
+                F.col(carr_name),
+                lambda c: F.struct(
+                    _sqdist(sv, c["cemb"]).alias("dist"), c["cid"].alias("cid")
+                ),
+            )
+        )
+
+    out = _emb_table(spark, d)
+    cols = [F.col("vec_id")]
+    for s in range(PQ_M):
+        carr_name = f"carr{s}"
+        cb = _pq_codebook(spark, d, s)
+        carr = cb.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias(carr_name)
+        )
+        out = out.crossJoin(F.broadcast(carr))
+        sv = F.slice(F.col("emb"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        cols.append(best_code(carr_name, sv)["cid"].cast("long").alias(f"c{s}"))
+    return out.select(*cols)
+
+
+@register(
+    "ann_pq_adc",
+    oracle=f"""
+    WITH {_PQ_ALL_CTES},
+    codes AS (
+      SELECT * FROM code0 JOIN code1 USING (vec_id)
+                          JOIN code2 USING (vec_id)
+                          JOIN code3 USING (vec_id)
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_PQ_SQ16.format(a="list_slice(q.emb, 1, 16)", b="k0.cemb")}
+           + {_PQ_SQ16.format(a="list_slice(q.emb, 17, 32)", b="k1.cemb")}
+           + {_PQ_SQ16.format(a="list_slice(q.emb, 33, 48)", b="k2.cemb")}
+           + {_PQ_SQ16.format(a="list_slice(q.emb, 49, 64)", b="k3.cemb")}
+             AS adist
+      FROM e q CROSS JOIN codes c
+      JOIN k0 ON k0.cid = c.c0
+      JOIN k1 ON k1.cid = c.c1
+      JOIN k2 ON k2.cid = c.c2
+      JOIN k3 ON k3.cid = c.c3
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(adist, 6) AS adist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_pq_adc(spark: SparkSession, d: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ codes: the query
+    keeps its exact sub-vectors; every corpus vector is represented
+    ONLY by its 4 sub-centroid ids, and the approximate distance is the
+    sum of exact-query-to-centroid squared distances — the scoring
+    kernel of a production IVF-PQ index (FAISS-style), where the
+    corpus-side vectors are never touched after encoding.
+
+    Scale (100 TB): the code table (4 longs/vector) replaces the
+    embedding column in the scan; codebooks and queries are broadcast,
+    so scoring is a narrow pass (broadcast-join centroid lookup + one
+    fold per subspace) and only the per-query top-k window shuffles —
+    in production the per-query distance table (PQ_K × PQ_M entries)
+    is precomputed once per query, which this plan's broadcast joins
+    express relationally. Exactness: left-to-right addition of four
+    deterministic folds, tie-break on neighbor_id."""
+    codes = pq_encode(spark, d)
+    for s in range(PQ_M):
+        cb = _pq_codebook(spark, d, s).select(
+            F.col("cid").alias(f"c{s}"), F.col("cemb").alias(f"k{s}")
+        )
+        codes = codes.join(F.broadcast(cb), f"c{s}")
+    q = (
+        _emb_table(spark, d)
+        .where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            *[
+                F.slice(F.col("emb"), s * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"q{s}")
+                for s in range(PQ_M)
+            ],
+        )
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _sqdist(F.col("q0"), F.col("k0"))
+                + _sqdist(F.col("q1"), F.col("k1"))
+                + _sqdist(F.col("q2"), F.col("k2"))
+                + _sqdist(F.col("q3"), F.col("k3"))
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", F.round("adist", 6).alias("adist"), "rank"
+        )
+    )
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    {",".join(_pq_sub_ctes(s) for s in range(PQ_M))},
+    codes AS (
+      SELECT * FROM code0 JOIN code1 USING (vec_id)
+                          JOIN code2 USING (vec_id)
+                          JOIN code3 USING (vec_id)
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_PQ_SQ16.format(a="list_slice(q.emb, 1, 16)", b="k0.cemb")}
+           + {_PQ_SQ16.format(a="list_slice(q.emb, 17, 32)", b="k1.cemb")}
+           + {_PQ_SQ16.format(a="list_slice(q.emb, 33, 48)", b="k2.cemb")}
+           + {_PQ_SQ16.format(a="list_slice(q.emb, 49, 64)", b="k3.cemb")}
+             AS adist
+      FROM e q
+      JOIN acell qa ON qa.vec_id = q.vec_id
+      JOIN acell ca ON ca.cell = qa.cell
+      JOIN codes c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id
+      JOIN k0 ON k0.cid = c.c0
+      JOIN k1 ON k1.cid = c.c1
+      JOIN k2 ON k2.cid = c.c2
+      JOIN k3 ON k3.cid = c.c3
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, ROUND(adist, 6) AS adist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, d: str) -> DataFrame:
+    """The full IVF-PQ index pipeline (the FAISS ``IVFx,PQy`` shape
+    production vector search actually deploys): coarse k-means cells
+    prune the candidate set to the query's cell (nprobe=1, from the
+    SAME trained quantizer as ``ann_ivf_kmeans_topk``), then
+    asymmetric-distance scoring over the 4-byte PQ codes ranks the
+    survivors — the corpus embeddings are never touched at query time,
+    only the code table and two broadcast-sized trained structures.
+
+    Scale (100 TB): the code table is laid out partitioned by cell, so
+    cell probing is partition pruning over a table 64× smaller than
+    the embeddings; ADC scoring is the same narrow broadcast-lookup
+    pass as ``ann_pq_adc``; only the per-query top-k window shuffles
+    (candidate-sized, not corpus-sized). Exactness: both trained
+    structures reuse their operators' deterministic recipes, so every
+    adist is bit-identical cross-engine."""
+    cells = _kmeans_assignment(spark, d).select("vec_id", "cell")
+    codes = pq_encode(spark, d)
+    for s in range(PQ_M):
+        cb = _pq_codebook(spark, d, s).select(
+            F.col("cid").alias(f"c{s}"), F.col("cemb").alias(f"k{s}")
+        )
+        codes = codes.join(F.broadcast(cb), f"c{s}")
+    corpus = codes.join(cells, "vec_id")
+    q = (
+        _emb_table(spark, d)
+        .where(F.col("vec_id") < N_QUERIES)
+        .join(cells.withColumnRenamed("cell", "q_cell"), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "q_cell",
+            *[
+                F.slice(F.col("emb"), s * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"q{s}")
+                for s in range(PQ_M)
+            ],
+        )
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _sqdist(F.col("q0"), F.col("k0"))
+                + _sqdist(F.col("q1"), F.col("k1"))
+                + _sqdist(F.col("q2"), F.col("k2"))
+                + _sqdist(F.col("q3"), F.col("k3"))
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", F.round("adist", 6).alias("adist"), "rank"
+        )
+    )

@@ -1013,3 +1013,96 @@ def text_bigram_lm(spark: SparkSession, d: str) -> DataFrame:
     return agg.orderBy(
         F.desc("n_left_contexts"), F.asc("token")
     ).limit(LM_TOP_TOKENS)
+
+
+@register(
+    "text_lm_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, toks[i] AS l, toks[i + 1] AS r
+      FROM t, UNNEST(range(1, len(toks))) AS u(i)
+    ), clr AS (
+      SELECT l, r, COUNT(*) AS c_lr FROM bg GROUP BY l, r
+    ), cl AS (
+      SELECT l, CAST(SUM(c_lr) AS BIGINT) AS c_l FROM clr GROUP BY l
+    ), v AS (
+      SELECT COUNT(DISTINCT tok) AS vocab
+      FROM (SELECT unnest(toks) AS tok FROM t)
+    ), scored AS (
+      SELECT bg.doc_id,
+             (clr.c_lr + 1) * 1000000 // (cl.c_l + v.vocab) AS p_micro
+      FROM bg JOIN clr USING (l, r) JOIN cl USING (l) CROSS JOIN v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(p_micro) AS BIGINT) AS sum_p_micro,
+           CAST(SUM(p_micro) AS DOUBLE) / COUNT(*) AS avg_p_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, d: str) -> DataFrame:
+    """Per-document language-model familiarity score — the CCNet-style
+    quality filter: score each document by the average add-1-smoothed
+    conditional probability of its bigrams under the corpus-trained
+    bigram LM, P(r|l) = (c(l,r)+1) / (c(l)+V). Out-of-distribution
+    documents (gibberish, wrong-language, boilerplate) score near the
+    smoothing floor; in-distribution prose scores high — threshold or
+    bucket on ``avg_p_micro`` to filter. (Production CCNet uses a
+    5-gram KenLM perplexity; the statistic here is bigram and the score
+    is a probability rather than its log, because ln() is not
+    bit-portable across engines — the RANKING is the same, which is
+    what the filter thresholds on.)
+
+    Exactness: probabilities are fixed-point micro-units computed with
+    pure BIGINT arithmetic — (c_lr+1)*1e6 div (c_l+V) — so every value
+    is integer-exact cross-engine; the final average is one int/int
+    double division (IEEE-exact). The oracle CASTs its sums to BIGINT
+    to keep DuckDB's pandas path off HUGEINT→float64 (see
+    tests/test_grading_dtypes.py).
+
+    Scale (100 TB): bigrams generate in-row (no self-join); the bigram
+    LM table c(l,r) is one shuffle over the corpus bigrams and c(l) is
+    a vocab-sized rollup of it (never a second corpus pass); scoring
+    re-joins the corpus bigrams against the LM on (l,r) — the standard
+    train-then-score shape where the LM table is the only state. V is
+    a broadcast scalar. Docs with <2 tokens have no bigrams and are
+    absent by construction on both sides."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    docs = load(spark, d, "documents").select("doc_id", toks.alias("toks"))
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("l"),
+                F.element_at("toks", i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.l", "p.r"
+    )
+    clr = bg.groupBy("l", "r").agg(F.count("*").alias("c_lr"))
+    # c(l) rolls up from c(l,r) — no second pass over the corpus bigrams
+    cl = clr.groupBy("l").agg(F.sum("c_lr").cast("long").alias("c_l"))
+    vocab = (
+        docs.select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    scored = (
+        bg.join(clr, ["l", "r"])
+        .join(cl, "l")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr("(c_lr + 1) * 1000000 div (c_l + vocab)").alias("p_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("p_micro").alias("sum_p_micro"),
+        (F.sum("p_micro").cast("double") / F.count("*")).alias("avg_p_micro"),
+    )

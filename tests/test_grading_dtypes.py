@@ -86,3 +86,19 @@ def test_running_totals_oracle_stays_integer(duck):
     if big > 10**6:  # magnitudes large enough that %.6g would mangle
         v = pdf.loc[pdf["total_micros"].abs().idxmax(), "total_micros"]
         assert _canon(v) == str(int(v))
+
+
+def test_grading_window_order_is_pinned():
+    """The driver grades the FIRST 50 keys of queries() registration
+    order. Round 5 rotates the never-officially-graded keys (plus the
+    r3/r4-red stream_running_totals, which must stay sampled) into
+    that window — pin the ordering so a registry refactor cannot
+    silently rotate them back out."""
+    from pro_etl_spark import _R05_WINDOW, _R06_QUEUE
+
+    keys = list(pro_etl_spark.get_queries())
+    assert keys[: len(_R05_WINDOW)] == _R05_WINDOW
+    assert keys[0] == "stream_running_totals"
+    assert len(_R05_WINDOW) == 50
+    # the round-6 window head queues immediately after
+    assert keys[len(_R05_WINDOW) : len(_R05_WINDOW) + len(_R06_QUEUE)] == _R06_QUEUE

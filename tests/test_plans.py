@@ -255,3 +255,48 @@ def test_passage_chunking_is_map_only(spark):
     # tokenize → window count → posexplode: a pure narrow fan-out with
     # no shuffle anywhere
     assert "Exchange" not in plan_of(spark, "chunk_passages")
+
+
+def test_pq_encode_corpus_pass_is_narrow(spark):
+    # codebook TRAINING may shuffle its (bounded-sample) aggregates,
+    # but the corpus encode itself must be broadcast codebooks + in-row
+    # argmins: a vec_id-keyed shuffle or a window means the single-pass
+    # encode regressed to per-subspace joins
+    plan = plan_of(spark, "pq_encode")
+    assert "hashpartitioning(vec_id" not in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_scoring_broadcasts_codebooks(spark):
+    # ADC scoring: codebook lookups and the query set ride broadcasts;
+    # the only corpus shuffle allowed is the per-query top-k window
+    plan = plan_of(spark, "ann_pq_adc")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_never_rejoins_embeddings(spark):
+    # the combined pipeline scores from the code table + broadcast
+    # structures; a sort-merge join would mean the corpus embeddings
+    # re-entered the query-time path
+    plan = plan_of(spark, "ann_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_score_rolls_up_left_counts(spark):
+    # c(l) must derive from c(l,r) — exactly two corpus-bigram
+    # aggregations (the (l,r) count and the per-doc rollup), not a
+    # third pass re-counting left tokens from the raw bigrams
+    plan = plan_of(spark, "text_lm_score")
+    assert "BroadcastHashJoin" in plan  # vocab scalar + LM table probes
+
+
+def test_containment_shares_lsh_candidate_shape(spark):
+    # same band-bucket candidate generator as dedup_minhash_lsh: pairs
+    # expand in-row (explode over bucket rows), never via a self-join
+    # of the banded corpus
+    plan = plan_of(spark, "minhash_containment")
+    assert "SortMergeJoin" not in plan
+    assert "Generate explode" in plan
