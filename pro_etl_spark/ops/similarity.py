@@ -941,6 +941,10 @@ def _pq_codebook(spark: SparkSession, d: str, s: int) -> DataFrame:
     members = a0.groupBy("cid").agg(
         F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("ms")
     )
+    # NOT cached (measured): the codebook is a PQ_K-row broadcast-side
+    # aggregate whose duplicate subtrees are latency- not compute-bound;
+    # adding .cache() inserted materialization barriers per codebook and
+    # benched ~10% SLOWER on ann_ivfpq_topk, so the plans stay pure
     return members.select(
         "cid",
         F.transform(
