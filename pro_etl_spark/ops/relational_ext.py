@@ -795,3 +795,56 @@ def agg_distinct_overlap(spark: SparkSession, d: str) -> DataFrame:
             "n_both"
         ),
     )
+
+
+#: fixed pivot-key list — pivoting with an EXPLICIT value list keeps
+#: the plan a single aggregate pass; omitting it makes Spark run a
+#: separate distinct-values job and collect the keys onto the driver
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_MEASURES = ",\n           ".join(
+    f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}_n,\n"
+    f"           CAST(SUM(CAST(value AS DECIMAL(18,6)))"
+    f" FILTER (WHERE event_type = '{t}') AS DOUBLE) AS {t}_v"
+    for t in _EVENT_TYPES
+)
+
+
+@register(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           {_PIVOT_MEASURES}
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def pivot_event_counts(spark: SparkSession, d: str) -> DataFrame:
+    """Wide reshape via ``groupBy().pivot()`` — the long→wide twin of
+    ``unpivot_measures``: per day, one (count, DECIMAL-routed value
+    sum) column pair per event type. The pivot carries an EXPLICIT
+    values list, so Catalyst plans ONE aggregate pass (PivotFirst
+    partials, map-side combinable) — without the list Spark first runs
+    a distinct-values job and collects the pivot keys driver-side, the
+    classic accidental two-pass pivot.
+
+    Semantics pinned cross-engine: an absent (day, type) cell is count
+    0 (Spark's pivot yields NULL there — coalesced to match SQL's
+    ``COUNT(*) FILTER``) but sum NULL on both sides (empty SUM is NULL
+    in both engines). Scale: one shuffle on the group key; the pivot
+    width is schema-bounded (types × measures), never data-bounded."""
+    ev = load(spark, d, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    piv = ev.groupBy("day").pivot("event_type", _EVENT_TYPES).agg(
+        # count(lit(1)), not count("*"): star expansion is rejected
+        # inside a Pivot aggregate
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC6)).cast("double").alias("v"),
+    )
+    cols = [F.col("day")]
+    for t in _EVENT_TYPES:
+        cols.append(
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"{t}_n")
+        )
+        cols.append(F.col(f"{t}_v"))
+    return piv.select(*cols)
