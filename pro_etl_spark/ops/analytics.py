@@ -724,3 +724,208 @@ def anomaly_mad(spark: SparkSession, d: str) -> DataFrame:
             "n_outliers"
         ),
     )
+
+
+# --- last-touch attribution ------------------------------------------
+
+#: attribution lookback: a purchase credits the user's most recent
+#: click at most this many minutes before it
+ATTR_WINDOW_MIN = 30
+
+
+@register(
+    "funnel_attribution",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS click_id,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS click_ts
+      FROM events
+    )
+    SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts,
+           CASE WHEN click_ts >= ts - INTERVAL '{ATTR_WINDOW_MIN} minutes'
+                THEN click_id END AS attributed_click_id,
+           CASE WHEN click_ts >= ts - INTERVAL '{ATTR_WINDOW_MIN} minutes'
+                THEN CAST(floor(date_diff('second', click_ts, ts) / 60.0)
+                          AS BIGINT) END AS minutes_since_click,
+           CAST(value AS DOUBLE) AS revenue
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+)
+def funnel_attribution(spark: SparkSession, d: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the same user's
+    most recent click within ATTR_WINDOW_MIN minutes (NULL attribution
+    when the trail is cold) — the marketing-warehouse join that is
+    really an as-of join inside one stream.
+
+    Scale: ONE shuffle on user_id; both carry-forward columns share
+    the identical window spec (same partition, order, frame), so they
+    evaluate in a single Window operator pass — no self-join of events
+    against events, which is how warehouses usually (quadratically)
+    write this."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    ordered = load(spark, d, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_id"),
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+    )
+    fresh = F.col("click_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ATTR_WINDOW_MIN} MINUTES"
+    )
+    return ordered.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(fresh, F.col("click_id")).alias("attributed_click_id"),
+        F.when(
+            fresh,
+            F.floor(
+                (
+                    F.unix_timestamp("ts") - F.unix_timestamp("click_ts")
+                ) / 60.0
+            ).cast("long"),
+        ).alias("minutes_since_click"),
+        F.col("value").cast("double").alias("revenue"),
+    )
+
+
+# --- retention cohorts -----------------------------------------------
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT e.user_id, c.cohort_day,
+             date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN cohort c ON e.user_id = c.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM active GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, d: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their first
+    active day; each (cohort_day, day_offset) cell counts distinct
+    users from that cohort active day_offset days later — the
+    triangle behind every retention curve.
+
+    Scale: cohort assignment is one map-combinable min() keyed by
+    user_id; the activity join is keyed by the SAME user_id (the
+    cohort table is per-user-tiny and AQE broadcast-eligible; on a
+    shuffle plan it reuses the events partitioning), and the per-user
+    distinct day set dedups before the final small cell aggregate —
+    the 100 TB events table is shuffled once by user, never by cell."""
+    ev = load(spark, d, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset")).agg(
+        F.count("*").cast("long").alias("n_active_users")
+    )
+
+
+# --- exponential smoothing -------------------------------------------
+
+#: EWMA decay α = 1/2 and frame depth. α = 2^-1 makes every weight an
+#: exact power of two, so weighting is exact SCALING in IEEE doubles
+#: and the fixed-order fold below is bit-identical cross-engine — the
+#: reason this α (not 0.3) anchors the value oracle. Other αs swap in
+#: with the oracle demoted to a tolerance check.
+EWMA_DEPTH = 16
+
+
+@register(
+    "window_ewma",
+    oracle=f"""
+    WITH framed AS (
+      SELECT event_id, user_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {EWMA_DEPTH - 1} PRECEDING
+                                        AND CURRENT ROW) AS vals
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(len(vals) AS BIGINT) AS n_in_frame,
+           ROUND(
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_reverse(vals),
+                   (v, k) -> v * power(2.0, -(k - 1)))),
+               (acc, x) -> acc + x)
+             / (2.0 - power(2.0, -(len(vals) - 1))), 6) AS ewma
+    FROM framed
+    """,
+)
+def window_ewma(spark: SparkSession, d: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/2) over each
+    user's event-value series, depth-limited to EWMA_DEPTH rows — the
+    time-series smoothing pass a metrics pipeline runs before anomaly
+    thresholds. Weights are normalized over the visible frame so the
+    series starts unbiased (short frames average over what exists).
+
+    Determinism: newest-first weights 2^-1, 2^-2, … are exact in IEEE
+    doubles, the fold runs in one fixed (frame) order on both engines,
+    and the normalizer 2 - 2^-(n-1) is exact — so the oracle is
+    value-exact, not a tolerance check.
+
+    Scale: ONE shuffle on user_id; the frame is bounded (EWMA_DEPTH
+    rows), so state per row is constant — the distributed rewrite of a
+    stateful scan that would otherwise serialize the stream."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_DEPTH - 1), Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    framed = load(spark, d, "events").select(
+        "event_id", "user_id", "ts", vals.alias("vals")
+    )
+    n = F.size("vals")
+    weighted = F.aggregate(
+        F.zip_with(
+            F.reverse(F.col("vals")),
+            F.sequence(F.lit(0), n - 1),
+            lambda v, k: v * F.pow(F.lit(2.0), -k.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.lit(2.0) - F.pow(F.lit(2.0), -(n - 1).cast("double"))
+    return framed.select(
+        "event_id",
+        "user_id",
+        "ts",
+        n.cast("long").alias("n_in_frame"),
+        F.round(weighted / norm, 6).alias("ewma"),
+    )

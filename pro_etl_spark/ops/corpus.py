@@ -446,3 +446,173 @@ def dedup_canonical_by_quality(spark: SparkSession, d: str) -> DataFrame:
         F.col("n_tokens").alias("canonical_tokens"),
         "n_members",
     )
+
+
+# --- cross-document duplicated-span profiling ------------------------
+
+#: span width for duplication profiling (ExactSubstr-style evidence;
+#: real deployments use 50-token spans over a suffix array — the
+#: n-gram approximation keeps the same signal distributable)
+SPAN_TOKENS = 6
+
+#: spans present in more than this many docs are boilerplate, not
+#: duplication evidence between a specific pair of docs
+SPAN_MAX_DF = 64
+
+
+@register(
+    "dup_span_profile",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), sp AS (
+      SELECT DISTINCT doc_id,
+             {DUCK_HASH60.format(
+                 x=f"array_to_string(list_slice(toks, i, i + {SPAN_TOKENS - 1}), ' ')"
+             )} AS h
+      FROM t, UNNEST(range(1, greatest(len(toks) - {SPAN_TOKENS - 2}, 2)))
+             AS u(i)
+    ), df AS (
+      SELECT h, count(*) AS n_docs FROM sp GROUP BY h
+    )
+    SELECT sp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (WHERE df.n_docs > 1
+                                 AND df.n_docs <= {SPAN_MAX_DF})
+                AS BIGINT) AS n_dup_spans,
+           ROUND(CAST(count(*) FILTER (WHERE df.n_docs > 1
+                                       AND df.n_docs <= {SPAN_MAX_DF})
+                      AS DOUBLE) / count(*), 6) AS dup_frac
+    FROM sp JOIN df USING (h) GROUP BY sp.doc_id
+    """,
+)
+def dup_span_profile(spark: SparkSession, d: str) -> DataFrame:
+    """Per-document duplicated-span profiling: the fraction of a doc's
+    SPAN_TOKENS-token spans that also occur in at least one OTHER
+    document (distinct spans per doc; spans above SPAN_MAX_DF document
+    frequency are boilerplate and excluded from the dup signal). This
+    is the audit signal behind train-set contamination / memorization
+    studies — which docs carry heavily duplicated passages — computed
+    as a distributable approximation of suffix-array ExactSubstr dedup.
+    Docs shorter than SPAN_TOKENS contribute their whole text as their
+    single span, so every document gets a profile row.
+
+    Scale: shuffles span *hashes* (60-bit, never the text) to count
+    document frequency, then one key shuffle back to the doc — no
+    self-join, no pair expansion, so common boilerplate cannot blow up
+    a bucket (it is counted once and filtered by SPAN_MAX_DF)."""
+    docs = load(spark, d, "documents").select("doc_id", _toks().alias("toks"))
+    n_spans = F.greatest(F.size("toks") - (SPAN_TOKENS - 1), F.lit(1))
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_spans),
+                    lambda i: hash60(
+                        F.array_join(F.slice("toks", i, SPAN_TOKENS), " ")
+                    ),
+                )
+            )
+        ).alias("h"),
+    )
+    df_ = spans.groupBy("h").agg(F.count("*").alias("n_docs"))
+    per_doc = spans.join(df_, "h").groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(
+            ((F.col("n_docs") > 1) & (F.col("n_docs") <= SPAN_MAX_DF)).cast(
+                "long"
+            )
+        ).alias("n_dup_spans"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.round(F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6)
+        .alias("dup_frac"),
+    )
+
+
+# --- training-mix allocation -----------------------------------------
+
+#: mixing temperature α: source weight ∝ tokens^α. α < 1 upsamples
+#: small/rare sources relative to their raw token share — the standard
+#: multi-source LLM-pretraining rebalancing knob.
+MIX_ALPHA = 0.5
+
+
+@register(
+    "corpus_mix_weights",
+    oracle=r"""
+    WITH s AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT *, CAST(ROUND(sqrt(n_tokens), 6) AS DECIMAL(38,6)) AS w
+      FROM s
+    ), t AS (
+      SELECT CAST(SUM(w) AS DOUBLE) AS tw,
+             CAST(SUM(n_tokens) AS BIGINT) AS tt
+      FROM w
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           n_tokens,
+           ROUND(CAST(w AS DOUBLE) / tw, 6) AS mix_share,
+           ROUND(LEAST(1.0,
+               ROUND(CAST(w AS DOUBLE) / tw, 6) * tt / n_tokens), 6)
+             AS sample_rate
+    FROM w, t
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, d: str) -> DataFrame:
+    """Training-mix allocation: per-source token census → temperature-
+    scaled mixing weights (share ∝ tokens^MIX_ALPHA, the T5/PaLM
+    rebalancing rule that keeps big crawls from drowning small
+    high-quality sources) → the per-source sampling rate that realizes
+    the mix within the corpus's own token budget (capped at 1 — a
+    source cannot be sampled above its size without repetition).
+
+    Determinism: token counts are exact BIGINTs; the only float steps
+    (sqrt, one division, one multiply) are IEEE-identical cross-engine,
+    and the weight SUM is routed through DECIMAL so partial-aggregation
+    order cannot perturb it.
+
+    Scale: one map-side-combinable aggregation over the corpus (the
+    token count), then arithmetic over a source-cardinality table with
+    a broadcast single-row total. The 100 TB input is touched once."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    s = (
+        load(spark, d, "documents")
+        .select("source", F.size(toks).cast("long").alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    w = s.withColumn(
+        "w", F.round(F.sqrt("n_tokens"), 6).cast("decimal(38,6)")
+    )
+    t = w.agg(
+        F.sum("w").cast("double").alias("tw"),
+        F.sum("n_tokens").cast("long").alias("tt"),
+    )
+    share = F.round(F.col("w").cast("double") / F.col("tw"), 6)
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            share.alias("mix_share"),
+            F.round(
+                F.least(F.lit(1.0), share * F.col("tt") / F.col("n_tokens")),
+                6,
+            ).alias("sample_rate"),
+        )
+    )

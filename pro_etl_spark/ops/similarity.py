@@ -1196,3 +1196,59 @@ def ann_ivfpq_topk(spark: SparkSession, d: str) -> DataFrame:
             "query_id", "neighbor_id", F.round("adist", 6).alias("adist"), "rank"
         )
     )
+
+
+# --- radius (range) search -------------------------------------------
+
+#: cosine radius for range search. The synthetic embeddings are
+#: near-orthogonal random vectors (max query-corpus cosine ≈ 0.40 at
+#: sf0.01), so the radius sits where a real recall set exists.
+RANGE_RADIUS = 0.3
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({DUCK_DOT.format(a="q.embedding", b="c.embedding")}
+                 / (q.nrm * c.nrm), 6) AS cosine
+    FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    WHERE {DUCK_DOT.format(a="q.embedding", b="c.embedding")}
+          / (q.nrm * c.nrm) >= {RANGE_RADIUS}
+    """,
+)
+def ann_range_search(spark: SparkSession, d: str) -> DataFrame:
+    """Radius (range) search: every corpus vector within cosine ≥
+    RANGE_RADIUS of each query — the "all neighbors in range" twin of
+    top-k, used for dedup sweeps and recall-set construction where k
+    is unknown a priori.
+
+    Scale: identical posture to ann_cosine_topk — queries broadcast,
+    corpus scanned once, scoring is a JVM fold, and (unlike top-k) no
+    window at all: the radius predicate filters map-side, so the
+    operator is a pure narrow scan with zero shuffle. Cell-pruned
+    variants (ann_ivf_*) apply unchanged when the radius is tight
+    enough that probed cells bound the recall set."""
+    e = corpus_table(spark, d)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    return (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .where(cos >= RANGE_RADIUS)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

@@ -383,3 +383,43 @@ def sql_percentile_within_group(spark: SparkSession, d: str) -> DataFrame:
     documented swap for heavy-hitter groups at 100 TB."""
     _views(spark, d)
     return spark.sql(SQL_PERCENTILE_WITHIN_GROUP)
+
+
+#: TPC-H Q8-adjacent market-share: ANSI WINDOW FUNCTIONS OVER GROUPED
+#: AGGREGATES — SUM(SUM(..)) OVER and RANK() OVER evaluated after the
+#: GROUP BY, the SQL surface the DataFrame window family doesn't
+#: exercise. One string, both engines; revenue sums DECIMAL-routed so
+#: the share division and the rank ordering see identical values.
+SQL_MARKET_SHARE = """
+SELECT r_name AS region, n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+            AS DOUBLE) AS revenue,
+       ROUND(
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+              AS DOUBLE)
+         / CAST(SUM(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(27,6))))
+                  OVER (PARTITION BY r_name) AS DOUBLE),
+         6) AS region_share,
+       CAST(RANK() OVER (PARTITION BY r_name
+                         ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount)
+                                           AS DECIMAL(27,6))) DESC)
+            AS BIGINT) AS region_rank
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+@register("sql_market_share", oracle=SQL_MARKET_SHARE)
+def sql_market_share(spark: SparkSession, d: str) -> DataFrame:
+    """Nation revenue share + rank within its region: window functions
+    OVER grouped aggregates in pure ANSI SQL. Catalyst plans the five
+    joins with broadcast dims, the aggregate partial+final, and ONE
+    extra exchange on r_name for both windows (they share the
+    partition spec); the fact table is scanned and shuffled once."""
+    _views(spark, d)
+    return spark.sql(SQL_MARKET_SHARE)

@@ -322,3 +322,77 @@ def stream_running_totals(spark: SparkSession, d: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.expr("max_by(total_micros, n_events)").alias("total_micros"),
     )
+
+
+# --- watermark lateness audit ----------------------------------------
+
+#: allowed lateness, matching streaming_jobs' withWatermark delay
+LATE_TOLERANCE_MIN = 10
+
+
+def late_audit(ev: DataFrame) -> DataFrame:
+    """Per-key watermark lateness audit (batch replay of T4's
+    watermark-drop semantics): events arrive in event_id order; an
+    event is LATE when its event time is more than LATE_TOLERANCE_MIN
+    behind the maximum event time its key has already seen. This is
+    exactly which rows ``withWatermark("ts", "10 minutes")`` would
+    drop from a per-key aggregation if the stream replayed in
+    event_id order — but computed as an auditable batch column instead
+    of silently discarded state."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    high_water = F.max("ts").over(w)
+    return (
+        ev.select("event_id", "user_id", "ts")
+        .withColumn(
+            "is_late",
+            F.coalesce(
+                F.col("ts")
+                < high_water - F.expr(
+                    f"INTERVAL {LATE_TOLERANCE_MIN} MINUTES"
+                ),
+                F.lit(False),
+            ),
+        )
+    )
+
+
+@register(
+    "stream_late_drop",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE is_late) AS BIGINT) AS n_late,
+           CAST(min(event_id) FILTER (WHERE is_late) AS BIGINT)
+             AS first_late_event_id
+    FROM (
+      SELECT user_id, event_id,
+             coalesce(ts < max(ts) OVER (
+                 PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) - INTERVAL '{LATE_TOLERANCE_MIN} minutes', false)
+               AS is_late
+      FROM events
+    ) GROUP BY user_id
+    """,
+)
+def stream_late_drop(spark: SparkSession, d: str) -> DataFrame:
+    """T4 made auditable: per-key lateness census under a
+    LATE_TOLERANCE_MIN watermark — how many events each key would
+    lose, and the first dropped event id. Production streams tune
+    their watermark delay from exactly this replay report.
+
+    Scale: one shuffle on user_id for the running-max window; the
+    aggregate reuses the same partitioning (no second shuffle —
+    groupBy key is the window partition key)."""
+    audited = late_audit(load(spark, d, "events"))
+    return audited.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("is_late").cast("long")).alias("n_late"),
+        F.min(F.when(F.col("is_late"), F.col("event_id")))
+        .cast("long")
+        .alias("first_late_event_id"),
+    )

@@ -1106,3 +1106,92 @@ def text_lm_score(spark: SparkSession, d: str) -> DataFrame:
         F.sum("p_micro").alias("sum_p_micro"),
         (F.sum("p_micro").cast("double") / F.count("*")).alias("avg_p_micro"),
     )
+
+
+# --- hashed-feature linear quality classifier ------------------------
+#
+# fastText-style document scorer (the production replacement for the
+# heuristic text_quality signals): unigram + bigram features hashed
+# into FC_BUCKETS buckets, a linear layer over the bucket weights, and
+# a keep/drop decision at logit 0. The weights here are derived
+# deterministically from the bucket id (a stand-in for a trained
+# weight vector — this container has no model artifact), so the whole
+# scorer is value-oracle-checkable; swapping in trained weights is a
+# broadcast-join against a (bucket, weight) table with the identical
+# plan. Reference scope: the reference has no ML scorer (migrate.py is
+# schema migration only) — this is part of the LLM-pipeline mandate.
+
+FC_BUCKETS = 1 << 20
+FC_WSPAN = 2001  # integer weights in [-1000, 1000] milli-units
+
+
+def _fc_weight(feat: Column) -> Column:
+    """Deterministic integer weight of a feature string: bucket =
+    hash60(feat) % FC_BUCKETS, weight = bucket % FC_WSPAN - 1000."""
+    return (hash60(feat) % FC_BUCKETS) % FC_WSPAN - 1000
+
+
+_DUCK_FC_W = (
+    f"(({DUCK_HASH60.format(x='{f}')} % {FC_BUCKETS}) % {FC_WSPAN} - 1000)"
+)
+
+
+@register(
+    "text_quality_classifier",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id, toks,
+             list_transform(toks, x -> {_DUCK_FC_W.format(f='x')}) AS uw,
+             list_transform(range(1, len(toks)),
+               i -> {_DUCK_FC_W.format(f="toks[i] || '_' || toks[i+1]")}) AS bw
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(uw) + len(bw) AS BIGINT) AS n_feats,
+           CAST(coalesce(list_sum(uw), 0) + coalesce(list_sum(bw), 0)
+                AS BIGINT) AS logit_millis,
+           CASE WHEN coalesce(list_sum(uw), 0) + coalesce(list_sum(bw), 0) >= 0
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM f
+    """,
+)
+def text_quality_classifier(spark: SparkSession, d: str) -> DataFrame:
+    """Hashed-feature linear document classifier (fastText shape):
+    unigrams + position-order bigrams → 2^20 hash buckets → integer
+    milli-weights summed into a logit, thresholded at 0 into a
+    keep/drop label.
+
+    Scale: map-only — every feature is hashed, weighted, and summed
+    in-row with JVM higher-order functions (transform + aggregate); no
+    shuffle, no UDF, no vocabulary state. That is the point of the
+    hashing trick at 100 TB: the feature space never materializes.
+    With a trained weight vector the only change is a broadcast join
+    from bucket id to weight."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    docs = load(spark, d, "documents").select("doc_id", toks.alias("toks"))
+    uni_w = F.transform(F.col("toks"), _fc_weight)
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi_w = F.transform(bigrams, _fc_weight)
+    lsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    logit = (lsum(uni_w) + lsum(bi_w)).alias("logit_millis")
+    return docs.select(
+        "doc_id",
+        (F.size(uni_w) + F.size(bi_w)).cast("long").alias("n_feats"),
+        logit,
+        F.when(lsum(uni_w) + lsum(bi_w) >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )

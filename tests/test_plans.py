@@ -35,6 +35,7 @@ NARROW = [
     "split_train_test",
     "fn_cast",
     "fn_math",
+    "text_quality_classifier",
 ]
 
 
@@ -300,3 +301,74 @@ def test_containment_shares_lsh_candidate_shape(spark):
     plan = plan_of(spark, "minhash_containment")
     assert "SortMergeJoin" not in plan
     assert "Generate explode" in plan
+
+
+def test_range_search_is_broadcast_scan(spark):
+    # radius search: queries broadcast (non-equi predicate → BNLJ over
+    # the tiny query side), corpus scanned once, zero shuffles — the
+    # whole point of range search vs top-k is that no window/sort is
+    # ever needed
+    plan = plan_of(spark, "ann_range_search")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_late_drop_audit_shuffles_once_per_key(spark):
+    # running-max window and the per-key census share user_id
+    # partitioning: exactly one key shuffle
+    plan = plan_of(spark, "stream_late_drop")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_span_profile_has_no_pair_expansion(spark):
+    # document-frequency profiling must stay a count-join-count chain:
+    # two key shuffles (span hash, then doc key), never a pair join of
+    # the span table against itself
+    plan = plan_of(spark, "dup_span_profile")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_chunk_dedup_pairs_expand_in_row(spark):
+    # inverted chunk index + pair aggregate: two key shuffles; pairs
+    # come from in-row posting-list expansion, so no join operator of
+    # any kind may appear
+    plan = plan_of(spark, "mm_chunk_dedup")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_attribution_is_one_window_pass(spark):
+    # both carry-forward columns share one window spec: a single
+    # Window operator, ONE user_id shuffle, and no events-vs-events
+    # self-join anywhere
+    plan = plan_of(spark, "funnel_attribution")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_retention_cohorts_shuffle_by_user_not_cell(spark):
+    # the events table may shuffle by user_id (cohort min + join); the
+    # final cell aggregate is over the tiny distinct set — but never a
+    # shuffle keyed by the cell itself before dedup
+    plan = plan_of(spark, "retention_cohorts")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_ewma_is_one_bounded_window(spark):
+    # depth-bounded frame: one user_id shuffle, one Window operator,
+    # and the weighting fold stays in-row (no join, no second pass)
+    plan = plan_of(spark, "window_ewma")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_market_share_windows_reuse_one_exchange(spark):
+    # dims broadcast; the grouped agg shuffles on (region, nation) and
+    # both OVER (PARTITION BY region) windows share one more exchange —
+    # at most two key shuffles total, fact scanned once
+    plan = plan_of(spark, "sql_market_share")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
