@@ -772,3 +772,105 @@ def dedup_embedding_cosine(spark: SparkSession, d: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             list_transform({_TOKSET_SQL}, t -> {DUCK_HASH60.format(x="t")})
+               AS th,
+             {_MINHASH_SIG_SQL} AS sig
+      FROM documents
+    ), bands AS (
+      SELECT doc_id, b.band,
+             md5(array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4), '-'))
+               AS bucket
+      FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS band) b
+    ), capped AS (
+      SELECT * FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {MAX_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), m AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(
+               list_transform(range(1, {MINHASH_PERMS + 1}),
+                              i -> sa.sig[i] = sb.sig[i]),
+               x -> x)) AS n_match,
+             len(list_intersect(sa.th, sb.th)) AS li,
+             len(sa.th) + len(sb.th) - len(list_intersect(sa.th, sb.th)) AS lu
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_match AS BIGINT) AS n_sig_match,
+           CAST(n_match AS DOUBLE) / {MINHASH_PERMS} AS est_jaccard,
+           ROUND(CAST(li AS DOUBLE) / lu, 6) AS jaccard,
+           ROUND(ABS(CAST(n_match AS DOUBLE) / {MINHASH_PERMS}
+                     - CAST(li AS DOUBLE) / lu), 6) AS abs_err
+    FROM m
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, d: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash pipeline: for every LSH
+    candidate pair, the signature-agreement Jaccard ESTIMATE
+    (matching permutations / 16 — the only similarity a
+    signature-only system ever sees) next to the EXACT token-set
+    Jaccard and the absolute error. This is the calibration report
+    that justifies the band/row configuration: E[est] = J, and the
+    observed error distribution tells you whether 16 permutations are
+    enough for the corpus before you commit to signature-only dedup
+    at full scale.
+
+    Scale: candidates come from the SAME bounded LSH generator as
+    production dedup (no all-pairs anywhere); signatures and token
+    hashes come from the cached token table, so the audit adds two
+    key-joins over pair-sized data — at 100 TB you run it on a
+    sampled corpus slice and keep the same plan."""
+    tok = _token_table(spark, d)
+    cand = _lsh_candidates(tok)
+    sigs = tok.select(
+        "doc_id",
+        _minhash_perms(F.col("th60")).alias("sig"),
+        F.col("th60").alias("th"),
+    )
+    j = (
+        cand.join(
+            sigs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sig").alias("sig_a"),
+                F.col("th").alias("th_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sig").alias("sig_b"),
+                F.col("th").alias("th_b"),
+            ),
+            "doc_b",
+        )
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    li = F.size(F.array_intersect("th_a", "th_b"))
+    lu = F.size("th_a") + F.size("th_b") - li
+    est = n_match.cast("double") / MINHASH_PERMS
+    exact = li.cast("double") / lu
+    return j.select(
+        "doc_a",
+        "doc_b",
+        n_match.cast("long").alias("n_sig_match"),
+        est.alias("est_jaccard"),
+        F.round(exact, 6).alias("jaccard"),
+        F.round(F.abs(est - exact), 6).alias("abs_err"),
+    )

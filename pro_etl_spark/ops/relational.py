@@ -417,6 +417,53 @@ def join_asof_tolerance(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           (SELECT MIN(c.ts) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts >= p.ts)
+             AS next_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_forward(spark: SparkSession, d: str) -> DataFrame:
+    """J7c: FORWARD as-of join (pandas ``merge_asof(direction=
+    'forward')``): for each purchase, the nearest FOLLOWING click by
+    the same user — the "next action after conversion" lookup. Same
+    one-shuffle union+window design as ``join_asof``, mirrored: the
+    frame looks from the current row to the partition end and
+    ``first(..., ignorenulls=True)`` picks the earliest click at or
+    after the purchase (clicks order AFTER purchases at identical ts
+    so ts-equality counts, matching the oracle's c.ts >= p.ts)."""
+    ev = load(spark, d, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("is_c"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_c")
+    )
+    u = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_c")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.withColumn(
+        "next_click_ts",
+        F.first(
+            F.when(F.col("is_c") == 1, F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return carried.where(F.col("is_c") == 0).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "next_click_ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 # A — aggregations
 # ---------------------------------------------------------------------------

@@ -461,15 +461,70 @@ def _kmeans_centroids(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+#: trained coarse-quantizer centroids memoized per (application,
+#: dataset) — model state, not data (K_CELLS × 64 doubles)
+_KM_CB_MEMO: dict = {}
+
+
+def _km_centroid_rows(spark: SparkSession, d: str):
+    """The trained coarse quantizer as driver-side model state: a
+    cid-sorted list of ``(cid, [64 floats])``, collected ONCE per
+    session from ``_kmeans_centroids`` and re-entered as literals —
+    the same train-once / inline-the-model pattern as
+    ``_pq_codebook_rows`` (K_CELLS × 64 doubles, bounded by the model,
+    independent of corpus size)."""
+    key = (spark.sparkContext.applicationId, d)
+    rows = _KM_CB_MEMO.get(key)
+    if rows is None:
+        rows = sorted(
+            (r["cid"], [float(v) for v in r["cemb"]])
+            for r in _kmeans_centroids(spark, d).collect()
+        )
+        _KM_CB_MEMO[key] = rows
+    return rows
+
+
+def _km_centroids_arr(spark: SparkSession, d: str):
+    """Literal ``array<struct<cid,cemb>>`` of the trained coarse
+    quantizer (cid-sorted), for in-row argmin assignment and probe
+    ranking. Built as one ``F.expr`` parse (see ``_dbl_arr_sql``)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cid', CAST({cid} AS BIGINT), "
+            f"'cemb', {_dbl_arr_sql(emb)})"
+            for cid, emb in _km_centroid_rows(spark, d)
+        )
+        + ")"
+    )
+
+
 def _kmeans_assignment(spark: SparkSession, d: str) -> DataFrame:
     """One-Lloyd-iteration assignment ``(vec_id, cell, dist)`` — shared
     by ``ivf_kmeans_assign``, ``dedup_embedding_kmeans`` and the
-    k-means ANN queries (cached: identical plans across the consumers
-    hit Spark's CacheManager, so training runs once per session per
-    dataset)."""
-    return _assign(_emb_table(spark, d), _kmeans_centroids(spark, d)).select(
-        "vec_id", F.col("cid").alias("cell"), "dist"
-    ).cache()
+    k-means ANN queries (cached so the corpus pass runs once per
+    session per dataset). The centroids are literal model state, so
+    the assignment is a pure map-only pass — same struct(dist, cid)
+    argmin and tie-break as ``_assign``, with no broadcast exchange
+    and no training subtree inside the corpus job."""
+    carr = _km_centroids_arr(spark, d)
+    best = F.array_min(
+        F.transform(
+            carr,
+            lambda c: F.struct(
+                _sqdist(F.col("emb"), c["cemb"]).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        _emb_table(spark, d)
+        .select("vec_id", best.alias("b"))
+        .select(
+            "vec_id", F.col("b.cid").alias("cell"), F.col("b.dist").alias("dist")
+        )
+        .cache()
+    )
 
 
 def _assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
@@ -671,20 +726,24 @@ def ann_ivf_kmeans_multiprobe(spark: SparkSession, d: str) -> DataFrame:
     equi-join, i.e. NPROBE partition lookups per query at scale."""
     cells = _kmeans_assignment(spark, d).select("vec_id", "cell")
     corpus = corpus_table(spark, d).join(cells, "vec_id")
-    cents = _kmeans_centroids(spark, d)
     q6 = _emb_table(spark, d).where(F.col("vec_id") < N_QUERIES)
-    w = Window.partitionBy("vec_id").orderBy("pdist", "cid")
-    probes = (
-        q6.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cid",
-            _sqdist(F.col("emb"), F.col("cemb")).alias("pdist"),
+    # probe list ranked in-row against the literal centroid model:
+    # array_sort on struct(pdist, cid) is the same (dist, cid)
+    # lexicographic tie-break the old window ranking applied — no
+    # crossJoin, no window, no shuffle for the probe build
+    ranked = F.array_sort(
+        F.transform(
+            _km_centroids_arr(spark, d),
+            lambda c: F.struct(
+                _sqdist(F.col("emb"), c["cemb"]).alias("pdist"),
+                c["cid"].alias("cid"),
+            ),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= NPROBE_KMEANS)
-        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcell"))
     )
+    probes = q6.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.slice(ranked, 1, NPROBE_KMEANS)).alias("p"),
+    ).select("query_id", F.col("p.cid").alias("pcell"))
     qraw = corpus_table(spark, d).where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

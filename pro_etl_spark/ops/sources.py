@@ -708,3 +708,47 @@ def sink_custom_source(spark: SparkSession, d: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "layout_bloom_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey IN (7, 1007, 20007, 300007, 1234567)
+    """,
+)
+def layout_bloom_filter(spark: SparkSession, d: str) -> DataFrame:
+    """File-level bloom-filter index layout: write lineitem as parquet
+    with a bloom filter on ``l_orderkey`` (plus dictionary off for the
+    column, the layout a point-lookup-heavy fact table wants), then
+    serve a sparse point-set predicate from the indexed copy. Parquet
+    bloom filters let a reader skip entire row groups for point
+    predicates on high-cardinality columns where min/max stats are
+    useless (every row group spans most of the key range).
+
+    Scale: the write is a one-pass re-layout (the same job as any
+    compaction); the read pushes the predicate to the scan
+    (PushedFilters) where row-group bloom probes discard non-matching
+    groups before any page decode. The oracle reads the ORIGINAL
+    table — proving the indexed copy is lossless and the bloom probe
+    admits exactly the true matches (no false drops)."""
+    path = _tmp(f"layout_bloom_{dataset_suffix(d)}")
+    _write_once(
+        path,
+        lambda: load(spark, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .sort("l_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "100000")
+        .option("parquet.enable.dictionary#l_orderkey", "false")
+        .parquet(path),
+    )
+    scan = spark.read.schema(
+        "l_orderkey bigint, l_linenumber int, l_quantity double, "
+        "l_extendedprice double"
+    ).parquet(path)
+    return scan.where(
+        F.col("l_orderkey").isin(7, 1007, 20007, 300007, 1234567)
+    )

@@ -375,3 +375,27 @@ def test_market_share_windows_reuse_one_exchange(spark):
     plan = plan_of(spark, "sql_market_share")
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_asof_forward_mirrors_backward_design(spark):
+    # forward as-of: same union + window pattern as join_asof — one
+    # key shuffle, no pairwise join
+    plan = plan_of(spark, "join_asof_forward")
+    assert "Union" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bloom_layout_pushes_point_set(spark):
+    # the IN point-set must reach the parquet scan of the indexed copy
+    # (bloom probes happen below this, in the reader)
+    plan = plan_of(spark, "layout_bloom_filter")
+    assert "PushedFilters: [In(l_orderkey" in plan
+
+
+def test_minhash_estimate_reuses_lsh_candidates(spark):
+    # the audit must ride the bounded LSH candidate generator — no
+    # cartesian, no blocked all-pairs join of the signature table
+    # against itself
+    plan = plan_of(spark, "dedup_minhash_estimate")
+    assert "CartesianProduct" not in plan
