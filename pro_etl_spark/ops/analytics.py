@@ -929,3 +929,107 @@ def window_ewma(spark: SparkSession, d: str) -> DataFrame:
         n.cast("long").alias("n_in_frame"),
         F.round(weighted / norm, 6).alias("ewma"),
     )
+
+
+# --- declarative data-quality expectations ---------------------------
+
+#: (rule name, SQL predicate over orders) — a row VIOLATES the rule
+#: when the predicate is false/null. The thresholds are deliberately
+#: tight enough that real violations exist in the test corpus, so the
+#: audit exercises non-zero paths.
+_DQ_RULES = (
+    ("custkey_not_null", "o_custkey IS NOT NULL"),
+    ("totalprice_range", "o_totalprice BETWEEN 0 AND 400000"),
+    ("status_domain", "o_orderstatus IN ('O', 'F')"),
+    ("orderdate_bounds", "o_orderdate < TIMESTAMP '2001-01-01 00:00:00'"),
+)
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT * FROM (
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+      SELECT '{name}' AS rule,
+             COUNT(*) AS n_checked,
+             COUNT(*) FILTER (WHERE NOT coalesce({pred}, false))
+               AS n_violations,
+             COUNT(*) FILTER (WHERE NOT coalesce({pred}, false)) = 0
+               AS passed
+      FROM orders
+    """
+        for name, pred in _DQ_RULES
+    )
+    + """
+    UNION ALL
+      SELECT 'orderkey_unique' AS rule,
+             COUNT(*) AS n_checked,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations,
+             COUNT(*) = COUNT(DISTINCT o_orderkey) AS passed
+      FROM orders
+    UNION ALL
+      SELECT 'custkey_references_customer' AS rule,
+             COUNT(*) AS n_checked,
+             COUNT(*) FILTER (WHERE c_custkey IS NULL) AS n_violations,
+             COUNT(*) FILTER (WHERE c_custkey IS NULL) = 0 AS passed
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    )
+    """,
+)
+def dq_expectations(spark: SparkSession, d: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ /
+    Great-Expectations contract shape): predicate rules, a uniqueness
+    rule, and a referential-integrity rule, each reported as
+    (rule, n_checked, n_violations, passed). This is the gate a
+    production pipeline evaluates before publishing a partition; the
+    observe()-based ``run_observed_metrics`` is the streaming
+    side-channel twin of the same idea.
+
+    Scale: all predicate rules + uniqueness evaluate in ONE pass over
+    the fact table (conditional aggregates in a single global
+    aggregate, map-side combinable; the exact COUNT DISTINCT is the
+    only Expand — swap approx_count_distinct at 100 TB). The FK rule
+    broadcasts the dimension's key column; the fact never shuffles.
+    The long rule-per-row shape comes from ``stack`` over the single
+    wide aggregate row (in-task reshape, no extra scan); at 100 TB
+    you'd run the audit on the day's partition, not the full
+    history."""
+    o = load(spark, d, "orders")
+    aggs = [F.count("*").alias("n_checked")]
+    names = []
+    for name, pred in _DQ_RULES:
+        names.append(name)
+        aggs.append(
+            F.sum(
+                (~F.coalesce(F.expr(pred), F.lit(False))).cast("long")
+            ).alias(f"v_{name}")
+        )
+    names.append("orderkey_unique")
+    aggs.append(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias(
+            "v_orderkey_unique"
+        )
+    )
+    one = o.agg(*aggs)
+    stack = (
+        f"stack({len(names)}, "
+        + ", ".join(f"'{n}', v_{n}" for n in names)
+        + ") AS (rule, n_violations)"
+    )
+    long = one.selectExpr("n_checked", stack).select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+    cust = F.broadcast(load(spark, d, "customer").select("c_custkey"))
+    fk_viol = F.sum(F.col("c_custkey").isNull().cast("long"))
+    fk = o.join(cust, o.o_custkey == cust.c_custkey, "left").agg(
+        F.lit("custkey_references_customer").alias("rule"),
+        F.count("*").alias("n_checked"),
+        fk_viol.alias("n_violations"),
+        (fk_viol == 0).alias("passed"),
+    )
+    return long.unionByName(fk)

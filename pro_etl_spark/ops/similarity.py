@@ -488,15 +488,7 @@ def _km_centroids_arr(spark: SparkSession, d: str):
     """Literal ``array<struct<cid,cemb>>`` of the trained coarse
     quantizer (cid-sorted), for in-row argmin assignment and probe
     ranking. Built as one ``F.expr`` parse (see ``_dbl_arr_sql``)."""
-    return F.expr(
-        "array("
-        + ",".join(
-            f"named_struct('cid', CAST({cid} AS BIGINT), "
-            f"'cemb', {_dbl_arr_sql(emb)})"
-            for cid, emb in _km_centroid_rows(spark, d)
-        )
-        + ")"
-    )
+    return _cb_arr_expr(_km_centroid_rows(spark, d))
 
 
 def _kmeans_assignment(spark: SparkSession, d: str) -> DataFrame:
@@ -1019,6 +1011,10 @@ def _pq_codebook_rows(spark: SparkSession, d: str, s: int):
             .where(F.col("vec_id") < PQ_K)
             .collect()
         )
+        if not seed_rows:  # 0-row corpus: nothing to train
+            books = {sub: [] for sub in range(PQ_M)}
+            _PQ_CB_MEMO[key] = books
+            return books[s]
         per_s = []
         for sub in range(PQ_M):
             lo, hi = sub * PQ_SUBDIM, (sub + 1) * PQ_SUBDIM
@@ -1091,24 +1087,42 @@ def _dbl_arr_sql(vals) -> str:
     return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
 
 
-def _pq_codebook_arr(spark: SparkSession, d: str, s: int):
-    """Literal ``array<struct<cid,cemb>>`` of subspace ``s``'s trained
-    codebook (cid-sorted), for in-row argmin encoding."""
+#: typed empty-model literals — a 0-row corpus trains 0 centroids, and
+#: a bare ``array()`` / ``map()`` literal would be untyped (struct
+#: field access fails at analysis); the CASTs keep the empty-partition
+#: regime running end-to-end (tests/test_empty_inputs.py)
+_CB_ARR_T = "array<struct<cid:bigint,cemb:array<double>>>"
+_CB_MAP_T = "map<bigint,array<double>>"
+
+
+def _cb_arr_expr(rows):
+    """Literal ``array<struct<cid,cemb>>`` for a (possibly empty)
+    codebook/centroid row list."""
+    if not rows:
+        return F.expr(f"CAST(array() AS {_CB_ARR_T})")
     return F.expr(
         "array("
         + ",".join(
             f"named_struct('cid', CAST({cid} AS BIGINT), "
             f"'cemb', {_dbl_arr_sql(emb)})"
-            for cid, emb in _pq_codebook_rows(spark, d, s)
+            for cid, emb in rows
         )
         + ")"
     )
+
+
+def _pq_codebook_arr(spark: SparkSession, d: str, s: int):
+    """Literal ``array<struct<cid,cemb>>`` of subspace ``s``'s trained
+    codebook (cid-sorted), for in-row argmin encoding."""
+    return _cb_arr_expr(_pq_codebook_rows(spark, d, s))
 
 
 def _pq_codebook_map(spark: SparkSession, d: str, s: int):
     """Literal ``map<cid, cemb>`` of subspace ``s``'s trained codebook,
     for ADC code → sub-centroid lookup."""
     rows = _pq_codebook_rows(spark, d, s)
+    if not rows:
+        return F.expr(f"CAST(map() AS {_CB_MAP_T})")
     cids = ",".join(f"CAST({cid} AS BIGINT)" for cid, _ in rows)
     arrs = ",".join(_dbl_arr_sql(emb) for _, emb in rows)
     return F.expr(f"map_from_arrays(array({cids}), array({arrs}))")

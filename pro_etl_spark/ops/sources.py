@@ -752,3 +752,36 @@ def layout_bloom_filter(spark: SparkSession, d: str) -> DataFrame:
     return scan.where(
         F.col("l_orderkey").isin(7, 1007, 20007, 300007, 1234567)
     )
+
+
+@register(
+    "sink_json",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+)
+def sink_json(spark: SparkSession, d: str) -> DataFrame:
+    """S-gen: JSON-lines sink + rescan — the interchange format every
+    downstream training job reads. Write the document metadata as
+    newline-delimited JSON, read it back with an EXPLICIT schema
+    (schema inference over JSON is a full extra pass and type-unstable
+    — always declare), and prove losslessness by value-matching the
+    parquet base. Completes the sink matrix: parquet (bloom/zorder
+    layouts), ORC, CSV, XML, custom DataSource, and JSON.
+
+    Scale: JSONL is splittable, so the rescan parallelizes per block;
+    compression would be per-file (at 100 TB use zstd + size-bounded
+    files from the same writer). Column pruning still applies on read;
+    predicate pushdown does NOT (no row-group stats) — which is why
+    JSONL is the interchange sink here, never the analytics layout."""
+    path = _tmp(f"sink_json_{dataset_suffix(d)}")
+    _write_once(
+        path,
+        lambda: load(spark, d, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .json(path),
+    )
+    return spark.read.schema(
+        "doc_id bigint, lang string, source string, n_chars bigint"
+    ).json(path)

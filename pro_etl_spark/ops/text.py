@@ -1069,7 +1069,11 @@ def text_lm_score(spark: SparkSession, d: str) -> DataFrame:
     re-joins the corpus bigrams against the LM on (l,r) — the standard
     train-then-score shape where the LM table is the only state. V is
     a broadcast scalar. Docs with <2 tokens have no bigrams and are
-    absent by construction on both sides."""
+    absent by construction on both sides. (Measured alternative: the
+    window-count rewrite — c(l,r)/c(l) as unordered window counts —
+    has fewer shuffles but benches ~20% SLOWER because windows SORT
+    their partitions while the hash aggregates here don't; keep the
+    join form.)"""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     docs = load(spark, d, "documents").select("doc_id", toks.alias("toks"))
     pairs = F.when(

@@ -5,6 +5,7 @@ run any registered operator from the command line.
     python -m pro_etl_spark.query_cli explain <key> [--sf-dir D] [--mode M]
     python -m pro_etl_spark.query_cli run <key> [--sf-dir D]
         [--output PATH --format parquet|csv|json] [--show N]
+    python -m pro_etl_spark.query_cli verify <key> [--sf-dir D]
 
 The reference exposes exactly one hard-wired job (`python migrate.py`,
 /root/reference/migrate.py:308); this CLI generalizes that entry point
@@ -13,6 +14,11 @@ should be reviewed in: `explain` prints the formatted physical plan
 (what a reviewer checks for pushdown/broadcast/shuffle posture) without
 executing anything, and `run` either writes distributed output
 (df.write, no driver materialization) or shows a bounded preview.
+`verify` replays the driver's correctness gate for one key on demand:
+it runs the Spark query AND its DuckDB oracle side by side and
+compares row count, schema, and the order-insensitive value hash —
+the self-serve proof a user reaches for before trusting an operator
+on their own data.
 """
 
 from __future__ import annotations
@@ -94,6 +100,94 @@ def cmd_run(args, spark=None, out=None) -> int:
     return 0
 
 
+def _canon(v) -> str:
+    """Canonicalize one value exactly like the round driver's hash
+    recipe (NULL/bool/float %.6g/isoformat/sorted structs)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    try:
+        if v != v:  # pandas NaN/NaT == SQL NULL
+            return "NULL"
+    except Exception:
+        pass
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if hasattr(v, "isoformat"):
+        s = v.isoformat()
+        if len(s) >= 19 and s[10:19] == "T00:00:00":
+            return s[:10]
+        return s[:19]
+    if hasattr(v, "asDict"):
+        return "{" + ",".join(
+            f"{k}:{_canon(x)}" for k, x in sorted(v.asDict().items())
+        ) + "}"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}:{_canon(x)}" for k, x in sorted(v.items())
+        ) + "}"
+    return str(v)
+
+
+def _hash_rows(cols, rows) -> str:
+    import hashlib
+
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_canon(r[i]) for i in idx) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def cmd_verify(args, spark=None, out=None) -> int:
+    out = out or sys.stdout
+    import pro_etl_spark
+
+    queries = pro_etl_spark.get_queries()
+    oracles = pro_etl_spark.get_oracles()
+    if args.key not in queries:
+        print(f"unknown query {args.key!r} (see `list`)", file=sys.stderr)
+        return 2
+    if args.key not in oracles:
+        print(f"{args.key}: rows-only query (no value oracle registered)",
+              file=out)
+        spark = spark or _get_spark()
+        n = queries[args.key](spark, args.sf_dir).count()
+        print(f"{args.key}: ran, {n} rows", file=out)
+        return 0
+    import duckdb
+
+    spark = spark or _get_spark()
+    sdf = queries[args.key](spark, args.sf_dir)
+    scols = [f.name.lower() for f in sdf.schema.fields]
+    srows = sdf.collect()
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+    # pandas .df() path — the driver's oracle materialization
+    odf = con.execute(oracles[args.key]).df()
+    ocols = [c.lower() for c in odf.columns]
+    orows = list(odf.itertuples(index=False, name=None))
+    rows_ok = len(srows) == len(orows)
+    schema_ok = sorted(scols) == sorted(ocols)
+    hash_ok = _hash_rows(scols, srows) == _hash_rows(ocols, orows)
+    print(
+        f"{args.key}: rows {len(srows)} vs {len(orows)} "
+        f"({'ok' if rows_ok else 'MISMATCH'}), "
+        f"schema {'ok' if schema_ok else 'MISMATCH ' + str(sorted(ocols))}, "
+        f"value-hash {'ok' if hash_ok else 'MISMATCH'}",
+        file=out,
+    )
+    return 0 if (rows_ok and schema_ok and hash_ok) else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pro_etl_spark.query_cli")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -125,6 +219,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pr.add_argument("--show", type=int, default=20, help="preview row cap")
     pr.set_defaults(fn=cmd_run)
+
+    pv = sub.add_parser(
+        "verify", help="run a query against its DuckDB oracle and compare"
+    )
+    pv.add_argument("key")
+    pv.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    pv.set_defaults(fn=cmd_verify)
     return p
 
 

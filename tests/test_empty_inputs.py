@@ -63,6 +63,19 @@ REPRESENTATIVES = [
     "agg_histogram",
     "fn_winsorize",
     "ann_ivf_kmeans_multiprobe",
+    "ann_ivfpq_topk",
+    "text_quality_classifier",
+    "dup_span_profile",
+    "mm_chunk_dedup",
+    "ann_range_search",
+    "stream_late_drop",
+    "corpus_mix_weights",
+    "funnel_attribution",
+    "retention_cohorts",
+    "window_ewma",
+    "dq_expectations",
+    "dedup_minhash_estimate",
+    "join_asof_forward",
     "udtf_bigrams",
     "graph_pagerank",
     "text_winnow",

@@ -399,3 +399,12 @@ def test_minhash_estimate_reuses_lsh_candidates(spark):
     # against itself
     plan = plan_of(spark, "dedup_minhash_estimate")
     assert "CartesianProduct" not in plan
+
+
+def test_dq_predicate_rules_share_one_scan(spark):
+    # predicate + uniqueness rules ride ONE aggregate over one scan,
+    # reshaped long in-task via stack (Generate/Expand, not a union of
+    # per-rule re-scans); the FK branch broadcasts the dim key
+    plan = plan_of(spark, "dq_expectations")
+    assert plan.count("Scan parquet") <= 3  # orders (agg) + orders (fk) + customer
+    assert "BroadcastHashJoin" in plan

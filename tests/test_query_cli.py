@@ -58,3 +58,15 @@ def test_run_preview_and_write(spark, tmp_path):
     assert rc == 0
     back = spark.read.parquet(dest)
     assert back.count() > 0
+
+
+def test_verify_matches_oracle(spark):
+    rc, out = run_cli(["verify", "agg_groupby_count"], spark=spark)
+    assert rc == 0
+    assert "value-hash ok" in out
+
+
+def test_verify_rows_only_key(spark):
+    rc, out = run_cli(["verify", "fn_uuid"], spark=spark)
+    assert rc == 0
+    assert "rows-only" in out
