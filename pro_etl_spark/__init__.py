@@ -123,6 +123,38 @@ _R06_QUEUE = [
     "fn_bitwise",
     "fn_date_arith",
     "fn_collation",
+    # round-5 additions, never officially graded yet — keep every such
+    # key in this queue so the rotation stays a pure list edit
+    "minhash_containment",
+    "dedup_minhash_estimate",
+    "text_lm_score",
+    "text_quality_classifier",
+    "stream_late_drop",
+    "pq_encode",
+    "ann_pq_adc",
+    "ann_ivfpq_topk",
+    "ann_range_search",
+    "embed_quantize_sq8",
+    "mm_chunk_dedup",
+    "layout_bloom_filter",
+    "sink_json",
+    "join_temporal",
+    "merge_cdc_apply",
+    "sql_market_share",
+    "graph_triangles",
+    "funnel_attribution",
+    "retention_cohorts",
+    "window_ewma",
+    "dq_expectations",
+    "join_asof_forward",
+    "pivot_event_counts",
+    "dup_span_profile",
+    "corpus_mix_weights",
+    "text_bm25",
+    "ann_sparse_topk",
+    "sql_top_supplier",
+    "sql_waiting_orders",
+    "window_cumulative_distinct",
 ]
 
 
@@ -146,6 +178,7 @@ def load_all() -> None:
         relational_ext,
         scalars,
         corpus,
+        search,
     )
 
 

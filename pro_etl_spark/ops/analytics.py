@@ -1033,3 +1033,49 @@ def dq_expectations(spark: SparkSession, d: str) -> DataFrame:
         (fk_viol == 0).alias("passed"),
     )
     return long.unionByName(fk)
+
+
+@register(
+    "window_cumulative_distinct",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)
+             AS n_types_so_far
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    """,
+)
+def window_cumulative_distinct(spark: SparkSession, d: str) -> DataFrame:
+    """Running COUNT(DISTINCT) — how many distinct event types each
+    user has touched as of every event. SQL cannot express
+    ``COUNT(DISTINCT) OVER (ORDER BY ...)`` directly (and a naive
+    implementation would keep a per-row set — unbounded state); the
+    standard O(1)-state rewrite is used instead: flag each (user,
+    type)'s FIRST occurrence with row_number, then a plain running sum
+    of the flags. Two window passes on different keys = two shuffles
+    of the event stream — the minimum for this semantics; both are
+    hash-partitioned (no global sort), and per-row state is one bit.
+    The breadth-vs-time curve this produces is the engagement-
+    diversity signal cohort analytics read."""
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = load(spark, d, "events").select("event_id", "user_id", "ts", "event_type")
+    return (
+        ev.withColumn(
+            "is_first",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .withColumn("n_types_so_far", F.sum("is_first").over(w_run))
+        .select("event_id", "user_id", "ts", "n_types_so_far")
+    )

@@ -304,3 +304,216 @@ def cdc_snapshot_diff(spark: SparkSession, d: str) -> DataFrame:
             F.col("b.o_totalprice").alias("new_price"),
         )
     )
+
+
+#: join_temporal: quantity cutoff keeping the probed fact slice a
+#: selective, pushdown-pruned subset of lineitem
+TEMPORAL_MIN_QTY = 45
+
+
+@register(
+    "join_temporal",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS ok,
+             o_orderstatus AS status,
+             LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+               AS prev_status
+      FROM orders
+    ), comp AS (
+      SELECT custkey, ts, ok, status FROM ch
+      WHERE prev_status IS NULL OR status <> prev_status
+    ), iv AS (
+      SELECT custkey, status, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts, ok) AS valid_to
+      FROM comp
+    ), fact AS (
+      SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS custkey,
+             l.l_shipdate AS ship_date, o.o_orderstatus
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_quantity >= 45
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.ship_date,
+           v.status AS status_at_ship,
+           (v.status <> f.o_orderstatus) AS changed_since_order
+    FROM fact f JOIN iv v
+      ON v.custkey = f.custkey
+     AND v.valid_from <= f.ship_date
+     AND (v.valid_to IS NULL OR f.ship_date < v.valid_to)
+    """,
+)
+def join_temporal(spark: SparkSession, d: str) -> DataFrame:
+    """Point-in-time (temporal) join: probe each fact against the SCD2
+    dimension AS OF the fact's own timestamp — "what was this
+    customer's status when the line item actually shipped", the
+    time-travel lookup every feature-store / training-label pipeline
+    needs to avoid leakage from future dimension states.
+
+    Dimension = the ``scd2_intervals`` history (consecutive-duplicate
+    compression means intervals tile [first_change, ∞) per key with no
+    overlap, so every fact matches EXACTLY one row — the join cannot
+    fan out). Probe = lineitem, quantity-pruned at the parquet scan,
+    keyed to custkey through its order. Plan shape: one equi-join on
+    orderkey (co-located at 100 TB when both tables bucket by
+    orderkey), then an equi-join on custkey carrying the range
+    predicate as a residual filter — Spark evaluates the BETWEEN
+    post-shuffle on co-partitioned keys, and because the dimension is
+    the change-compressed history (orders of magnitude smaller than
+    the fact stream) AQE typically broadcasts it outright."""
+    w = Window.partitionBy("custkey").orderBy("ts", "ok")
+    ch = load(spark, d, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("status"),
+    ).withColumn("prev_status", F.lag("status").over(w))
+    comp = ch.where(
+        F.col("prev_status").isNull() | (F.col("status") != F.col("prev_status"))
+    )
+    iv = comp.select(
+        "custkey",
+        "status",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    fact = (
+        load(spark, d, "lineitem")
+        .where(F.col("l_quantity") >= TEMPORAL_MIN_QTY)
+        .join(
+            load(spark, d, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_shipdate").alias("ship_date"),
+            "o_orderstatus",
+        )
+    )
+    v = iv.alias("v")
+    f_ = fact.alias("f")
+    return (
+        f_.join(
+            v,
+            (F.col("v.custkey") == F.col("f.custkey"))
+            & (F.col("v.valid_from") <= F.col("f.ship_date"))
+            & (
+                F.col("v.valid_to").isNull()
+                | (F.col("f.ship_date") < F.col("v.valid_to"))
+            ),
+        )
+        .select(
+            F.col("f.l_orderkey").alias("l_orderkey"),
+            F.col("f.l_linenumber").alias("l_linenumber"),
+            F.col("f.custkey").alias("custkey"),
+            F.col("f.ship_date").alias("ship_date"),
+            F.col("v.status").alias("status_at_ship"),
+            (F.col("v.status") != F.col("f.o_orderstatus")).alias(
+                "changed_since_order"
+            ),
+        )
+    )
+
+
+#: merge_cdc_apply: deterministic changelog synthesis knobs — every
+#: 89th customer's stream ends in a delete test, every 50th order is
+#: re-keyed into a brand-new account insert, the rest are updates
+CDC_DELETE_MOD = 89
+CDC_INSERT_MOD = 50
+CDC_INSERT_SHIFT = 1_000_000
+
+
+@register(
+    "merge_cdc_apply",
+    oracle=f"""
+    WITH chg0 AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS ts,
+             o_totalprice AS bal,
+             CASE WHEN o_custkey % {CDC_DELETE_MOD} = 0 THEN 'D'
+                  WHEN o_orderkey % {CDC_INSERT_MOD} = 0 THEN 'I'
+                  ELSE 'U' END AS op
+      FROM orders
+    ), chg AS (
+      SELECT CASE WHEN op = 'I' THEN o_custkey + {CDC_INSERT_SHIFT}
+                  ELSE o_custkey END AS k,
+             op, ts, o_orderkey AS seq, bal
+      FROM chg0
+    ), latest AS (
+      SELECT k, op, bal FROM chg
+      QUALIFY row_number() OVER (PARTITION BY k
+                                 ORDER BY ts DESC, seq DESC) = 1
+    )
+    SELECT COALESCE(c.c_custkey, s.k) AS custkey,
+           COALESCE(c.c_name, 'NEW ACCOUNT') AS name,
+           CASE WHEN s.k IS NOT NULL THEN s.bal
+                ELSE c.c_acctbal END AS bal,
+           CASE WHEN s.k IS NULL THEN 'keep'
+                WHEN c.c_custkey IS NULL THEN 'insert'
+                ELSE 'update' END AS row_action
+    FROM customer c FULL OUTER JOIN latest s ON c.c_custkey = s.k
+    WHERE s.op IS NULL OR s.op <> 'D'
+    """,
+)
+def merge_cdc_apply(spark: SparkSession, d: str) -> DataFrame:
+    """Apply an ordered I/U/D changelog to a base table — the CDC
+    consumer half (``cdc_snapshot_diff`` produces such a feed; this
+    replays one): last change per key wins, a terminal delete removes
+    the row, upserts update-or-insert, untouched base rows pass
+    through. This is the table-format-agnostic core of `MERGE` from a
+    Debezium/stream tail, and the batch twin of the streaming
+    ``stream_dedup`` keep-latest discipline.
+
+    Plan: the changelog collapses to one row per key FIRST (row_number
+    window on the key — one shuffle of the feed, map-side pruned), so
+    the full-outer join against the base is keyed change-count-sized,
+    not feed-sized. At 100 TB the base is bucketed by key, making the
+    apply a co-located join; the window and join share the same key so
+    Spark reuses the exchange. Deletes are filtered AFTER the join
+    (matched-delete must still eliminate its base row, which a
+    pre-join filter could not express)."""
+    o = load(spark, d, "orders")
+    chg0 = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_totalprice").alias("bal"),
+        F.when(F.col("o_custkey") % CDC_DELETE_MOD == 0, "D")
+        .when(F.col("o_orderkey") % CDC_INSERT_MOD == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+    )
+    chg = chg0.select(
+        F.when(F.col("op") == "I", F.col("o_custkey") + CDC_INSERT_SHIFT)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "op",
+        "ts",
+        F.col("o_orderkey").alias("seq"),
+        "bal",
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("ts"), F.desc("seq"))
+    latest = (
+        chg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("k", "op", "bal")
+    )
+    c = load(spark, d, "customer")
+    return (
+        c.join(latest, c.c_custkey == latest.k, "full_outer")
+        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("c_custkey", "k").alias("custkey"),
+            F.coalesce("c_name", F.lit("NEW ACCOUNT")).alias("name"),
+            F.when(F.col("k").isNotNull(), F.col("bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("bal"),
+            F.when(F.col("k").isNull(), "keep")
+            .when(F.col("c_custkey").isNull(), "insert")
+            .otherwise("update")
+            .alias("row_action"),
+        )
+    )

@@ -107,3 +107,91 @@ def graph_pagerank(spark: SparkSession, d: str) -> DataFrame:
             )
         )
     return r.select(F.col("node").alias("doc_id"), F.round("r", 6).alias("pagerank"))
+
+
+_TRI_ORACLE = _LSH_PAIRS_CTE + """
+    , e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), corners AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ), tcount AS (
+      SELECT doc_id, COUNT(*) AS n_triangles FROM corners GROUP BY doc_id
+    ), deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY doc_id
+    )
+    SELECT deg.doc_id, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                     / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
+    FROM deg LEFT JOIN tcount t ON t.doc_id = deg.doc_id
+    """
+
+
+@register("graph_triangles", oracle=_TRI_ORACLE)
+def graph_triangles(spark: SparkSession, d: str) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over
+    the LSH near-dup graph — the third graph-analytics member next to
+    connected components (``dedup_clusters``) and ``graph_pagerank``.
+    Triangle density separates tight duplicate cliques (template spam,
+    boilerplate families — every pair similar) from chain-shaped
+    false-positive strings that LSH banding can produce, so it is a
+    practical cluster-quality audit before mass-deleting "duplicates".
+
+    Edges arrive canonically ordered (doc_a < doc_b from the pair
+    miner), so each triangle a<b<c is found exactly once by the
+    standard two-path-plus-closing-edge join: e1(a,b) ⋈ e2(b,c) on the
+    shared middle node, then a semi-check that (a,c) is an edge. Cost
+    is Σ deg² candidate two-paths — the sparse-graph triangle bound —
+    NOT all-pairs; both joins key on node ids, so at 100 TB the edge
+    table bucketed by node makes them co-located. The coefficient
+    2T/(deg·(deg-1)) is one exact int→double divide per node."""
+    pairs = dedup_minhash_lsh(spark, d).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    e1 = pairs.select(F.col("a"), F.col("b"))
+    e2 = pairs.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    tcount = corners.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+    deg = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    return deg.join(tcount, "doc_id", "left").select(
+        "doc_id",
+        F.col("degree").cast("long").alias("degree"),
+        t.cast("long").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (2 * t).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )

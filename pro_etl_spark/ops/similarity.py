@@ -1423,3 +1423,62 @@ def ann_range_search(spark: SparkSession, d: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+@register(
+    "embed_quantize_sq8",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), stats AS (
+      SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM flat GROUP BY dim
+    )
+    SELECT f.vec_id, f.dim,
+           CASE WHEN s.mx > s.mn
+                THEN CAST(FLOOR((f.x - s.mn) / (s.mx - s.mn)
+                                * CAST(255.0 AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE)) AS INTEGER)
+                ELSE 0 END AS code
+    FROM flat f JOIN stats s ON s.dim = f.dim
+    """,
+)
+def embed_quantize_sq8(spark: SparkSession, d: str) -> DataFrame:
+    """Scalar (int8) quantization of the embedding corpus: per-
+    dimension min/max over the whole corpus, then each value mapped to
+    a 0..255 code — the SQ8 storage codec every large vector store
+    offers (4× smaller than float32, trivially SIMD-decodable), and
+    the third member of the quantization family next to ``pq_encode``
+    (subspace codebooks) and ``ivf_kmeans_assign`` (coarse cells).
+
+    Plan: one narrow posexplode pass feeds ONE map-side-combinable
+    min/max aggregate (64 rows out — broadcast back), then the code
+    assignment is a second narrow pass: at 100 TB the corpus shuffles
+    ZERO times, the only exchange is the 64-row stats table. Rounding
+    is floor(u*255 + 0.5) rather than round() because round()'s
+    half-even vs half-up tie policy differs across engines while
+    floor() is exact everywhere; every preceding op (float→double
+    cast, subtract, divide, multiply) is exactly rounded IEEE, so
+    codes are bit-identical cross-engine. Degenerate constant
+    dimensions (mx == mn) pin to code 0 instead of dividing by zero."""
+    flat = load(spark, d, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    stats = flat.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    u = (F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    return flat.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor(u * F.lit(255.0) + F.lit(0.5)).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("code"),
+    )

@@ -423,3 +423,90 @@ def sql_market_share(spark: SparkSession, d: str) -> DataFrame:
     partition spec); the fact table is scanned and shuffled once."""
     _views(spark, d)
     return spark.sql(SQL_MARKET_SHARE)
+
+
+#: TPC-H Q15 shape (top supplier): quarter revenue per supplier, then
+#: the supplier(s) achieving the MAX — the "aggregate of an aggregate"
+#: pattern (scalar subquery over a CTE both engines share). The
+#: revenue stays DECIMAL through the MAX-equality comparison (exact —
+#: a double round-trip could false-miss the max) and is cast to DOUBLE
+#: only in the final projection.
+SQL_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN (
+  SELECT supplier_no, total_revenue,
+         MAX(total_revenue) OVER () AS max_rev
+  FROM revenue
+) r ON s_suppkey = supplier_no
+WHERE total_revenue = max_rev
+ORDER BY s_suppkey
+"""
+
+
+@register("sql_top_supplier", oracle=SQL_TOP_SUPPLIER)
+def sql_top_supplier(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier), written with the window-MAX
+    rewrite instead of the textbook scalar subquery: Catalyst inlines
+    CTEs, so ``WHERE total_revenue = (SELECT MAX(...) FROM revenue)``
+    would scan and re-aggregate lineitem TWICE — at 100 TB a second
+    full fact pass for one scalar. ``MAX(total_revenue) OVER ()`` on
+    the already-aggregated rollup computes the same scalar with one
+    single-partition pass over the supplier-count-sized table, keeping
+    the plan at ONE date-pruned fact scan + one suppkey shuffle. The
+    revenue stays DECIMAL through the MAX-equality comparison (exact —
+    a double round-trip could false-miss the max) and is cast to
+    DOUBLE only in the final projection."""
+    _views(spark, d)
+    return spark.sql(SQL_TOP_SUPPLIER)
+
+
+#: TPC-H Q21 shape (waiting orders), adapted to this dataset's columns:
+#: count, per supplier, the finished multi-supplier orders where THIS
+#: supplier's line came back returned ('R') and no co-supplier's did —
+#: the classic EXISTS + NOT-EXISTS double correlation on the same fact
+#: table.
+SQL_WAITING_ORDERS = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("sql_waiting_orders", oracle=SQL_WAITING_ORDERS)
+def sql_waiting_orders(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q21 shape: the hardest decorrelation pattern in the suite
+    — two correlated subqueries against the SAME fact table with
+    opposite polarities. Catalyst plans EXISTS as LEFT SEMI and NOT
+    EXISTS as LEFT ANTI, both keyed on l_orderkey, so all three
+    lineitem passes co-partition on the order key (one shuffle
+    partitioning reused; at 100 TB, bucketed-by-orderkey layout makes
+    them co-located scans). The status filter prunes orders before its
+    join; the final top-20 is TakeOrderedAndProject."""
+    _views(spark, d)
+    return spark.sql(SQL_WAITING_ORDERS)

@@ -408,3 +408,85 @@ def test_dq_predicate_rules_share_one_scan(spark):
     plan = plan_of(spark, "dq_expectations")
     assert plan.count("Scan parquet") <= 3  # orders (agg) + orders (fk) + customer
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_prunes_postings_and_broadcasts_stats(spark):
+    # probe terms filter the tf table BEFORE any join (an isin filter
+    # over the aggregate output — only matching postings shuffle); the
+    # df and (N, avgdl) sides are broadcast; per-term top-k is a
+    # window, never a global sort
+    plan = plan_of(spark, "text_bm25")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "token IN (" in plan or "token#" in plan  # pruning filter exists
+
+
+def test_sparse_topk_broadcasts_query_postings(spark):
+    # the probe docs' postings are the broadcast side of the inverted-
+    # index join; the corpus postings never cartesian with anything
+    plan = plan_of(spark, "ann_sparse_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sq8_stats_broadcast_and_corpus_never_keyed_by_vec(spark):
+    # per-dim min/max map-side combines (two HashAggregate levels);
+    # the 64-row stats table broadcasts back; the corpus is never
+    # shuffled by vector id
+    plan = plan_of(spark, "embed_quantize_sq8")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning(vec_id" not in plan
+
+
+def test_temporal_join_pushes_quantity_filter(spark):
+    # the fact slice must be pruned at the parquet scan, and the
+    # interval probe is an equi-join with a residual range predicate —
+    # never a cartesian
+    plan = plan_of(spark, "join_temporal")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_apply_collapses_feed_before_join(spark):
+    # last-change-wins window shuffles the feed once on the key; the
+    # full-outer apply reuses that partitioning, so the whole operator
+    # costs two key exchanges (feed + base), never three
+    plan = plan_of(spark, "merge_cdc_apply")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_triangles_join_on_node_ids_only(spark):
+    # two-path + closing-edge joins key on node ids over the bounded
+    # LSH pair table — no cartesian, no nested-loop explosion
+    plan = plan_of(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_supplier_scans_fact_once(spark):
+    # the window-MAX rewrite exists precisely so the fact table is
+    # scanned ONCE (a scalar subquery would re-aggregate lineitem);
+    # the date window must reach that single scan
+    plan = plan_of(spark, "sql_top_supplier")
+    assert plan.count("Scan parquet") == 2  # lineitem once + supplier
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_waiting_orders_decorrelates_to_semi_anti(spark):
+    # EXISTS -> LEFT SEMI, NOT EXISTS -> LEFT ANTI, never a pairwise
+    # inner join fan-out of lineitem against itself
+    plan = plan_of(spark, "sql_waiting_orders")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cumulative_distinct_is_two_hash_windows(spark):
+    # first-occurrence flag + running sum: exactly two key shuffles
+    # (user,type) then (user), no join, no global sort
+    plan = plan_of(spark, "window_cumulative_distinct")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
