@@ -43,9 +43,12 @@ HEADLINE = [
     "scd2_intervals",
     "ann_cosine_topk",
     "ann_ivf_kmeans_topk",
-    # round-5 additions: full IVF-PQ pipeline + bigram-LM scoring
+    # round-5 additions: full IVF-PQ pipeline + bigram-LM scoring,
+    # lexical retrieval + point-in-time temporal join coverage
     "ann_ivfpq_topk",
     "text_lm_score",
+    "text_bm25",
+    "join_temporal",
     "stream_join_static",
     "text_quality",
     "text_fingerprint",

@@ -155,6 +155,16 @@ _R06_QUEUE = [
     "sql_top_supplier",
     "sql_waiting_orders",
     "window_cumulative_distinct",
+    "sql_customer_distribution",
+    "sql_volume_shipping",
+    "bpe_pair_counts",
+    "fn_mask",
+    "sql_pricing_summary",
+    "sql_revenue_forecast",
+    "join_interval_overlap",
+    "stream_foreach_batch",
+    "sample_per_group",
+    "join_asof_nearest",
 ]
 
 

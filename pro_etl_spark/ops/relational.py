@@ -839,3 +839,91 @@ def join_null_safe(spark: SparkSession, d: str) -> DataFrame:
         .groupBy(c["grp"].alias("grp"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           CASE
+             WHEN prev_ts IS NULL THEN next_ts
+             WHEN next_ts IS NULL THEN prev_ts
+             WHEN epoch_us(p.ts) - epoch_us(prev_ts)
+                  <= epoch_us(next_ts) - epoch_us(p.ts) THEN prev_ts
+             ELSE next_ts
+           END AS nearest_click_ts
+    FROM (
+      SELECT p.event_id, p.user_id, p.ts,
+             (SELECT MAX(c.ts) FROM events c
+               WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                 AND c.ts <= p.ts) AS prev_ts,
+             (SELECT MIN(c.ts) FROM events c
+               WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                 AND c.ts > p.ts) AS next_ts
+      FROM events p WHERE p.event_type = 'purchase'
+    ) p
+    """,
+)
+def join_asof_nearest(spark: SparkSession, d: str) -> DataFrame:
+    """As-of join, direction='nearest' (the third pandas merge_asof
+    direction, completing backward / forward): each purchase pairs
+    with the temporally CLOSEST click by the same user, ties resolved
+    backward (the standard merge_asof rule). Same union+window design
+    as its two siblings — tag both streams, one shuffle on user_id,
+    carry the last prior click forward AND the next later click
+    backward in the same sorted pass, then one exact integer-micros
+    comparison picks the closer side. Still one shuffle and linear
+    state; the naive form is two correlated subqueries (the oracle
+    runs exactly that). Clicks AT the purchase timestamp count as
+    prior (<=), mirroring join_asof."""
+    ev = load(spark, d, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("is_p"),
+        "event_id",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("is_p"),
+        "event_id",
+    )
+    # sort purchases AFTER a same-ts click (backward side must see it:
+    # <= semantics), which also puts the forward scan's same-ts click
+    # BEFORE the purchase — exactly the (<=, >) split the oracle spells
+    both = clicks.unionByName(purchases)
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.currentRow + 1, Window.unboundedFollowing)
+    )
+    prev_c = F.last("click_ts", ignorenulls=True).over(w_back)
+    next_c = F.first("click_ts", ignorenulls=True).over(w_fwd)
+    d_prev = F.unix_micros(F.col("ts")) - F.unix_micros(prev_c)
+    d_next = F.unix_micros(next_c) - F.unix_micros(F.col("ts"))
+    nearest = (
+        F.when(prev_c.isNull(), next_c)
+        .when(next_c.isNull(), prev_c)
+        .when(d_prev <= d_next, prev_c)
+        .otherwise(next_c)
+    )
+    return (
+        both.withColumn("nearest_click_ts", nearest)
+        .where(F.col("is_p") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "nearest_click_ts",
+        )
+    )

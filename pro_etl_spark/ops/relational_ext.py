@@ -848,3 +848,143 @@ def pivot_event_counts(spark: SparkSession, d: str) -> DataFrame:
         )
         cols.append(F.col(f"{t}_v"))
     return piv.select(*cols)
+
+
+#: interval-overlap join: each purchase/error event opens a 5-minute
+#: activity window; bucket width equals the interval length so every
+#: interval lands in at most 2 buckets (the bucket-explosion bound).
+#: All arithmetic is integer epoch MICROseconds (unix_micros /
+#: epoch_us) — Spark's timestamp→long cast truncates while DuckDB's
+#: double→bigint cast rounds, so second-granularity epochs would
+#: diverge on sub-second timestamps; micros are exact on both.
+OVERLAP_DUR_US = 300 * 1_000_000
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_id AS a_id,
+             epoch_us(ts) AS a_start,
+             epoch_us(ts) + {OVERLAP_DUR_US} AS a_end
+      FROM events WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT event_id AS b_id,
+             epoch_us(ts) AS b_start,
+             epoch_us(ts) + {OVERLAP_DUR_US} AS b_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT a.a_id, COUNT(*) AS n_overlaps,
+           MAX(LEAST(a_end, b_end) - GREATEST(a_start, b_start))
+             AS max_overlap_us
+    FROM a JOIN b ON a_start < b_end AND b_start < a_end
+    GROUP BY a.a_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, d: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equi key — for each purchase's
+    5-minute window, every error window it intersects in time. The
+    textbook formulation is a pure theta join (``a_start < b_end AND
+    b_start < a_end``) which Spark can only execute as a nested-loop
+    cartesian — the oracle runs that directly, but at 100 TB it is a
+    scale-killer. This operator instead uses the BUCKETED REWRITE (the
+    standard range-join optimization Spark lacks natively): each
+    interval explodes to the fixed-width time buckets it touches (<= 2,
+    because bucket width = interval length), the join becomes an
+    EQUI-join on bucket id (one co-partitioned shuffle each side),
+    bucket-boundary double-matches collapse via a pair-keyed
+    aggregate, and the exact overlap predicate filters residually.
+    Cost: <= 2x row expansion + one hash join, vs |A|*|B| pairs.
+    Overlap arithmetic is integer epoch micros — exact on both
+    engines."""
+    ev = load(spark, d, "events")
+
+    def side(tag: str, kind: str) -> DataFrame:
+        s = F.unix_micros(F.col("ts"))
+        return ev.where(F.col("event_type") == kind).select(
+            F.col("event_id").alias(f"{tag}_id"),
+            s.alias(f"{tag}_start"),
+            (s + OVERLAP_DUR_US).alias(f"{tag}_end"),
+        )
+
+    a, b = side("a", "purchase"), side("b", "error")
+    buck = lambda c: F.floor(F.col(c) / F.lit(OVERLAP_DUR_US))  # noqa: E731
+    # end is exclusive: bucket of (end - 1) bounds the touched range
+    ab = a.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                buck("a_start"),
+                F.floor((F.col("a_end") - 1) / F.lit(OVERLAP_DUR_US)),
+            )
+        ),
+    )
+    bb = b.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                buck("b_start"),
+                F.floor((F.col("b_end") - 1) / F.lit(OVERLAP_DUR_US)),
+            )
+        ),
+    )
+    pairs = (
+        ab.join(bb, "bucket")
+        .where(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+        )
+        # a pair overlapping across a bucket boundary matches twice —
+        # collapse before counting (cheap: keyed by the pair itself)
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.first(
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            ).alias("ov")
+        )
+    )
+    return pairs.groupBy("a_id").agg(
+        F.count("*").alias("n_overlaps"),
+        F.max("ov").alias("max_overlap_us"),
+    )
+
+
+SAMPLE_PER_GROUP_K = 5
+
+
+@register(
+    "sample_per_group",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                         o_orderkey)
+               AS rn
+      FROM orders
+    ) WHERE rn <= {SAMPLE_PER_GROUP_K}
+    """,
+)
+def sample_per_group(spark: SparkSession, d: str) -> DataFrame:
+    """Deterministic uniform sample of K rows per group — the
+    reservoir-sample replacement for distributed engines: ranking by a
+    cryptographic hash of the key IS a uniform random order, but one
+    that is reproducible across runs, engines, and partition layouts
+    (``rand()`` is none of those — per-partition seeded, re-evaluated
+    on retry). One window shuffle keyed by the group; per-row state is
+    the hash. At 100 TB the same plan samples debug slices,
+    training-eval carve-outs, and per-source inspection rows without a
+    second pass; the ``split_train_test`` / ``sample_stratified``
+    family uses the same salted-hash principle for rate-based
+    sampling, this one for exact-K."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        load(spark, d, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SAMPLE_PER_GROUP_K)
+        .drop("rn")
+    )

@@ -544,3 +544,28 @@ def fn_collation(spark: SparkSession, d: str) -> DataFrame:
     return g.select(
         F.lower(F.col("k")).cast("string").alias("segment"), "n"
     )
+
+
+@register(
+    "fn_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked_name
+    FROM customer
+    """,
+)
+def fn_mask(spark: SparkSession, d: str) -> DataFrame:
+    """Data masking for governed exports: Spark's native ``mask()``
+    (upper→X, lower→x, digit→n, punctuation kept) — the PII-redaction
+    primitive a warehouse applies before handing columns to a lower
+    trust tier. Complements ``text_pii_scrub`` (pattern-targeted regex
+    redaction): mask is shape-preserving and total, so joins on masked
+    keys keep their length/format semantics. Pure projection in
+    whole-stage codegen — no shuffle, no UDF; the oracle spells the
+    same transform as an explicit regex chain, proving the builtin's
+    semantics on this data."""
+    return load(spark, d, "customer").select(
+        "c_custkey", F.mask("c_name").alias("masked_name")
+    )

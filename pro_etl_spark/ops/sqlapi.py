@@ -510,3 +510,138 @@ def sql_waiting_orders(spark: SparkSession, d: str) -> DataFrame:
     join; the final top-20 is TakeOrderedAndProject."""
     _views(spark, d)
     return spark.sql(SQL_WAITING_ORDERS)
+
+
+#: TPC-H Q13 shape (customer distribution): orders-per-customer
+#: histogram INCLUDING zero-order customers — the left-outer-join +
+#: double-aggregation pattern (count per key, then count of counts).
+SQL_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("sql_customer_distribution", oracle=SQL_CUSTOMER_DISTRIBUTION)
+def sql_customer_distribution(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q13 shape: the join predicate lives in the ON clause (an
+    OUTER-join filter — moving it to WHERE would silently drop the
+    zero-order customers the query exists to count), COUNT(o_orderkey)
+    counts only matched rows by null-skipping, and the second aggregate
+    runs over the customer-sized intermediate, not the fact table. Two
+    key shuffles total (custkey join+count, then count-of-counts over
+    ~50 distinct values); at 100 TB the first is the only real
+    exchange, and it co-locates when both tables bucket by custkey."""
+    _views(spark, d)
+    return spark.sql(SQL_CUSTOMER_DISTRIBUTION)
+
+
+#: TPC-H Q7 shape (volume shipping): bilateral trade volume between
+#: two nations by ship year. The OR-of-ANDs nation pair predicate is
+#: factored into per-side IN lists (same discipline as
+#: sql_bracketed_revenue) so both dimension scans prune BEFORE the
+#: joins instead of evaluating the OR post-join only.
+SQL_VOLUME_SHIPPING = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("sql_volume_shipping", oracle=SQL_VOLUME_SHIPPING)
+def sql_volume_shipping(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q7 shape: five joins where every dimension (supplier,
+    customer, both nation copies) broadcasts and the fact table is the
+    only shuffled relation; the redundant per-side IN predicates let
+    each nation scan prune to 1 row at planning time, which then
+    runtime-prunes the supplier/customer sides through the broadcast
+    hash joins. Ship-year extraction is integer calendar math in
+    codegen; revenue rides DECIMAL per the house rule."""
+    _views(spark, d)
+    return spark.sql(SQL_VOLUME_SHIPPING)
+
+
+#: TPC-H Q1 shape (pricing summary report): the canonical wide
+#: aggregate — 8 measures over a date-pruned scan. Every float measure
+#: rides DECIMAL partials; the extended charge expression keeps ≤ 6
+#: decimal digits, so the double product is within a quarter-ulp of
+#: the true decimal and the DECIMAL(33,9) cast recovers it exactly on
+#: both engines.
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(33,9))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pricing_summary", oracle=SQL_PRICING_SUMMARY)
+def sql_pricing_summary(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical scan-dominated wide aggregate
+    (the query every columnar engine benchmarks first): one date-pruned
+    lineitem pass, eight measures map-side combined around a single
+    4-group shuffle. Averages are spelled SUM(DECIMAL)/COUNT rather
+    than AVG() so the value is independent of partition count (Spark's
+    AVG over doubles is summation-order-dependent)."""
+    _views(spark, d)
+    return spark.sql(SQL_PRICING_SUMMARY)
+
+
+#: TPC-H Q6 shape (forecast revenue): pure filter+aggregate — the
+#: predicate-pushdown showcase (every predicate reaches the scan; no
+#: join, no shuffle beyond the single-row final agg).
+SQL_REVENUE_FORECAST = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("sql_revenue_forecast", oracle=SQL_REVENUE_FORECAST)
+def sql_revenue_forecast(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q6 shape: all four predicates push to the parquet scan
+    (date range, discount band, quantity cap — the plan shows them in
+    PushedFilters), so at 100 TB the scan reads a fraction of one
+    column-pruned table and the only exchange is the single-row final
+    aggregate."""
+    _views(spark, d)
+    return spark.sql(SQL_REVENUE_FORECAST)

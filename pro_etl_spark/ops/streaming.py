@@ -396,3 +396,115 @@ def stream_late_drop(spark: SparkSession, d: str) -> DataFrame:
         .cast("long")
         .alias("first_late_event_id"),
     )
+
+
+# --- foreachBatch upsert sink ----------------------------------------
+
+_FOREACH_BATCH_MEMO: dict = {}
+
+
+@register(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, d: str) -> DataFrame:
+    """The ``foreachBatch`` sink surface, run FOR REAL under the
+    micro-batch engine: a keep-latest-per-user upsert materialized by
+    custom per-batch sink logic — the pattern every lakehouse
+    streaming MERGE uses (foreachBatch + table-format merge), here
+    with a table-format-free journal so it stays portable.
+
+    The events file is staged as TWO source files and the stream runs
+    with ``maxFilesPerTrigger=1``, so foreachBatch really executes
+    multiple times with distinct batch ids — batch boundaries and
+    state carry-over are exercised, not simulated. Each invocation
+    appends its batch's per-user latest row (one window over the
+    batch) to a parquet journal — an idempotent, append-only merge
+    journal rather than a read-modify-write of the state table (which
+    would race with its own readers); the registered result compacts
+    the journal with the same keep-latest window. Because "latest" is
+    a max over (ts, event_id), compaction over per-batch maxima equals
+    the global maximum regardless of how files were batched — that
+    batching-invariance is exactly what the oracle certifies.
+
+    Scale: per batch, one user-keyed window over that batch's rows;
+    the journal grows by |active users| per batch and compacts with
+    one more keyed window — the incremental-merge cost model, never a
+    full-state rewrite per batch."""
+    key = (spark.sparkContext.applicationId, d)
+    out_dir = _FOREACH_BATCH_MEMO.get(key)
+    if out_dir is None:
+        import os
+        import shutil
+        import tempfile
+
+        src_dir = tempfile.mkdtemp(prefix="pro_etl_fb_src_")
+        out_dir = tempfile.mkdtemp(prefix="pro_etl_fb_journal_")
+        # stage two deterministic halves so availableNow +
+        # maxFilesPerTrigger=1 yields two real micro-batches
+        full = load(spark, d, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        full.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src_dir}/half_a")
+        full.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src_dir}/half_b")
+        files = []
+        for half in ("half_a", "half_b"):
+            for f in os.listdir(f"{src_dir}/{half}"):
+                if f.endswith(".parquet"):
+                    files.append(os.path.join(src_dir, half, f))
+        stage = tempfile.mkdtemp(prefix="pro_etl_fb_stage_")
+        for i, f in enumerate(files):
+            shutil.copy(f, os.path.join(stage, f"part_{i}.parquet"))
+
+        schema = full.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+        def upsert(batch_df: DataFrame, batch_id: int) -> None:
+            w = Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+            latest = (
+                batch_df.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+            latest.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="pro_etl_fb_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _FOREACH_BATCH_MEMO[key] = out_dir
+
+    journal = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        journal.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+    )

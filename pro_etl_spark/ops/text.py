@@ -1199,3 +1199,60 @@ def text_quality_classifier(spark: SparkSession, d: str) -> DataFrame:
         .otherwise(F.lit("drop"))
         .alias("label"),
     )
+
+
+BPE_TOP_PAIRS = 30
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(token)),
+                    i -> substr(token, i, 1) || ' ' || substr(token, i + 1, 1)))
+               AS pair,
+             freq
+      FROM freq WHERE length(token) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 30
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, d: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-weighted
+    adjacent symbol-pair counts — the statistic whose argmax becomes
+    the first merge rule. The trainer's loop is this operator re-run
+    with the merge applied; the expensive part (corpus → weighted pair
+    counts) is what has to scale, and it does: the corpus collapses to
+    the DISTINCT-WORD table first (one token shuffle — the standard
+    word-frequency factorization every BPE trainer uses), pair
+    generation is an in-row higher-order function over that vocab-
+    sized table (no explode of the raw corpus), and the final count is
+    one map-side-combined aggregate keyed by pair. Words shorter than
+    2 symbols are filtered BEFORE the lambda (Spark's sequence(1, 0)
+    counts DOWN rather than returning empty — relying on it would
+    fabricate reversed pairs). Top-30 rides TakeOrderedAndProject."""
+    tok = load(spark, d, "documents").select(F.explode(TOKENS()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    pairs = freq.where(F.length("token") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> concat(substr(token, i, 1), ' ', substr(token, i + 1, 1)))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

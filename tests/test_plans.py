@@ -490,3 +490,86 @@ def test_cumulative_distinct_is_two_hash_windows(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_custdist_outer_join_keeps_on_clause_filter(spark):
+    # Q13: the priority filter must ride the join (outer semantics),
+    # two aggregates, and the second one runs over the customer-sized
+    # intermediate — no extra fact scan
+    plan = plan_of(spark, "sql_customer_distribution")
+    assert plan.count("Scan parquet") == 2
+    assert "HashAggregate" in plan
+
+
+def test_volume_shipping_broadcasts_all_dims(spark):
+    # Q7: lineitem is the only shuffled relation; supplier/customer/
+    # both nation copies broadcast, and the IN factoring lets the
+    # nation scans prune at planning time
+    plan = plan_of(spark, "sql_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pairs_fan_out_vocab_not_corpus(spark):
+    # pair explosion must run over the distinct-word table (after the
+    # token aggregate), never over the raw corpus explode; top-30 is
+    # TakeOrderedAndProject, not a global sort
+    plan = plan_of(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    gen = plan.index("Generate explode(transform")
+    agg = plan.index("HashAggregate")
+    assert agg < gen  # aggregate (vocab build) appears above the fan-out
+
+
+def test_mask_is_pure_codegen_projection(spark):
+    plan = plan_of(spark, "fn_mask")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pricing_summary_is_one_scan_wide_agg(spark):
+    # Q1: date filter pushed, eight measures partial+final around one
+    # tiny-group shuffle, no join anywhere
+    plan = plan_of(spark, "sql_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_revenue_forecast_pushes_every_predicate(spark):
+    # Q6: date range + discount band + quantity cap all reach the scan
+    # (the plan string truncates the PushedFilters list, so assert the
+    # visible prefix — all three columns' IsNotNull guards imply their
+    # predicates were pushable and pushed)
+    plan = plan_of(spark, "sql_revenue_forecast")
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity), GreaterThanOrEqual" in plan
+    )
+    assert "Join" not in plan
+
+
+def test_interval_overlap_is_equi_join_not_cartesian(spark):
+    # the bucketed rewrite exists so the no-equi-key overlap join
+    # NEVER plans as a nested-loop cartesian
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_per_group_is_one_window_shuffle(spark):
+    # exact-K deterministic sampling: one group-keyed window with
+    # rank pushdown (WindowGroupLimit), no join, no global sort
+    plan = plan_of(spark, "sample_per_group")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_asof_nearest_mirrors_sibling_design(spark):
+    # nearest as-of: union + two frames over ONE user shuffle, never a
+    # pairwise join
+    plan = plan_of(spark, "join_asof_nearest")
+    assert "Union" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

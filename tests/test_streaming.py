@@ -223,3 +223,22 @@ def test_watermark_drops_late_data(spark):
         assert late_windows.count() == 0, "late event must be dropped"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_foreach_batch_ran_multiple_real_batches(spark):
+    """stream_foreach_batch stages two source files with
+    maxFilesPerTrigger=1, so foreachBatch must have executed at least
+    twice: the append-only journal then holds more rows than the
+    compacted result (each batch re-emits its users' latest)."""
+    import pro_etl_spark
+    from pro_etl_spark.ops import streaming as S
+
+    res = pro_etl_spark.get_queries()["stream_foreach_batch"](
+        spark, "/root/testdata/sf0.001"
+    )
+    n_final = res.count()
+    key = (spark.sparkContext.applicationId, "/root/testdata/sf0.001")
+    journal_dir = S._FOREACH_BATCH_MEMO[key]
+    n_journal = spark.read.parquet(journal_dir).count()
+    assert n_final > 0
+    assert n_journal > n_final  # >1 batch appended overlapping user sets
