@@ -165,6 +165,12 @@ _R06_QUEUE = [
     "stream_foreach_batch",
     "sample_per_group",
     "join_asof_nearest",
+    "sql_min_cost_supplier",
+    "sql_product_profit",
+    "sql_important_stock",
+    "sql_shipmode_priority",
+    "sql_parts_supplier",
+    "sql_promotion_suppliers",
 ]
 
 

@@ -645,3 +645,228 @@ def sql_revenue_forecast(spark: SparkSession, d: str) -> DataFrame:
     aggregate."""
     _views(spark, d)
     return spark.sql(SQL_REVENUE_FORECAST)
+
+
+#: The dataset ships no ``partsupp`` table, so the remaining TPC-H
+#: shapes that need one (Q2/Q9/Q11/Q16/Q20) derive a part-supplier
+#: relationship from lineitem history: supply cost is the cheapest
+#: unit price a supplier ever charged for the part. One CTE text shared
+#: by Q2 and Q9 keeps both engines' derivations identical; at 100 TB
+#: the CTE is one map-side-combinable groupBy on (part, supp) — the
+#: same shuffle the real partsupp scan would replace.
+_PARTSUPP_CTE = """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+)
+"""
+
+#: TPC-H Q2 shape (minimum-cost supplier): a correlated scalar subquery
+#: whose MIN re-traverses a 4-way join — the classic decorrelation
+#: stress test. Double division is IEEE-identical in both engines, and
+#: MIN selects (never recombines) a value, so the equality predicate is
+#: bit-exact without DECIMAL routing.
+SQL_MIN_COST_SUPPLIER = _PARTSUPP_CTE + """
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size <= 5 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 20
+"""
+
+
+@register("sql_min_cost_supplier", oracle=SQL_MIN_COST_SUPPLIER)
+def sql_min_cost_supplier(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q2 shape over the lineitem-derived partsupp. Catalyst
+    decorrelates the per-part MIN into an aggregate joined back on
+    p_partkey; at 100 TB both sides of that join are the (part, supp)
+    rollup, never raw lineitem, and every dimension is broadcast."""
+    _views(spark, d)
+    return spark.sql(SQL_MIN_COST_SUPPLIER)
+
+
+#: TPC-H Q9 shape (product-type profit by nation and year): profit =
+#: revenue minus derived supply cost, grouped by the SUPPLIER's nation
+#: and the order year. DECIMAL-routed sum keeps both engines exact.
+SQL_PRODUCT_PROFIT = _PARTSUPP_CTE + """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - ps_supplycost * l_quantity AS DECIMAL(27,6)))
+            AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("sql_product_profit", oracle=SQL_PRODUCT_PROFIT)
+def sql_product_profit(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q9 shape: the p_name filter prunes lineitem through the
+    part join before the wide 5-way join fans out; the partsupp rollup
+    joins on the same (partkey, suppkey) grain as the facts so AQE can
+    plan it shuffle-local. Group keys (nation, year) are low-cardinality
+    — partial aggregation collapses the map side to ~nations×years rows
+    per task before the one final shuffle."""
+    _views(spark, d)
+    return spark.sql(SQL_PRODUCT_PROFIT)
+
+
+#: TPC-H Q11 shape (important stock): per-part value from one nation's
+#: suppliers, kept only when above a fraction of the TOTAL value — an
+#: uncorrelated scalar subquery over the SAME CTE the outer query
+#: scans. Both the per-part and the total sums are DECIMAL-routed so
+#: the threshold comparison is exact in both engines.
+SQL_IMPORTANT_STOCK = """
+WITH supp_value AS (
+  SELECT l_partkey AS partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+           AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey
+)
+SELECT partkey, part_value
+FROM supp_value
+WHERE part_value > (
+  SELECT CAST(SUM(CAST(part_value AS DECIMAL(27,6))) AS DOUBLE) * 0.001
+  FROM supp_value
+)
+ORDER BY part_value DESC, partkey
+"""
+
+
+@register("sql_important_stock", oracle=SQL_IMPORTANT_STOCK)
+def sql_important_stock(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q11 shape: the CTE is computed once and read twice (outer
+    scan + single-row total); the threshold arrives as a broadcast
+    single-row subquery result, so the filter is map-side. The nation
+    filter reaches the supplier dim scan and the join is broadcast —
+    lineitem is the only large input and it shuffles exactly once."""
+    _views(spark, d)
+    return spark.sql(SQL_IMPORTANT_STOCK)
+
+
+#: TPC-H Q12 shape (shipmode / order-priority): the dataset has no
+#: l_shipmode or commit/receipt dates, so the mode key is l_returnflag
+#: and "late" is shipped >30 days after the order date — preserving the
+#: shape's point: conditional counts split by priority class inside one
+#: grouped scan, with interval arithmetic in the join-filter.
+SQL_SHIPMODE_PRIORITY = """
+SELECT l_returnflag AS ship_mode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL '30' DAY
+  AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY ship_mode
+"""
+
+
+@register("sql_shipmode_priority", oracle=SQL_SHIPMODE_PRIORITY)
+def sql_shipmode_priority(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q12 shape: one fact-fact join on the order key, late-ship
+    interval predicate evaluated row-side (no UDF), and the two
+    conditional counts fold into a single grouped aggregate — outer
+    CASTs keep DuckDB's HUGEINT sums int64 through the pandas path."""
+    _views(spark, d)
+    return spark.sql(SQL_SHIPMODE_PRIORITY)
+
+
+#: TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+#: counts per (brand, type, size) bucket, excluding one brand, one
+#: type, and a NOT IN "complaints" supplier list (negative-balance
+#: proxy — the dataset has no s_comment).
+SQL_PARTS_SUPPLIER = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#4'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 40
+"""
+
+
+@register("sql_parts_supplier", oracle=SQL_PARTS_SUPPLIER)
+def sql_parts_supplier(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q16 shape: the NOT IN subquery plans as a broadcast
+    null-aware anti-join (the complaint list is tiny); part predicates
+    prune before the fact join; COUNT(DISTINCT) expands then collapses
+    on the (brand, type, size, suppkey) grain — two shuffles total."""
+    _views(spark, d)
+    return spark.sql(SQL_PARTS_SUPPLIER)
+
+
+#: TPC-H Q20 shape (potential part promotion): nested IN subqueries —
+#: suppliers who, in one shipping year, moved more than a share of a
+#: promoted part's lifetime volume. The original compares ps_availqty
+#: to half the year's shipments; with no inventory column the threshold
+#: is a share of the part's total shipped quantity, preserving the
+#: correlated-threshold structure (per-group HAVING vs a joined total).
+SQL_PROMOTION_SUPPLIERS = """
+WITH red_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+), part_total AS (
+  SELECT l_partkey AS pt_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN red_parts ON p_partkey = l_partkey
+    JOIN part_total ON pt_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           > 0.04 * MIN(total_qty)
+  )
+ORDER BY s_name
+"""
+
+
+@register("sql_promotion_suppliers", oracle=SQL_PROMOTION_SUPPLIERS)
+def sql_promotion_suppliers(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q20 shape: the inner grouped-HAVING subquery reduces
+    lineitem to qualifying supplier keys before the IN semi-join probes
+    the (tiny) supplier dim; part_total joins on the part key at the
+    same grain as the group-by, so the threshold never re-scans
+    lineitem per group. red_parts broadcasts into the fact scan."""
+    _views(spark, d)
+    return spark.sql(SQL_PROMOTION_SUPPLIERS)

@@ -573,3 +573,36 @@ def test_asof_nearest_mirrors_sibling_design(spark):
     assert "Union" in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q2_decorrelates_min_cost_subquery(spark):
+    # the correlated MIN must decorrelate into an aggregate joined on
+    # p_partkey (no per-row subquery execution), and the LIMIT must be
+    # TakeOrderedAndProject, not a global sort
+    plan = plan_of(spark, "sql_min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert "min(ps_supplycost" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_threshold_is_scalar_subquery_not_join(spark):
+    # the total-value threshold must arrive as a broadcast scalar
+    # subquery result (map-side filter), never a row-expanding join
+    plan = plan_of(spark, "sql_important_stock")
+    assert "Subquery" in plan or "scalar-subquery" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    # the complaints NOT IN list is tiny: null-aware broadcast anti-join
+    plan = plan_of(spark, "sql_parts_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q20_semi_join_over_reduced_inner(spark):
+    # the nested IN must plan as a semi-join whose build side is the
+    # grouped-HAVING rollup, not raw lineitem
+    plan = plan_of(spark, "sql_promotion_suppliers")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
