@@ -54,6 +54,12 @@ HEADLINE = [
     "text_fingerprint",
     "text_tfidf",
     "cdc_snapshot_diff",
+    # round-5 batch 2: widest TPC-H join, skew-salted join, corpus
+    # trigram census, in-engine PCA training
+    "sql_product_profit",
+    "join_salted",
+    "corpus_ngrams",
+    "pca_power_top1",
 ]
 
 

@@ -171,6 +171,16 @@ _R06_QUEUE = [
     "sql_shipmode_priority",
     "sql_parts_supplier",
     "sql_promotion_suppliers",
+    "udf_map_in_arrow",
+    "corpus_ngrams",
+    "agg_salted_twophase",
+    "join_salted",
+    "stream_custom_source",
+    "pca_power_top1",
+    "agg_moments",
+    "agg_linear_fit",
+    "agg_gini",
+    "dedup_minhash_shingle",
 ]
 
 

@@ -874,3 +874,61 @@ def dedup_minhash_estimate(spark: SparkSession, d: str) -> DataFrame:
         F.round(exact, 6).alias("jaccard"),
         F.round(F.abs(est - exact), 6).alias("abs_err"),
     )
+
+
+_SHINGLE_SQL = r"""list_distinct(list_transform(
+      range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+      i -> regexp_split_to_array(trim(text), '\s+')[i] || ' '
+           || regexp_split_to_array(trim(text), '\s+')[i + 1] || ' '
+           || regexp_split_to_array(trim(text), '\s+')[i + 2]))"""
+
+_SHINGLE_SIG_SQL = f"""
+      list_transform(range(0, {MINHASH_PERMS}),
+        j -> list_min(list_transform(
+               list_transform({_SHINGLE_SQL}, t -> {DUCK_HASH60.format(x="t")} % {MH_P}),
+               h -> ((2*j + 1) * h + j * {MH_C} + 7) % {MH_P})))
+"""
+
+
+@register(
+    "dedup_minhash_shingle",
+    oracle=f"""
+    SELECT doc_id, array_to_string({_SHINGLE_SIG_SQL}, '-') AS sig
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+    """,
+)
+def dedup_minhash_shingle(spark: SparkSession, d: str) -> DataFrame:
+    """MinHash over 3-word SHINGLES — the real-text configuration the
+    unigram ``dedup_minhash`` docstring promises (unigram sets saturate
+    on natural language; shingles preserve local order so the Jaccard
+    estimate tracks edit locality). Same universal-hash permutations,
+    same signature layout — swap the token set, keep the pipeline:
+    band-bucketing and verification compose on this table unchanged.
+    Docs under 3 tokens have no shingle set and are filtered on BOTH
+    sides (sequence() would count DOWN). Narrow map-only scan; the
+    md5-per-shingle cost is the honest price of order sensitivity."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")  # RAW sequence — order matters
+    n = F.size(toks)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    return (
+        load(spark, d, "documents")
+        .where(n >= 3)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "-",
+                _minhash_perms(F.transform(shingles, hash60)).cast("array<string>"),
+            ).alias("sig"),
+        )
+    )

@@ -988,3 +988,255 @@ def sample_per_group(spark: SparkSession, d: str) -> DataFrame:
         .where(F.col("rn") <= SAMPLE_PER_GROUP_K)
         .drop("rn")
     )
+
+
+#: replication factor for skew salting — at 100 TB pick ~(skewed-key
+#: rows / target-partition rows); 8 keeps the local plan readable
+SALT_N = 8
+
+
+@register(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_twophase(spark: SparkSession, d: str) -> DataFrame:
+    """Two-phase salted aggregation — the hand-rolled fix for a
+    skewed GROUP BY key (a handful of event types receiving most of
+    the traffic): phase 1 aggregates on (key, salt) where salt is a
+    DETERMINISTIC spread of the row identity (event_id % N — rand()
+    would break retry/speculative-execution idempotence), so the hot
+    key's rows land on N reducers instead of one; phase 2 re-aggregates
+    the N partial rows per key. COUNT re-aggregates as SUM, the
+    DECIMAL value sum is associative by construction, so the result is
+    value-identical to the plain one-shuffle GROUP BY the oracle runs.
+    Spark's own partial aggregation solves this for built-in aggs (map-
+    side combine already spreads the key); the two-phase shape is the
+    template for when it can't — collect_list payloads, exact
+    percentile state, or any buffer that grows with the group."""
+    ev = load(spark, d, "events").withColumn(
+        "salt", (F.col("event_id") % SALT_N).cast("int")
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count("*").alias("n_partial"),
+        F.sum(F.col("value").cast(DEC)).alias("v_partial"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n_partial").cast("long").alias("n_events"),
+        F.sum("v_partial").cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "join_salted",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def join_salted(spark: SparkSession, d: str) -> DataFrame:
+    """Skew-salted shuffle join — the fix when ONE join key floods a
+    reducer and the small side is too big to broadcast: the fact side
+    gets a deterministic salt (event_id % N), the dimension side is
+    replicated N ways via an in-row sequence+explode, and the join key
+    becomes (key, salt) — the hot key's rows now spread over N
+    partitions. Values are identical to the plain equi-join (each fact
+    row meets exactly the one dim replica carrying its salt), which is
+    precisely what the oracle checks. SHUFFLE_HASH hint keeps the demo
+    honest (AQE would otherwise broadcast the small replicated dim —
+    at real scale, the scenario's premise is that it can't); AQE's own
+    skew-join handles sort-merge skew automatically, this shape is for
+    hash joins and for engines/pipelines where the salt must be
+    explicit."""
+    ev = load(spark, d, "events").select(
+        "event_id", "user_id", "event_type",
+        (F.col("event_id") % SALT_N).cast("int").alias("salt"),
+    )
+    dim = (
+        load(spark, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_N - 1))))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    return (
+        ev.hint("shuffle_hash")
+        .join(dim, (ev.user_id == dim.c_custkey) & (ev.salt == dim.salt))
+        .select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+    )
+
+
+#: epoch anchor (2024-01-01 UTC, seconds) — centering the regression
+#: abscissa keeps the normal-equation magnitudes in clean double range
+_TS_ANCHOR = 1_704_067_200
+
+
+@register(
+    "agg_moments",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(value * value * value AS DECIMAL(30,6)))
+                  AS DOUBLE) AS s3,
+             CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,6)))
+                  AS DOUBLE) AS s4
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           s1 / n AS mean,
+           s2 / n - (s1 / n) * (s1 / n) AS variance,
+           (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * ((s1 / n) * (s1 / n) * (s1 / n)))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skewness,
+           (s4 / n - 4 * (s1 / n) * (s3 / n)
+                   + 6 * ((s1 / n) * (s1 / n)) * (s2 / n)
+                   - 3 * ((s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n))) - 3 AS kurtosis
+    FROM s ORDER BY event_type
+    """,
+)
+def agg_moments(spark: SparkSession, d: str) -> DataFrame:
+    """Exact higher statistical moments (mean / variance / skewness /
+    excess kurtosis) from DECIMAL-routed power sums — the profiling
+    statistics behind drift detection and outlier-band tuning. Spark's
+    built-in ``skewness()``/``kurtosis()`` accumulate doubles in
+    partition order (answers drift with parallelism — unacceptable for
+    a regression-tested pipeline); power sums are order-independent
+    exact DECIMAL adds, and every derived quantity is IEEE arithmetic
+    in the identical expression shape on both engines. One map-side-
+    combinable aggregate, 4 extra sums wide — same single-shuffle cost
+    as the plain mean."""
+    ev = load(spark, d, "events")
+    v = F.col("value")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast("decimal(30,6)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(30,6)")).cast("double").alias("s2"),
+        F.sum((v * v * v).cast("decimal(30,6)")).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast("decimal(38,6)")).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    skew = (F.col("s3") / n - F.lit(3) * m * (F.col("s2") / n) + F.lit(2) * (m * m * m)) / (
+        m2 * F.sqrt(m2)
+    )
+    kurt = (
+        F.col("s4") / n
+        - F.lit(4) * m * (F.col("s3") / n)
+        + F.lit(6) * (m * m) * (F.col("s2") / n)
+        - F.lit(3) * (m * m * m * m)
+    ) / (m2 * m2) - F.lit(3)
+    return (
+        agg.select(
+            "event_type",
+            "n",
+            m.alias("mean"),
+            m2.alias("variance"),
+            skew.alias("skewness"),
+            kurt.alias("kurtosis"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_linear_fit",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(epoch_us(ts) // 1000000 - {_TS_ANCHOR}) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM((epoch_us(ts) // 1000000 - {_TS_ANCHOR})
+                      * (epoch_us(ts) // 1000000 - {_TS_ANCHOR})) AS DOUBLE)
+               AS sxx,
+             CAST(SUM(CAST((epoch_us(ts) // 1000000 - {_TS_ANCHOR}) * value
+                           AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS intercept
+    FROM s ORDER BY event_type
+    """,
+)
+def agg_linear_fit(spark: SparkSession, d: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (value ~ time) from exact
+    normal-equation sums — trend detection over event streams. Spark
+    ships ``regr_slope``/``regr_intercept``, but their double
+    accumulation is partition-order-dependent; here Σx/Σx² are exact
+    BIGINT sums over anchored integer seconds, Σy/Σxy are DECIMAL-
+    routed, and the closed-form solution is the identical IEEE
+    expression on both engines. Single map-side-combinable shuffle."""
+    ev = load(spark, d, "events")
+    x = (F.unix_micros("ts") / F.lit(1_000_000)).cast("long") - F.lit(_TS_ANCHOR)
+    v = F.col("value")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(v.cast("decimal(30,6)")).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum((x * v).cast("decimal(38,6)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        agg.select(
+            "event_type",
+            "n",
+            slope.alias("slope"),
+            ((sy - slope * sx) / n).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           COUNT(*) AS n_types,
+           1 - CAST(SUM(cnt * cnt) AS DOUBLE)
+               / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+             AS gini_impurity
+    FROM c GROUP BY user_id
+    """,
+)
+def agg_gini(spark: SparkSession, d: str) -> DataFrame:
+    """Per-user behavioral diversity as Gini impurity (1 − Σpᵢ²) over
+    the event-type distribution — the entropy-style concentration
+    metric that stays EXACT cross-engine because it never takes a log:
+    both the counts and the sum of squared counts are integers, and
+    the single closing division is one IEEE op. Two stacked map-side-
+    combinable aggregates on (user, type) then (user) — the second
+    reuses the first's partitioning (user is a prefix of the first
+    shuffle key), so AQE plans one real exchange."""
+    c = load(spark, d, "events").groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    n = F.sum("cnt").cast("long")
+    return c.groupBy("user_id").agg(
+        n.alias("n_events"),
+        F.count("*").alias("n_types"),
+        (
+            F.lit(1)
+            - F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (n.cast("double") * n.cast("double"))
+        ).alias("gini_impurity"),
+    )

@@ -1482,3 +1482,163 @@ def embed_quantize_sq8(spark: SparkSession, d: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA by deterministic power iteration (top principal component)
+# ---------------------------------------------------------------------------
+
+#: power-iteration budget: enough to separate PC1 on this corpus while
+#: keeping the unrolled oracle readable; the start vector is the exact
+#: dyadic 1/8 = 1/sqrt(64) so v0 is unit-norm with no sqrt involved
+PCA_ITERS = 3
+_PCA_V0 = 0.125
+_PCA_MODEL_MEMO: dict = {}
+
+_PCA_DOT_V = """
+  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(range(1, 65), i -> ({x}[i] - mu[i]) * {v}[i])),
+    (acc, v) -> acc + v)
+"""
+
+
+def _pca_oracle() -> str:
+    """Unrolled-CTE oracle for ``pca_power_top1``: per-dim DECIMAL
+    means, then PCA_ITERS power-iteration rounds, each one = per-row
+    score t (sequential fold) → per-dim DECIMAL sums of t·centered →
+    normalize by the dim-ordered sequential norm fold. Every quantity
+    either is an exact DECIMAL sum or is derived from one by IEEE
+    double arithmetic in a fixed fold order, so the driver-loop Spark
+    implementation reproduces it bit-for-bit."""
+    parts = [
+        """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), dims AS (SELECT unnest(range(1, 65)) AS dim),
+    mu_long AS (
+      SELECT dim,
+             CAST(SUM(CAST(emb[dim] AS DECIMAL(27,12))) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM e, dims GROUP BY dim
+    ), mu_t AS (SELECT list(m ORDER BY dim) AS mu FROM mu_long),
+    v0_t AS (SELECT list_transform(range(1, 65), i -> 0.125) AS v FROM (SELECT 1))
+    """
+    ]
+    prev = "v0_t"
+    for k in range(1, PCA_ITERS + 1):
+        parts.append(
+            f"""
+    , t{k} AS (
+      SELECT vec_id, {_PCA_DOT_V.format(x="emb", v="v")} AS t
+      FROM e, mu_t, {prev}
+    ), s{k}_long AS (
+      SELECT dim,
+             CAST(SUM(CAST(t * (emb[dim] - mu[dim]) AS DECIMAL(27,12)))
+                  AS DOUBLE) AS s
+      FROM e JOIN t{k} USING (vec_id), mu_t, dims
+      GROUP BY dim
+    ), s{k}_t AS (SELECT list(s ORDER BY dim) AS sv FROM s{k}_long),
+    n{k}_t AS (
+      SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(sv, x -> x * x)), (acc, v) -> acc + v)) AS nrm
+      FROM s{k}_t
+    ), v{k}_t AS (
+      SELECT list_transform(sv, x -> x / nrm) AS v FROM s{k}_t, n{k}_t
+    )
+    """
+        )
+        prev = f"v{k}_t"
+    parts.append(
+        f"""
+    SELECT vec_id, {_PCA_DOT_V.format(x="emb", v="v")} AS pc1
+    FROM e, mu_t, {prev}
+    """
+    )
+    return "".join(parts)
+
+
+def _pca_model(spark: SparkSession, d: str):
+    """Train (mu, v) by PCA_ITERS power-iteration rounds — the
+    kmeans_train pattern applied to linear algebra: each round is two
+    distributed passes (per-row score fold, per-dim DECIMAL sums of
+    t·centered) plus an O(64) driver normalization; the model state
+    collected per round is 64 doubles, independent of corpus size."""
+    key = (spark.sparkContext.applicationId, d)
+    model = _PCA_MODEL_MEMO.get(key)
+    if model is not None:
+        return model
+    e = load(spark, d, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    flat = e.select("vec_id", F.posexplode("emb").alias("pos", "x"))
+    mu_rows = (
+        flat.groupBy("pos")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(27,12)")).cast("double") / F.count("*")).alias("m")
+        )
+        .collect()
+    )
+    mu = [0.0] * 64
+    for r in mu_rows:
+        mu[r["pos"]] = r["m"]
+    v = [_PCA_V0] * 64
+    for _ in range(PCA_ITERS):
+        mu_arr = F.array(*[F.lit(m) for m in mu])
+        v_arr = F.array(*[F.lit(x) for x in v])
+        centered = F.zip_with(F.col("emb"), mu_arr, lambda x, m: x - m)
+        t = F.aggregate(
+            F.zip_with(centered, v_arr, lambda c, w: c * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        s_rows = (
+            e.select(t.alias("t"), F.posexplode(centered).alias("pos", "c"))
+            .groupBy("pos")
+            .agg(
+                F.sum((F.col("t") * F.col("c")).cast("decimal(27,12)"))
+                .cast("double")
+                .alias("s")
+            )
+            .collect()
+        )
+        s = [0.0] * 64
+        for r in s_rows:
+            s[r["pos"]] = r["s"]
+        acc = 0.0
+        for x in s:  # dim-ordered fold, mirroring the oracle's list_reduce
+            acc += x * x
+        nrm = acc**0.5
+        v = [x / nrm for x in s]
+    model = (mu, v)
+    _PCA_MODEL_MEMO[key] = model
+    return model
+
+
+@register("pca_power_top1", oracle=_pca_oracle())
+def pca_power_top1(spark: SparkSession, d: str) -> DataFrame:
+    """Top-principal-component scores by deterministic power iteration
+    — dimensionality reduction / outlier axis for embedding-space
+    corpus analysis, trained INSIDE the engine (no eigensolver): v ←
+    normalize(Cv) without ever materializing the 64×64 covariance —
+    each round touches the corpus twice (row scores, per-dim sums),
+    map-side-combinable, with 64 doubles of driver state. Exactness
+    across engines: per-dim sums are DECIMAL-quantized (identical cast
+    rounding both sides), every derived quantity is IEEE arithmetic in
+    a fixed fold order, so scores match the unrolled-CTE oracle
+    bit-for-bit. At 100 TB: per round one narrow pass + one 64-row
+    shuffle — the same cost envelope as ``embed_centroid``."""
+    mu, v = _pca_model(spark, d)
+    e = load(spark, d, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    v_arr = F.array(*[F.lit(x) for x in v])
+    centered = F.zip_with(F.col("emb"), mu_arr, lambda x, m: x - m)
+    pc1 = F.aggregate(
+        F.zip_with(centered, v_arr, lambda c, w: c * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select("vec_id", pc1.alias("pc1"))

@@ -785,3 +785,106 @@ def sink_json(spark: SparkSession, d: str) -> DataFrame:
     return spark.read.schema(
         "doc_id bigint, lang string, source string, n_chars bigint"
     ).json(path)
+
+
+#: bounded synthetic stream: STREAM_N total rows, STREAM_ROWS_PER_READ
+#: per micro-batch → at least 3 real batches before the source runs dry
+STREAM_N = 120
+STREAM_ROWS_PER_READ = 40
+_STREAM_SRC_MEMO: dict = {}
+
+
+@register(
+    "stream_custom_source",
+    oracle=f"""
+    SELECT CAST(i % 4 AS BIGINT) AS shard,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(i * i AS BIGINT)) AS BIGINT) AS sum_sq
+    FROM range({STREAM_N}) t(i)
+    GROUP BY i % 4
+    """,
+)
+def stream_custom_source(spark: SparkSession, d: str) -> DataFrame:
+    """Custom STREAMING connector via the Python DataSource API
+    (Spark 4 ``SimpleDataSourceStreamReader``) — the streaming twin of
+    ``scan_custom_source``, completing the plugin surface: offset
+    management (initialOffset / per-read advance), bounded replay
+    (``readBetweenOffsets`` re-derives any batch from its offset range,
+    which is what makes recovery exactly-once), and a real micro-batch
+    run (the 120-row sequence drains over ≥3 triggers into a parquet
+    journal). The registered result de-dups the journal on the row key
+    before aggregating, so an at-least-once retry cannot change the
+    answer — retry-idempotence is the invariant the oracle certifies,
+    batching-independently, the same way ``stream_foreach_batch``
+    certifies batching-invariance."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _SeqStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i0 = start["i"]
+            i1 = min(i0 + STREAM_ROWS_PER_READ, STREAM_N)
+            return (iter([(i, i * i) for i in range(i0, i1)]), {"i": i1})
+
+        def readBetweenOffsets(self, start, end):
+            return iter([(i, i * i) for i in range(start["i"], end["i"])])
+
+    class SeqStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pro_etl_seq_stream"
+
+        def schema(self):
+            return "seq_id bigint, sq bigint"
+
+        def simpleStreamReader(self, schema):
+            return _SeqStreamReader()
+
+    key = (spark.sparkContext.applicationId,)
+    out_dir = _STREAM_SRC_MEMO.get(key)
+    if out_dir is None:
+        if not getattr(spark, "_pro_etl_seq_stream_registered", False):
+            spark.dataSource.register(SeqStreamSource)
+            spark._pro_etl_seq_stream_registered = True
+        out_dir = tempfile.mkdtemp(prefix="pro_etl_stream_src_")
+        q = (
+            spark.readStream.format("pro_etl_seq_stream")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="pro_etl_stream_src_ckpt_"),
+            )
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        # the source is unbounded from the engine's perspective (reads
+        # past STREAM_N return empty batches forever), so drain by
+        # watching the journal: stop once all STREAM_N keys landed
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            try:
+                n = (
+                    spark.read.parquet(out_dir)
+                    .select("seq_id").distinct().count()
+                )
+            except Exception:
+                n = 0
+            if n >= STREAM_N:
+                break
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+        _STREAM_SRC_MEMO[key] = out_dir
+
+    journal = spark.read.parquet(out_dir).dropDuplicates(["seq_id"])
+    return journal.groupBy((F.col("seq_id") % 4).alias("shard")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("sq").cast("long").alias("sum_sq"),
+    )

@@ -1256,3 +1256,52 @@ def bpe_pair_counts(spark: SparkSession, d: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+NGRAM_TOP_K = 100
+
+
+@register(
+    "corpus_ngrams",
+    oracle=r"""
+    WITH t AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+               AS gram
+      FROM t WHERE len(toks) >= 3
+    )
+    SELECT gram, COUNT(*) AS n_occurrences
+    FROM g GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 100
+    """,
+)
+def corpus_ngrams(spark: SparkSession, d: str) -> DataFrame:
+    """Corpus-wide word-trigram frequency table (top 100) — the n-gram
+    census behind LM smoothing tables, contamination indexes, and
+    tokenizer evaluation. Trigrams fan out IN-ROW via a higher-order
+    transform (≤ n_tokens − 2 per doc, no self-join), then one
+    map-side-combinable count keyed by gram; the top-k rides
+    TakeOrderedAndProject (never a global sort). At 100 TB the only
+    shuffle is the gram-keyed partial-count exchange — the same shape
+    as the word-count factorization in ``bpe_pair_counts``, one level
+    up (sequence guarded: Spark's sequence() DESCENDS when start >
+    stop, so sub-3-token docs need the explicit filter)."""
+    docs = load(spark, d, "documents").select(TOKENS().alias("toks"))
+    grams = docs.where(F.size("toks") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(NGRAM_TOP_K)
+    )

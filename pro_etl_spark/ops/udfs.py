@@ -178,3 +178,48 @@ def udf_grouped_arrow(spark: SparkSession, d: str) -> DataFrame:
             "max_chars bigint",
         )
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(embedding, v -> CAST(v AS DOUBLE)
+                                              * CAST(v AS DOUBLE))),
+                (acc, v) -> acc + v)) AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, d: str) -> DataFrame:
+    """X5: ``mapInArrow`` — the zero-copy Arrow escape hatch (one
+    ``pyarrow.RecordBatch`` per call, no pandas conversion overhead):
+    per-vector L2 norm via a LEFT-fold in list order, bit-identical to
+    the oracle's sequential ``list_reduce`` (both accumulate float64 in
+    element order; sqrt is correctly rounded IEEE in both engines).
+    The batch-level iterator shape is what a real featurizer (image
+    decode, tokenizer) plugs into — here the payload is verifiable
+    arithmetic so the Arrow round-trip itself is what gets certified."""
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            embs = batch.column("embedding")
+            dims, l2s = [], []
+            for emb in embs:
+                vals = [float(v.as_py()) for v in emb.values]
+                acc = 0.0
+                for v in vals:
+                    acc += v * v
+                dims.append(len(vals))
+                l2s.append(acc**0.5)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(dims, type=pa.int64()), pa.array(l2s, type=pa.float64())],
+                ["vec_id", "dim", "l2_norm"],
+            )
+
+    return load(spark, d, "embeddings").mapInArrow(
+        norms, "vec_id long, dim long, l2_norm double"
+    )

@@ -606,3 +606,25 @@ def test_q20_semi_join_over_reduced_inner(spark):
     plan = plan_of(spark, "sql_promotion_suppliers")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_is_shuffle_hash_not_broadcast(spark):
+    # the premise of salting is "can't broadcast": the hint must hold
+    # and the join key must include the salt
+    plan = plan_of(spark, "join_salted")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "salt" in plan
+
+
+def test_salted_agg_has_two_phases(spark):
+    # phase 1 shuffles on (event_type, salt), phase 2 on event_type
+    plan = plan_of(spark, "agg_salted_twophase")
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_corpus_ngrams_topk_is_take_ordered(spark):
+    # gram census: one partial-count exchange, top-k never a global sort
+    plan = plan_of(spark, "corpus_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
