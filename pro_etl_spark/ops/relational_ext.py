@@ -1079,20 +1079,23 @@ _TS_ANCHOR = 1_704_067_200
 @register(
     "agg_moments",
     oracle="""
-    WITH s AS (
+    WITH c AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cv
+      FROM events
+    ), s AS (
       SELECT event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS s2,
-             CAST(SUM(CAST(value * value * value AS DECIMAL(30,6)))
-                  AS DOUBLE) AS s3,
-             CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,6)))
-                  AS DOUBLE) AS s4
-      FROM events GROUP BY event_type
+             CAST(SUM(CAST(cv AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(cv * cv AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(cv * cv * cv AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(cv * cv AS DECIMAL(19,0))
+                      * CAST(cv * cv AS DECIMAL(19,0))) AS DOUBLE) AS s4
+      FROM c GROUP BY event_type
     )
     SELECT event_type, n,
-           s1 / n AS mean,
-           s2 / n - (s1 / n) * (s1 / n) AS variance,
+           s1 / n / 100 AS mean,
+           (s2 / n - (s1 / n) * (s1 / n)) / 10000 AS variance,
            (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * ((s1 / n) * (s1 / n) * (s1 / n)))
              / ((s2 / n - (s1 / n) * (s1 / n))
                 * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skewness,
@@ -1106,23 +1109,39 @@ _TS_ANCHOR = 1_704_067_200
 )
 def agg_moments(spark: SparkSession, d: str) -> DataFrame:
     """Exact higher statistical moments (mean / variance / skewness /
-    excess kurtosis) from DECIMAL-routed power sums — the profiling
+    excess kurtosis) from integer power sums — the profiling
     statistics behind drift detection and outlier-band tuning. Spark's
     built-in ``skewness()``/``kurtosis()`` accumulate doubles in
     partition order (answers drift with parallelism — unacceptable for
-    a regression-tested pipeline); power sums are order-independent
-    exact DECIMAL adds, and every derived quantity is IEEE arithmetic
-    in the identical expression shape on both engines. One map-side-
-    combinable aggregate, 4 extra sums wide — same single-shuffle cost
-    as the plain mean."""
+    a regression-tested pipeline). Exactness route: the 2-decimal
+    ``value`` lifts to integer CENTS via ``floor(v*100 + 0.5)`` (floor
+    operates on the exact binary double in BOTH engines, unlike a
+    double→DECIMAL cast, which Spark quantizes via the shortest-repr
+    string and DuckDB via the exact binary — they disagree at
+    half-boundaries for ≥7-decimal products like v⁴), every power sum
+    is then exact integer/DECIMAL addition (c⁴ exceeds int64 at
+    c > 55 108, so the 4th power multiplies as DECIMAL(19,0)²), and
+    the closing mean/variance rescale by 100/10 000. Skewness and
+    kurtosis are scale-invariant — computed directly in cent units.
+    One map-side-combinable aggregate, 4 extra sums wide — same
+    single-shuffle cost as the plain mean."""
     ev = load(spark, d, "events")
-    v = F.col("value")
-    agg = ev.groupBy("event_type").agg(
+    cv = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    agg = ev.select("event_type", cv.alias("cv")).groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(v.cast("decimal(30,6)")).cast("double").alias("s1"),
-        F.sum((v * v).cast("decimal(30,6)")).cast("double").alias("s2"),
-        F.sum((v * v * v).cast("decimal(30,6)")).cast("double").alias("s3"),
-        F.sum((v * v * v * v).cast("decimal(38,6)")).cast("double").alias("s4"),
+        F.sum(F.col("cv").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((F.col("cv") * F.col("cv")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+        F.sum((F.col("cv") * F.col("cv") * F.col("cv")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s3"),
+        F.sum(
+            (F.col("cv") * F.col("cv")).cast("decimal(19,0)")
+            * (F.col("cv") * F.col("cv")).cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("s4"),
     )
     n = F.col("n")
     m = F.col("s1") / n
@@ -1140,8 +1159,8 @@ def agg_moments(spark: SparkSession, d: str) -> DataFrame:
         agg.select(
             "event_type",
             "n",
-            m.alias("mean"),
-            m2.alias("variance"),
+            (m / F.lit(100)).alias("mean"),
+            (m2 / F.lit(10000)).alias("variance"),
             skew.alias("skewness"),
             kurt.alias("kurtosis"),
         )
@@ -1224,9 +1243,10 @@ def agg_gini(spark: SparkSession, d: str) -> DataFrame:
     metric that stays EXACT cross-engine because it never takes a log:
     both the counts and the sum of squared counts are integers, and
     the single closing division is one IEEE op. Two stacked map-side-
-    combinable aggregates on (user, type) then (user) — the second
-    reuses the first's partitioning (user is a prefix of the first
-    shuffle key), so AQE plans one real exchange."""
+    combinable aggregates on (user, type) then (user): the second
+    exchange moves only the per-(user, type) rollup (≤ |users| ×
+    |types| rows, corpus-size-independent), so the corpus itself
+    shuffles once."""
     c = load(spark, d, "events").groupBy("user_id", "event_type").agg(
         F.count("*").alias("cnt")
     )

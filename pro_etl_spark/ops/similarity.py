@@ -1505,11 +1505,15 @@ _PCA_DOT_V = """
 def _pca_oracle() -> str:
     """Unrolled-CTE oracle for ``pca_power_top1``: per-dim DECIMAL
     means, then PCA_ITERS power-iteration rounds, each one = per-row
-    score t (sequential fold) → per-dim DECIMAL sums of t·centered →
-    normalize by the dim-ordered sequential norm fold. Every quantity
-    either is an exact DECIMAL sum or is derived from one by IEEE
-    double arithmetic in a fixed fold order, so the driver-loop Spark
-    implementation reproduces it bit-for-bit."""
+    score t (sequential fold) → per-dim sums of t·centered → normalize
+    by the dim-ordered sequential norm fold. Per-dim sums quantize via
+    ``FLOOR(x·10¹² + 0.5)`` — floor reads the exact binary double in
+    BOTH engines, whereas a double→DECIMAL cast does not (Spark rounds
+    the shortest-repr string, DuckDB the exact binary; they disagree
+    at half-boundaries) — then add exactly as DECIMAL(38,0). Every
+    derived quantity is IEEE double arithmetic in a fixed fold order,
+    so the driver-loop Spark implementation reproduces the oracle
+    bit-for-bit."""
     parts = [
         """
     WITH e AS (
@@ -1519,8 +1523,9 @@ def _pca_oracle() -> str:
     ), dims AS (SELECT unnest(range(1, 65)) AS dim),
     mu_long AS (
       SELECT dim,
-             CAST(SUM(CAST(emb[dim] AS DECIMAL(27,12))) AS DOUBLE)
-               / COUNT(*) AS m
+             CAST(SUM(CAST(FLOOR(emb[dim] * 1000000000000 + 0.5)
+                           AS DECIMAL(38,0))) AS DOUBLE)
+               / COUNT(*) / 1000000000000.0 AS m
       FROM e, dims GROUP BY dim
     ), mu_t AS (SELECT list(m ORDER BY dim) AS mu FROM mu_long),
     v0_t AS (SELECT list_transform(range(1, 65), i -> 0.125) AS v FROM (SELECT 1))
@@ -1535,8 +1540,9 @@ def _pca_oracle() -> str:
       FROM e, mu_t, {prev}
     ), s{k}_long AS (
       SELECT dim,
-             CAST(SUM(CAST(t * (emb[dim] - mu[dim]) AS DECIMAL(27,12)))
-                  AS DOUBLE) AS s
+             CAST(SUM(CAST(FLOOR(t * (emb[dim] - mu[dim]) * 1000000000000
+                                 + 0.5) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1000000000000.0 AS s
       FROM e JOIN t{k} USING (vec_id), mu_t, dims
       GROUP BY dim
     ), s{k}_t AS (SELECT list(s ORDER BY dim) AS sv FROM s{k}_long),
@@ -1576,7 +1582,14 @@ def _pca_model(spark: SparkSession, d: str):
     mu_rows = (
         flat.groupBy("pos")
         .agg(
-            (F.sum(F.col("x").cast("decimal(27,12)")).cast("double") / F.count("*")).alias("m")
+            (
+                F.sum(
+                    F.floor(F.col("x") * F.lit(1_000_000_000_000) + F.lit(0.5))
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.count("*")
+                / F.lit(1_000_000_000_000.0)
+            ).alias("m")
         )
         .collect()
     )
@@ -1597,9 +1610,15 @@ def _pca_model(spark: SparkSession, d: str):
             e.select(t.alias("t"), F.posexplode(centered).alias("pos", "c"))
             .groupBy("pos")
             .agg(
-                F.sum((F.col("t") * F.col("c")).cast("decimal(27,12)"))
-                .cast("double")
-                .alias("s")
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("t") * F.col("c") * F.lit(1_000_000_000_000)
+                            + F.lit(0.5)
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.lit(1_000_000_000_000.0)
+                ).alias("s")
             )
             .collect()
         )
@@ -1624,8 +1643,9 @@ def pca_power_top1(spark: SparkSession, d: str) -> DataFrame:
     normalize(Cv) without ever materializing the 64×64 covariance —
     each round touches the corpus twice (row scores, per-dim sums),
     map-side-combinable, with 64 doubles of driver state. Exactness
-    across engines: per-dim sums are DECIMAL-quantized (identical cast
-    rounding both sides), every derived quantity is IEEE arithmetic in
+    across engines: per-dim sums floor-quantize to a 10⁻¹² grid
+    (exact-binary in both engines, unlike a double→DECIMAL cast) and
+    add as DECIMAL(38,0); every derived quantity is IEEE arithmetic in
     a fixed fold order, so scores match the unrolled-CTE oracle
     bit-for-bit. At 100 TB: per round one narrow pass + one 64-row
     shuffle — the same cost envelope as ``embed_centroid``."""
