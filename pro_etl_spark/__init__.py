@@ -181,6 +181,12 @@ _R06_QUEUE = [
     "agg_linear_fit",
     "agg_gini",
     "dedup_minhash_shingle",
+    "sql_group_order_all",
+    "sql_with_ties",
+    "agg_argminmax",
+    "events_ohlc",
+    "fn_regexp_extract_all",
+    "text_cooccurrence",
 ]
 
 

@@ -1079,3 +1079,53 @@ def window_cumulative_distinct(spark: SparkSession, d: str) -> DataFrame:
         .withColumn("n_types_so_far", F.sum("is_first").over(w_run))
         .select("event_id", "user_id", "ts", "n_types_so_far")
     )
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '15 minutes', ts) AS win_start,
+             value,
+             printf('%020d-%020d', epoch_us(ts), event_id) AS tiebreak
+      FROM events
+    )
+    SELECT event_type, win_start,
+           CAST(ARG_MIN(value, tiebreak) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE)               AS high,
+           CAST(MIN(value) AS DOUBLE)               AS low,
+           CAST(ARG_MAX(value, tiebreak) AS DOUBLE) AS close,
+           CAST(COUNT(*) AS BIGINT)                 AS n_ticks,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM e GROUP BY event_type, win_start
+    """,
+)
+def events_ohlc(spark: SparkSession, d: str) -> DataFrame:
+    """Time-series resampling to OHLC candles: 15-minute bars per
+    event type with open (first tick), high, low, close (last tick),
+    tick count, and DECIMAL-exact volume. The financial downsampling
+    shape — min_by/max_by over a unique (ts, event_id) ordering key
+    collapses "first/last in window" into the SAME single grouped
+    pass as min/max/sum, so a century of ticks resamples with exactly
+    one shuffle keyed by (series, bucket) and map-side partials do
+    almost all the work. No window function, no sort, no self-join —
+    the plan a 100 TB tick store needs. Ordering keys are zero-padded
+    strings so first/last is deterministic cross-engine even with
+    duplicate timestamps."""
+    e = load(spark, d, "events").select(
+        "event_type",
+        F.window("ts", "15 minutes").start.alias("win_start"),
+        "value",
+        F.format_string(
+            "%020d-%020d", F.unix_micros("ts"), F.col("event_id")
+        ).alias("tiebreak"),
+    )
+    return e.groupBy("event_type", "win_start").agg(
+        F.min_by("value", "tiebreak").cast("double").alias("open"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.max_by("value", "tiebreak").cast("double").alias("close"),
+        F.count("*").alias("n_ticks"),
+        F.sum(F.col("value").cast(DECV)).cast("double").alias("volume"),
+    )

@@ -1260,3 +1260,52 @@ def agg_gini(spark: SparkSession, d: str) -> DataFrame:
             / (n.cast("double") * n.cast("double"))
         ).alias("gini_impurity"),
     )
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, value, ts,
+             printf('%020d-%020d', epoch_us(ts), event_id) AS tiebreak
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS n_errors,
+           BOOL_AND(value >= 0)      AS all_nonneg,
+           BOOL_OR(event_type = 'purchase') AS any_purchase,
+           ARG_MAX(event_type, tiebreak) AS last_type,
+           ARG_MIN(event_type, tiebreak) AS first_type
+    FROM e GROUP BY user_id
+    """,
+)
+def agg_argminmax(spark: SparkSession, d: str) -> DataFrame:
+    """Ordered-argument / conditional aggregates in ONE grouped pass:
+    count_if, bool_and / bool_or, and max_by / min_by (DuckDB:
+    FILTER + ARG_MAX/ARG_MIN). All five are map-side combinable, so
+    the corpus shuffles once carrying 5 small partial states per
+    (partition, user) — no window, no second scan, no join.
+
+    max_by/min_by ties are undefined in both engines, so the ordering
+    key is made UNIQUE by construction: a zero-padded (epoch_us,
+    event_id) string — lexicographic order == (ts, event_id) order —
+    which makes "first/last event type per user" deterministic
+    cross-engine (the same encode-to-one-sortable-key trick as
+    events_ohlc; a struct key would not hash identically through the
+    grading canonicalizer's pandas path)."""
+    e = load(spark, d, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.format_string(
+            "%020d-%020d", F.unix_micros("ts"), F.col("event_id")
+        ).alias("tiebreak"),
+    )
+    return e.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("event_type") == "purchase").alias("any_purchase"),
+        F.max_by("event_type", "tiebreak").alias("last_type"),
+        F.min_by("event_type", "tiebreak").alias("first_type"),
+    )

@@ -569,3 +569,30 @@ def fn_mask(spark: SparkSession, d: str) -> DataFrame:
     return load(spark, d, "customer").select(
         "c_custkey", F.mask("c_name").alias("masked_name")
     )
+
+
+@register(
+    "fn_regexp_extract_all",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract_all(text, '\b[0-9]+\b') AS numbers,
+           CAST(len(regexp_extract_all(text, '\b[A-Z][a-z]+')) AS INTEGER)
+             AS n_capitalized
+    FROM documents
+    """,
+)
+def fn_regexp_extract_all(spark: SparkSession, d: str) -> DataFrame:
+    """All-occurrence regex extraction (F8 family extension): every
+    standalone integer in each document as an array column, plus a
+    count of Capitalized words — the entity-harvest shape (IDs, prices,
+    mentions) that would need a UDF loop in row engines. One narrow
+    JVM-side pass, codegen-friendly; the array stays a real
+    array<string> column (grading canonicalizer serializes arrays
+    recursively, so the oracle pairs exactly)."""
+    return load(spark, d, "documents").select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(r"\b[0-9]+\b"), 0).alias("numbers"),
+        F.array_size(
+            F.regexp_extract_all("text", F.lit(r"\b[A-Z][a-z]+"), 0)
+        ).alias("n_capitalized"),
+    )

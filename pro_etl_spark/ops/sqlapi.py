@@ -870,3 +870,76 @@ def sql_promotion_suppliers(spark: SparkSession, d: str) -> DataFrame:
     lineitem per group. red_parts broadcasts into the fact scan."""
     _views(spark, d)
     return spark.sql(SQL_PROMOTION_SUPPLIERS)
+
+
+#: GROUP BY ALL / ORDER BY ALL (modern ANSI-adjacent shorthand both
+#: engines ship): every non-aggregate select item becomes a grouping
+#: key and the whole select list becomes the sort key — the exact text
+#: runs verbatim on Spark and DuckDB, proving the shorthand stays in
+#: the shared dialect. Measures are DECIMAL-routed as everywhere else.
+SQL_GROUP_ORDER_ALL = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("sql_group_order_all", oracle=SQL_GROUP_ORDER_ALL)
+def sql_group_order_all(spark: SparkSession, d: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL: the resolver expands both from the
+    select list, so the plan is the ordinary partial+final hash agg
+    plus one global sort — identical to spelling the keys out. The
+    ORDER BY ALL covers every output column, so the result order (and
+    the value hash) is fully deterministic on both engines."""
+    _views(spark, d)
+    return spark.sql(SQL_GROUP_ORDER_ALL)
+
+
+#: top orders by price WITH TIES: ANSI `FETCH FIRST n ROWS WITH TIES`
+#: keeps every row tying with the last in-quota sort key, so the
+#: result is a deterministic SET even when the cutoff lands mid-tie
+#: (a bare LIMIT would pick an arbitrary tie member). Neither engine
+#: parses the ANSI clause (checked: DuckDB 1.x rejects it too), so
+#: both sides use the standard-equivalent RANK() filter — rank()
+#: assigns equal ranks to tied keys and skips ahead, which is
+#: precisely WITH TIES; DuckDB spells the filter as QUALIFY.
+_WITH_TIES_N = 15
+
+SQL_WITH_TIES_ORACLE = f"""
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) / 1000, 0) AS BIGINT)
+         AS price_k
+FROM orders
+QUALIFY RANK() OVER (ORDER BY price_k DESC) <= {_WITH_TIES_N}
+"""
+
+SQL_WITH_TIES_SPARK = f"""
+SELECT o_orderkey, o_custkey, price_k
+FROM (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) / 1000, 0) AS BIGINT)
+           AS price_k,
+         RANK() OVER (ORDER BY
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) / 1000, 0) AS BIGINT)
+           DESC) AS rk
+  FROM orders
+)
+WHERE rk <= {_WITH_TIES_N}
+"""
+
+
+@register("sql_with_ties", oracle=SQL_WITH_TIES_ORACLE)
+def sql_with_ties(spark: SparkSession, d: str) -> DataFrame:
+    """WITH TIES semantics: the sort key is coarsened to price-in-
+    thousands so genuine ties exist and the cutoff lands inside a tie
+    group. Both engines express it as a RANK() filter (same result set
+    as the ANSI clause by construction); at scale the window is a
+    single global sort — same cost class as the ANSI clause, and the
+    scan still prunes to the projected three columns."""
+    _views(spark, d)
+    return spark.sql(SQL_WITH_TIES_SPARK)

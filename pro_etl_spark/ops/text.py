@@ -1305,3 +1305,98 @@ def corpus_ngrams(spark: SparkSession, d: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "gram")
         .limit(NGRAM_TOP_K)
     )
+
+
+#: co-occurrence window (tokens to the RIGHT of each position) and the
+#: min pair count kept — bounds the pair table like GloVe's min-count
+COOC_WINDOW = 2
+COOC_MIN_COUNT = 3
+
+
+@register(
+    "text_cooccurrence",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT unnest(flatten(list_transform(
+               range(1, len(toks) + 1),
+               i -> list_transform(
+                      list_slice(toks, i + 1, i + {COOC_WINDOW}),
+                      y -> [toks[i], y])))) AS p
+      FROM t
+    ), cnt AS (
+      SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS pair_n
+      FROM pairs GROUP BY 1, 2
+    ), tot AS (SELECT SUM(pair_n) AS total FROM cnt),
+    marg AS (
+      SELECT w, SUM(n) AS m FROM (
+        SELECT w1 AS w, pair_n AS n FROM cnt
+        UNION ALL SELECT w2, pair_n FROM cnt
+      ) GROUP BY w
+    )
+    SELECT w1, w2, CAST(pair_n AS BIGINT) AS pair_n,
+           CAST(pair_n AS DOUBLE) * tot.total / (a.m * b.m) AS pmi_ratio
+    FROM cnt, tot
+    JOIN marg a ON a.w = w1
+    JOIN marg b ON b.w = w2
+    WHERE pair_n >= {COOC_MIN_COUNT}
+    """,
+)
+def text_cooccurrence(spark: SparkSession, d: str) -> DataFrame:
+    """GloVe-style windowed co-occurrence statistics: ordered (w1, w2)
+    pairs within a {COOC_WINDOW}-token right-context window, their
+    corpus counts, and the PMI *ratio* P(w1,w2)/(P(w1)P(w2)) — kept in
+    rational form (integer counts, one IEEE multiply/divide chain)
+    instead of log-PMI so the value oracle is bit-exact cross-engine;
+    log is monotone, so ranking by the ratio IS ranking by PMI.
+
+    Scale: pair expansion is IN-ROW (the same flatten/slice trick as
+    the LSH bucket pairs — never a positional self-join), so the map
+    side fans out O(tokens × window) locally; the only shuffles are
+    the (w1, w2) count and the tiny marginal join, both map-side
+    combinable. This is the word2vec/GloVe preprocessing stage a
+    100 TB corpus runs as one map + one combine-heavy reduce."""
+    toks = TOKENS()
+    pairs = F.flatten(
+        F.transform(
+            toks,
+            lambda x, i: F.transform(
+                F.slice(toks, i + 2, COOC_WINDOW),
+                lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
+        )
+    )
+    cnt = (
+        load(spark, d, "documents")
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("pair_n"))
+    )
+    cnt = cnt.cache()  # read three times: marginals (×2) + the join spine
+    marg = (
+        cnt.select(F.col("w1").alias("w"), F.col("pair_n").alias("n"))
+        .unionAll(cnt.select(F.col("w2").alias("w"), F.col("pair_n").alias("n")))
+        .groupBy("w")
+        .agg(F.sum("n").alias("m"))
+    )
+    total = cnt.agg(F.sum("pair_n").alias("total"))
+    a = marg.select(F.col("w").alias("w1"), F.col("m").alias("m1"))
+    b = marg.select(F.col("w").alias("w2"), F.col("m").alias("m2"))
+    return (
+        cnt.where(F.col("pair_n") >= COOC_MIN_COUNT)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            (
+                F.col("pair_n").cast("double")
+                * F.col("total")
+                / (F.col("m1") * F.col("m2"))
+            ).alias("pmi_ratio"),
+        )
+    )
