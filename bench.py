@@ -60,6 +60,11 @@ HEADLINE = [
     "join_salted",
     "corpus_ngrams",
     "pca_power_top1",
+    # round-5 batch 3: time-series resample, GloVe co-occurrence,
+    # hybrid lexical+dense retrieval
+    "events_ohlc",
+    "text_cooccurrence",
+    "ann_hybrid_rrf",
 ]
 
 

@@ -187,6 +187,11 @@ _R06_QUEUE = [
     "events_ohlc",
     "fn_regexp_extract_all",
     "text_cooccurrence",
+    "ann_recall_eval",
+    "ann_hybrid_rrf",
+    "stream_stream_left_outer",
+    "mm_audio_energy",
+    "sample_importance",
 ]
 
 

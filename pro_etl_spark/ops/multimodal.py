@@ -287,3 +287,73 @@ def mm_chunk_dedup(spark: SparkSession, d: str) -> DataFrame:
         .where(F.col("n_shared") >= CHUNK_MIN_SHARED)
         .select("doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared"))
     )
+
+
+#: audio-style framing: samples per frame (non-overlapping hop)
+FRAME_LEN = 64
+
+
+@register(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(text, ''),
+                            c -> unicode(c)) AS pcm
+      FROM documents
+    ), framed AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             list_slice(pcm, i * {FRAME_LEN} + 1, (i + 1) * {FRAME_LEN})
+               AS frame
+      FROM s, LATERAL (SELECT unnest(
+               range(0, CAST(ceil(len(pcm) / {FRAME_LEN}.0) AS BIGINT))) AS i)
+      WHERE len(pcm) > 0
+    )
+    SELECT doc_id, frame_idx,
+           CAST(len(frame) AS BIGINT) AS n_samples,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(frame, x -> CAST(x * x AS BIGINT))),
+                  (acc, v) -> acc + v) AS BIGINT) AS energy,
+           CAST(list_max(frame) AS BIGINT) AS peak,
+           sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(frame, x -> CAST(x * x AS BIGINT))),
+                  (acc, v) -> acc + v) AS DOUBLE) / len(frame)) AS rms
+    FROM framed
+    """,
+)
+def mm_audio_energy(spark: SparkSession, d: str) -> DataFrame:
+    """Audio-pipeline framing plumbing: treat each payload's bytes as
+    a PCM sample stream (stand-in: the text's character codes — the
+    container ships no audio codec, same policy as ``decode_meta``),
+    window it into non-overlapping {FRAME_LEN}-sample frames IN-ROW,
+    and emit per-frame integer energy (Σs² — exact BIGINT on both
+    engines), peak, and RMS (one exactly-rounded sqrt+divide). This is
+    the VAD / silence-trim / loudness-normalization front-end shape:
+    decode → frame → per-frame feature, all map-only — a 100 TB audio
+    lake frames without any shuffle, and the frame table partitions
+    however the feature store wants."""
+    pcm = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+    n_frames = F.ceil(F.size("pcm") / F.lit(float(FRAME_LEN))).cast("long")
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.slice(F.col("pcm"), i * FRAME_LEN + 1, FRAME_LEN),
+    )
+    energy = F.aggregate(
+        F.transform(F.col("frame"), lambda x: (x * x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        load(spark, d, "documents")
+        .select("doc_id", pcm.alias("pcm"))
+        .where(F.size("pcm") > 0)
+        .select("doc_id", F.posexplode(frames).alias("frame_idx", "frame"))
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.size("frame").cast("long").alias("n_samples"),
+            energy.alias("energy"),
+            F.array_max("frame").cast("long").alias("peak"),
+            F.sqrt(energy.cast("double") / F.size("frame")).alias("rms"),
+        )
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from pro_etl_spark.io import load
 from pro_etl_spark.ops.dedup import COSINE_THRESHOLD, DUCK_DOT, corpus_table, dot
-from pro_etl_spark.registry import register
+from pro_etl_spark.registry import ORACLES, register
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
@@ -1565,6 +1565,17 @@ def _pca_oracle() -> str:
     return "".join(parts)
 
 
+def _pca_corpus(spark: SparkSession, d: str) -> DataFrame:
+    """Cached double-cast embedding corpus shared by the PCA training
+    passes and the final scoring query (same materialization-barrier
+    rationale as ``corpus_table`` / ``_token_table``)."""
+    return (
+        load(spark, d, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .cache()
+    )
+
+
 def _pca_model(spark: SparkSession, d: str):
     """Train (mu, v) by PCA_ITERS power-iteration rounds — the
     kmeans_train pattern applied to linear algebra: each round is two
@@ -1575,9 +1586,19 @@ def _pca_model(spark: SparkSession, d: str):
     model = _PCA_MODEL_MEMO.get(key)
     if model is not None:
         return model
-    e = load(spark, d, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    # cached: the training loop re-reads this corpus 1 + PCA_ITERS
+    # times (mu pass + one s pass per round) and the scoring query
+    # reads it once more — without the cache every pass re-scans the
+    # parquet and re-casts 64 floats/row (measured ~40% of the
+    # operator's bench time). Spark's CacheManager also shares this
+    # exact plan with the final scoring select below.
+    e = _pca_corpus(spark, d)
+    # per-dim sums stay posexplode + groupBy(pos): a 64-wide single-row
+    # aggregate (one decimal SUM column per dim) was tried and measured
+    # ~50% SLOWER at sf0.1 — 64 independent element_at+floor+decimal
+    # aggregate expressions blow up codegen per round, while the
+    # exploded shape is one tight generated loop and a 64-key exchange
+    # whose volume (64 rows × partials) is corpus-size-independent.
     flat = e.select("vec_id", F.posexplode("emb").alias("pos", "x"))
     mu_rows = (
         flat.groupBy("pos")
@@ -1650,9 +1671,7 @@ def pca_power_top1(spark: SparkSession, d: str) -> DataFrame:
     bit-for-bit. At 100 TB: per round one narrow pass + one 64-row
     shuffle — the same cost envelope as ``embed_centroid``."""
     mu, v = _pca_model(spark, d)
-    e = load(spark, d, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    e = _pca_corpus(spark, d)
     mu_arr = F.array(*[F.lit(m) for m in mu])
     v_arr = F.array(*[F.lit(x) for x in v])
     centered = F.zip_with(F.col("emb"), mu_arr, lambda x, m: x - m)
@@ -1662,3 +1681,48 @@ def pca_power_top1(spark: SparkSession, d: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return e.select("vec_id", pc1.alias("pc1"))
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH exact AS ({{exact}}),
+         approx AS ({{approx}})
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """.format(
+        exact=ORACLES["ann_cosine_topk"], approx=ORACLES["ann_ivf_kmeans_topk"]
+    ),
+)
+def ann_recall_eval(spark: SparkSession, d: str) -> DataFrame:
+    """Index-quality evaluation: recall@k of the trained-IVF index
+    against the brute-force ground truth, per query — the metric that
+    decides nprobe/K_CELLS for a production vector index. Composition
+    of two registered operators (their cached corpus/centroid tables
+    are shared, so the corpus is scanned once): ground truth left-
+    joins the approximate result on (query, neighbor) and the hit
+    count divides by k. Both inputs are ≤ queries×k rows, so the
+    evaluation join is broadcast-trivial no matter the corpus size —
+    evaluating an index over 100 TB costs exactly the two searches."""
+    exact = ann_cosine_topk(spark, d).select(
+        "query_id", F.col("neighbor_id").alias("en")
+    )
+    approx = ann_ivf_kmeans_topk(spark, d).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    j = exact.join(
+        F.broadcast(approx),
+        (F.col("query_id") == F.col("aq")) & (F.col("en") == F.col("an")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.count("an").alias("n_hit"),
+        (F.count("an").cast("double") / F.count("*")).alias("recall_at_k"),
+    )

@@ -201,11 +201,15 @@ def stream_join_static(spark: SparkSession, d: str) -> DataFrame:
     return enrich_segment(load(spark, d, "events"), load(spark, d, "customer"))
 
 
-def click_error_interval_join(clicks: DataFrame, errors: DataFrame) -> DataFrame:
+def click_error_interval_join(
+    clicks: DataFrame, errors: DataFrame, how: str = "inner"
+) -> DataFrame:
     """Core transform shared by the batch oracle query and the
     watermarked stream-stream twin: every error an affected user raised
     within 10 minutes AFTER a click — the attribution/correlation shape
-    (ad click → conversion, deploy → error burst)."""
+    (ad click → conversion, deploy → error burst). ``how='left_outer'``
+    keeps unconverted clicks with NULL error columns (the
+    did-NOT-convert cohort, which is usually the business question)."""
     c = clicks.select(
         F.col("event_id").alias("click_id"),
         F.col("user_id"),
@@ -225,6 +229,7 @@ def click_error_interval_join(clicks: DataFrame, errors: DataFrame) -> DataFrame
                 F.col("error_ts")
                 <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
             ),
+            how,
         )
         .select("click_id", "error_id", "user_id", "click_ts", "error_ts")
     )
@@ -255,6 +260,36 @@ def stream_stream_join(spark: SparkSession, d: str) -> DataFrame:
     return click_error_interval_join(
         ev.where(F.col("event_type") == "click"),
         ev.where(F.col("event_type") == "error"),
+    )
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+           c.ts AS click_ts, e.ts AS error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL '10 minutes'
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, d: str) -> DataFrame:
+    """T-family extension: LEFT OUTER stream-stream interval join —
+    clicks that did NOT convert to an error survive with NULL error
+    columns (the negative cohort an attribution pipeline actually
+    reports on). Same plan as the inner variant plus null-filling;
+    under Structured Streaming (``streaming_jobs.
+    click_error_outer_stream``) the outer side additionally REQUIRES
+    the watermark + both-sides time bound: an unmatched click can only
+    be emitted-with-NULLs once the watermark proves no matching error
+    can still arrive — outer results are inherently watermark-delayed,
+    which is the documented Spark semantics, not a defect."""
+    ev = load(spark, d, "events")
+    return click_error_interval_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "error"),
+        how="left_outer",
     )
 
 

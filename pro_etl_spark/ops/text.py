@@ -1400,3 +1400,72 @@ def text_cooccurrence(spark: SparkSession, d: str) -> DataFrame:
             ).alias("pmi_ratio"),
         )
     )
+
+
+#: importance-sampling acceptance scale: acceptance probability is
+#: min(1, TTR / IMP_TARGET_TTR) where TTR = distinct/total tokens —
+#: docs at or above the target diversity are always kept, repetitive
+#: docs keep a proportional slice (DSIR-style quality reweighting with
+#: a rational, cross-engine-exact proxy score)
+IMP_TARGET_TTR_BP = 6000  # target type-token ratio, basis points
+
+
+@register(
+    "sample_importance",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+               AS n_distinct,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':imp'), 1, 15))::BIGINT
+               % 1048576 AS h
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS ttr
+    FROM t
+    WHERE h * CAST({IMP_TARGET_TTR_BP} AS BIGINT) * n_tokens
+          < 1048576 * CAST(10000 AS BIGINT) * n_distinct
+    """,
+)
+def sample_importance(spark: SparkSession, d: str) -> DataFrame:
+    """DSIR-style importance sampling: each document is accepted with
+    probability proportional to a per-DOCUMENT quality score — here
+    the type-token ratio against a target diversity — rather than
+    ``sample_mix``'s per-source constant. The acceptance test
+    ``h/2²⁰ < min(1, ttr/target)`` is evaluated as one INTEGER
+    cross-multiplication (h·target·n_tokens < 2²⁰·10⁴·n_distinct), so
+    the decision is bit-exact on every engine — no float threshold, no
+    rand(): re-runs and backfills select the identical subset, and
+    raising the target only shrinks the sample monotonically.
+
+    Scale: one narrow, shuffle-free pass (tokenize, two counts, one
+    60-bit hash, one integer predicate) — the mixer shape in front of
+    LLM pre-training, at any corpus size. Products stay < 2⁶³:
+    h < 2²⁰, target ≤ 10⁴ < 2¹⁴, n_tokens < 2²⁰ for any real doc."""
+    toks = TOKENS()
+    t = load(spark, d, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":imp")))
+            % 1_048_576
+        ).alias("h"),
+    )
+    return t.where(
+        F.col("h") * F.lit(IMP_TARGET_TTR_BP).cast("long") * F.col("n_tokens")
+        < F.lit(1_048_576).cast("long")
+        * F.lit(10_000).cast("long")
+        * F.col("n_distinct")
+    ).select(
+        "doc_id",
+        "source",
+        "n_distinct",
+        "n_tokens",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("ttr"),
+    )

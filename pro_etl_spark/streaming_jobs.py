@@ -127,6 +127,22 @@ def click_error_stream(
     return click_error_interval_join(clicks, errors)
 
 
+def click_error_outer_stream(
+    ev: DataFrame, watermark: str = "20 minutes"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (batch twin:
+    `stream_stream_left_outer`). The outer side makes the watermark
+    mandatory, not merely state-bounding: an unmatched click is
+    emitted with NULL error columns only once the watermark passes
+    click_ts + 10 minutes (proof no matching error can still arrive).
+    Clicks inside the final watermark of an availableNow run therefore
+    stay unemitted — batch parity holds for everything older than
+    (watermark + join interval), which the test asserts explicitly."""
+    clicks = ev.where(F.col("event_type") == "click").withWatermark("ts", watermark)
+    errors = ev.where(F.col("event_type") == "error").withWatermark("ts", watermark)
+    return click_error_interval_join(clicks, errors, how="left_outer")
+
+
 def running_totals_stream(ev: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a
     per-user running (count, total-value) accumulator maintained in the

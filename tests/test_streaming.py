@@ -116,6 +116,46 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     assert got == want
 
 
+def test_stream_stream_left_outer_matches_batch(spark, events_dir):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    inner join exactly; NULL-error rows are emitted only for clicks the
+    final watermark has proven unmatched, so parity for them is
+    asserted on the watermark-safe prefix (clicks older than max_ts −
+    watermark − join interval) and set-containment on the rest."""
+    import datetime
+
+    ev = SJ.read_events_stream(spark, events_dir)
+    SJ.run_to_memory(
+        SJ.click_error_outer_stream(ev), "t_ssouter", output_mode="append"
+    )
+    got = spark.table("t_ssouter")
+    bev = load(spark, SF, "events")
+    want = click_error_interval_join(
+        bev.where(F.col("event_type") == "click"),
+        bev.where(F.col("event_type") == "error"),
+        how="left_outer",
+    )
+    # matched rows: exact parity with the batch join
+    assert rows(got.where(F.col("error_id").isNotNull())) == rows(
+        want.where(F.col("error_id").isNotNull())
+    )
+    # outer (NULL) rows: none spurious ...
+    got_nulls = set(rows(got.where(F.col("error_id").isNull())))
+    want_nulls = set(rows(want.where(F.col("error_id").isNull())))
+    assert got_nulls <= want_nulls
+    # ... and complete on the watermark-safe prefix. The engine's
+    # global watermark is the MIN across both input streams
+    # (multipleWatermarkPolicy=min), so the safe horizon derives from
+    # the EARLIER of the two sides' max event times.
+    max_ts = min(
+        bev.where(F.col("event_type") == t).agg(F.max("ts")).collect()[0][0]
+        for t in ("click", "error")
+    )
+    safe = max_ts - datetime.timedelta(minutes=30)
+    missing = {r for r in want_nulls - got_nulls if r[3] <= safe}
+    assert not missing
+
+
 def test_dedup_stream_keyset_matches_batch(spark, events_dir):
     """dropDuplicatesWithinWatermark keeps an arbitrary first-seen row
     per key (order depends on file/partition order), so parity is on the
