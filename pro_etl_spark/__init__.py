@@ -192,6 +192,10 @@ _R06_QUEUE = [
     "stream_stream_left_outer",
     "mm_audio_energy",
     "sample_importance",
+    "stream_topk_state",
+    "set_except_all",
+    "window_rolling_median",
+    "interval_concurrency",
 ]
 
 

@@ -517,3 +517,100 @@ def merge_cdc_apply(spark: SparkSession, d: str) -> DataFrame:
             .alias("row_action"),
         )
     )
+
+
+@register(
+    "interval_concurrency",
+    oracle="""
+    WITH labeled AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_num
+      FROM (
+        SELECT event_id, user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      )
+    ), sessions AS (
+      SELECT user_id, session_num,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM labeled GROUP BY user_id, session_num
+    ), bounds AS (
+      SELECT CAST(date_trunc('day', s_start) AS TIMESTAMP) AS day,
+             s_start AS ts, 1 AS delta, user_id, session_num
+      FROM sessions
+      UNION ALL
+      SELECT CAST(date_trunc('day', s_start) AS TIMESTAMP) AS day,
+             s_end AS ts, -1 AS delta, user_id, session_num
+      FROM sessions
+    ), swept AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day
+                              ORDER BY ts, delta DESC, user_id, session_num
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS live
+      FROM bounds
+    )
+    SELECT day, CAST(MAX(live) AS BIGINT) AS peak_concurrent
+    FROM swept GROUP BY day
+    """,
+)
+def interval_concurrency(spark: SparkSession, d: str) -> DataFrame:
+    """Peak concurrent sessions per day by SWEEP-LINE: every session
+    becomes a (+1 at start, −1 at end) boundary pair, a running sum
+    over the time-ordered boundaries is the live-session count, and
+    the daily max of that count is the capacity-planning number
+    (license seats, connection pools). Ordering puts starts before
+    ends at the same instant (delta DESC) — inclusive-interval
+    overlap — with (user, session) as the final tiebreak so the
+    running sum is deterministic cross-engine.
+
+    Scale: sessions build on the SAME one-user-shuffle machinery as
+    ``sessionize``; the sweep partitions by DAY (each session
+    attributed to its start day — the dashboard convention, documented
+    rather than silently wrong for midnight-crossers), so the running
+    sum is per-day-keyed, never a single global sort. At 100 TB the
+    boundary table is 2 rows/session — orders of magnitude smaller
+    than the events — and each day's sweep is an independent
+    partition."""
+    from pro_etl_spark.io import load as _load
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = prev.isNull() | (
+        F.col("ts") > prev + F.expr(f"INTERVAL {SESSION_GAP}")
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = (
+        _load(spark, d, "events")
+        .select("event_id", "user_id", "ts")
+        .withColumn("is_new", is_new.cast("long"))
+        .withColumn("session_num", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_num")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    day = F.date_trunc("day", F.col("s_start"))
+    bounds = sessions.select(
+        day.alias("day"), F.col("s_start").alias("ts"),
+        F.lit(1).alias("delta"), "user_id", "session_num",
+    ).unionAll(
+        sessions.select(
+            day.alias("day"), F.col("s_end").alias("ts"),
+            F.lit(-1).alias("delta"), "user_id", "session_num",
+        )
+    )
+    sweep = Window.partitionBy("day").orderBy(
+        "ts", F.desc("delta"), "user_id", "session_num"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        bounds.withColumn("live", F.sum("delta").over(sweep))
+        .groupBy("day")
+        .agg(F.max("live").cast("long").alias("peak_concurrent"))
+    )

@@ -1309,3 +1309,88 @@ def agg_argminmax(spark: SparkSession, d: str) -> DataFrame:
         F.max_by("event_type", "tiebreak").alias("last_type"),
         F.min_by("event_type", "tiebreak").alias("first_type"),
     )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT 'except_all' AS op, nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY 1, 2
+    UNION ALL
+    SELECT 'intersect_all' AS op, nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY 1, 2
+    """,
+)
+def set_except_all(spark: SparkSession, d: str) -> DataFrame:
+    """U2/U3 bag-semantics twins: EXCEPT ALL keeps max(0, n_left −
+    n_right) copies per value, INTERSECT ALL keeps min(n_left,
+    n_right) — the multiset algebra reconciliation jobs actually need
+    (a row missing TWICE is two discrepancies, which the DISTINCT
+    variants silently collapse). Spark plans both natively
+    (``exceptAll``/``intersectAll`` → a generated-column rewrite:
+    tag ±1, sum per value, replicate) — no self-join; one shuffle per
+    side keyed by value, identical to the DISTINCT variants' cost.
+    The output collapses the replicated rows back to (value, count) so
+    the oracle compares multiset cardinalities exactly."""
+    c = load(spark, d, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, d, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    ex = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    ix = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    return ex.unionAll(ix)
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id, value,
+           median(value) OVER (
+             PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS rolling_median
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, d: str) -> DataFrame:
+    """EXACT rolling median over the trailing 5 events per user — the
+    robust smoother (spike suppression) whose windowed form Spark has
+    no native aggregate for. Rewrite: collect the bounded frame into
+    an array, sort it, index the middle (odd count) or average the two
+    middles (even count — DuckDB's median interpolates identically,
+    one IEEE add + halve). The frame is ROWS-bounded at 5, so per-row
+    state is constant: one user-keyed shuffle + sort, the same cost
+    class as any ordered window — this rewrite is only sane for SMALL
+    frames (state is O(frame), not O(1); an unbounded exact median
+    needs a different algorithm entirely, which the docstring is
+    explicit about rather than silently shipping O(n²))."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+    k = F.size(frame)
+    lo = F.element_at(frame, ((k + 1) / 2).cast("int"))
+    hi = F.element_at(frame, (k / 2 + 1).cast("int"))
+    return load(spark, d, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        ((lo + hi) / F.lit(2.0)).alias("rolling_median"),
+    )

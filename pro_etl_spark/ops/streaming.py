@@ -359,6 +359,69 @@ def stream_running_totals(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+_TOPK_STATE_MEMO: dict = {}
+TOPK_STATE_K = 3
+
+
+@register(
+    "stream_topk_state",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 1000000.0) AS BIGINT) AS micros
+      FROM events
+    )
+    SELECT user_id, CAST(rank AS INTEGER) AS rank, micros, event_id
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY micros DESC, event_id) AS rank
+      FROM m
+    ) WHERE rank <= {TOPK_STATE_K}
+    """,
+)
+def stream_topk_state(spark: SparkSession, d: str) -> DataFrame:
+    """Second REAL stateful streaming run: per-user top-{TOPK_STATE_K}
+    leaderboard maintained in the state store across micro-batches
+    (``streaming_jobs.topk_state_stream``) — bounded state (k pairs per
+    user) for a query whose batch form needs a full window sort. The
+    integer-micros ordering makes the final state independent of how
+    the stream was batched, so it value-matches the plain window-rank
+    oracle exactly — the associative-exactness contract that lets a
+    STATEFUL operator carry a full value oracle.
+
+    Scale: state store holds k·16 B per user; emissions are update-mode
+    (current top-k per touched user per batch), collapsed here to the
+    final state by keeping each user's max-n_seen emission."""
+    from pro_etl_spark import streaming_jobs as SJ
+
+    key = (spark.sparkContext.applicationId, d)
+    table = _TOPK_STATE_MEMO.get(key)
+    if table is None:
+        import shutil
+        import tempfile
+
+        table = f"topk_state_{abs(hash(key)) % 10**9}"
+        src_dir = tempfile.mkdtemp(prefix="pro_etl_topk_")
+        shutil.copy(f"{d}/events.parquet", f"{src_dir}/events.parquet")
+        ev = SJ.read_events_stream(spark, src_dir)
+        SJ.run_to_memory(
+            SJ.topk_state_stream(ev, k=TOPK_STATE_K),
+            table,
+            output_mode="update",
+        )
+        _TOPK_STATE_MEMO[key] = table
+    emitted = spark.table(table)
+    # final state = each user's max-n_seen emission; a window-max filter
+    # (one user shuffle) rather than a self-join of the memory view —
+    # Spark cannot resolve a MemoryPlan joined against its own aggregate
+    w = Window.partitionBy("user_id")
+    return (
+        emitted.withColumn("mx", F.max("n_seen").over(w))
+        .where(F.col("n_seen") == F.col("mx"))
+        .select("user_id", "rank", "micros", "event_id")
+    )
+
+
 # --- watermark lateness audit ----------------------------------------
 
 #: allowed lateness, matching streaming_jobs' withWatermark delay

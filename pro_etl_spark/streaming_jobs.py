@@ -216,6 +216,62 @@ def running_totals_exact_stream(ev: DataFrame) -> DataFrame:
     )
 
 
+def topk_state_stream(ev: DataFrame, k: int = 3) -> DataFrame:
+    """Second custom stateful operator: a per-user TOP-K accumulator —
+    the bounded-state leaderboard shape (largest purchases, worst
+    latencies) that no built-in windowed aggregate expresses over an
+    unbounded stream. State is the current top-k as two fixed-width
+    arrays (micros, event_id) — ≤ k·16 B per user, however long the
+    stream runs. Ordering is (micros DESC, event_id ASC) on INTEGER
+    micros, so the final state is bit-identical under any
+    micro-batching — the same associative-exactness contract as
+    ``running_totals_exact_stream``, which is what lets the driver
+    value-check it against a plain window-function oracle. Each
+    emission carries n_seen (events absorbed so far); the final state
+    per user is the emission with max n_seen."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np  # executor-side
+        import pandas as pd
+
+        if state.exists:
+            n_seen, micros, ids = state.get
+            heap = list(zip(micros, ids))
+        else:
+            n_seen, heap = 0, []
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            m = np.floor(pdf["value"].to_numpy() * 1e6).astype("int64")
+            heap.extend(zip(m.tolist(), pdf["event_id"].tolist()))
+            # keep only the current top-k: sort by (-micros, event_id)
+            heap.sort(key=lambda t: (-t[0], t[1]))
+            del heap[k:]
+        state.update(
+            (n_seen, [int(m) for m, _ in heap], [int(i) for _, i in heap])
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(heap),
+                "rank": list(range(1, len(heap) + 1)),
+                "micros": [m for m, _ in heap],
+                "event_id": [i for _, i in heap],
+                "n_seen": [n_seen] * len(heap),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, rank int, micros bigint, event_id bigint, "
+            "n_seen bigint"
+        ),
+        stateStructType="n_seen bigint, micros array<bigint>, ids array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_foreach_batch_parquet(
     sdf: DataFrame,
     out_dir: str,

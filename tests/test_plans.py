@@ -628,3 +628,64 @@ def test_corpus_ngrams_topk_is_take_ordered(spark):
     plan = plan_of(spark, "corpus_ngrams")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ohlc_is_one_grouped_pass(spark):
+    # OHLC resample: first/last/high/low/volume fold into a single
+    # partial+final hash aggregate — one exchange, no Window, no Sort
+    plan = plan_of(spark, "events_ohlc")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_argminmax_is_one_grouped_pass(spark):
+    plan = plan_of(spark, "agg_argminmax")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_hybrid_rrf_reduces_before_fusion(spark):
+    # each modality must shrink to top-k via TakeOrderedAndProject
+    # BEFORE the fusion join; the global row_number windows then run
+    # over ≤ RRF_CAND_K rows
+    plan = plan_of(spark, "ann_hybrid_rrf")
+    # 2 per-modality reductions (+ Catalyst folds the final rank<=20
+    # into a third TakeOrdered when it can)
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_cooccurrence_marginals_broadcast(spark):
+    # pair counts join their marginals via broadcast — the pair table
+    # never re-shuffles for the PMI join
+    plan = plan_of(spark, "text_cooccurrence")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_median_frame_is_bounded(spark):
+    # the exact-median rewrite must stay a bounded ROWS frame (state
+    # O(frame)); an unbounded frame here would be an O(n²) regression
+    plan = plan_of(spark, "window_rolling_median")
+    assert "specifiedwindowframe(RowFrame, -4, currentrow$())" in plan
+    assert "unboundedpreceding" not in plan.lower()
+
+
+def test_concurrency_sweep_is_day_partitioned(spark):
+    # the sweep-line running sum must partition by day — a single
+    # global-order window would serialize the whole boundary table
+    plan = plan_of(spark, "interval_concurrency")
+    assert "partitionspec(day" in plan.lower().replace(" ", "") or (
+        "hashpartitioning(day" in plan.lower().replace(" ", "")
+    )
+
+
+NARROW_R5 = [
+    "fn_regexp_extract_all",
+    "mm_audio_energy",
+    "sample_importance",
+]
+
+
+@pytest.mark.parametrize("name", NARROW_R5)
+def test_round5_narrow_ops_do_not_shuffle(spark, name):
+    assert "Exchange" not in plan_of(spark, name), name
