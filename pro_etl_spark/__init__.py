@@ -196,6 +196,12 @@ _R06_QUEUE = [
     "set_except_all",
     "window_rolling_median",
     "interval_concurrency",
+    "agg_hll_merge",
+    "anomaly_cusum",
+    "ab_ttest",
+    "ann_mrr_eval",
+    "mm_scene_cuts",
+    "join_dynamic_partition_pruning",
 ]
 
 

@@ -1129,3 +1129,174 @@ def events_ohlc(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").alias("n_ticks"),
         F.sum(F.col("value").cast(DECV)).cast("double").alias("volume"),
     )
+
+
+#: CUSUM slack and alarm threshold, in value-micros: k absorbs noise
+#: below half a unit; h fires after ~5 units of sustained upward drift
+CUSUM_K = 500_000
+CUSUM_H = 5_000_000
+
+
+@register(
+    "anomaly_cusum",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_id, event_type, ts,
+             CAST(FLOOR(value * 1000000.0) AS BIGINT) AS micros
+      FROM events
+    ), mu AS (
+      SELECT event_type,
+             CAST(FLOOR(CAST(SUM(micros) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS mu
+      FROM m GROUP BY event_type
+    ), pre AS (
+      SELECT m.event_id, m.event_type, m.ts,
+             SUM(m.micros - mu.mu - {CUSUM_K})
+               OVER (PARTITION BY m.event_type ORDER BY m.ts, m.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM m JOIN mu USING (event_type)
+    )
+    SELECT event_id, event_type,
+           CAST(p - LEAST(0, MIN(p) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                AS BIGINT) AS s_plus,
+           (p - LEAST(0, MIN(p) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+             > {CUSUM_H} AS alarm
+    FROM pre
+    """,
+)
+def anomaly_cusum(spark: SparkSession, d: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per series — the
+    sequential drift detector (data-quality regressions, metric creep)
+    that EWMA/z-score miss because they forget. The textbook recursion
+    S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ − μ − k) is NOT a window aggregate (not
+    associative), but it has an exact closed form: with prefix sums
+    Pᵢ of the deviations, S⁺ᵢ = Pᵢ − min(0, min_{{j≤i}} Pⱼ) — a running
+    sum THEN a running min, two stacked windows sharing ONE series
+    shuffle. All arithmetic is integer micros (μ floored per series),
+    so the oracle matches bit-for-bit; alarms fire where S⁺ exceeds h.
+
+    Scale: per-series state is two window accumulators; the reference
+    mean joins back as a broadcast (|series| rows). The same rewrite
+    runs streaming with the accumulators in the state store."""
+    m = load(spark, d, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("micros"),
+    )
+    mu = m.groupBy("event_type").agg(
+        F.floor(F.sum("micros").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("mu")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = m.join(F.broadcast(mu), "event_type").withColumn(
+        "p", F.sum(F.col("micros") - F.col("mu") - F.lit(CUSUM_K)).over(w)
+    )
+    s_plus = F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+    return pre.select(
+        "event_id",
+        "event_type",
+        s_plus.cast("long").alias("s_plus"),
+        (s_plus > F.lit(CUSUM_H)).alias("alarm"),
+    )
+
+
+@register(
+    "ab_ttest",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, user_id % 2 AS variant,
+             CAST(FLOOR(value * 1000000.0) AS BIGINT) AS micros
+      FROM events
+    ), g AS (
+      SELECT event_type, variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(micros) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(micros * micros AS DECIMAL(38,0))) AS DOUBLE)
+               AS sm2
+      FROM m GROUP BY 1, 2
+    ), w AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             a.sm / a.n AS mean_a, b.sm / b.n AS mean_b,
+             (a.sm2 - a.sm * a.sm / a.n) / (a.n - 1) / a.n AS se2_a,
+             (b.sm2 - b.sm * b.sm / b.n) / (b.n - 1) / b.n AS se2_b
+      FROM g a JOIN g b ON a.event_type = b.event_type
+       AND a.variant = 0 AND b.variant = 1
+    )
+    SELECT event_type, n_a, n_b, mean_a, mean_b,
+           (mean_a - mean_b) / sqrt(se2_a + se2_b) AS t_stat,
+           (se2_a + se2_b) * (se2_a + se2_b)
+             / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1))
+             AS welch_df
+    FROM w
+    """,
+)
+def ab_ttest(spark: SparkSession, d: str) -> DataFrame:
+    """Welch's two-sample t-test per metric series — the A/B-test
+    readout (variant = a deterministic user-id split), computed from
+    EXACT integer-micros moment sums: Σx as int64, Σx² DECIMAL-routed,
+    then one fixed IEEE expression chain for means, standard errors,
+    the t statistic, and the Welch–Satterthwaite degrees of freedom —
+    identical on both engines because the inputs to every float op are
+    exact integers and the op order is pinned (never variance_samp():
+    its partial-merge order varies by partitioning).
+
+    Scale: ONE grouped pass over the events (map-side-combinable
+    sums), then a |series|-sized self-join of the 2-row-per-series
+    stats — the fact table shuffles once, the statistics never do."""
+    m = load(spark, d, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("micros"),
+    )
+    g = m.groupBy("event_type", "variant").agg(
+        F.count("*").alias("n"),
+        F.sum("micros").cast("double").alias("sm"),
+        F.sum((F.col("micros") * F.col("micros")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sm2"),
+    )
+    a = g.where(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"), F.col("sm").alias("sm_a"),
+        F.col("sm2").alias("sm2_a"),
+    )
+    b = g.where(F.col("variant") == 1).select(
+        F.col("event_type").alias("et_b"),
+        F.col("n").alias("n_b"), F.col("sm").alias("sm_b"),
+        F.col("sm2").alias("sm2_b"),
+    )
+    j = a.join(b, F.col("event_type") == F.col("et_b"))
+    mean_a = F.col("sm_a") / F.col("n_a")
+    mean_b = F.col("sm_b") / F.col("n_b")
+    se2_a = (
+        (F.col("sm2_a") - F.col("sm_a") * F.col("sm_a") / F.col("n_a"))
+        / (F.col("n_a") - 1) / F.col("n_a")
+    )
+    se2_b = (
+        (F.col("sm2_b") - F.col("sm_b") * F.col("sm_b") / F.col("n_b"))
+        / (F.col("n_b") - 1) / F.col("n_b")
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        ((mean_a - mean_b) / F.sqrt(se2_a + se2_b)).alias("t_stat"),
+        (
+            (se2_a + se2_b) * (se2_a + se2_b)
+            / (
+                se2_a * se2_a / (F.col("n_a") - 1)
+                + se2_b * se2_b / (F.col("n_b") - 1)
+            )
+        ).alias("welch_df"),
+    )

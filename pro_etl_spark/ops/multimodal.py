@@ -357,3 +357,85 @@ def mm_audio_energy(spark: SparkSession, d: str) -> DataFrame:
             F.sqrt(energy.cast("double") / F.size("frame")).alias("rms"),
         )
     )
+
+
+@register(
+    "mm_scene_cuts",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(text, ''),
+                            c -> unicode(c)) AS pcm
+      FROM documents
+    ), framed AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_slice(pcm, i * {FRAME_LEN} + 1, (i + 1) * {FRAME_LEN}),
+                 x -> CAST(x * x AS BIGINT))),
+               (acc, v) -> acc + v) AS energy
+      FROM s, LATERAL (SELECT unnest(
+               range(0, CAST(ceil(len(pcm) / {FRAME_LEN}.0) AS BIGINT))) AS i)
+      WHERE len(pcm) > 0
+    ), lagged AS (
+      SELECT doc_id, frame_idx, energy,
+             LAG(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               AS prev_energy
+      FROM framed
+    )
+    SELECT doc_id, frame_idx, energy, prev_energy,
+           COALESCE(abs(energy - prev_energy) * 5 > energy + prev_energy,
+                    FALSE) AS is_cut
+    FROM lagged
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, d: str) -> DataFrame:
+    """Scene-cut detection plumbing: frame the payload stream (same
+    {FRAME_LEN}-sample windows as ``mm_audio_energy``), then flag
+    frames whose energy jumps more than 40% of the neighboring mean —
+    the shot-boundary heuristic a video pipeline runs before clip
+    sampling, expressed as one lag window over the frame table. The
+    cut test is an integer cross-multiplication (|Δ|·5 > eᵢ+eᵢ₋₁), so
+    the flag is bit-exact cross-engine — no float threshold.
+
+    Scale: framing is map-only (in-row fan-out); the only shuffle is
+    the per-document lag window, keyed by doc — and a 100 TB video
+    lake's frame table partitions by doc_id already, so the window is
+    partition-local."""
+    pcm = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+    n_frames = F.ceil(F.size("pcm") / F.lit(float(FRAME_LEN))).cast("long")
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.slice(F.col("pcm"), i * FRAME_LEN + 1, FRAME_LEN),
+    )
+    energy = F.aggregate(
+        F.transform(F.col("frame"), lambda x: (x * x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window as W
+
+    lagw = W.partitionBy("doc_id").orderBy("frame_idx")
+    framed = (
+        load(spark, d, "documents")
+        .select("doc_id", pcm.alias("pcm"))
+        .where(F.size("pcm") > 0)
+        .select("doc_id", F.posexplode(frames).alias("frame_idx", "frame"))
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            energy.alias("energy"),
+        )
+        .withColumn("prev_energy", F.lag("energy").over(lagw))
+    )
+    return framed.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        "prev_energy",
+        F.coalesce(
+            F.abs(F.col("energy") - F.col("prev_energy")) * 5
+            > F.col("energy") + F.col("prev_energy"),
+            F.lit(False),
+        ).alias("is_cut"),
+    )

@@ -1394,3 +1394,38 @@ def window_rolling_median(spark: SparkSession, d: str) -> DataFrame:
         "value",
         ((lo + hi) / F.lit(2.0)).alias("rolling_median"),
     )
+
+
+@register("agg_hll_merge")  # rows-only: sketch estimates have no SQL oracle
+def agg_hll_merge(spark: SparkSession, d: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL,
+    Spark 4 native): per-day user sketches built once, then UNIONED
+    into month estimates — the incremental-maintenance contract that
+    exact COUNT(DISTINCT) cannot offer at 100 TB (yesterday's sketch
+    is never recomputed; today's partition adds one sketch and one
+    merge). Emits per-month: the merged-sketch estimate, the
+    single-pass direct estimate, and the exact distinct count. The
+    merge property (merged == direct, bit-identical — DataSketches
+    HLL union of same-lgK sketches is deterministic) is asserted in
+    tests/test_sketches.py; the estimate's relative error vs exact is
+    bounded there too. Registered rows-only: a DuckDB oracle cannot
+    reproduce DataSketches register contents, and quantizing an
+    approximation would certify nothing."""
+    ev = load(spark, d, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        "user_id",
+    )
+    daily = ev.groupBy("month", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = ev.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return merged.join(direct, "month").select(
+        "month", "est_merged", "est_direct", "exact_users"
+    )

@@ -1726,3 +1726,60 @@ def ann_recall_eval(spark: SparkSession, d: str) -> DataFrame:
         F.count("an").alias("n_hit"),
         (F.count("an").cast("double") / F.count("*")).alias("recall_at_k"),
     )
+
+
+@register(
+    "ann_mrr_eval",
+    oracle="""
+    WITH exact AS ({exact}),
+         approx AS ({approx}),
+         truth AS (
+           SELECT query_id, neighbor_id AS true_neighbor
+           FROM exact WHERE rank = 1
+         )
+    SELECT t.query_id, t.true_neighbor,
+           CAST(a.rank AS BIGINT) AS found_rank,
+           COALESCE(1.0 / a.rank, 0.0) AS reciprocal_rank
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.true_neighbor
+    """.format(
+        exact=ORACLES["ann_cosine_topk"], approx=ORACLES["ann_ivf_kmeans_topk"]
+    ),
+)
+def ann_mrr_eval(spark: SparkSession, d: str) -> DataFrame:
+    """Mean-reciprocal-rank companion to ``ann_recall_eval``: where
+    recall@k asks "how much of the true top-k did the index return",
+    MRR asks "where did the index put THE true nearest neighbor" — the
+    metric that penalizes an index that finds the right answers in the
+    wrong order. Relevance = the brute-force rank-1 neighbor;
+    reciprocal rank is a pure function of integer ranks (one IEEE
+    division), so the evaluation is exact by construction. Same scale
+    shape as the recall eval: two index searches + a queries-sized
+    broadcast join."""
+    truth = (
+        ann_cosine_topk(spark, d)
+        .where(F.col("rank") == 1)
+        .select("query_id", F.col("neighbor_id").alias("true_neighbor"))
+    )
+    approx = ann_ivf_kmeans_topk(spark, d).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.col("rank").alias("found_rank"),
+    )
+    return (
+        truth.join(
+            F.broadcast(approx),
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("true_neighbor") == F.col("an")),
+            "left",
+        )
+        .select(
+            "query_id",
+            "true_neighbor",
+            "found_rank",
+            F.coalesce(
+                F.lit(1.0) / F.col("found_rank"), F.lit(0.0)
+            ).alias("reciprocal_rank"),
+        )
+    )

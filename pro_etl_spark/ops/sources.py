@@ -888,3 +888,62 @@ def stream_custom_source(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("sq").cast("long").alias("sum_sq"),
     )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    SELECT CAST(e.ts AS DATE) AS event_date,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN (
+      SELECT DISTINCT CAST(ts AS DATE) AS cal_date FROM events
+      WHERE CAST(ts AS DATE) >= DATE '2024-01-03'
+        AND CAST(ts AS DATE) <= DATE '2024-01-07'
+    ) dim ON CAST(e.ts AS DATE) = dim.cal_date
+    GROUP BY 1
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, d: str) -> DataFrame:
+    """Dynamic partition pruning (DPP) — the RUNTIME sibling of
+    ``scan_partition_pruned``'s planning-time prune: the fact's
+    partition filter isn't a literal the planner can see but the
+    result of a dimension-side predicate, so Spark injects a
+    ``dynamicpruning`` subquery on the fact's partition column and
+    lists only the surviving date directories after evaluating the
+    dim. On a 100 TB star schema this is THE mechanism that keeps
+    "join facts to this month's calendar slice" from scanning the full
+    history — no hand-maintained IN-list of dates. The plan-shape test
+    asserts the dynamicpruning expression is present; the oracle
+    recomputes the slice from the unpartitioned base."""
+    path = _tmp(f"part_events_{dataset_suffix(d)}")
+    _write_once(
+        path,
+        lambda: load(spark, d, "events")
+        .withColumn("event_date", F.col("ts").cast("date"))
+        .select("event_id", "event_type", "value", "event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path),
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        load(spark, d, "events")
+        .select(F.col("ts").cast("date").alias("cal_date"))
+        .distinct()
+        .where(
+            (F.col("cal_date") >= F.lit("2024-01-03").cast("date"))
+            & (F.col("cal_date") <= F.lit("2024-01-07").cast("date"))
+        )
+    )
+    return (
+        fact.join(dim, fact["event_date"] == dim["cal_date"])
+        .groupBy("event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -689,3 +689,19 @@ NARROW_R5 = [
 @pytest.mark.parametrize("name", NARROW_R5)
 def test_round5_narrow_ops_do_not_shuffle(spark, name):
     assert "Exchange" not in plan_of(spark, name), name
+
+
+def test_dpp_injects_runtime_partition_filter(spark):
+    # the fact-side partition filter must be a dynamicpruning subquery
+    # (runtime prune from the dim), not a literal and not absent
+    plan = plan_of(spark, "join_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_cusum_shares_one_series_shuffle(spark):
+    # prefix-sum and running-min windows must reuse the same
+    # event_type partitioning: one exchange for the series, plus the
+    # tiny broadcast of the per-series means
+    plan = plan_of(spark, "anomaly_cusum")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning(event_type") <= 2

@@ -108,3 +108,17 @@ def test_pagerank_mass_and_positivity(spark):
     assert rows
     assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-3
     assert all(r.pagerank > 0 for r in rows)
+
+
+def test_hll_merge_equals_direct_and_bounds_error(spark):
+    """DataSketches HLL: union of per-day sketches must equal the
+    single-pass sketch bit-for-bit (same lgK, deterministic registers),
+    and the estimate must sit within the configured accuracy band of
+    the exact count."""
+    rows = pro_etl_spark.get_queries()["agg_hll_merge"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["est_merged"] == r["est_direct"]
+        assert abs(r["est_merged"] - r["exact_users"]) <= max(
+            2, 0.05 * r["exact_users"]
+        )
