@@ -65,6 +65,9 @@ HEADLINE = [
     "events_ohlc",
     "text_cooccurrence",
     "ann_hybrid_rrf",
+    # round-5 batch 4: exact-rewrite sequential analytics + sweep-line
+    "anomaly_cusum",
+    "interval_concurrency",
 ]
 
 

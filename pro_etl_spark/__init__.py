@@ -202,6 +202,12 @@ _R06_QUEUE = [
     "ann_mrr_eval",
     "mm_scene_cuts",
     "join_dynamic_partition_pruning",
+    "pack_bestfit",
+    "graph_jaccard_suggest",
+    "sink_manifest_commit",
+    "ann_matryoshka_eval",
+    "dedup_lsh_eval",
+    "window_drawdown",
 ]
 
 

@@ -1300,3 +1300,53 @@ def ab_ttest(spark: SparkSession, d: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+@register(
+    "window_drawdown",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, event_type, ts,
+             SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM events
+    ), dd AS (
+      SELECT event_type, cum,
+             MAX(cum) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM m
+    )
+    SELECT event_type,
+           CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_micros,
+           CAST(MAX(peak) AS BIGINT) AS peak_micros
+    FROM dd GROUP BY event_type
+    """,
+)
+def window_drawdown(spark: SparkSession, d: str) -> DataFrame:
+    """Maximum drawdown per series — the risk metric over the
+    cumulative-value curve: running peak minus current level, maxed.
+    Same exact-rewrite discipline as ``anomaly_cusum`` (its mirror
+    image: CUSUM is prefix-sum minus running MIN): one running sum,
+    one running max over the SAME (series, time) partitioning — one
+    shuffle total — then a final grouped max. Integer micros end to
+    end, so the oracle is bit-exact; at scale per-row state is two
+    window accumulators and the output is |series| rows."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = load(spark, d, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("micros"),
+    ).withColumn("cum", F.sum("micros").over(w))
+    dd = m.withColumn("peak", F.max("cum").over(w))
+    return dd.groupBy("event_type").agg(
+        F.max(F.col("peak") - F.col("cum")).cast("long").alias(
+            "max_drawdown_micros"
+        ),
+        F.max("peak").cast("long").alias("peak_micros"),
+    )

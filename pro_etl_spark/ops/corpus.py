@@ -616,3 +616,64 @@ def corpus_mix_weights(spark: SparkSession, d: str) -> DataFrame:
             ).alias("sample_rate"),
         )
     )
+
+
+#: context capacity (tokens) for best-fit packing
+PACK_CAPACITY = 64
+
+
+@register("pack_bestfit")  # rows-only: FFD is inherently sequential —
+# certified by invariant tests (tests/test_properties.py), not SQL
+def pack_bestfit(spark: SparkSession, d: str) -> DataFrame:
+    """Context-window packing by first-fit-decreasing — the padding-
+    minimizing alternative to ``seq_pack``'s concat-then-chunk: whole
+    documents are placed into {PACK_CAPACITY}-token bins (no document
+    is ever split), largest first, each into the first bin with room.
+    FFD is the classic 11/9·OPT+1 bin-packing approximation, and it is
+    inherently SEQUENTIAL within a shard — exactly the semantics
+    DataFrame algebra can't express and ``applyInPandas`` exists for:
+    each source shard arrives as one Arrow batch, the greedy loop runs
+    vectorized-adjacent in pandas, and shards pack in parallel across
+    executors (the packing unit at 100 TB is the output file, so
+    per-shard sequentiality is the natural grain, same as seq_pack).
+
+    Determinism: placement order is (n_tokens DESC, doc_id) and bins
+    are scanned in creation order, so re-runs produce identical bins —
+    no SQL oracle can replay a greedy loop, so certification is by
+    invariants: every doc appears once, no bin over capacity (oversize
+    docs isolate), fill ratio beats the naive sequential packing."""
+    import pandas as pd
+
+    docs = load(spark, d, "documents").select(
+        "source",
+        "doc_id",
+        F.least(
+            F.size(_toks()), F.lit(PACK_CAPACITY)
+        ).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list = []  # current fill per bin, index = bin id
+        bin_of: list = []
+        for n in pdf["n_tokens"]:
+            for b, fill in enumerate(fills):
+                if fill + n <= PACK_CAPACITY:
+                    fills[b] = fill + n
+                    bin_of.append(b)
+                    break
+            else:
+                bin_of.append(len(fills))
+                fills.append(int(n))
+        out = pdf[["source", "doc_id", "n_tokens"]].copy()
+        out["bin_id"] = pd.array(bin_of, dtype="int64")
+        out["bin_fill"] = out["bin_id"].map(lambda b: fills[b]).astype("int64")
+        return out
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        schema="source string, doc_id long, n_tokens long, "
+        "bin_id long, bin_fill long",
+    )

@@ -932,3 +932,69 @@ def dedup_minhash_shingle(spark: SparkSession, d: str) -> DataFrame:
             ).alias("sig"),
         )
     )
+
+
+@register(
+    "dedup_lsh_eval",
+    oracle=_LSH_PAIRS_CTE + f"""
+    , truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id, source, {_TOKSET_SQL} AS ts FROM documents) a
+      JOIN (SELECT doc_id, source, {_TOKSET_SQL} AS ts FROM documents) b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+            / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+            >= {JACCARD_THRESHOLD}
+    ), lsh AS (SELECT doc_a, doc_b FROM pairs),
+    hit AS (
+      SELECT t.doc_a FROM truth t
+      JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+    ), src AS (SELECT doc_id, source FROM documents)
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM hit) AS n_hit,
+           CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall,
+           (SELECT COUNT(*) FROM lsh
+            JOIN src sa ON sa.doc_id = lsh.doc_a
+            JOIN src sb ON sb.doc_id = lsh.doc_b
+            WHERE sa.source <> sb.source) AS n_cross_source_extra
+    """,
+)
+def dedup_lsh_eval(spark: SparkSession, d: str) -> DataFrame:
+    """Recall certification of MinHash-LSH against the exact blocked
+    baseline — the INTENDED use of the quadratic ``dedup_ngram_jaccard``
+    (kept precisely to certify the production twin, never to run on a
+    real corpus). Every LSH pair is exact-verified (precision is 1 by
+    construction), so the quantities that matter are: banding recall
+    within the baseline's blocks (pairs the 4×4 band config missed),
+    and the count of TRUE cross-source pairs LSH finds that
+    source-blocking is structurally blind to — the two numbers that
+    justify shipping LSH instead of blocked all-pairs. One summary
+    row; all counts integer, one closing IEEE division."""
+    truth = dedup_ngram_jaccard(spark, d).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, d).select("doc_a", "doc_b")
+    hit = truth.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    src = load(spark, d, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    cross = (
+        lsh.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(F.col("src_a") != F.col("src_b"))
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    n_cross = cross.agg(F.count("*").alias("n_cross_source_extra"))
+    return (
+        n_truth.crossJoin(n_hit)
+        .crossJoin(n_cross)
+        .select(
+            "n_truth",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0))
+            ).alias("recall"),
+            "n_cross_source_extra",
+        )
+    )

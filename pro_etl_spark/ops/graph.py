@@ -195,3 +195,82 @@ def graph_triangles(spark: SparkSession, d: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering_coeff"),
     )
+
+
+_JACCARD_SUGGEST_ORACLE = _LSH_PAIRS_CTE + """
+    , e AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), deg AS (
+      SELECT u AS node, COUNT(*) AS degree FROM e GROUP BY u
+    ), common AS (
+      SELECT e1.u AS a, e2.v AS b, COUNT(*) AS n_common
+      FROM e e1 JOIN e e2 ON e1.v = e2.u AND e1.u < e2.v
+      GROUP BY 1, 2
+    ), nonedge AS (
+      SELECT c.a, c.b, c.n_common
+      FROM common c
+      LEFT JOIN (SELECT doc_a AS a, doc_b AS b FROM pairs) p
+        ON p.a = c.a AND p.b = c.b
+      WHERE p.a IS NULL
+    )
+    SELECT n.a AS doc_a, n.b AS doc_b,
+           CAST(n.n_common AS BIGINT) AS n_common,
+           CAST(n.n_common AS DOUBLE)
+             / (da.degree + db.degree - n.n_common) AS jaccard
+    FROM nonedge n
+    JOIN deg da ON da.node = n.a
+    JOIN deg db ON db.node = n.b
+    """
+
+
+@register("graph_jaccard_suggest", oracle=_JACCARD_SUGGEST_ORACLE)
+def graph_jaccard_suggest(spark: SparkSession, d: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the near-dup graph:
+    for every NON-adjacent pair sharing at least one neighbor, score
+    |N(a)∩N(b)| / |N(a)∪N(b)| — the "these two documents are probably
+    duplicates the LSH bands happened to miss" suggestion list that
+    closes banding's recall gap before clustering (a pair with high
+    neighborhood overlap but no direct edge is exactly a band-boundary
+    miss). Jaccard here is a pure rational of integer counts — exact
+    cross-engine.
+
+    Machinery mirrors ``graph_triangles``: candidate pairs come from
+    two-paths through a shared middle node (Σ deg² bound, never
+    all-pairs), degrees join back from a node-count table, and the
+    known-edge exclusion is one anti-join on the canonical pair list.
+    All joins key on node ids — co-located under node bucketing at
+    100 TB."""
+    pairs = dedup_minhash_lsh(spark, d).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    e = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("degree"))
+    e2 = e.select(F.col("u").alias("mid"), F.col("v").alias("b"))
+    common = (
+        e.join(e2, (F.col("v") == F.col("mid")) & (F.col("u") < F.col("b")))
+        .groupBy(F.col("u").alias("a"), "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    nonedge = common.join(
+        pairs.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    return (
+        nonedge.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

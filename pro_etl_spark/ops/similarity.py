@@ -1783,3 +1783,98 @@ def ann_mrr_eval(spark: SparkSession, d: str) -> DataFrame:
             ).alias("reciprocal_rank"),
         )
     )
+
+
+#: Matryoshka (MRL) truncation width: cosine over the first 16 of 64
+#: dimensions — the memory/recall trade production embedding stores
+#: increasingly rely on (truncate + re-rank)
+MRL_DIM = 16
+
+_DUCK_DOT_MRL = f"""
+  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(range(1, {MRL_DIM + 1}),
+      i -> CAST({{a}}[i] AS DOUBLE) * CAST({{b}}[i] AS DOUBLE))),
+    (acc, v) -> acc + v)
+"""
+
+
+@register(
+    "ann_matryoshka_eval",
+    oracle=f"""
+    WITH exact AS ({{exact}}),
+    t AS (
+      SELECT vec_id, embedding,
+             sqrt({_DUCK_DOT_MRL.format(a="embedding", b="embedding")}) AS tn
+      FROM embeddings
+    ), tscored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DUCK_DOT_MRL.format(a="q.embedding", b="c.embedding")}
+               / (q.tn * c.tn) AS cos
+      FROM t q JOIN t c ON q.vec_id < {{nq}} AND q.vec_id <> c.vec_id
+    ), trunc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM tscored
+      ) WHERE rank <= {{k}}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(t.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM exact e
+    LEFT JOIN trunc t
+      ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """.format(
+        exact=ORACLES["ann_cosine_topk"], nq=N_QUERIES, k=TOP_K
+    ),
+)
+def ann_matryoshka_eval(spark: SparkSession, d: str) -> DataFrame:
+    """Matryoshka-truncation evaluation: recall@k when cosine runs on
+    only the first {MRL_DIM} of 64 dimensions, judged against the
+    full-dimension ground truth — the measurement behind the
+    truncate-then-rerank serving pattern (4× less vector memory and
+    bandwidth if recall holds; this query is the evidence either way).
+    The truncated search is the same broadcast-queries + JVM-fold +
+    window plan as ``ann_cosine_topk``, just over a prefix slice — at
+    100 TB the prefix lives as its own (4× smaller) column, so the
+    scan reads a quarter of the bytes."""
+    e = load(spark, d, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, MRL_DIM).alias("emb16")
+    ).withColumn(
+        "tn", F.sqrt(dot(F.col("emb16"), F.col("emb16")))
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb16").alias("q_emb"),
+        F.col("tn").alias("q_tn"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("q_emb"), F.col("emb16")) / (F.col("q_tn") * F.col("tn"))).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    trunc = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn_id"))
+    )
+    exact = ann_cosine_topk(spark, d).select(
+        "query_id", F.col("neighbor_id").alias("en")
+    )
+    j = exact.join(
+        F.broadcast(trunc),
+        (F.col("query_id") == F.col("tq")) & (F.col("en") == F.col("tn_id")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.count("tn_id").alias("n_hit"),
+        (F.count("tn_id").cast("double") / F.count("*")).alias("recall_at_k"),
+    )

@@ -947,3 +947,62 @@ def join_dynamic_partition_pruning(spark: SparkSession, d: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "sink_manifest_commit",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def sink_manifest_commit(spark: SparkSession, d: str) -> DataFrame:
+    """Manifest-commit table protocol — the atomicity core of every
+    lakehouse format (Iceberg/Delta/Hudi) in its minimal honest form:
+    data files are staged under ``data/``, and a reader sees EXACTLY
+    the files named by the atomically-renamed ``_manifest.json`` —
+    never a directory listing. The query stages the committed snapshot,
+    then plants an ORPHAN parquet file (a failed concurrent writer's
+    debris, with poison values) in the same directory; the read path
+    resolves the manifest and passes only its file list to the scan,
+    so the orphan is invisible and the oracle stays value-exact — a
+    listing-based reader would aggregate the poison and fail the hash.
+
+    Scale: the manifest is metadata (KB per snapshot, read driver-side
+    exactly as real table formats read their commit log); data files
+    never move on commit — the rename of one JSON file IS the commit.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    path = _tmp(f"manifest_tbl_{dataset_suffix(d)}")
+    data_dir = _os.path.join(path, "data")
+    manifest = _os.path.join(path, "_manifest.json")
+    base = (
+        load(spark, d, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "event_type", F.col("value").cast("double"))
+    )
+    if not _os.path.exists(manifest):
+        base.repartition(4).write.mode("overwrite").parquet(data_dir)
+        files = sorted(_glob.glob(_os.path.join(data_dir, "*.parquet")))
+        # orphan: a concurrent writer that died before committing —
+        # present in the directory, absent from the manifest
+        base.limit(50).withColumn(
+            "value", F.lit(-1.0e9)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(path, "orphan_stage")
+        )
+        orphan = _glob.glob(_os.path.join(path, "orphan_stage", "*.parquet"))[0]
+        _os.replace(
+            orphan, _os.path.join(data_dir, "orphan-uncommitted.parquet")
+        )
+        tmp_mf = manifest + ".tmp"
+        with open(tmp_mf, "w") as fh:
+            _json.dump({"snapshot": 1, "files": files}, fh)
+        _os.replace(tmp_mf, manifest)  # the commit point
+    with open(manifest) as fh:
+        committed = _json.load(fh)["files"]
+    return spark.read.parquet(*committed)

@@ -81,6 +81,29 @@ REPRESENTATIVES = [
     "text_winnow",
     "sql_shipping_priority",
     "sql_local_supplier_volume",
+    # round-5 additions, one per new family
+    "events_ohlc",
+    "agg_argminmax",
+    "text_cooccurrence",
+    "ann_hybrid_rrf",
+    "ann_recall_eval",
+    "mm_audio_energy",
+    "mm_scene_cuts",
+    "sample_importance",
+    "set_except_all",
+    "window_rolling_median",
+    "interval_concurrency",
+    "anomaly_cusum",
+    "ab_ttest",
+    "window_drawdown",
+    "agg_hll_merge",
+    "pack_bestfit",
+    "graph_jaccard_suggest",
+    "ann_matryoshka_eval",
+    "dedup_lsh_eval",
+    "fn_regexp_extract_all",
+    "sql_group_order_all",
+    "sql_with_ties",
 ]
 
 

@@ -264,3 +264,39 @@ def test_training_shuffle_is_a_permutation_and_seed_stable(spark):
     assert n == len({r["doc_id"] for r in a})
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_pack_bestfit_invariants(spark):
+    """FFD packing: every doc placed exactly once, no bin over
+    capacity (oversize docs isolated), bin_fill consistent, and FFD
+    uses no more bins than naive sequential packing per source."""
+    import collections
+
+    import pro_etl_spark
+    from pro_etl_spark.ops.corpus import PACK_CAPACITY
+
+    rows = pro_etl_spark.get_queries()["pack_bestfit"](spark, CORPUS_SF).collect()
+    docs = pro_etl_spark.get_queries()["text_tokens"](spark, CORPUS_SF).collect()
+    assert len(rows) == len({r.doc_id for r in rows}) == len(docs)
+    fills = collections.defaultdict(int)
+    for r in rows:
+        fills[(r.source, r.bin_id)] += r.n_tokens
+    for (src, b), fill in fills.items():
+        assert fill <= PACK_CAPACITY
+    for r in rows:
+        assert fills[(r.source, r.bin_id)] == r.bin_fill
+    # FFD never beats the capacity lower bound, never loses to naive
+    per_source = collections.defaultdict(list)
+    for r in rows:
+        per_source[r.source].append(r.n_tokens)
+    for src, sizes in per_source.items():
+        used = len({b for (s, b) in fills if s == src})
+        lower = -(-sum(sizes) // PACK_CAPACITY)
+        naive = 1
+        fill = 0
+        for n in sizes:  # naive: arrival order, close bin when full
+            if fill + n > PACK_CAPACITY:
+                naive += 1
+                fill = 0
+            fill += n
+        assert lower <= used <= naive
