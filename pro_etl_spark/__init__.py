@@ -208,6 +208,10 @@ _R06_QUEUE = [
     "ann_matryoshka_eval",
     "dedup_lsh_eval",
     "window_drawdown",
+    "basket_affinity",
+    "text_rouge2",
+    "rfm_segmentation",
+    "text_rake_keyphrases",
 ]
 
 

@@ -1350,3 +1350,172 @@ def window_drawdown(spark: SparkSession, d: str) -> DataFrame:
         ),
         F.max("peak").cast("long").alias("peak_micros"),
     )
+
+
+#: market-basket: min pair support kept (bounds the affinity table)
+BASKET_MIN_SUPPORT = 3
+
+
+@register(
+    "basket_affinity",
+    oracle=f"""
+    WITH basket AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    ), n AS (SELECT COUNT(*) AS n_orders FROM basket),
+    pairs AS (
+      SELECT unnest(flatten(list_transform(
+               range(1, len(parts) + 1),
+               i -> list_transform(
+                      list_slice(parts, i + 1, len(parts)),
+                      y -> [parts[i], y])))) AS p
+      FROM basket
+    ), cnt AS (
+      SELECT p[1] AS part_a, p[2] AS part_b, COUNT(*) AS support
+      FROM pairs GROUP BY 1, 2
+    ), item AS (
+      SELECT l_partkey AS part, COUNT(DISTINCT l_orderkey) AS item_n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           CAST(support AS DOUBLE) * n.n_orders / (a.item_n * b.item_n)
+             AS lift
+    FROM cnt, n
+    JOIN item a ON a.part = part_a
+    JOIN item b ON b.part = part_b
+    WHERE support >= {BASKET_MIN_SUPPORT}
+    """,
+)
+def basket_affinity(spark: SparkSession, d: str) -> DataFrame:
+    """Market-basket affinity (association-rules core): co-purchased
+    part pairs with support and lift — the recommender/assortment
+    signal, mined the scale-safe way: each order's DISTINCT sorted
+    part list is collected per order (baskets are small — bounded by
+    order size, never corpus-sized), the (a<b) pairs expand IN-ROW
+    (same flatten/slice trick as ``text_cooccurrence`` — never a
+    lineitem self-join, which would be the classic quadratic mistake
+    here), and lift = support·N/(nₐ·n_b) stays a rational of integer
+    counts — exact cross-engine. Shuffles: one per-order collect, one
+    pair count, broadcast item counts."""
+    li = load(spark, d, "lineitem")
+    basket = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias(
+            "parts"
+        )
+    )
+    n = basket.agg(F.count("*").alias("n_orders"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"), i + 2, F.greatest(F.size("parts"), F.lit(1))
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    cnt = (
+        basket.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    item = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count_distinct("l_orderkey").alias("item_n")
+    )
+    a = item.select(F.col("part").alias("part_a"), F.col("item_n").alias("n_a"))
+    b = item.select(F.col("part").alias("part_b"), F.col("item_n").alias("n_b"))
+    return (
+        cnt.join(F.broadcast(a), "part_a")
+        .join(F.broadcast(b), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (
+                F.col("support").cast("double") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+    rfm AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(o_orderdate), mx.max_d) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders, mx GROUP BY o_custkey, mx.max_d
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary,
+           CAST(r_s AS BIGINT) AS r_score,
+           CAST(f_s AS BIGINT) AS f_score,
+           CAST(m_s AS BIGINT) AS m_score,
+           CAST(r_s AS VARCHAR) || CAST(f_s AS VARCHAR)
+             || CAST(m_s AS VARCHAR) AS segment
+    FROM (
+      SELECT *,
+             NTILE(5) OVER (ORDER BY recency_days, custkey) AS r_s,
+             NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS f_s,
+             NTILE(5) OVER (ORDER BY monetary DESC, custkey) AS m_s
+      FROM rfm
+    )
+    """,
+)
+def rfm_segmentation(spark: SparkSession, d: str) -> DataFrame:
+    """RFM customer segmentation — the classic CRM scoring: days since
+    last order (recency), order count (frequency), DECIMAL-exact spend
+    (monetary), each quintiled by NTILE into a 1–5 score, concatenated
+    into the '555'-style segment label. NTILE is deterministic here
+    because every ordering carries the custkey tiebreak (a total
+    order) — without it the quintile boundaries are partition-luck and
+    the cross-engine hash would flap.
+
+    Scale: one grouped pass over orders (map-side combinable), then
+    three rankings of the CUSTOMER-grain table — orders of magnitude
+    smaller than the fact; the max-date scalar broadcasts. NTILE needs
+    a total order (single-partition window): acceptable because it
+    ranks customers, not facts — and the plan test pins that the fact
+    table itself never global-sorts."""
+    o = load(spark, d, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    rfm = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("max_d"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    r_s = F.ntile(5).over(Window.orderBy("recency_days", "custkey"))
+    f_s = F.ntile(5).over(Window.orderBy(F.desc("frequency"), "custkey"))
+    m_s = F.ntile(5).over(Window.orderBy(F.desc("monetary"), "custkey"))
+    return rfm.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_s.cast("long").alias("r_score"),
+        f_s.cast("long").alias("f_score"),
+        m_s.cast("long").alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

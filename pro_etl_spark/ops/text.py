@@ -17,7 +17,7 @@ fingerprints get full value oracles.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from pro_etl_spark.io import load
 from pro_etl_spark.ops.dedup import _LSH_PAIRS_CTE
@@ -1468,4 +1468,185 @@ def sample_importance(spark: SparkSession, d: str) -> DataFrame:
         "n_distinct",
         "n_tokens",
         (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("ttr"),
+    )
+
+
+@register(
+    "text_rouge2",
+    oracle=_LSH_PAIRS_CTE + r"""
+    , bg AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(regexp_split_to_array(trim(text), '\s+'))),
+               i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(text), '\s+')[i + 1])) AS bgs
+      FROM documents
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_intersect(a.bgs, b.bgs)) AS BIGINT) AS n_common,
+           CAST(len(list_intersect(a.bgs, b.bgs)) AS DOUBLE)
+             / NULLIF(len(b.bgs), 0) AS rouge2_precision,
+           CAST(len(list_intersect(a.bgs, b.bgs)) AS DOUBLE)
+             / NULLIF(len(a.bgs), 0) AS rouge2_recall
+    FROM pairs p
+    JOIN bg a ON a.doc_id = p.doc_a
+    JOIN bg b ON b.doc_id = p.doc_b
+    """,
+)
+def text_rouge2(spark: SparkSession, d: str) -> DataFrame:
+    """ROUGE-2 overlap scoring for the verified near-dup pairs —
+    the summarization-eval metric repurposed as a dedup second
+    opinion: token-set Jaccard (what LSH verified) is order-blind,
+    while bigram overlap is order-SENSITIVE, so a pair with high
+    Jaccard but low ROUGE-2 is a shuffled/templated rewrite rather
+    than a true near-copy — a distinction that matters when deciding
+    keep-one vs keep-both. Distinct-bigram precision (vs the
+    candidate) and recall (vs the reference = doc_a) are rationals of
+    set sizes — exact cross-engine; empty-bigram docs null out via
+    NULLIF rather than erroring under ANSI.
+
+    Scale: bigram sets build narrow per doc; the pair table (LSH
+    output, already cached) drives two doc-keyed joins — candidates ×
+    2 lookups, never all-pairs."""
+    toks = TOKENS()
+    bgs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    bg = load(spark, d, "documents").select("doc_id", bgs.alias("bgs"))
+    from pro_etl_spark.ops.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, d).select("doc_a", "doc_b")
+    a = bg.select(F.col("doc_id").alias("doc_a"), F.col("bgs").alias("bgs_a"))
+    b = bg.select(F.col("doc_id").alias("doc_b"), F.col("bgs").alias("bgs_b"))
+    n_common = F.size(F.array_intersect(F.col("bgs_a"), F.col("bgs_b")))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("long").alias("n_common"),
+            (
+                n_common.cast("double")
+                / F.nullif(F.size("bgs_b"), F.lit(0))
+            ).alias("rouge2_precision"),
+            (
+                n_common.cast("double")
+                / F.nullif(F.size("bgs_a"), F.lit(0))
+            ).alias("rouge2_recall"),
+        )
+    )
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(
+               regexp_split_to_array(trim(text), '\s+'), 1) AS BIGINT) AS pos,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents
+    ), seg AS (
+      SELECT doc_id, pos, word,
+             word IN ({_SW_IN}) AS is_stop,
+             SUM(CASE WHEN word IN ({_SW_IN}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM tok
+    ), content AS (
+      SELECT doc_id, pos, word, sid FROM seg WHERE NOT is_stop
+    ), plen AS (
+      SELECT doc_id, sid, COUNT(*) AS phrase_len FROM content GROUP BY 1, 2
+    ), wstat AS (
+      SELECT c.doc_id, c.word,
+             COUNT(*) AS freq, SUM(p.phrase_len) AS degree
+      FROM content c JOIN plen p
+        ON p.doc_id = c.doc_id AND p.sid = c.sid
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT c.doc_id, c.sid,
+             string_agg(c.word, ' ' ORDER BY c.pos) AS keyphrase,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(CAST(FLOOR(CAST(w.degree AS DOUBLE) * 1000000
+                                 / w.freq + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_micro
+      FROM content c JOIN wstat w
+        ON w.doc_id = c.doc_id AND w.word = c.word
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, keyphrase, n_words, score_micro
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, keyphrase) = 1
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, d: str) -> DataFrame:
+    """RAKE keyphrase extraction: token runs between stopwords are
+    candidate phrases; each word scores degree/frequency (degree = Σ
+    lengths of the phrases it appears in), and a phrase scores the sum
+    of its member words — the classic unsupervised keyword miner, per
+    document. The per-word ratio floor-quantizes to a 10⁻⁶ grid and
+    phrase scores sum as INTEGERS, so the result is order-independent
+    and bit-exact cross-engine (a raw float Σ degree/freq would depend
+    on addition order). Top-1 phrase per doc with a lexicographic
+    tiebreak.
+
+    Scale: every stage — segment ids (running stopword count), phrase
+    lengths, word stats, phrase scores, top-1 — keys on doc_id, so the
+    whole pipeline reuses ONE doc-keyed partitioning; nothing global,
+    no joins beyond doc-local ones."""
+    toks = TOKENS()
+    tok = load(spark, d, "documents").select(
+        "doc_id", F.posexplode(toks).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    is_stop = F.col("word").isin(*STOPWORDS)
+    wseg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    content = (
+        tok.withColumn("sid", F.sum(is_stop.cast("long")).over(wseg))
+        .where(~is_stop)
+    )
+    plen = content.groupBy("doc_id", "sid").agg(
+        F.count("*").alias("phrase_len")
+    )
+    wstat = (
+        content.join(plen, ["doc_id", "sid"])
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("freq"), F.sum("phrase_len").alias("degree"))
+    )
+    scored = (
+        content.join(wstat, ["doc_id", "word"])
+        .groupBy("doc_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("keyphrase"),
+            F.count("*").alias("n_words"),
+            F.sum(
+                F.floor(
+                    F.col("degree").cast("double") * F.lit(1_000_000)
+                    / F.col("freq")
+                    + F.lit(0.5)
+                ).cast("long")
+            ).cast("long").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), "keyphrase"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "keyphrase", "n_words", "score_micro")
     )
