@@ -212,6 +212,10 @@ _R06_QUEUE = [
     "text_rouge2",
     "rfm_segmentation",
     "text_rake_keyphrases",
+    "events_peaks",
+    "window_hampel",
+    "fn_luhn",
+    "stream_session_state",
 ]
 
 

@@ -1519,3 +1519,69 @@ def rfm_segmentation(spark: SparkSession, d: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+#: peak prominence threshold, in value-micros
+PEAK_PROM = 2_000_000
+
+
+@register(
+    "events_peaks",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_id, event_type, ts,
+             CAST(FLOOR(value * 1000000.0) AS BIGINT) AS micros
+      FROM events
+    ), lagged AS (
+      SELECT *,
+             LAG(micros)  OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS prev,
+             LEAD(micros) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS next
+      FROM m
+    )
+    SELECT event_id, event_type, micros,
+           prev, next,
+           micros - GREATEST(prev, next) AS prominence_micros
+    FROM lagged
+    WHERE prev IS NOT NULL AND next IS NOT NULL
+      AND micros > prev AND micros > next
+      AND micros - GREATEST(prev, next) > {PEAK_PROM}
+    """,
+)
+def events_peaks(spark: SparkSession, d: str) -> DataFrame:
+    """Local-maximum (peak) detection per series: a sample strictly
+    above both neighbors with prominence above a threshold — the
+    spike-census primitive behind alerting and peak-hour reports,
+    expressed as one lag+lead window (interior points only; integer
+    micros keep the comparison and the prominence bit-exact). One
+    series-keyed shuffle; at 100 TB each series' window is
+    partition-local and the output is the (sparse) peak set."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    m = load(spark, d, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("micros"),
+    )
+    lagged = m.withColumn("prev", F.lag("micros").over(w)).withColumn(
+        "next", F.lead("micros").over(w)
+    )
+    prom = F.col("micros") - F.greatest(F.col("prev"), F.col("next"))
+    return (
+        lagged.where(
+            F.col("prev").isNotNull()
+            & F.col("next").isNotNull()
+            & (F.col("micros") > F.col("prev"))
+            & (F.col("micros") > F.col("next"))
+            & (prom > PEAK_PROM)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "micros",
+            "prev",
+            "next",
+            prom.alias("prominence_micros"),
+        )
+    )

@@ -1429,3 +1429,82 @@ def agg_hll_merge(spark: SparkSession, d: str) -> DataFrame:
     return merged.join(direct, "month").select(
         "month", "est_merged", "est_direct", "exact_users"
     )
+
+
+@register(
+    "window_hampel",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS frame
+      FROM events
+    ), med AS (
+      SELECT *,
+             (list_sort(frame)[CAST((len(frame) + 1) // 2 AS INTEGER)]
+              + list_sort(frame)[CAST(len(frame) // 2 + 1 AS INTEGER)]) / 2.0
+               AS m
+      FROM f
+    ), mad AS (
+      SELECT event_id, user_id, value, m,
+             (list_sort(list_transform(frame, x -> abs(x - m)))
+                [CAST((len(frame) + 1) // 2 AS INTEGER)]
+              + list_sort(list_transform(frame, x -> abs(x - m)))
+                [CAST(len(frame) // 2 + 1 AS INTEGER)]) / 2.0 AS mad
+      FROM med
+    )
+    SELECT event_id, user_id, value, m AS rolling_median, mad,
+           abs(value - m) > 3.0 * mad AS is_outlier
+    FROM mad
+    """,
+)
+def window_hampel(spark: SparkSession, d: str) -> DataFrame:
+    """Hampel filter — the robust despiker: flag a sample when it sits
+    more than 3 rolling-MADs from the rolling median of its trailing
+    7-row frame. Extends the ``window_rolling_median`` rewrite one
+    level: the SAME collected bounded frame yields the median AND the
+    MAD (median of |x − median|) entirely in-row, so robustness costs
+    no extra window pass — one user-keyed shuffle, constant per-row
+    state. Both medians use identical lo/hi-average indexing on both
+    engines, and the comparison chain is pure IEEE — bit-exact flags.
+    Same explicit fence as the rolling median: bounded SMALL frames
+    only."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+    k = F.size(frame)
+    med = (
+        F.element_at(frame, ((k + 1) / 2).cast("int"))
+        + F.element_at(frame, (k / 2 + 1).cast("int"))
+    ) / F.lit(2.0)
+    base = load(spark, d, "events").select(
+        "event_id", "user_id", "ts", "value"
+    ).withColumn("frame", F.collect_list("value").over(w))
+    fs = F.array_sort(F.col("frame"))
+    kk = F.size("frame")
+    m = (
+        F.element_at(fs, ((kk + 1) / 2).cast("int"))
+        + F.element_at(fs, (kk / 2 + 1).cast("int"))
+    ) / F.lit(2.0)
+    base = base.withColumn("m", m)
+    dev = F.array_sort(
+        F.transform(F.col("frame"), lambda x: F.abs(x - F.col("m")))
+    )
+    mad = (
+        F.element_at(dev, ((kk + 1) / 2).cast("int"))
+        + F.element_at(dev, (kk / 2 + 1).cast("int"))
+    ) / F.lit(2.0)
+    return base.withColumn("mad", mad).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("m").alias("rolling_median"),
+        "mad",
+        (F.abs(F.col("value") - F.col("m")) > F.lit(3.0) * F.col("mad")).alias(
+            "is_outlier"
+        ),
+    )

@@ -596,3 +596,62 @@ def fn_regexp_extract_all(spark: SparkSession, d: str) -> DataFrame:
             F.regexp_extract_all("text", F.lit(r"\b[A-Z][a-z]+"), 0)
         ).alias("n_capitalized"),
     )
+
+
+@register(
+    "fn_luhn",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderkey, lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS payload
+      FROM orders
+    ), s AS (
+      SELECT o_orderkey, payload,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 13), i ->
+                 CASE WHEN (12 - i) % 2 = 0
+                      THEN CAST(payload[i] AS BIGINT)
+                      ELSE CASE WHEN CAST(payload[i] AS BIGINT) * 2 > 9
+                                THEN CAST(payload[i] AS BIGINT) * 2 - 9
+                                ELSE CAST(payload[i] AS BIGINT) * 2 END
+                 END)),
+               (acc, v) -> acc + v) AS digit_sum
+      FROM p
+    )
+    SELECT o_orderkey,
+           payload || CAST((10 - digit_sum % 10) % 10 AS VARCHAR)
+             AS card_number,
+           CAST((10 - digit_sum % 10) % 10 AS BIGINT) AS check_digit
+    FROM s
+    """,
+)
+def fn_luhn(spark: SparkSession, d: str) -> DataFrame:
+    """Luhn check-digit computation (mod-10 doubling) over zero-padded
+    identifier payloads — the checksum primitive behind card/IMEI/ID
+    validation that a DQ gate runs before masking (``fn_mask``) or
+    quarantining. The digit fold runs in-row over the 12 fixed
+    positions (double every second digit from the check position,
+    fold >9 back by −9), pure integer arithmetic — bit-exact on both
+    engines, no UDF. Narrow, shuffle-free at any scale."""
+    payload = F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+    digit = lambda i: F.substring(F.col("payload"), i, 1).cast("long")  # noqa: E731
+    terms = [
+        digit(i)
+        if (12 - i) % 2 == 0
+        else F.when(digit(i) * 2 > 9, digit(i) * 2 - 9).otherwise(digit(i) * 2)
+        for i in range(1, 13)
+    ]
+    digit_sum = terms[0]
+    for t in terms[1:]:
+        digit_sum = digit_sum + t
+    check = (10 - digit_sum % 10) % 10
+    return (
+        load(spark, d, "orders")
+        .select("o_orderkey", payload.alias("payload"))
+        .select(
+            "o_orderkey",
+            F.concat(F.col("payload"), check.cast("string")).alias(
+                "card_number"
+            ),
+            check.cast("long").alias("check_digit"),
+        )
+    )

@@ -422,6 +422,70 @@ def stream_topk_state(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+_SESSION_STATE_MEMO: dict = {}
+
+
+@register("stream_session_state")  # rows-only: emissions are the
+# watermark-cleared PREFIX of the batch sessions (trailing sessions
+# correctly stay in state); prefix parity vs the batch twin is pinned
+# in tests/test_streaming.py
+def stream_session_state(spark: SparkSession, d: str) -> DataFrame:
+    """Third REAL stateful streaming run: sessionization via
+    ``applyInPandasWithState`` with EVENT-TIME TIMEOUT
+    (``streaming_jobs.session_state_stream``) — a session row is
+    emitted only when the watermark passes last_event + gap, i.e. when
+    the engine can PROVE the session is closed. The events file is
+    staged as two time-split source files with maxFilesPerTrigger=1,
+    so the second micro-batch runs with the first's watermark and the
+    timeout path (state.hasTimedOut) genuinely fires — not simulated.
+
+    Scale: state per user is the OPEN session triples only — the
+    watermark expires everything else — and emissions are append-mode
+    final rows, never re-emitted."""
+    from pro_etl_spark import streaming_jobs as SJ
+
+    key = (spark.sparkContext.applicationId, d)
+    table = _SESSION_STATE_MEMO.get(key)
+    if table is None:
+        import tempfile
+
+        table = f"sess_state_{abs(hash(key)) % 10**9}"
+        full = load(spark, d, "events")
+        cut = full.agg(
+            F.expr("percentile_approx(unix_micros(ts), 0.8)")
+        ).collect()[0][0]
+        src_dir = tempfile.mkdtemp(prefix="pro_etl_sess_")
+        full.where(F.unix_micros("ts") <= cut).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src_dir}/stage/part_0_early")
+        full.where(F.unix_micros("ts") > cut).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src_dir}/stage/part_1_late")
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+
+        stage = tempfile.mkdtemp(prefix="pro_etl_sess_stage_")
+        for i, half in enumerate(("part_0_early", "part_1_late")):
+            src = _glob.glob(f"{src_dir}/stage/{half}/*.parquet")[0]
+            _shutil.copy(src, _os.path.join(stage, f"part_{i}.parquet"))
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .withWatermark("ts", "1 minute")
+        )
+        out = SJ.session_state_stream(stream, gap_min=5)
+        SJ.run_to_memory(out, table, output_mode="append")
+        _SESSION_STATE_MEMO[key] = table
+    emitted = spark.table(table)
+    return emitted.select(
+        F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
+        "user_id",
+        "n_events",
+    )
+
+
 # --- watermark lateness audit ----------------------------------------
 
 #: allowed lateness, matching streaming_jobs' withWatermark delay

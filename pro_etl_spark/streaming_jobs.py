@@ -272,6 +272,101 @@ def topk_state_stream(ev: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def session_state_stream(ev: DataFrame, gap_min: int = 5) -> DataFrame:
+    """Custom stateful SESSIONIZATION with EVENT-TIME TIMEOUT — the
+    third stateful operator, and the one that exercises the half of
+    the GroupState API the other two don't: ``GroupStateTimeout.
+    EventTimeTimeout`` + ``setTimeoutTimestamp``. State per user is
+    the OPEN session set (start, last, count triples); each batch
+    merges its events in (interval merge under the gap rule, so
+    out-of-order arrivals within the watermark still coalesce), and a
+    session is EMITTED only when the watermark proves it can no longer
+    grow — the timeout callback (``state.hasTimedOut``) fires with the
+    watermark past last_event + gap, exactly session_window's close
+    condition. Trailing sessions correctly stay in state at the end of
+    an availableNow run (same watermark-delayed contract as the outer
+    stream-stream join).
+
+    The gap rule matches the batch twin ``session_agg`` /
+    ``stream_session``'s oracle: a gap >= ``gap_min`` starts a new
+    session. State is O(open sessions per user) — bounded by the
+    watermark, since anything older has timed out and left."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_min * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        sessions = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = [[s, l, n] for s, l, n in zip(starts, lasts, ns)]
+        emitted = []
+        if state.hasTimedOut:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            still_open = []
+            for s in sessions:
+                (emitted if s[1] + gap_us <= wm_us else still_open).append(s)
+            sessions = still_open
+        else:
+            ts_new = []
+            for pdf in pdfs:
+                ts_new.extend(int(t) for t in pdf["ts_us"])
+            for t in sorted(ts_new):
+                sessions.append([t, t, 1])
+            sessions.sort()
+            merged = []
+            for s in sessions:
+                if merged and s[0] - merged[-1][1] < gap_us:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][2] += s[2]
+                else:
+                    merged.append(s)
+            sessions = merged
+        if sessions:
+            state.update(
+                (
+                    [s[0] for s in sessions],
+                    [s[1] for s in sessions],
+                    [s[2] for s in sessions],
+                )
+            )
+            # wake up when the earliest open session becomes closable —
+            # clamped past the current watermark (the engine rejects a
+            # timeout at-or-before it; a session already closable fires
+            # on the very next watermark advance instead)
+            want_ms = min(s[1] for s in sessions) // 1000 + gap_min * 60 * 1000
+            state.setTimeoutTimestamp(
+                max(want_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(emitted),
+                "session_start_us": [s[0] for s in emitted],
+                "n_events": [s[2] for s in emitted],
+            }
+        )
+
+    return (
+        ev.withColumn("ts_us", F.unix_micros("ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id bigint, session_start_us bigint, n_events bigint"
+            ),
+            stateStructType=(
+                "starts array<bigint>, lasts array<bigint>, ns array<bigint>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_foreach_batch_parquet(
     sdf: DataFrame,
     out_dir: str,

@@ -282,3 +282,64 @@ def test_foreach_batch_ran_multiple_real_batches(spark):
     n_journal = spark.read.parquet(journal_dir).count()
     assert n_final > 0
     assert n_journal > n_final  # >1 batch appended overlapping user sets
+
+
+def test_session_state_stream_prefix_parity(spark):
+    """EventTimeTimeout sessionization: every emitted session must be
+    a REAL batch session (same start, same size), and every batch
+    session provably closable against the first micro-batch's
+    watermark must have been emitted by the timeout path."""
+    import datetime
+
+    import pro_etl_spark
+    from pyspark.sql import Window
+
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in pro_etl_spark.get_queries()["stream_session_state"](
+            spark, SF
+        ).collect()
+    }
+    assert got  # the timeout path really fired
+    # batch twin with session END times (gaps-and-islands, 5-min gap)
+    ev = load(spark, SF, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "new_s",
+        (
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                >= F.lag("ts").over(w) + F.expr("INTERVAL 5 MINUTES")
+            )
+        ).cast("long"),
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    batch = (
+        flagged.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    )
+    batch_set = {(r.user_id, r.session_start, r.n_events) for r in batch}
+    assert got <= batch_set
+    # completeness on the watermark-safe prefix: sessions closable
+    # against watermark(after batch 1) = max_ts(early 80%) - 1 minute
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.8)")
+    ).collect()[0][0]
+    max_a = (
+        ev.where(F.unix_micros("ts") <= cut).agg(F.max("ts")).collect()[0][0]
+    )
+    wm1 = max_a - datetime.timedelta(minutes=1)
+    must_emit = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in batch
+        if r.session_end + datetime.timedelta(minutes=5) <= wm1
+    }
+    assert must_emit <= got
