@@ -216,6 +216,9 @@ _R06_QUEUE = [
     "window_hampel",
     "fn_luhn",
     "stream_session_state",
+    "text_embed_hash",
+    "sink_snapshot_time_travel",
+    "graph_kcore",
 ]
 
 

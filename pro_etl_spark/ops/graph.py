@@ -274,3 +274,78 @@ def graph_jaccard_suggest(spark: SparkSession, d: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+#: k-core parameters: coreness threshold and fixed peel rounds (the
+#: bounded-unroll discipline of kmeans_train / pagerank: a full peel
+#: runs the same round until fixpoint)
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    parts = [_LSH_PAIRS_CTE, ", e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs)"]
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f"""
+    , keep{r} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, COUNT(*) AS deg FROM (
+          SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+        ) GROUP BY node
+      ) WHERE deg >= {KCORE_K}
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT a, b FROM {prev}
+      WHERE a IN (SELECT node FROM keep{r})
+        AND b IN (SELECT node FROM keep{r})
+    )""")
+        prev = f"e{r}"
+    parts.append(f"""
+    SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+      SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+    ) GROUP BY node
+    """)
+    return "".join(parts)
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, d: str) -> DataFrame:
+    """K-core peeling over the near-dup graph: repeatedly drop nodes
+    with degree < {KCORE_K} and their incident edges — the classic
+    density filter that isolates genuinely duplicate-dense communities
+    from the sparse fringe LSH banding produces (a node surviving the
+    2-core has at least two independent duplicate relations — much
+    stronger evidence than one lucky band collision). Fixed
+    {KCORE_ROUNDS}-round unroll, value-exact vs the unrolled-CTE
+    oracle (the kmeans_train pattern for iterative algorithms).
+
+    Scale: each round is one degree aggregate (two-column edge list)
+    plus two semi-joins keyed on node ids — Σ|E| work per round, no
+    driver materialization; the surviving-core edge list shrinks
+    monotonically."""
+    edges = dedup_minhash_lsh(spark, d).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= KCORE_K).select("node")
+        edges = edges.join(
+            keep.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+        # truncate lineage per round (the dedup_clusters discipline):
+        # each round's deg re-derives the previous round's edge list,
+        # so without the checkpoint the join DAG re-expands ~3× per
+        # round — measured minutes instead of seconds by round 3
+        edges = edges.localCheckpoint(eager=True)
+    return (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionAll(edges.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("core_degree"))
+    )

@@ -1006,3 +1006,63 @@ def sink_manifest_commit(spark: SparkSession, d: str) -> DataFrame:
     with open(manifest) as fh:
         committed = _json.load(fh)["files"]
     return spark.read.parquet(*committed)
+
+
+@register(
+    "sink_snapshot_time_travel",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def sink_snapshot_time_travel(spark: SparkSession, d: str) -> DataFrame:
+    """Snapshot time travel on the manifest-commit table
+    (``sink_manifest_commit``'s protocol, one level up): snapshot v1
+    commits the click/purchase slice, snapshot v2 APPENDS the error
+    slice as new data files plus a superset manifest, and ``_current``
+    points at v2 — yet this query reads AS OF v1 by resolving the v1
+    manifest, proving snapshots are immutable views over shared
+    append-only files (v2 re-lists every v1 file; nothing is copied
+    or rewritten — the Iceberg/Delta time-travel cost model: metadata
+    per snapshot, data files shared). The oracle is the v1 slice; the
+    v2 files sitting in the same directory must be invisible to the
+    as-of read."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    path = _tmp(f"tt_tbl_{dataset_suffix(d)}")
+    data_dir = _os.path.join(path, "data")
+    mf = lambda v: _os.path.join(path, f"_manifest_v{v}.json")  # noqa: E731
+    ev = load(spark, d, "events").select(
+        "event_id", "event_type", F.col("value").cast("double")
+    )
+    if not _os.path.exists(mf(2)):
+        ev.where(F.col("event_type").isin("click", "purchase")).repartition(
+            2
+        ).write.mode("overwrite").parquet(data_dir)
+        v1_files = sorted(_glob.glob(_os.path.join(data_dir, "*.parquet")))
+        stage = _os.path.join(path, "v2_stage")
+        ev.where(F.col("event_type") == "error").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        v2_new = []
+        for i, f in enumerate(
+            sorted(_glob.glob(_os.path.join(stage, "*.parquet")))
+        ):
+            dst = _os.path.join(data_dir, f"v2-append-{i}.parquet")
+            _os.replace(f, dst)
+            v2_new.append(dst)
+        for v, files in ((1, v1_files), (2, v1_files + v2_new)):
+            tmp = mf(v) + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump({"snapshot": v, "files": files}, fh)
+            _os.replace(tmp, mf(v))
+        cur = _os.path.join(path, "_current")
+        with open(cur + ".tmp", "w") as fh:
+            fh.write("2")
+        _os.replace(cur + ".tmp", cur)
+    with open(mf(1)) as fh:  # the AS-OF-v1 read
+        files = _json.load(fh)["files"]
+    return spark.read.parquet(*files)

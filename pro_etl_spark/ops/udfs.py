@@ -223,3 +223,77 @@ def udf_map_in_arrow(spark: SparkSession, d: str) -> DataFrame:
     return load(spark, d, "embeddings").mapInArrow(
         norms, "vec_id long, dim long, l2_norm double"
     )
+
+
+#: hash-embedding width (the inference stand-in's output dimension)
+EMBED_DIMS = 8
+
+
+@register(
+    "text_embed_hash",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), contrib AS (
+      SELECT doc_id, j,
+             SUM(('0x' || substr(md5(token || ':' || j), 1, 15))::BIGINT
+                 % 2001 - 1000) AS s
+      FROM tok, (SELECT unnest(range(0, {EMBED_DIMS})) AS j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id, list(CAST(s AS BIGINT) ORDER BY j) AS embedding
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def text_embed_hash(spark: SparkSession, d: str) -> DataFrame:
+    """Embedding-inference stand-in, run the way REAL inference runs
+    on Spark: an Arrow-batched pandas UDF mapping a text batch to a
+    dense vector batch — the plumbing (batch size, array column out,
+    per-executor model state as the per-batch cache) is exactly what a
+    sentence-transformer deployment uses; only the model is swapped
+    for a deterministic hash projection (signed token hashes summed
+    per dimension, INTEGER arithmetic) so the DuckDB oracle can verify
+    the Arrow round-trip value-exactly — which no real float model
+    would allow. Tokenization replicates the engine's \\s+ contract
+    including the empty-text → [''] edge.
+
+    Scale: map-only (one UDF pass, no shuffle); the hash cache is
+    per-batch executor state, the analogue of the model weights living
+    on the executor."""
+
+    @pandas_udf(f"array<long>")
+    def embed(text: pd.Series) -> pd.Series:
+        import hashlib
+
+        cache: dict = {}
+
+        def contribs(tok: str):
+            cs = cache.get(tok)
+            if cs is None:
+                cs = [
+                    int(
+                        hashlib.md5(f"{tok}:{j}".encode()).hexdigest()[:15], 16
+                    )
+                    % 2001
+                    - 1000
+                    for j in range(EMBED_DIMS)
+                ]
+                cache[tok] = cs
+            return cs
+
+        out = []
+        for t in text:
+            s = t.strip()
+            toks = s.split() if s else [""]
+            vec = [0] * EMBED_DIMS
+            for tok in toks:
+                cs = contribs(tok)
+                for j in range(EMBED_DIMS):
+                    vec[j] += cs[j]
+            out.append(vec)
+        return pd.Series(out)
+
+    return load(spark, d, "documents").select(
+        "doc_id", embed(F.col("text")).alias("embedding")
+    )
