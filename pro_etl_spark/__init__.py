@@ -219,6 +219,11 @@ _R06_QUEUE = [
     "text_embed_hash",
     "sink_snapshot_time_travel",
     "graph_kcore",
+    "stream_custom_sink",
+    "survival_km",
+    "markov_transitions",
+    "pareto_abc",
+    "fn_binary_codec",
 ]
 
 

@@ -1585,3 +1585,255 @@ def events_peaks(spark: SparkSession, d: str) -> DataFrame:
             prom.alias("prominence_micros"),
         )
     )
+
+
+@register(
+    "survival_km",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             date_diff('day',
+                       CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS life,
+             CAST(MAX(ts) AS DATE)
+               = (SELECT CAST(MAX(ts) AS DATE) FROM events) AS censored
+      FROM events GROUP BY user_id
+    ), timed AS (
+      SELECT user_id, censored,
+             CASE WHEN censored THEN life ELSE life + 1 END AS t_obs
+      FROM span
+    ), days AS (
+      SELECT t_obs AS t,
+             COUNT(*) FILTER (WHERE NOT censored) AS d,
+             COUNT(*) AS leaving
+      FROM timed GROUP BY t_obs
+    ), risk AS (
+      SELECT t, d,
+             (SELECT COUNT(*) FROM timed) 
+               - COALESCE(SUM(leaving) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM days
+    ), ev AS (
+      SELECT t, d, n_risk,
+             1.0 - CAST(d AS DOUBLE) / n_risk AS factor
+      FROM risk WHERE d > 0
+    ), packed AS (
+      SELECT list(t ORDER BY t) AS ts_l, list(factor ORDER BY t) AS fs,
+             list(d ORDER BY t) AS ds, list(n_risk ORDER BY t) AS ns
+      FROM ev
+    )
+    SELECT CAST(ts_l[i] AS BIGINT) AS t,
+           CAST(ds[i] AS BIGINT) AS n_deaths,
+           CAST(ns[i] AS BIGINT) AS n_risk,
+           list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                                    list_slice(fs, 1, i)),
+                       (acc, v) -> acc * v) AS survival
+    FROM packed, LATERAL (SELECT unnest(range(1, len(fs) + 1)) AS i)
+    """,
+)
+def survival_km(spark: SparkSession, d: str) -> DataFrame:
+    """Kaplan-Meier survival (retention) curve over user lifetimes:
+    churn = no activity after day L (death at offset L+1), users still
+    active on the corpus's last day are CENSORED — the estimator that
+    handles censoring correctly, vs the naive retention matrix
+    (``retention_cohorts``) that undercounts open-ended users. S(t) =
+    Π(1 − dᵢ/nᵢ) is a sequential product of per-day factors — not a
+    window aggregate — so both engines fold the SAME day-ordered
+    factor list left-to-right in-row (the curve is |distinct event
+    days| long, an output-sized array): bit-exact, no exp/log detour.
+
+    Scale: one grouped pass over events (per-user min/max), one tiny
+    per-day aggregate + running sum; the fold runs on the final
+    curve-sized row, never on the corpus."""
+    ev = load(spark, d, "events")
+    max_day = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    span = (
+        ev.groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            ).alias("life"),
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .select(
+            "user_id",
+            "life",
+            (F.col("last_day") == F.col("mx")).alias("censored"),
+        )
+    )
+    timed = span.select(
+        "censored",
+        F.when(F.col("censored"), F.col("life"))
+        .otherwise(F.col("life") + 1)
+        .alias("t_obs"),
+    )
+    n_total = timed.agg(F.count("*").alias("n_total"))
+    days = timed.groupBy(F.col("t_obs").alias("t")).agg(
+        F.count_if(~F.col("censored")).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = (
+        days.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(wcum), F.lit(0)),
+        )
+        .where(F.col("d") > 0)
+        .select(
+            "t",
+            "d",
+            "n_risk",
+            (F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")).alias(
+                "factor"
+            ),
+        )
+    )
+    packed = risk.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "n_risk", "factor"))
+        ).alias("curve")
+    )
+    surv = F.transform(
+        F.col("curve"),
+        lambda s, i: F.struct(
+            s.t.alias("t"),
+            s.d.alias("n_deaths"),
+            s.n_risk.alias("n_risk"),
+            F.aggregate(
+                F.slice(F.col("curve"), 1, i + 1),
+                F.lit(1.0),
+                lambda acc, x: acc * x.factor,
+            ).alias("survival"),
+        ),
+    )
+    return (
+        packed.select(F.explode(surv).alias("p"))
+        .select(
+            F.col("p.t").cast("long").alias("t"),
+            F.col("p.n_deaths").cast("long").alias("n_deaths"),
+            F.col("p.n_risk").cast("long").alias("n_risk"),
+            F.col("p.survival").alias("survival"),
+        )
+    )
+
+
+@register(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), c AS (
+      SELECT cur, nxt, COUNT(*) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), tot AS (
+      SELECT cur, SUM(n) AS n_cur FROM c GROUP BY cur
+    )
+    SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n AS DOUBLE) / tot.n_cur AS p
+    FROM c JOIN tot USING (cur)
+    """,
+)
+def markov_transitions(spark: SparkSession, d: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    journeys: P(next event type | current) from lead-paired counts —
+    the user-flow model behind next-action prediction and funnel
+    design. Deterministic sequencing via the (ts, event_id) order;
+    probabilities are rationals of integer counts (one division) —
+    exact cross-engine. One user-keyed shuffle for the sequencing
+    window, one tiny (|types|²) count — the corpus never moves again;
+    the transition matrix is output-sized at any scale."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, d, "events").select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    c = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return c.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        (F.col("n").cast("double") / F.col("n_cur")).alias("p"),
+    )
+
+
+@register(
+    "pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS revenue
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT custkey, CAST(revenue AS DOUBLE) AS revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS run,
+             SUM(revenue) OVER () AS total
+      FROM rev
+    )
+    SELECT custkey, revenue,
+           CAST(run AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+           CASE WHEN CAST(run AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+                  THEN 'A'
+                WHEN CAST(run AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+                  THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def pareto_abc(spark: SparkSession, d: str) -> DataFrame:
+    """Pareto/ABC classification: customers ranked by revenue, running
+    share of total, bucketed A (first 80% of revenue) / B (next 15%) /
+    C (tail) — the inventory/CRM prioritization classic. The running
+    and total sums stay DECIMAL until the single closing share
+    division (order-independent exact), and the rank order carries the
+    custkey tiebreak, so bucket boundaries are deterministic
+    cross-engine. Ranks the customer-grain rollup (like
+    ``rfm_segmentation``), so the total-order window is
+    dimension-sized; the orders fact pays one grouped pass."""
+    rev = (
+        load(spark, d, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+    )
+    wrun = Window.orderBy(F.desc("revenue"), "custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "custkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(wrun).alias("run"),
+        F.sum("revenue").over(wall).alias("total"),
+    )
+    share = F.col("run").cast("double") / F.col("total").cast("double")
+    return ranked.select(
+        "custkey",
+        "revenue",
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

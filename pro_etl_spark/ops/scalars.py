@@ -655,3 +655,44 @@ def fn_luhn(spark: SparkSession, d: str) -> DataFrame:
             check.cast("long").alias("check_digit"),
         )
     )
+
+
+@register(
+    "fn_binary_codec",
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(text)) AS b64,
+           decode(from_base64(to_base64(encode(text)))) = text
+             AS b64_roundtrip,
+           lower(to_hex(encode(substr(text, 1, 8)))) AS hex_prefix,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def fn_binary_codec(spark: SparkSession, d: str) -> DataFrame:
+    """Binary codec functions over blob columns: base64 encode (the
+    wire format for payloads in JSON envelopes), a verified
+    decode-round-trip flag, a hex fingerprint prefix, and the byte
+    length — the F-family's binary corner, all in whole-stage codegen
+    (no UDF). Narrow and shuffle-free; at 100 TB this is the manifest/
+    envelope-building projection next to the multimodal ops.
+
+    Cross-engine note: this Spark build emits MIME-chunked base64
+    (RFC 2045, 76-char CRLF lines) while DuckDB emits the unchunked
+    RFC 4648 form — the projection strips the line breaks so the
+    column is the canonical unchunked encoding everywhere (and the
+    oracle pins it, so a codec-behavior drift surfaces as a hash
+    break; unbase64 accepts both forms, keeping the round-trip
+    check codec-agnostic)."""
+    payload = F.encode("text", "UTF-8")
+    return load(spark, d, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.base64(payload), "[\r\n]", "").alias("b64"),
+        (
+            F.decode(F.unbase64(F.base64(payload)), "UTF-8") == F.col("text")
+        ).alias("b64_roundtrip"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias(
+            "hex_prefix"
+        ),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )

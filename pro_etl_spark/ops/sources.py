@@ -1066,3 +1066,139 @@ def sink_snapshot_time_travel(spark: SparkSession, d: str) -> DataFrame:
     with open(mf(1)) as fh:  # the AS-OF-v1 read
         files = _json.load(fh)["files"]
     return spark.read.parquet(*files)
+
+
+_STREAM_SINK_MEMO: dict = {}
+
+
+@register(
+    "stream_custom_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_custom_sink(spark: SparkSession, d: str) -> DataFrame:
+    """Custom Python STREAMING sink (``DataSourceStreamWriter``) —
+    completes the plugin matrix (batch reader, batch writer, streaming
+    reader all exist): each micro-batch's tasks serialize their
+    partition to a temp file and return its path in the commit
+    message; the DRIVER-side ``commit(messages, batchId)`` renames
+    them to batch-stamped finals — the documented two-phase protocol,
+    with ``abort`` dropping temp debris. Replaying a batch overwrites
+    its own files (idempotent, the exactly-once recipe on top of
+    at-least-once replay). The stream runs FOR REAL (two staged
+    source files, maxFilesPerTrigger=1 → ≥2 commits with distinct
+    batch ids); the registered result re-aggregates every committed
+    file and must value-match the plain batch aggregate — proving no
+    batch was lost, duplicated, or half-committed.
+
+    Scale: one file per (batch, partition) task-side, one rename per
+    file driver-side — the commit is metadata, the data never moves
+    twice."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    key = (spark.sparkContext.applicationId, d)
+    out_dir = _STREAM_SINK_MEMO.get(key)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="pro_etl_stream_sink_")
+
+        class _Msg(WriterCommitMessage):
+            def __init__(self, tmp_path):
+                self.tmp_path = tmp_path
+
+        class _StreamShardWriter(DataSourceStreamWriter):
+            def __init__(self, options):
+                self.path = options.get("path")
+
+            def write(self, iterator):
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+                tmp_f = _os.path.join(
+                    self.path, f"_tmp_{pid}_{_uuid.uuid4().hex}.jsonl"
+                )
+                with open(tmp_f, "w") as f:
+                    for row in iterator:
+                        rec = row.asDict()
+                        rec["ts"] = str(rec["ts"])
+                        f.write(_json.dumps(rec) + "\n")
+                return _Msg(tmp_f)
+
+            def commit(self, messages, batchId):
+                # driver-side atomic publish: batch-stamped names, so a
+                # replayed batch overwrites itself instead of duplicating
+                for i, m in enumerate(messages):
+                    _os.replace(
+                        m.tmp_path,
+                        _os.path.join(
+                            self.path, f"batch_{batchId}_part_{i}.jsonl"
+                        ),
+                    )
+
+            def abort(self, messages, batchId):
+                for m in messages:
+                    try:
+                        _os.remove(m.tmp_path)
+                    except OSError:
+                        pass
+
+        class StreamShardSink(DataSource):
+            @classmethod
+            def name(cls):
+                return "pro_etl_stream_shard_sink"
+
+            def streamWriter(self, schema, overwrite):
+                return _StreamShardWriter(self.options)
+
+        if not getattr(spark, "_pro_etl_stream_sink_registered", False):
+            spark.dataSource.register(StreamShardSink)
+            spark._pro_etl_stream_sink_registered = True
+
+        full = load(spark, d, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        stage = tempfile.mkdtemp(prefix="pro_etl_stream_sink_src_")
+        for i, pred in enumerate(
+            (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
+        ):
+            half_dir = tempfile.mkdtemp(prefix="pro_etl_sink_half_")
+            full.where(pred).coalesce(1).write.mode("overwrite").parquet(
+                half_dir
+            )
+            src = _glob.glob(f"{half_dir}/*.parquet")[0]
+            _shutil.copy(src, _os.path.join(stage, f"part_{i}.parquet"))
+        q = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.format("pro_etl_stream_shard_sink")
+            .option("path", out_dir)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="pro_etl_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_SINK_MEMO[key] = out_dir
+    back = spark.read.schema(
+        "event_id bigint, ts string, event_type string, value double"
+    ).json(f"{out_dir}/batch_*.jsonl")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )

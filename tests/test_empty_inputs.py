@@ -104,6 +104,16 @@ REPRESENTATIVES = [
     "fn_regexp_extract_all",
     "sql_group_order_all",
     "sql_with_ties",
+    "basket_affinity",
+    "text_rouge2",
+    "rfm_segmentation",
+    "text_rake_keyphrases",
+    "events_peaks",
+    "window_hampel",
+    "fn_luhn",
+    "text_embed_hash",
+    "graph_kcore",
+    "survival_km",
 ]
 
 
