@@ -224,6 +224,8 @@ _R06_QUEUE = [
     "markov_transitions",
     "pareto_abc",
     "fn_binary_codec",
+    "scan_file_metadata",
+    "text_compression_ratio",
 ]
 
 

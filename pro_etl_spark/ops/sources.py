@@ -1202,3 +1202,42 @@ def stream_custom_sink(spark: SparkSession, d: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "scan_file_metadata",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def scan_file_metadata(spark: SparkSession, d: str) -> DataFrame:
+    """Hidden file-metadata columns (``_metadata.file_path`` etc.) —
+    the scan-provenance feature every incremental-ingest and
+    debugging workflow leans on ("which file did this row come
+    from"), exposed without any extra I/O because the values come
+    from the file index, not the data. Per-file row counts and key
+    ranges — the skeleton of a file-statistics catalog (what Iceberg
+    stores per data file). The oracle runs over the driver's table
+    VIEW (no filename there), so it pins the expected basename as a
+    constant — the Spark side still genuinely reads
+    ``_metadata.file_path``, and a wrong path surfaces as a
+    file_name mismatch."""
+    orders = spark.read.parquet(f"{d}/orders.parquet")
+    return (
+        orders.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"([^/]+)$", 1
+            ).alias("file_name"),
+            "o_orderkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

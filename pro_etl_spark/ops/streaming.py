@@ -466,9 +466,18 @@ def stream_session_state(spark: SparkSession, d: str) -> DataFrame:
         import shutil as _shutil
 
         stage = tempfile.mkdtemp(prefix="pro_etl_sess_stage_")
+        import time as _time
+
+        now = _time.time()
         for i, half in enumerate(("part_0_early", "part_1_late")):
             src = _glob.glob(f"{src_dir}/stage/{half}/*.parquet")[0]
-            _shutil.copy(src, _os.path.join(stage, f"part_{i}.parquet"))
+            dst = _os.path.join(stage, f"part_{i}.parquet")
+            _shutil.copy(src, dst)
+            # the file source orders micro-batches by modification
+            # time; same-second copies tie and the late half can run
+            # first, leaving every session un-timed-out (0 emissions).
+            # Distinct mtimes pin early -> batch 1, late -> batch 2.
+            _os.utime(dst, (now - 1000 + i * 500, now - 1000 + i * 500))
         stream = (
             spark.readStream.schema(full.schema)
             .option("maxFilesPerTrigger", 1)

@@ -1650,3 +1650,56 @@ def text_rake_keyphrases(spark: SparkSession, d: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "keyphrase", "n_words", "score_micro")
     )
+
+
+@register("text_compression_ratio")  # rows-only: no SQL zlib — the
+# signal's invariants (bounds + anti-correlation with the repetition
+# census) are pinned in tests/test_properties.py
+def text_compression_ratio(spark: SparkSession, d: str) -> DataFrame:
+    """Compression-ratio quality signal: deflate the utf-8 payload at
+    level 6 and report compressed/original bytes — the cheap
+    whole-document repetition detector the CCNet/Gopher lineage uses
+    alongside n-gram ratios (template spam and keyword stuffing
+    compress dramatically better than prose). Arrow-batched pandas
+    UDF over bytes (zlib is per-row CPU, no Python-loop-per-row:
+    the batch loop is in C), emitting integer byte counts plus the
+    one-division ratio.
+
+    No SQL oracle exists for DEFLATE output size, so the operator is
+    rows-only with property tests instead: ratio bounds, monotone
+    relationship to the exact repetition census on the corpus's most
+    and least repetitive documents, and determinism across runs (zlib
+    level pinned; same bytes → same size on any worker).
+
+    Scale: map-only; at 100 TB this is the same narrow pass the other
+    quality signals ride, and the ratio column feeds
+    ``pipeline_gopher_filter``-style gates."""
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: no type annotations on purpose — this module uses
+    # `from __future__ import annotations`, which turns them into
+    # strings pandas_udf cannot resolve; the legacy (returnType-only)
+    # signature is the supported spelling here
+    @pandas_udf("struct<n_bytes: long, n_compressed: long, ratio: double>")
+    def comp(text):
+        import zlib
+
+        raw = text.str.encode("utf-8")
+        n = raw.str.len().astype("int64")
+        nc = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+        return pd.DataFrame(
+            {"n_bytes": n, "n_compressed": nc, "ratio": nc / n}
+        )
+
+    return (
+        load(spark, d, "documents")
+        .select("doc_id", comp(F.col("text")).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.n_bytes").alias("n_bytes"),
+            F.col("c.n_compressed").alias("n_compressed"),
+            F.col("c.ratio").alias("ratio"),
+        )
+    )

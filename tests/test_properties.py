@@ -300,3 +300,29 @@ def test_pack_bestfit_invariants(spark):
                 fill = 0
             fill += n
         assert lower <= used <= naive
+
+
+def test_compression_ratio_signal(spark):
+    """zlib quality signal: ratios bounded and deterministic, and the
+    corpus's most-repetitive documents (by the exact dup-trigram
+    census) compress strictly better on average than the least
+    repetitive ones."""
+    import pro_etl_spark
+
+    q = pro_etl_spark.get_queries()
+    a = {r.doc_id: r for r in q["text_compression_ratio"](spark, CORPUS_SF).collect()}
+    b = {r.doc_id: r for r in q["text_compression_ratio"](spark, CORPUS_SF).collect()}
+    assert {k: (v.n_compressed) for k, v in a.items()} == {
+        k: (v.n_compressed) for k, v in b.items()
+    }  # deterministic
+    for r in a.values():
+        assert 0 < r.ratio <= 1.2
+        assert r.n_bytes > 0
+    rep = {
+        r.doc_id: r.dup_trigram_ratio
+        for r in q["text_repetition"](spark, CORPUS_SF).collect()
+    }
+    ranked = sorted(rep, key=lambda k: rep[k])
+    lo = [a[k].ratio for k in ranked[:50]]
+    hi = [a[k].ratio for k in ranked[-50:]]
+    assert sum(hi) / len(hi) < sum(lo) / len(lo)

@@ -343,3 +343,69 @@ def test_session_state_stream_prefix_parity(spark):
         if r.session_end + datetime.timedelta(minutes=5) <= wm1
     }
     assert must_emit <= got
+
+
+def test_checkpoint_recovery_resumes(spark, tmp_path):
+    """Checkpoint recovery: a streaming aggregation stopped after one
+    micro-batch and RESTARTED with the same checkpoint must process
+    only the remaining input and converge to the batch answer — the
+    restart-resumes-not-reprocesses contract production streams live
+    by."""
+    import glob
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    full = load(spark, SF, "events").select("event_id", "ts", "user_id", "value")
+    os.makedirs(src)
+    for i, pred in enumerate(
+        (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
+    ):
+        half = str(tmp_path / f"half_{i}")
+        full.where(pred).coalesce(1).write.parquet(half)
+        shutil.copy(glob.glob(f"{half}/*.parquet")[0], f"{src}/part_{i}.parquet")
+
+    def run_once(table):
+        q = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("tot"),
+            )
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+        )
+        return q.start()
+
+    # run 1: stop after the FIRST micro-batch commits
+    q1 = run_once("t_ck1")
+    while not q1.recentProgress:
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination()
+    done_batches = len(q1.recentProgress)
+    # run 2: same checkpoint — must resume, not restart
+    q2 = run_once("t_ck2")
+    q2.awaitTermination()
+    resumed_ids = {p["batchId"] for p in q2.recentProgress}
+    assert all(b >= done_batches for b in resumed_ids), (
+        "restart reprocessed already-committed batches"
+    )
+    got = {
+        (r.user_id, r.n, r.tot) for r in spark.table("t_ck2").collect()
+    }
+    want = {
+        (r.user_id, r.n, r.tot)
+        for r in full.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("tot"),
+        )
+        .collect()
+    }
+    assert got == want
