@@ -226,6 +226,7 @@ _R06_QUEUE = [
     "fn_binary_codec",
     "scan_file_metadata",
     "text_compression_ratio",
+    "corpus_source_drift",
 ]
 
 

@@ -677,3 +677,79 @@ def pack_bestfit(spark: SparkSession, d: str) -> DataFrame:
         schema="source string, doc_id long, n_tokens long, "
         "bin_id long, bin_fill long",
     )
+
+
+@register(
+    "corpus_source_drift",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents
+    ), per_src AS (
+      SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), src_tot AS (
+      SELECT source, SUM(c) AS n FROM per_src GROUP BY source
+    ), gcnt AS (
+      SELECT token, SUM(c) AS g FROM per_src GROUP BY token
+    ), glob_tot AS (SELECT SUM(g) AS ng FROM gcnt),
+    terms AS (
+      SELECT s.source,
+             CAST(FLOOR(abs(CAST(p.c AS DOUBLE) / s.n
+                            - CAST(g.g AS DOUBLE) / gt.ng)
+                        * 1000000000000 + 0.5) AS BIGINT) AS t
+      FROM per_src p
+      JOIN src_tot s USING (source)
+      JOIN gcnt g USING (token)
+      CROSS JOIN glob_tot gt
+    )
+    SELECT source,
+           CAST(SUM(t) AS BIGINT) AS tv_picos_x2,
+           CAST(SUM(t) AS DOUBLE) / 2000000000000.0 AS tv_distance
+    FROM terms GROUP BY source
+    """,
+)
+def corpus_source_drift(spark: SparkSession, d: str) -> DataFrame:
+    """Distribution-drift audit: total-variation distance between each
+    source's unigram distribution and the corpus-wide one — the
+    drift/skew detector a data-quality gate runs when a new source (or
+    a new crawl of an old one) lands; TV = ½ Σ|p − q| needs no log, so
+    unlike KL it stays exactly computable. Per-term |p − q| values
+    floor-quantize to a 10⁻¹² grid and sum as INTEGERS (the
+    order-independence discipline), with one closing division for the
+    human-readable distance. Note: terms a source has zero count for
+    contribute only through the source's own vocabulary here (the
+    audit's purpose is over-representation; absent-term mass is the
+    complement, bounded by the reported value).
+
+    Scale: one tokenize pass, one (source, token) count, vocab-sized
+    joins (global counts broadcast); the corpus shuffles once."""
+    tok = load(spark, d, "documents").select(
+        "source", F.explode(_toks()).alias("token")
+    )
+    per_src = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("n"))
+    glob = per_src.groupBy("token").agg(F.sum("c").alias("g"))
+    glob_tot = glob.agg(F.sum("g").alias("ng"))
+    terms = (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(glob, "token")
+        .crossJoin(F.broadcast(glob_tot))
+        .select(
+            "source",
+            F.floor(
+                F.abs(
+                    F.col("c").cast("double") / F.col("n")
+                    - F.col("g").cast("double") / F.col("ng")
+                )
+                * F.lit(1_000_000_000_000)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum("t").cast("long").alias("tv_picos_x2"),
+        (F.sum("t").cast("double") / F.lit(2_000_000_000_000.0)).alias(
+            "tv_distance"
+        ),
+    )
