@@ -227,6 +227,8 @@ _R06_QUEUE = [
     "scan_file_metadata",
     "text_compression_ratio",
     "corpus_source_drift",
+    "events_autocorr",
+    "events_benford",
 ]
 
 

@@ -1837,3 +1837,148 @@ def pareto_abc(spark: SparkSession, d: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "events_autocorr",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, ts, event_id,
+             CAST(FLOOR(value * 1000000.0) AS BIGINT) AS x
+      FROM events
+    ), paired AS (
+      SELECT event_type, x,
+             LEAD(x) OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS y
+      FROM m
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM paired WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS lag1_autocorr
+    FROM s
+    """,
+)
+def events_autocorr(spark: SparkSession, d: str) -> DataFrame:
+    """Lag-1 serial autocorrelation per series — the
+    stickiness/seasonality detector (is the next value predicted by
+    the last?) that complements the cross-column Pearson
+    (``agg_corr``) with a TEMPORAL one. Consecutive pairs come from
+    one lead window (deterministic (ts, id) order); the five moment
+    sums ride int64/DECIMAL (order-free exact) and the closing Pearson
+    chain is pinned IEEE — never corr(), whose partial-merge order
+    varies by partitioning. One series shuffle, constant state."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    m = load(spark, d, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("x"),
+    )
+    paired = m.withColumn("y", F.lead("x").over(w)).where(
+        F.col("y").isNotNull()
+    )
+    s = paired.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return s.select("event_type", "n", (num / den).alias("lag1_autocorr"))
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), precomputed as
+#: literals so neither engine evaluates a log (10-decimal grid — the
+#: comparison's resolution, not its precision)
+BENFORD_P = {
+    1: 0.3010299957, 2: 0.1760912591, 3: 0.1249387366,
+    4: 0.0969100130, 5: 0.0791812460, 6: 0.0669467896,
+    7: 0.0579919470, 8: 0.0511525224, 9: 0.0457574906,
+}
+
+
+@register(
+    "events_benford",
+    oracle=f"""
+    WITH digit AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(value * 1000000.0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM events WHERE value > 0
+    ), c AS (
+      SELECT d, COUNT(*) AS n FROM digit GROUP BY d
+    ), tot AS (SELECT SUM(n) AS nt FROM c),
+    exp_p AS (
+      {" UNION ALL ".join(f"SELECT {d} AS d, CAST({p!r} AS DOUBLE) AS benford_p" for d, p in BENFORD_P.items())}
+    )
+    SELECT e.d AS first_digit,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(c.n, 0) AS DOUBLE) / tot.nt AS observed_p,
+           e.benford_p,
+           abs(CAST(COALESCE(c.n, 0) AS DOUBLE) / tot.nt - e.benford_p)
+             AS abs_dev
+    FROM exp_p e LEFT JOIN c ON c.d = e.d CROSS JOIN tot
+    """,
+)
+def events_benford(spark: SparkSession, d: str) -> DataFrame:
+    """Benford's-law first-digit audit — the forensic data-quality
+    screen (fabricated or unit-mangled numeric columns drift from the
+    log-distribution of natural ones): observed first-significant-
+    digit shares vs the Benford expectation, per digit. The expected
+    probabilities are PRECOMPUTED literals (log10(1+1/d) on a 10⁻¹⁰
+    grid), so no engine evaluates a transcendental; observed shares
+    are rationals of counts and the deviation is one abs-subtract —
+    exact cross-engine. One narrow digit-extraction pass + a 9-row
+    aggregate; the expectation table is a literal VALUES join."""
+    digit = (
+        load(spark, d, "events")
+        .where(F.col("value") > 0)
+        .select(
+            F.substring(
+                F.floor(F.col("value") * F.lit(1_000_000.0))
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    c = digit.groupBy("d").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("nt"))
+    exp_rows = [(dd, pp) for dd, pp in BENFORD_P.items()]
+    exp_p = spark.createDataFrame(exp_rows, "d long, benford_p double")
+    n = F.coalesce(F.col("n"), F.lit(0))
+    obs = n.cast("double") / F.col("nt")
+    return (
+        exp_p.join(c, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            n.cast("long").alias("n"),
+            obs.alias("observed_p"),
+            "benford_p",
+            F.abs(obs - F.col("benford_p")).alias("abs_dev"),
+        )
+    )
