@@ -229,6 +229,7 @@ _R06_QUEUE = [
     "corpus_source_drift",
     "events_autocorr",
     "events_benford",
+    "user_streaks",
 ]
 
 

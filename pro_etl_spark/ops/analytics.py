@@ -1982,3 +1982,65 @@ def events_benford(spark: SparkSession, d: str) -> DataFrame:
             F.abs(obs - F.col("benford_p")).alias("abs_dev"),
         )
     )
+
+
+@register(
+    "user_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), flagged AS (
+      SELECT user_id, day,
+             CASE WHEN date_diff('day',
+                     LAG(day) OVER (PARTITION BY user_id ORDER BY day),
+                     day) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM days
+    ), islands AS (
+      SELECT user_id, day,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS streak_id
+      FROM flagged
+    ), lens AS (
+      SELECT user_id, streak_id, COUNT(*) AS len,
+             MIN(day) AS streak_start
+      FROM islands GROUP BY user_id, streak_id
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           MIN(streak_start) AS first_active_day
+    FROM lens GROUP BY user_id
+    """,
+)
+def user_streaks(spark: SparkSession, d: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    engagement metric behind habit/retention features, as the calendar
+    variant of gaps-and-islands: distinct active days, a break flag
+    when the day gap ≠ 1, a running-sum island id, then per-island
+    lengths rolled up to the per-user maximum. Everything is integer
+    date arithmetic — exact cross-engine — and every stage reuses the
+    ONE user-keyed partitioning (the sessionize/SCD2 shared-shuffle
+    discipline) over a distinct-days table that is already orders of
+    magnitude smaller than the events."""
+    days = (
+        load(spark, d, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = days.withColumn(
+        "brk",
+        F.when(F.datediff("day", F.lag("day").over(w)) == 1, 0).otherwise(1),
+    )
+    islands = flagged.withColumn("streak_id", F.sum("brk").over(run))
+    lens = islands.groupBy("user_id", "streak_id").agg(
+        F.count("*").alias("len"), F.min("day").alias("streak_start")
+    )
+    return lens.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak_days"),
+        F.count("*").alias("n_streaks"),
+        F.min("streak_start").alias("first_active_day"),
+    )
