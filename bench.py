@@ -20,6 +20,13 @@ import os
 import sys
 import time
 
+#: Round-5 flagged window_running_sum / text_quality / text_fingerprint
+#: as ~2× their round-1 sub-second timings. All three operators are
+#: code-identical to round 1 (verified by git diff against the v1
+#: commit); the deltas are run-order/JVM-state noise in the sub-second
+#: regime — the timed pass shares one JVM and the headline list has
+#: tripled since r1, shifting GC and code-cache state around these
+#: entries. Not added work; tracked here so the comparison stays honest.
 HEADLINE = [
     "agg_multi_measure",
     "join_sortmerge",
@@ -68,6 +75,21 @@ HEADLINE = [
     # round-5 batch 4: exact-rewrite sequential analytics + sweep-line
     "anomaly_cusum",
     "interval_concurrency",
+    # round-6: the biggest never-benched families — iterative graph
+    # (Pregel-style pagerank, k-core peeling), CDC merge/apply,
+    # cohort retention, the rewritten distributed-NTILE RFM, batch
+    # sessionization, the Gopher quality-filter pipeline, sequence
+    # packing, RAKE keyphrases, and multimodal frame energy
+    "graph_pagerank",
+    "graph_kcore",
+    "merge_cdc_apply",
+    "retention_cohorts",
+    "rfm_segmentation",
+    "sessionize",
+    "pipeline_gopher_filter",
+    "seq_pack",
+    "text_rake_keyphrases",
+    "mm_audio_energy",
 ]
 
 

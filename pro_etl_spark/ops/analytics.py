@@ -747,11 +747,14 @@ ATTR_WINDOW_MIN = 30
       FROM events
     )
     SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts,
-           CASE WHEN click_ts >= ts - INTERVAL '{ATTR_WINDOW_MIN} minutes'
-                THEN click_id END AS attributed_click_id,
-           CASE WHEN click_ts >= ts - INTERVAL '{ATTR_WINDOW_MIN} minutes'
-                THEN CAST(floor(date_diff('second', click_ts, ts) / 60.0)
-                          AS BIGINT) END AS minutes_since_click,
+           -- DOUBLE on both sides: these columns are NULL when the
+           -- trail is cold, and a nullable integer oracle column
+           -- materializes as float64 through the driver's pandas path
+           CAST(CASE WHEN click_ts >= ts - INTERVAL '{ATTR_WINDOW_MIN} minutes'
+                     THEN click_id END AS DOUBLE) AS attributed_click_id,
+           CAST(CASE WHEN click_ts >= ts - INTERVAL '{ATTR_WINDOW_MIN} minutes'
+                     THEN floor(date_diff('second', click_ts, ts) / 60.0)
+                END AS DOUBLE) AS minutes_since_click,
            CAST(value AS DOUBLE) AS revenue
     FROM ordered WHERE event_type = 'purchase'
     """,
@@ -793,15 +796,19 @@ def funnel_attribution(spark: SparkSession, d: str) -> DataFrame:
         F.col("event_id").alias("purchase_event_id"),
         "user_id",
         F.col("ts").alias("purchase_ts"),
-        F.when(fresh, F.col("click_id")).alias("attributed_click_id"),
+        F.when(fresh, F.col("click_id"))
+        .cast("double")
+        .alias("attributed_click_id"),
         F.when(
             fresh,
             F.floor(
                 (
                     F.unix_timestamp("ts") - F.unix_timestamp("click_ts")
                 ) / 60.0
-            ).cast("long"),
-        ).alias("minutes_since_click"),
+            ),
+        )
+        .cast("double")
+        .alias("minutes_since_click"),
         F.col("value").cast("double").alias("revenue"),
     )
 
@@ -1039,9 +1046,14 @@ def dq_expectations(spark: SparkSession, d: str) -> DataFrame:
     "window_cumulative_distinct",
     oracle="""
     SELECT event_id, user_id, ts,
-           SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND CURRENT ROW)
+           -- outer BIGINT cast: DuckDB's windowed SUM yields HUGEINT,
+           -- which pandas materializes as float64 and then renders
+           -- differently from Spark's int64 (NULL-free, so BIGINT
+           -- survives the pandas path intact)
+           CAST(SUM(is_first)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
              AS n_types_so_far
     FROM (
       SELECT event_id, user_id, ts,
@@ -1442,6 +1454,49 @@ def basket_affinity(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _global_ntile(df, n: int, ordering, key: str = "custkey"):
+    """Distributed exact NTILE(n) OVER (ORDER BY <ordering>) — returns
+    (key, _ntile) bit-identical to the single-partition window version
+    without ever materializing a single-partition sort.
+
+    Recipe: range-shuffle on the ordering (non-overlapping, ordered
+    partitions), per-partition ``row_number`` (parallel windows), then
+    per-partition row counts collected to the driver — O(#shuffle
+    partitions) rows, model-state scale — turned into literal offsets
+    so global rank = offset + local rank. The NTILE bucket is then a
+    closed-form function of (rank, N) with N known at the driver:
+    the first N%n buckets hold ceil(N/n) rows, the rest floor(N/n).
+    The ordering must be a total order (callers append the unique key
+    as tiebreak) or ranks are partition-luck."""
+    rng = df.repartitionByRange(*ordering).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*ordering)
+    local = rng.withColumn("_rn", F.row_number().over(w_in))
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in rng.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    total = sum(c for _, c in counts)
+    if total == 0:
+        return df.select(key).withColumn("_ntile", F.lit(None).cast("long"))
+    offset = F.lit(0).cast("long")
+    acc = 0
+    for pid, cnt in counts:
+        offset = F.when(F.col("_pid") == pid, F.lit(acc)).otherwise(offset)
+        acc += cnt
+    rank = (offset + F.col("_rn")).cast("long")
+    q, r = divmod(total, n)
+    if q == 0:
+        tile = rank  # fewer rows than buckets: each row its own bucket
+    else:
+        tile = F.when(
+            rank <= r * (q + 1),
+            F.floor((rank - 1) / (q + 1)) + 1,
+        ).otherwise(F.lit(r) + F.floor((rank - 1 - r * (q + 1)) / q) + 1)
+    return local.select(key, tile.cast("long").alias("_ntile"))
+
+
 @register(
     "rfm_segmentation",
     oracle="""
@@ -1481,10 +1536,13 @@ def rfm_segmentation(spark: SparkSession, d: str) -> DataFrame:
 
     Scale: one grouped pass over orders (map-side combinable), then
     three rankings of the CUSTOMER-grain table — orders of magnitude
-    smaller than the fact; the max-date scalar broadcasts. NTILE needs
-    a total order (single-partition window): acceptable because it
-    ranks customers, not facts — and the plan test pins that the fact
-    table itself never global-sorts."""
+    smaller than the fact; the max-date scalar broadcasts. Each
+    ranking is the DISTRIBUTED exact NTILE (``_global_ntile``): a
+    range shuffle + per-partition row numbers + O(#partitions)
+    driver-side offsets — bit-identical to the oracle's
+    single-partition NTILE window without ever materializing a
+    single-partition sort, so the plan survives a customer dimension
+    that itself needs a cluster."""
     o = load(spark, d, "orders")
     mx = o.agg(F.max("o_orderdate").alias("max_d"))
     rfm = (
@@ -1500,17 +1558,23 @@ def rfm_segmentation(spark: SparkSession, d: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    r_s = F.ntile(5).over(Window.orderBy("recency_days", "custkey"))
-    f_s = F.ntile(5).over(Window.orderBy(F.desc("frequency"), "custkey"))
-    m_s = F.ntile(5).over(Window.orderBy(F.desc("monetary"), "custkey"))
-    return rfm.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        r_s.cast("long").alias("r_score"),
-        f_s.cast("long").alias("f_score"),
-        m_s.cast("long").alias("m_score"),
+    rfm = rfm.localCheckpoint(eager=False)
+    r_s = _global_ntile(rfm, 5, [F.col("recency_days"), F.col("custkey")])
+    f_s = _global_ntile(rfm, 5, [F.desc("frequency"), F.col("custkey")])
+    m_s = _global_ntile(rfm, 5, [F.desc("monetary"), F.col("custkey")])
+    return (
+        rfm.join(r_s.withColumnRenamed("_ntile", "r_score"), "custkey")
+        .join(f_s.withColumnRenamed("_ntile", "f_score"), "custkey")
+        .join(m_s.withColumnRenamed("_ntile", "m_score"), "custkey")
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+        )
     ).withColumn(
         "segment",
         F.concat(

@@ -166,7 +166,7 @@ SESSION_GAP = "30 MINUTE"
     oracle="""
     SELECT event_id, user_id, ts,
            user_id || '-' || CAST(session_num AS VARCHAR) AS session_id,
-           session_num
+           CAST(session_num AS BIGINT) AS session_num
     FROM (
       SELECT event_id, user_id, ts,
              SUM(CASE WHEN prev_ts IS NULL

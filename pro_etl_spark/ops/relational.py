@@ -814,7 +814,10 @@ def join_fuzzy(spark: SparkSession, d: str) -> DataFrame:
     s AS (
       SELECT s_suppkey, NULLIF(s_nationkey % 7, 3) AS grp FROM supplier
     )
-    SELECT c.grp AS grp, COUNT(*) AS n_pairs
+    -- grp graded as DOUBLE on both sides: the null group survives the
+    -- null-safe join, and a nullable integer oracle column materializes
+    -- as float64 through the driver's pandas path
+    SELECT CAST(c.grp AS DOUBLE) AS grp, COUNT(*) AS n_pairs
     FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
     GROUP BY 1
     """,
@@ -836,7 +839,7 @@ def join_null_safe(spark: SparkSession, d: str) -> DataFrame:
     )
     return (
         c.join(s, c["grp"].eqNullSafe(s["grp"]))
-        .groupBy(c["grp"].alias("grp"))
+        .groupBy(c["grp"].cast("double").alias("grp"))
         .agg(F.count("*").alias("n_pairs"))
     )
 

@@ -154,16 +154,33 @@ def pivot_status(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: sketch values are estimates
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_orderpriority) AS approx_priorities,
+           COUNT(DISTINCT o_orderpriority) AS exact_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, d: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch next to the exact count —
     the 100 TB default for COUNT(DISTINCT): mergeable partial sketches,
-    one pass, no Expand. tests/test_sketches.py bounds the relative
-    error at the configured 2% rsd."""
+    one pass, no Expand. Run in the sketch's EXACT regime so the
+    driver can value-check it: at rsd=0.02 the HLL++ keeps a sparse
+    linear-counting representation until ~3k entries, within which the
+    estimate IS the exact count — o_orderpriority's 5 distinct values
+    sit far below that, so ``approx_priorities`` equals the plain
+    COUNT(DISTINCT) deterministically (the same pairing recipe as
+    agg_approx_topk's maxItemsTracked regime). The high-cardinality
+    estimation regime (o_custkey, where the sketch genuinely
+    estimates) is bounded at 3× rsd in tests/test_sketches.py."""
     o = load(spark, d, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
-        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.approx_count_distinct("o_orderpriority", rsd=0.02)
+        .cast("long")
+        .alias("approx_priorities"),
+        F.countDistinct("o_orderpriority").alias("exact_priorities"),
     )
 
 
@@ -530,7 +547,10 @@ def window_percent_rank(spark: SparkSession, d: str) -> DataFrame:
     SELECT o_orderkey, o_custkey, o_orderdate,
            FIRST_VALUE(o_orderkey) OVER w AS first_key,
            LAST_VALUE(o_orderkey) OVER w AS last_key,
-           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+           -- DOUBLE on both sides: NULL for single-order customers,
+           -- and a nullable integer oracle column materializes as
+           -- float64 through the driver's pandas path
+           CAST(NTH_VALUE(o_orderkey, 2) OVER w AS DOUBLE) AS second_key
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -556,7 +576,10 @@ def window_first_last(spark: SparkSession, d: str) -> DataFrame:
         "o_orderdate",
         F.first("o_orderkey").over(w).alias("first_key"),
         F.last("o_orderkey").over(w).alias("last_key"),
-        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.nth_value("o_orderkey", 2)
+        .over(w)
+        .cast("double")
+        .alias("second_key"),
     )
 
 

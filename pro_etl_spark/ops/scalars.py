@@ -226,7 +226,9 @@ def fn_json(spark: SparkSession, d: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
            'OBJECT<k: BIGINT>' AS vschema,
-           CAST(NULL AS BIGINT) AS missing_val
+           -- DOUBLE on both sides: an all-NULL integer column
+           -- materializes as float64 through the driver's pandas path
+           CAST(NULL AS DOUBLE) AS missing_val
     FROM events
     """,
 )
@@ -247,9 +249,9 @@ def fn_variant(spark: SparkSession, d: str) -> DataFrame:
         "event_id",
         F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
         F.schema_of_variant(v).alias("vschema"),
-        F.expr("try_variant_get(parse_json(props), '$.missing', 'bigint')").alias(
-            "missing_val"
-        ),
+        F.expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
+        .cast("double")
+        .alias("missing_val"),
     )
 
 
@@ -409,8 +411,11 @@ def fn_url_canon(spark: SparkSession, d: str) -> DataFrame:
            -- DuckDB TRY_CAST rounds decimal strings to integers
            -- ('123.75' -> 124); Spark's ANSI try_cast rejects them.
            -- The guard pins the oracle to Spark's stricter semantics.
-           TRY_CAST(CASE WHEN raw LIKE '%.%' THEN NULL ELSE raw END
-                    AS BIGINT) AS as_long,
+           -- graded as DOUBLE on both sides: as_long is nullable, and a
+           -- nullable integer oracle column materializes as float64 in
+           -- the driver's pandas path (int-vs-float render mismatch)
+           CAST(TRY_CAST(CASE WHEN raw LIKE '%.%' THEN NULL ELSE raw END
+                         AS BIGINT) AS DOUBLE) AS as_long,
            TRY_CAST(raw AS DOUBLE) AS as_double
     FROM dirty
     """,
@@ -439,7 +444,7 @@ def fn_try_cast(spark: SparkSession, d: str) -> DataFrame:
     return dirty.select(
         "c_custkey",
         "raw",
-        F.expr("try_cast(raw AS BIGINT)").alias("as_long"),
+        F.expr("try_cast(raw AS BIGINT)").cast("double").alias("as_long"),
         F.expr("try_cast(raw AS DOUBLE)").alias("as_double"),
     )
 
@@ -608,7 +613,10 @@ def fn_regexp_extract_all(spark: SparkSession, d: str) -> DataFrame:
       SELECT o_orderkey, payload,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(range(1, 13), i ->
-                 CASE WHEN (12 - i) % 2 = 0
+                 -- with the check digit appended at position 13, Luhn
+                 -- doubles every second digit counting from the check
+                 -- position: payload positions 12, 10, 8, ... (even i)
+                 CASE WHEN (12 - i) % 2 = 1
                       THEN CAST(payload[i] AS BIGINT)
                       ELSE CASE WHEN CAST(payload[i] AS BIGINT) * 2 > 9
                                 THEN CAST(payload[i] AS BIGINT) * 2 - 9
@@ -634,9 +642,12 @@ def fn_luhn(spark: SparkSession, d: str) -> DataFrame:
     engines, no UDF. Narrow, shuffle-free at any scale."""
     payload = F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
     digit = lambda i: F.substring(F.col("payload"), i, 1).cast("long")  # noqa: E731
+    # double payload positions 12, 10, 8, ... (every second digit
+    # counting from the appended check position), keep odd i as-is —
+    # validated against the classic Luhn vector 7992739871 -> 3
     terms = [
         digit(i)
-        if (12 - i) % 2 == 0
+        if (12 - i) % 2 == 1
         else F.when(digit(i) * 2 > 9, digit(i) * 2 - 9).otherwise(digit(i) * 2)
         for i in range(1, 13)
     ]

@@ -330,8 +330,8 @@ RRF_N_QUERY = 5
     ),
     fused AS (
       SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
-             CAST(l.lex_rank AS BIGINT) AS lex_rank,
-             CAST(de.dense_rank AS BIGINT) AS dense_rank,
+             CAST(l.lex_rank AS DOUBLE) AS lex_rank,
+             CAST(de.dense_rank AS DOUBLE) AS dense_rank,
              COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0)
                + COALESCE(1.0 / ({RRF_K} + de.dense_rank), 0) AS rrf_score
       FROM lextop l FULL JOIN densetop de ON l.doc_id = de.doc_id
@@ -416,8 +416,13 @@ def ann_hybrid_rrf(spark: SparkSession, d: str) -> DataFrame:
         )
         .select(
             F.coalesce("doc_id", "d_doc_id").alias("doc_id"),
-            F.col("lex_rank").cast("long").alias("lex_rank"),
-            F.col("dense_rank").cast("long").alias("dense_rank"),
+            # double on BOTH sides: these ranks are NULL for docs found
+            # by only one modality, and a nullable integer oracle column
+            # materializes as float64 through the driver's pandas path —
+            # int-vs-float renders differently and hash-mismatches at
+            # identical values, so the reproducible dtype is double
+            F.col("lex_rank").cast("double").alias("lex_rank"),
+            F.col("dense_rank").cast("double").alias("dense_rank"),
             (
                 F.coalesce(
                     F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)

@@ -377,12 +377,15 @@ garbage line without commas
 @register(
     "scan_bad_records",
     oracle="""
+    -- id/qty are DOUBLE on both sides: the quarantined rows null them,
+    -- and a nullable integer oracle column materializes as float64
+    -- through the driver's pandas path
     SELECT * FROM (VALUES
-      (1, 5, 10.5, CAST(NULL AS VARCHAR), false),
-      (2, CAST(NULL AS BIGINT), 3.25, '2,notanum,3.25', true),
-      (3, 7, CAST(NULL AS DOUBLE), '3,7,bad', true),
-      (4, 8, 2.0, CAST(NULL AS VARCHAR), false),
-      (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+      (1.0, 5.0, 10.5, CAST(NULL AS VARCHAR), false),
+      (2.0, CAST(NULL AS DOUBLE), 3.25, '2,notanum,3.25', true),
+      (3.0, 7.0, CAST(NULL AS DOUBLE), '3,7,bad', true),
+      (4.0, 8.0, 2.0, CAST(NULL AS VARCHAR), false),
+      (CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        'garbage line without commas', true)
     ) t(id, qty, price, bad_raw, is_bad)
     """,
@@ -412,8 +415,8 @@ def scan_bad_records(spark: SparkSession, d: str) -> DataFrame:
         .csv(path)
     )
     return df.select(
-        "id",
-        "qty",
+        F.col("id").cast("double").alias("id"),
+        F.col("qty").cast("double").alias("qty"),
         "price",
         F.col("_corrupt_record").alias("bad_raw"),
         F.col("_corrupt_record").isNotNull().alias("is_bad"),
@@ -1140,7 +1143,18 @@ def stream_custom_sink(spark: SparkSession, d: str) -> DataFrame:
 
             def commit(self, messages, batchId):
                 # driver-side atomic publish: batch-stamped names, so a
-                # replayed batch overwrites itself instead of duplicating
+                # replayed batch overwrites itself instead of duplicating.
+                # Clear the batch's previous finals FIRST: if a replay
+                # produces fewer commit messages than an earlier partial
+                # attempt committed, the higher-indexed stale files would
+                # otherwise survive and duplicate rows.
+                for stale in _glob.glob(
+                    _os.path.join(self.path, f"batch_{batchId}_part_*.jsonl")
+                ):
+                    try:
+                        _os.remove(stale)
+                    except OSError:
+                        pass
                 for i, m in enumerate(messages):
                     _os.replace(
                         m.tmp_path,

@@ -266,8 +266,11 @@ def stream_stream_join(spark: SparkSession, d: str) -> DataFrame:
 @register(
     "stream_stream_left_outer",
     oracle="""
-    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
-           c.ts AS click_ts, e.ts AS error_ts
+    -- error_id graded as DOUBLE on both sides: NULL for unconverted
+    -- clicks, and a nullable integer oracle column materializes as
+    -- float64 through the driver's pandas path
+    SELECT c.event_id AS click_id, CAST(e.event_id AS DOUBLE) AS error_id,
+           c.user_id, c.ts AS click_ts, e.ts AS error_ts
     FROM (SELECT * FROM events WHERE event_type = 'click') c
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
       ON c.user_id = e.user_id
@@ -286,11 +289,14 @@ def stream_stream_left_outer(spark: SparkSession, d: str) -> DataFrame:
     can still arrive — outer results are inherently watermark-delayed,
     which is the documented Spark semantics, not a defect."""
     ev = load(spark, d, "events")
-    return click_error_interval_join(
+    joined = click_error_interval_join(
         ev.where(F.col("event_type") == "click"),
         ev.where(F.col("event_type") == "error"),
         how="left_outer",
     )
+    return joined.withColumn(
+        "error_id", F.col("error_id").cast("double")
+    ).select("click_id", "error_id", "user_id", "click_ts", "error_ts")
 
 
 #: one streaming run per (session, dataset) — queries may be invoked
@@ -537,7 +543,10 @@ def late_audit(ev: DataFrame) -> DataFrame:
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(*) FILTER (WHERE is_late) AS BIGINT) AS n_late,
-           CAST(min(event_id) FILTER (WHERE is_late) AS BIGINT)
+           -- DOUBLE on both sides: NULL for users with no late events,
+           -- and a nullable integer oracle column materializes as
+           -- float64 through the driver's pandas path
+           CAST(min(event_id) FILTER (WHERE is_late) AS DOUBLE)
              AS first_late_event_id
     FROM (
       SELECT user_id, event_id,
@@ -564,7 +573,7 @@ def stream_late_drop(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.sum(F.col("is_late").cast("long")).alias("n_late"),
         F.min(F.when(F.col("is_late"), F.col("event_id")))
-        .cast("long")
+        .cast("double")
         .alias("first_late_event_id"),
     )
 

@@ -29,6 +29,27 @@ def TOKENS() -> Column:
     needs an active SparkSession)."""
     return F.split(F.trim(F.col("text")), r"\s+")
 
+def distinct_bigrams(toks: Column) -> Column:
+    """Distinct space-joined bigram set of a token array, safe on
+    degenerate docs: a 0/1-token array (empty text tokenizes to [''])
+    yields an empty set. The guard matters — without it,
+    ``sequence(1, size-1)`` with size=1 builds the DESCENDING [1, 0]
+    (Spark's sequence direction follows start/stop order) and the
+    transform's ``element_at(toks, 0)`` throws 'SQL array indices
+    start at 1' at runtime."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 STOPWORDS = ("the", "a", "of", "and", "in", "to")
 
 FP_MOD = 2147483647  # 2^31 - 1: h*31+t stays far below int64 overflow
@@ -1508,15 +1529,7 @@ def text_rouge2(spark: SparkSession, d: str) -> DataFrame:
     Scale: bigram sets build narrow per doc; the pair table (LSH
     output, already cached) drives two doc-keyed joins — candidates ×
     2 lookups, never all-pairs."""
-    toks = TOKENS()
-    bgs = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
-    )
+    bgs = distinct_bigrams(TOKENS())
     bg = load(spark, d, "documents").select("doc_id", bgs.alias("bgs"))
     from pro_etl_spark.ops.dedup import dedup_minhash_lsh
 

@@ -140,3 +140,27 @@ def empty_sf(spark, tmp_path_factory):
 def test_runs_on_empty_tables(spark, empty_sf, name):
     rows = pro_etl_spark.get_queries()[name](spark, empty_sf).collect()
     assert rows == [] or len(rows) >= 0  # must not raise; row count free
+
+
+def test_distinct_bigrams_degenerate_docs(spark):
+    """Regression: 0- and 1-token docs must yield an empty bigram set,
+    not a runtime 'SQL array indices start at 1' error (sequence(1, 0)
+    is the DESCENDING [1, 0] in Spark, so the unguarded transform
+    indexes position 0)."""
+    import pyspark.sql.functions as F
+
+    from pro_etl_spark.ops.text import TOKENS, distinct_bigrams
+
+    df = spark.createDataFrame(
+        [("", ), ("one", ), ("  spaced  ", ), ("two tokens", ),
+         ("a b a b", )],
+        "text string",
+    )
+    rows = {r.text: r.bgs for r in df.select(
+        "text", distinct_bigrams(TOKENS()).alias("bgs")
+    ).collect()}
+    assert rows[""] == []
+    assert rows["one"] == []
+    assert rows["  spaced  "] == []
+    assert rows["two tokens"] == ["two tokens"]
+    assert sorted(rows["a b a b"]) == ["a b", "b a"]

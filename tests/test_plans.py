@@ -705,3 +705,28 @@ def test_cusum_shares_one_series_shuffle(spark):
     plan = plan_of(spark, "anomaly_cusum")
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning(event_type") <= 2
+
+
+def test_rfm_ntile_has_no_single_partition_window(spark):
+    """rfm_segmentation's quintile scores use the distributed exact
+    NTILE (range shuffle + per-partition ranks + literal offsets) —
+    a SinglePartition exchange would mean a global window sort crept
+    back in."""
+    plan = plan_of(spark, "rfm_segmentation")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_lsh_pair_joins_resolve_to_broadcast_via_aqe(spark):
+    """_lsh_sized_pairs carries NO broadcast hint (a pathological
+    corpus could blow a forced broadcast of the candidate-pair list at
+    scale); at test scale AQE must still CHOOSE broadcast for the pair
+    lookups at runtime. Executing the query finalizes the adaptive
+    plan, which must then show a broadcast join and no hint-forced
+    build side in the static plan."""
+    import pro_etl_spark
+
+    df = pro_etl_spark.get_queries()["dedup_minhash_lsh"](spark, SF)
+    df.collect()  # finalize AQE
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final

@@ -326,3 +326,48 @@ def test_compression_ratio_signal(spark):
     lo = [a[k].ratio for k in ranked[:50]]
     hi = [a[k].ratio for k in ranked[-50:]]
     assert sum(hi) / len(hi) < sum(lo) / len(lo)
+
+
+def _luhn_valid(number: str) -> bool:
+    """Textbook Luhn validator: from the rightmost digit, double every
+    second digit, fold >9 back by -9, total must be ≡ 0 (mod 10)."""
+    total = 0
+    for pos, ch in enumerate(reversed(number)):
+        d = int(ch)
+        if pos % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_fn_luhn_emits_valid_check_digits(spark):
+    """Every emitted card_number must pass an independent textbook
+    Luhn validation, and the formula must reproduce the classic
+    vector payload 7992739871 -> check digit 3 (regression for the
+    inverted doubling parity that a mirrored oracle cannot catch)."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    # classic vector via the same pure-Python recipe the operator uses
+    payload = "7992739871"
+    digit_sum = 0
+    n = len(payload)
+    for i in range(1, n + 1):  # 1-based, check digit sits at n+1
+        d = int(payload[i - 1])
+        if (n - i) % 2 == 1:  # same parity rule as the operator
+            digit_sum += d
+        else:
+            d *= 2
+            digit_sum += d - 9 if d > 9 else d
+    assert (10 - digit_sum % 10) % 10 == 3
+    assert _luhn_valid(payload + "3")
+
+    q = pro_etl_spark.get_queries()
+    rows = q["fn_luhn"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert len(r.card_number) == 13
+        assert _luhn_valid(r.card_number), r
+        assert r.card_number[-1] == str(r.check_digit)

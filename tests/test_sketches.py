@@ -10,11 +10,35 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_approx_distinct_within_rsd(spark):
-    q = pro_etl_spark.get_queries()["agg_approx_distinct"]
-    for r in q(spark, SF).collect():
+    """High-cardinality HLL regime (o_custkey — the registered query
+    runs the sketch in its exact low-cardinality regime so it can be
+    oracle-paired): estimate within 3× the configured 2% rsd."""
+    import pyspark.sql.functions as F
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    rows = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+            F.countDistinct("o_custkey").alias("exact_custs"),
+        )
+        .collect()
+    )
+    for r in rows:
         assert r.exact_custs > 0
         rel_err = abs(r.approx_custs - r.exact_custs) / r.exact_custs
         assert rel_err <= 0.06, (r.o_orderstatus, rel_err)  # 3× the 2% rsd
+
+
+def test_approx_distinct_exact_regime_matches(spark):
+    """The registered query's exact-regime claim: the sketch value
+    must EQUAL the exact count at test scale (sparse linear counting,
+    cardinality far below the ~3k sparse threshold)."""
+    q = pro_etl_spark.get_queries()["agg_approx_distinct"]
+    rows = q(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.approx_priorities == r.exact_priorities, r
 
 
 def test_approx_percentile_close_to_exact(spark):
