@@ -40,6 +40,7 @@ _R06_WINDOW = [
     "fn_datetime_parts",
     "fn_levenshtein",
     "agg_approx_distinct",
+    "agg_approx_percentile",
     "dedup_canonical_by_quality",
     "funnel_conversion",
     "window_rolling_24h",
@@ -75,13 +76,13 @@ _R06_WINDOW = [
     "text_lm_score",
     "text_quality_classifier",
     "stream_late_drop",
-    "pq_encode",
 ]
 
 #: Never-officially-graded keys that do not fit in the r06 window —
 #: registered right after it so they are the natural r07 window head
 #: (~2 more rounds at 50/round clears the backlog).
 _R07_QUEUE = [
+    "pq_encode",
     "ann_pq_adc",
     "ann_ivfpq_topk",
     "ann_range_search",
@@ -176,6 +177,10 @@ _R07_QUEUE = [
     "events_autocorr",
     "events_benford",
     "user_streaks",
+    # round-6 additions, never officially graded yet
+    "bpe_train_merges",
+    "skew_key_profile",
+    "text_readability",
 ]
 
 

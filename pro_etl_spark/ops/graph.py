@@ -83,12 +83,20 @@ def graph_pagerank(spark: SparkSession, d: str) -> DataFrame:
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # the weighted edge list and node set are re-read every round (5
+    # joins each): truncate their lineage once so each round shuffles
+    # the materialized tables instead of re-deriving union+degree from
+    # the pair table — same recipe as graph_kcore's per-round barrier
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nn = nodes.agg(F.count("*").alias("n"))
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
     )
-    ew = edges.join(deg, "src")
+    ew = edges.join(deg, "src").localCheckpoint(eager=False)
     for _ in range(ROUNDS):
         contrib = ew.join(r, ew.src == r.node).select(
             F.col("dst"), (F.col("r") / F.col("d")).alias("c")

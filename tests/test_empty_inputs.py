@@ -114,6 +114,10 @@ REPRESENTATIVES = [
     "text_embed_hash",
     "graph_kcore",
     "survival_km",
+    # round-6 additions
+    "bpe_train_merges",
+    "skew_key_profile",
+    "text_readability",
 ]
 
 

@@ -730,3 +730,16 @@ def test_lsh_pair_joins_resolve_to_broadcast_via_aqe(spark):
     df.collect()  # finalize AQE
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final
+
+
+def test_readability_is_narrow(spark):
+    # Flesch scoring is a pure map pass — any Exchange means a shuffle
+    # crept into a per-document projection
+    assert "Exchange" not in plan_of(spark, "text_readability")
+
+
+def test_skew_profile_topk_rides_take_ordered(spark):
+    # the heavy-hitter cut must be a per-partition top-k + tiny merge,
+    # never a global sort of the key census
+    plan = plan_of(spark, "skew_key_profile")
+    assert "TakeOrderedAndProject" in plan

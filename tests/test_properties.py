@@ -371,3 +371,28 @@ def test_fn_luhn_emits_valid_check_digits(spark):
         assert len(r.card_number) == 13
         assert _luhn_valid(r.card_number), r
         assert r.card_number[-1] == str(r.check_digit)
+
+
+def test_bpe_train_merge_invariants(spark):
+    """BPE training invariants: exactly BPE_MERGES rounds (rich
+    corpus), distinct winning pairs, and non-increasing winning
+    counts — a merge only removes or renames pairs adjacent to the
+    merged symbol, and every newly created pair (X, ab) occurs at
+    most as often as (a, b) did, so the argmax cannot grow."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.text import BPE_MERGES
+    from tests.conftest import SF_ORACLE
+
+    rows = sorted(
+        pro_etl_spark.get_queries()["bpe_train_merges"](
+            spark, SF_ORACLE
+        ).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == list(range(1, BPE_MERGES + 1))
+    assert len({r.pair for r in rows}) == len(rows)
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:  # each winning pair is two space-joined symbols
+        assert len(r.pair.split(" ")) == 2
+        assert r.n_occurrences > 0

@@ -42,14 +42,41 @@ def test_approx_distinct_exact_regime_matches(spark):
 
 
 def test_approx_percentile_close_to_exact(spark):
-    q = pro_etl_spark.get_queries()["agg_approx_percentile"]
-    for r in q(spark, SF).collect():
-        for approx, exact in ((r.approx_p50, r.exact_p50), (r.approx_p95, r.exact_p95)):
+    """Estimation regime (bounded accuracy=1000 — the registered query
+    runs the sketch in its exact accuracy≥n regime so it can be
+    oracle-paired): estimate within 5% of exact."""
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("a50"),
+            F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("a95"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
+        )
+        .collect()
+    )
+    for r in rows:
+        for approx, exact in ((r.a50, r.e50), (r.a95, r.e95)):
             assert abs(approx - exact) / max(abs(exact), 1e-9) <= 0.05, (
                 r.l_returnflag,
                 approx,
                 exact,
             )
+
+
+def test_approx_percentile_exact_regime_matches(spark):
+    """The registered query's exact-regime claim: with accuracy ≥ the
+    group row count, the GK sketch answer must EQUAL the discrete
+    percentile."""
+    q = pro_etl_spark.get_queries()["agg_approx_percentile"]
+    rows = q(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.approx_p50 == r.exact_p50, r
+        assert r.approx_p95 == r.exact_p95, r
 
 
 def test_clusters_invariants(spark):

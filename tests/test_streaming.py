@@ -346,23 +346,29 @@ def test_session_state_stream_prefix_parity(spark):
 
 
 def test_checkpoint_recovery_resumes(spark, tmp_path):
-    """Checkpoint recovery: a streaming aggregation stopped after one
-    micro-batch and RESTARTED with the same checkpoint must process
-    only the remaining input and converge to the batch answer — the
-    restart-resumes-not-reprocesses contract production streams live
-    by."""
+    """Checkpoint recovery: a streaming aggregation run to completion
+    on the first half of the input, then RESTARTED with the same
+    checkpoint after the second half arrives, must process only the
+    NEW file (resumed batch ids strictly after run 1's) and converge
+    to the full batch answer — the restart-resumes-not-reprocesses
+    contract production streams live by. (Both runs use availableNow
+    and terminate on their own: staging the second file only between
+    runs makes the batch split deterministic — an earlier version
+    stopped run 1 mid-flight, which raced: run 1 could finish
+    everything, leaving run 2's memory sink empty.)"""
     import glob
 
     src = str(tmp_path / "src")
     ck = str(tmp_path / "ck")
     full = load(spark, SF, "events").select("event_id", "ts", "user_id", "value")
     os.makedirs(src)
+    halves = []
     for i, pred in enumerate(
         (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
     ):
         half = str(tmp_path / f"half_{i}")
         full.where(pred).coalesce(1).write.parquet(half)
-        shutil.copy(glob.glob(f"{half}/*.parquet")[0], f"{src}/part_{i}.parquet")
+        halves.append(glob.glob(f"{half}/*.parquet")[0])
 
     def run_once(table):
         q = (
@@ -382,18 +388,20 @@ def test_checkpoint_recovery_resumes(spark, tmp_path):
         )
         return q.start()
 
-    # run 1: stop after the FIRST micro-batch commits
+    # run 1: only the first half staged — drains it and terminates
+    shutil.copy(halves[0], f"{src}/part_0.parquet")
     q1 = run_once("t_ck1")
-    while not q1.recentProgress:
-        time.sleep(0.2)
-    q1.stop()
     q1.awaitTermination()
-    done_batches = len(q1.recentProgress)
-    # run 2: same checkpoint — must resume, not restart
+    done_ids = {p["batchId"] for p in q1.recentProgress}
+    assert done_ids, "run 1 committed no batch"
+    # run 2: second half arrives; same checkpoint — must resume, not
+    # restart
+    shutil.copy(halves[1], f"{src}/part_1.parquet")
     q2 = run_once("t_ck2")
     q2.awaitTermination()
     resumed_ids = {p["batchId"] for p in q2.recentProgress}
-    assert all(b >= done_batches for b in resumed_ids), (
+    assert resumed_ids, "run 2 processed nothing despite new input"
+    assert max(done_ids) < min(resumed_ids), (
         "restart reprocessed already-committed batches"
     )
     got = {
