@@ -181,6 +181,7 @@ _R07_QUEUE = [
     "bpe_train_merges",
     "skew_key_profile",
     "text_readability",
+    "pipeline_data_funnel",
 ]
 
 

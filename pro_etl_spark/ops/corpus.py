@@ -753,3 +753,103 @@ def corpus_source_drift(spark: SparkSession, d: str) -> DataFrame:
             "tv_distance"
         ),
     )
+
+
+# --- end-to-end corpus funnel ----------------------------------------
+
+#: the one composed pipeline key: the stage-by-stage survivor census a
+#: corpus build reports (how many docs/tokens survive each gate)
+_FUNNEL_STAGES = ("raw", "gopher", "exact_dedup", "near_dedup")
+
+
+def _funnel_oracle() -> str:
+    from pro_etl_spark.registry import ORACLES
+
+    return (
+        _LSH_PAIRS_CTE
+        + f"""
+    , g AS ({ORACLES["pipeline_gopher_filter"]})
+    , t AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+      FROM documents
+    ), s1 AS (
+      SELECT t.* FROM t JOIN g ON g.doc_id = t.doc_id AND g.keep
+    ), s2 AS (
+      SELECT s1.* FROM s1
+      JOIN (SELECT MIN(doc_id) AS keep_id FROM s1 GROUP BY md5(text)) m
+        ON m.keep_id = s1.doc_id
+    ), s3 AS (
+      SELECT * FROM s2
+      WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage_ord, 'raw' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens FROM t
+      UNION ALL
+      SELECT 1, 'gopher', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'near_dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s3
+    ) ORDER BY stage_ord
+    """
+    )
+
+
+@register("pipeline_data_funnel", oracle=_funnel_oracle())
+def pipeline_data_funnel(spark: SparkSession, d: str) -> DataFrame:
+    """The composed pre-train data funnel — the survivor census a
+    corpus build publishes after every run: docs and tokens remaining
+    after (1) Gopher quality gates, (2) exact content dedup
+    (first-occurrence-wins within the filtered corpus), (3) near-dup
+    removal (drop the higher-id member of every LSH-verified pair).
+    This is the end-to-end composition the individual operators exist
+    for; the funnel numbers are what a data lead actually reviews
+    before a tokenizer run.
+
+    Scale: each gate reuses the already-scaling machinery — the
+    quality pass is narrow, exact dedup is one md5-keyed shuffle of
+    the FILTERED corpus, and the near-dup drop set is the cached
+    LSH pair output (bounded bucket shuffle, see ops.dedup) applied
+    as a broadcast-able anti-join on ids, never text. The four stage
+    summaries are map-side-combined counts unioned at the end."""
+    from pro_etl_spark.ops.text import TOKENS, pipeline_gopher_filter
+
+    docs = load(spark, d, "documents").select(
+        "doc_id", "text", F.size(TOKENS()).alias("n_toks")
+    )
+    keep = (
+        pipeline_gopher_filter(spark, d).where(F.col("keep")).select("doc_id")
+    )
+    s1 = docs.join(keep, "doc_id", "left_semi")
+    survivors = (
+        s1.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(survivors, "doc_id", "left_semi")
+    drop = dedup_minhash_lsh(spark, d).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    s3 = s2.join(drop, "doc_id", "left_anti")
+
+    def census(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).cast("long").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+
+    return (
+        census(docs, 0, "raw")
+        .unionByName(census(s1, 1, "gopher"))
+        .unionByName(census(s2, 2, "exact_dedup"))
+        .unionByName(census(s3, 3, "near_dedup"))
+        .orderBy("stage_ord")
+    )

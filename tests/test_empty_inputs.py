@@ -118,6 +118,7 @@ REPRESENTATIVES = [
     "bpe_train_merges",
     "skew_key_profile",
     "text_readability",
+    "pipeline_data_funnel",
 ]
 
 

@@ -396,3 +396,26 @@ def test_bpe_train_merge_invariants(spark):
     for r in rows:  # each winning pair is two space-joined symbols
         assert len(r.pair.split(" ")) == 2
         assert r.n_occurrences > 0
+
+
+def test_data_funnel_is_monotone(spark):
+    """Funnel sanity: each gate only removes — doc and token counts
+    are non-increasing stage over stage, and every stage is present
+    exactly once in order."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    rows = sorted(
+        pro_etl_spark.get_queries()["pipeline_data_funnel"](
+            spark, SF_ORACLE
+        ).collect(),
+        key=lambda r: r.stage_ord,
+    )
+    assert [r.stage for r in rows] == [
+        "raw", "gopher", "exact_dedup", "near_dedup",
+    ]
+    docs = [r.n_docs for r in rows]
+    toks = [r.n_tokens for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert docs[0] > 0 and docs[-1] > 0
