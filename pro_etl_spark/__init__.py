@@ -182,6 +182,8 @@ _R07_QUEUE = [
     "skew_key_profile",
     "text_readability",
     "pipeline_data_funnel",
+    "events_ks_test",
+    "events_chi_square",
 ]
 
 

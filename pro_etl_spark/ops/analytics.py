@@ -2108,3 +2108,209 @@ def user_streaks(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.min("streak_start").alias("first_active_day"),
     )
+
+
+# --- two-sample / independence statistical tests ---------------------
+
+
+def _global_running_sums(df, order_cols, sum_cols):
+    """Distributed exact running sums over a total order — the same
+    recipe as ``_global_ntile``: range-shuffle on the ordering,
+    per-partition window sums (parallel), per-partition TOTALS
+    collected to the driver (O(#shuffle partitions) rows — model
+    state) and folded into literal offsets added to each partition's
+    local running sum. No single-partition sort anywhere; bit-exact
+    equal to the global-window version for integer columns."""
+    rng = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = rng.select(
+        "*", *[F.sum(c).over(w_in).alias(f"_run_{c}") for c in sum_cols]
+    )
+    totals = sorted(
+        (r["_pid"], tuple(r[f"t_{c}"] for c in sum_cols))
+        for r in rng.groupBy("_pid")
+        .agg(*[F.sum(c).alias(f"t_{c}") for c in sum_cols])
+        .collect()
+    )
+    offsets = {}
+    acc = [0] * len(sum_cols)
+    for pid, ts in totals:
+        offsets[pid] = tuple(acc)
+        acc = [a + (t or 0) for a, t in zip(acc, ts)]
+    out = local
+    for idx, c in enumerate(sum_cols):
+        off = F.lit(0).cast("long")
+        for pid, offs in offsets.items():
+            off = F.when(F.col("_pid") == pid, F.lit(offs[idx])).otherwise(off)
+        out = out.withColumn(f"run_{c}", (off + F.col(f"_run_{c}")).cast("long"))
+    return out.drop("_pid", *[f"_run_{c}" for c in sum_cols])
+
+
+@register(
+    "events_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS c1,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS c2
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value
+    ), cum AS (
+      SELECT SUM(c1) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS r1,
+             SUM(c2) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS r2
+      FROM s
+    ), tot AS (
+      SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS n2
+      FROM s
+    )
+    SELECT tot.n1, tot.n2,
+           CAST(COALESCE(MAX(abs(r1 * tot.n2 - r2 * tot.n1)), 0) AS BIGINT)
+             AS d_num,
+           CASE WHEN tot.n1 * tot.n2 > 0 THEN
+             ROUND(CAST(COALESCE(MAX(abs(r1 * tot.n2 - r2 * tot.n1)), 0)
+                        AS DOUBLE) / (tot.n1 * tot.n2), 6)
+           END AS d_stat
+    FROM cum CROSS JOIN tot GROUP BY tot.n1, tot.n2
+    """,
+)
+def events_ks_test(spark: SparkSession, d: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test — are click values and
+    purchase values drawn from the same distribution? The drift gate a
+    100 TB feature pipeline runs between snapshots. Computed EXACTLY:
+    D = max |F1(x) - F2(x)| is evaluated as the INTEGER numerator
+    max |r1·n2 - r2·n1| over the merged support (both CDFs only move
+    at observed values), divided once at the end — no per-row float
+    accumulation to drift cross-engine.
+
+    Scale: one grouped pass collapses events to the distinct-value
+    support; the two CDFs run in ONE distributed cumulative-sum pass
+    (``_global_running_sums``: range shuffle + per-partition windows +
+    O(#partitions) driver offsets — no single-partition sort); the max
+    is a plain map-side-combinable aggregate."""
+    ev = load(spark, d, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c2"),
+    )
+    cum = _global_running_sums(s, ["value"], ["c1", "c2"])
+    tot = s.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum("c2"), F.lit(0)).cast("long").alias("n2"),
+    )
+    dmax = cum.crossJoin(F.broadcast(tot)).agg(
+        F.coalesce(
+            F.max(
+                F.abs(
+                    F.col("run_c1") * F.col("n2")
+                    - F.col("run_c2") * F.col("n1")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("d_num")
+    )
+    return dmax.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "d_num",
+        F.when(
+            F.col("n1") * F.col("n2") > 0,
+            F.round(
+                F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")),
+                6,
+            ),
+        ).alias("d_stat"),
+    )
+
+
+@register(
+    "events_chi_square",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS obs
+      FROM events GROUP BY 1, 2
+    ), rt AS (SELECT event_type, SUM(obs) AS row_n FROM o GROUP BY 1),
+    ct AS (SELECT dow, SUM(obs) AS col_n FROM o GROUP BY 1),
+    n AS (SELECT SUM(obs) AS total FROM o),
+    terms AS (
+      SELECT CAST(FLOOR(
+               ((o.obs - CAST(rt.row_n * ct.col_n AS DOUBLE) / n.total)
+                * (o.obs - CAST(rt.row_n * ct.col_n AS DOUBLE) / n.total))
+               / (CAST(rt.row_n * ct.col_n AS DOUBLE) / n.total)
+               * 1000000.0) AS BIGINT) AS term_micros
+      FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+    )
+    SELECT CAST(COALESCE((SELECT total FROM n), 0) AS BIGINT) AS n_events,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+           CAST(COALESCE(SUM(term_micros), 0) AS BIGINT) AS chi2_micros
+    FROM terms
+    """,
+)
+def events_chi_square(spark: SparkSession, d: str) -> DataFrame:
+    """Chi-square independence test: is event type independent of
+    day-of-week? The categorical drift/seasonality screen next to the
+    numeric KS test (``events_ks_test``) and the distributional TV
+    audit (``corpus_source_drift``). Each cell's (O−E)²/E term is
+    floor-quantized to integer micros BEFORE summing — the established
+    order-independence trick (float sums depend on partial-merge
+    order; integer sums don't), making the statistic bit-exact
+    cross-engine. dof = (types−1)(days−1) as usual.
+
+    Scale: one grouped pass over events builds the contingency table
+    (|types|×7 cells — tiny); marginals and the total are aggregates
+    OF THE CELL TABLE, broadcast back; everything after the first
+    shuffle is constant-size."""
+    o = (
+        load(spark, d, "events")
+        .groupBy(
+            "event_type", F.dayofweek("ts").alias("dow")
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("row_n"))
+    ct = o.groupBy("dow").agg(F.sum("obs").alias("col_n"))
+    n = o.agg(F.sum("obs").alias("total"))
+    e = F.col("row_n") * F.col("col_n") / F.col("total")
+    term = F.floor(
+        (F.col("obs") - e) * (F.col("obs") - e) / e * 1e6
+    ).cast("long")
+    terms = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("term_micros"))
+    )
+    dof = (
+        rt.agg(F.count("*").alias("nr"))
+        .crossJoin(ct.agg(F.count("*").alias("nc")))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"))
+    )
+    return (
+        terms.agg(
+            F.coalesce(F.sum("term_micros"), F.lit(0))
+            .cast("long")
+            .alias("chi2_micros")
+        )
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(dof))
+        .select(
+            F.coalesce(F.col("total"), F.lit(0)).cast("long").alias("n_events"),
+            F.col("dof").cast("long").alias("dof"),
+            "chi2_micros",
+        )
+    )

@@ -119,6 +119,8 @@ REPRESENTATIVES = [
     "skew_key_profile",
     "text_readability",
     "pipeline_data_funnel",
+    "events_ks_test",
+    "events_chi_square",
 ]
 
 
