@@ -90,6 +90,17 @@ HEADLINE = [
     "seq_pack",
     "text_rake_keyphrases",
     "mm_audio_energy",
+    # round-6 batch 2: the composed corpus funnel (reuses the cached
+    # LSH pair table like the production pipeline) and the exact
+    # distributed-CDF KS drift test
+    "pipeline_data_funnel",
+    "events_ks_test",
+    # shingle-MinHash carries the corpus's md5-per-shingle cost — kept
+    # benched after the round-6 lambda-CSE fix (105 s -> ~8 s at
+    # sf0.1: shingle hashes now materialize once in a cached table
+    # instead of re-hashing per permutation); plus the Holt fold
+    "dedup_minhash_shingle",
+    "window_holt",
 ]
 
 

@@ -184,6 +184,7 @@ _R07_QUEUE = [
     "pipeline_data_funnel",
     "events_ks_test",
     "events_chi_square",
+    "window_holt",
 ]
 
 

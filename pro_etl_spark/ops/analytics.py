@@ -2314,3 +2314,96 @@ def events_chi_square(spark: SparkSession, d: str) -> DataFrame:
             "chi2_micros",
         )
     )
+
+
+#: Holt smoothing constants — exact binary fractions so every fold
+#: step is the same IEEE multiply/add sequence on both engines
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+
+
+@register(
+    "window_holt",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    ), folded AS (
+      -- accumulator is a 2-element DOUBLE LIST [level, trend], not a
+      -- struct: DuckDB 1.0's list_reduce mis-evaluates struct
+      -- accumulators across iterations (verified: each single step is
+      -- correct, chained steps corrupt the second field), and bare
+      -- 0.5 literals are DECIMAL and would quantize the fold
+      SELECT user_id, len(vals) AS n_obs,
+             list_reduce(
+               list_prepend(
+                 [vals[1], CAST(0.0 AS DOUBLE)],
+                 list_transform(vals[2:len(vals)],
+                                x -> [x, CAST(NULL AS DOUBLE)])),
+               (acc, e) -> [
+                 CAST({HOLT_ALPHA} AS DOUBLE) * e[1]
+                 + CAST({1 - HOLT_ALPHA} AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST({HOLT_BETA} AS DOUBLE)
+                 * ((CAST({HOLT_ALPHA} AS DOUBLE) * e[1]
+                     + CAST({1 - HOLT_ALPHA} AS DOUBLE) * (acc[1] + acc[2]))
+                    - acc[1])
+                 + CAST({1 - HOLT_BETA} AS DOUBLE) * acc[2]]
+             ) AS st
+      FROM s
+    )
+    SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[1] + st[2], 6) AS forecast
+    FROM folded
+    """,
+)
+def window_holt(spark: SparkSession, d: str) -> DataFrame:
+    """Holt double-exponential smoothing per user series — the
+    trend-aware extension of ``window_ewma``: level and trend states
+    folded through the whole ordered series (l ← αx + (1−α)(l+b),
+    b ← β(l−l_prev) + (1−β)b, init l=x₀ b=0), emitting each user's
+    final state and one-step forecast l+b. A sequential recurrence NO
+    window frame can express — the second member of the fold family
+    (EWMA, survival curve): collect the ordered series in-row, fold
+    once. α/β are exact binary fractions and both engines run the
+    identical fold order, so the floats are bit-exact before the
+    final rounding.
+
+    Scale: one shuffle groups each user's series; the fold is in-row
+    compute. Per-user series must fit a row (same envelope as every
+    collected-frame op here) — at 100 TB you'd window the series per
+    (user, month) first, which composes with this same fold."""
+    ev = load(spark, d, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s.value,
+    )
+    a, b_ = HOLT_ALPHA, HOLT_BETA
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.struct(
+            F.element_at(F.col("vals"), 1).alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            (F.lit(a) * x + F.lit(1 - a) * (acc.l + acc.b)).alias("l"),
+            (
+                F.lit(b_)
+                * ((F.lit(a) * x + F.lit(1 - a) * (acc.l + acc.b)) - acc.l)
+                + F.lit(1 - b_) * acc.b
+            ).alias("b"),
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(vals.alias("vals"))
+        .withColumn("st", fold)
+        .select(
+            "user_id",
+            F.size("vals").cast("long").alias("n_obs"),
+            F.round(F.col("st.l"), 6).alias("level"),
+            F.round(F.col("st.b"), 6).alias("trend"),
+            F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast"),
+        )
+    )

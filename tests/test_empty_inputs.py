@@ -121,6 +121,7 @@ REPRESENTATIVES = [
     "pipeline_data_funnel",
     "events_ks_test",
     "events_chi_square",
+    "window_holt",
 ]
 
 

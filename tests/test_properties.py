@@ -419,3 +419,65 @@ def test_data_funnel_is_monotone(spark):
     assert docs == sorted(docs, reverse=True)
     assert toks == sorted(toks, reverse=True)
     assert docs[0] > 0 and docs[-1] > 0
+
+
+def test_distributed_ntile_equals_global_window(spark):
+    """_global_ntile must be bit-identical to the single-partition
+    NTILE window for every n, including the N % n != 0 tail and the
+    N < n degenerate case."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from pro_etl_spark.ops.analytics import _global_ntile
+
+    df = spark.range(0, 103).select(
+        F.col("id").alias("custkey"), (F.col("id") * 37 % 11).alias("v")
+    )
+    for n in (2, 3, 5, 7, 200):
+        got = {
+            (r.custkey, r._ntile)
+            for r in _global_ntile(
+                df, n, [F.col("v"), F.col("custkey")]
+            ).collect()
+        }
+        want = {
+            (r.custkey, r.t)
+            for r in df.select(
+                "custkey",
+                F.ntile(n).over(Window.orderBy("v", "custkey")).alias("t"),
+            ).collect()
+        }
+        assert got == want, f"n={n}"
+
+
+def test_distributed_running_sums_equal_global_window(spark):
+    """_global_running_sums must match the single-partition running
+    sum for every row."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from pro_etl_spark.ops.analytics import _global_running_sums
+
+    df = spark.range(0, 97).select(
+        (F.col("id") * 13 % 29).cast("double").alias("value"),
+        (F.col("id") % 5).alias("c1"),
+        (F.col("id") % 3).alias("c2"),
+    ).groupBy("value").agg(
+        F.sum("c1").alias("c1"), F.sum("c2").alias("c2")
+    )
+    got = {
+        (r.value, r.run_c1, r.run_c2)
+        for r in _global_running_sums(df, ["value"], ["c1", "c2"]).collect()
+    }
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r.value, r.r1, r.r2)
+        for r in df.select(
+            "value",
+            F.sum("c1").over(w).alias("r1"),
+            F.sum("c2").over(w).alias("r2"),
+        ).collect()
+    }
+    assert got == want
