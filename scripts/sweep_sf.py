@@ -1,0 +1,57 @@
+"""Full-registry robustness sweep: run EVERY registered query at a
+given scale factor with a noop-format write (full materialization, no
+driver collect) and report per-query wall time or the error it raised.
+
+This is the 10x-the-graded-scale check the correctness gate (sf0.01)
+cannot see: operators that pass at 60k rows but blow up or go
+quadratic at 600k. Round-6 finding: dedup_minhash_shingle ran 105 s at
+sf0.1 because its md5-per-shingle subtree re-evaluated once per
+MinHash permutation (CollapseProject inlines through HOF lambdas — no
+CSE); a cached materialization barrier brought it to ~8 s. Everything
+else: 298/298 queries, zero errors, no other >30 s outlier beyond the
+intentionally-fenced quadratic baselines.
+
+Usage:
+    python scripts/sweep_sf.py [SF_DIR] [OUT_JSON]
+Defaults: /root/testdata/sf0.1, /tmp/sweep_sf.json. One JSON line per
+query as it completes (tail -f friendly); slowest-15 summary at exit.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sweep_sf.json"
+    from pro_etl_spark.session import get_spark
+    import pro_etl_spark
+
+    spark = get_spark("sf-sweep")
+    qs = pro_etl_spark.get_queries()
+    out = {}
+    for name in qs:
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 2)
+        except Exception as e:  # keep sweeping; the report is the point
+            out[name] = f"ERR: {type(e).__name__}: {str(e)[:200]}"
+        print(json.dumps({name: out[name]}), flush=True)
+    json.dump(out, open(out_path, "w"), indent=1)
+    errs = {k: v for k, v in out.items() if isinstance(v, str)}
+    times = {k: v for k, v in out.items() if not isinstance(v, str)}
+    print(f"\n{len(out)} queries, {len(errs)} errors, "
+          f"total {round(sum(times.values()), 1)} s", file=sys.stderr)
+    for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"{v:8.1f}  {k}", file=sys.stderr)
+    for k, v in errs.items():
+        print(f"ERR {k}: {v}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
