@@ -1467,9 +1467,20 @@ def _global_ntile(df, n: int, ordering, key: str = "custkey"):
     closed-form function of (rank, N) with N known at the driver:
     the first N%n buckets hold ceil(N/n) rows, the rest floor(N/n).
     The ordering must be a total order (callers append the unique key
-    as tiebreak) or ranks are partition-luck."""
-    rng = df.repartitionByRange(*ordering).withColumn(
-        "_pid", F.spark_partition_id()
+    as tiebreak) or ranks are partition-luck.
+
+    The post-exchange frame is pinned with an EAGER localCheckpoint:
+    the counts collect and the downstream ranking plan otherwise run
+    the repartitionByRange exchange TWICE, and RangePartitioner's
+    reservoir-sample seed depends on the RDD id — at scale (where
+    sampling actually subsamples) the two executions can pick
+    different range boundaries and the literal offsets silently
+    desync from the real partitioning. Checkpointing materializes the
+    exchange once so both consumers read the same partitions."""
+    rng = (
+        df.repartitionByRange(*ordering)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_in = Window.partitionBy("_pid").orderBy(*ordering)
     local = rng.withColumn("_rn", F.row_number().over(w_in))
@@ -2120,9 +2131,18 @@ def _global_running_sums(df, order_cols, sum_cols):
     collected to the driver (O(#shuffle partitions) rows — model
     state) and folded into literal offsets added to each partition's
     local running sum. No single-partition sort anywhere; bit-exact
-    equal to the global-window version for integer columns."""
-    rng = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    equal to the global-window version for integer columns.
+
+    As in ``_global_ntile``, the post-exchange frame is pinned with an
+    eager localCheckpoint so the totals collect and the downstream
+    window plan read the SAME materialized range partitioning —
+    without it the exchange executes twice and RangePartitioner's
+    RDD-id-seeded reservoir sampling can choose different boundaries
+    at scale, silently desyncing the offsets."""
+    rng = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_in = (
         Window.partitionBy("_pid")
@@ -2181,7 +2201,7 @@ def _global_running_sums(df, order_cols, sum_cols):
              ROUND(CAST(COALESCE(MAX(abs(r1 * tot.n2 - r2 * tot.n1)), 0)
                         AS DOUBLE) / (tot.n1 * tot.n2), 6)
            END AS d_stat
-    FROM cum CROSS JOIN tot GROUP BY tot.n1, tot.n2
+    FROM tot LEFT JOIN cum ON TRUE GROUP BY tot.n1, tot.n2
     """,
 )
 def events_ks_test(spark: SparkSession, d: str) -> DataFrame:

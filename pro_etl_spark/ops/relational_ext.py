@@ -167,12 +167,15 @@ def agg_approx_distinct(spark: SparkSession, d: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch next to the exact count —
     the 100 TB default for COUNT(DISTINCT): mergeable partial sketches,
     one pass, no Expand. Run in the sketch's EXACT regime so the
-    driver can value-check it: at rsd=0.02 the HLL++ keeps a sparse
-    linear-counting representation until ~3k entries, within which the
-    estimate IS the exact count — o_orderpriority's 5 distinct values
-    sit far below that, so ``approx_priorities`` equals the plain
-    COUNT(DISTINCT) deterministically (the same pairing recipe as
-    agg_approx_topk's maxItemsTracked regime). The high-cardinality
+    driver can value-check it: Spark's HyperLogLogPlusPlus is
+    DENSE-only (no sparse mode) — at tiny cardinalities the estimator
+    applies the linear-counting correction over the dense registers,
+    which returns the exact count as long as the 5 fixed hash values
+    of o_orderpriority land in 5 distinct registers. That is pinned
+    for THIS column by test_approx_distinct_exact_regime_matches, not
+    a structural guarantee for arbitrary low-cardinality columns
+    (~0.2% of value sets would collide a register at this rsd). The
+    high-cardinality
     estimation regime (o_custkey, where the sketch genuinely
     estimates) is bounded at 3× rsd in tests/test_sketches.py."""
     o = load(spark, d, "orders")
@@ -207,7 +210,14 @@ def agg_approx_percentile(spark: SparkSession, d: str) -> DataFrame:
     arithmetic to drift cross-engine). At 100 TB the same call with a
     bounded accuracy answers in one narrow pass + tiny merge where the
     exact percentile would sort each group; the error-bounded
-    estimation regime is covered in tests/test_sketches.py."""
+    estimation regime is covered in tests/test_sketches.py.
+
+    SCALE PIN: the oracle pairing holds only while accuracy=1,000,000
+    >= every group's row count (largest l_returnflag group is ~300k at
+    sf0.1, ~3M at sf1). Grading above sf~3 would silently flip the GK
+    sketch into estimation mode and hash-mismatch quantile_disc —
+    test_sketches.py::test_approx_percentile_accuracy_covers_sf
+    asserts max group size < accuracy so an sf bump fails loudly."""
     li = load(spark, d, "lineitem")
     # Scalar output columns (not array<double>): the driver's pandas
     # canonicalizer sorts cells and cannot factorize ndarray values.

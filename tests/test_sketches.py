@@ -79,6 +79,31 @@ def test_approx_percentile_exact_regime_matches(spark):
         assert r.approx_p95 == r.exact_p95, r
 
 
+def test_approx_percentile_accuracy_covers_sf(spark):
+    """Loud scale-pin for agg_approx_percentile's oracle pairing: the
+    GK sketch is only value-exact while accuracy=1,000,000 >= every
+    group's row count. If the graded scale factor ever grows past that
+    (~sf3 for the largest l_returnflag group), this test fails loudly
+    instead of the driver red-rowing a silent estimation-mode drift."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    max_group = (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert max_group < 1_000_000, (
+        "agg_approx_percentile's accuracy=1000000 no longer covers the "
+        f"largest l_returnflag group ({max_group} rows) — raise the "
+        "accuracy or re-derive the oracle before grading at this scale"
+    )
+
+
 def test_clusters_invariants(spark):
     """Property checks on dedup_clusters beyond the oracle: labels are
     component minima, survivors are unique per cluster, and every
