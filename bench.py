@@ -101,6 +101,11 @@ HEADLINE = [
     # instead of re-hashing per permutation); plus the Holt fold
     "dedup_minhash_shingle",
     "window_holt",
+    # round-7: the shingle-LSH production pair path (signatures now
+    # Horner-mixed from per-token hashes — no per-shingle md5) and the
+    # sharded enveloped-XML sink (executor-side multi-doc write)
+    "dedup_minhash_shingle_lsh",
+    "sink_xml_sharded",
 ]
 
 

@@ -765,8 +765,10 @@ _FUNNEL_STAGES = ("raw", "gopher", "exact_dedup", "near_dedup")
 def _funnel_oracle() -> str:
     from pro_etl_spark.registry import ORACLES
 
+    from pro_etl_spark.ops.dedup import _SHINGLE_LSH_CTE
+
     return (
-        _LSH_PAIRS_CTE
+        _SHINGLE_LSH_CTE
         + f"""
     , g AS ({ORACLES["pipeline_gopher_filter"]})
     , t AS (
@@ -812,12 +814,18 @@ def pipeline_data_funnel(spark: SparkSession, d: str) -> DataFrame:
     for; the funnel numbers are what a data lead actually reviews
     before a tokenizer run.
 
+    The near-dup stage consumes the SHINGLE-LSH pair table
+    (``dedup_minhash_shingle_lsh``) — the production configuration for
+    real text: unigram token sets saturate on natural language (any
+    two documents over the same vocabulary look alike to set-Jaccard),
+    so an unigram-keyed funnel over-merges on an actual crawl.
+
     Scale: each gate reuses the already-scaling machinery — the
     quality pass is narrow, exact dedup is one md5-keyed shuffle of
     the FILTERED corpus, and the near-dup drop set is the cached
-    LSH pair output (bounded bucket shuffle, see ops.dedup) applied
-    as a broadcast-able anti-join on ids, never text. The four stage
-    summaries are map-side-combined counts unioned at the end."""
+    shingle-LSH pair output (bounded bucket shuffle, see ops.dedup)
+    applied as a broadcast-able anti-join on ids, never text. The four
+    stage summaries are map-side-combined counts unioned at the end."""
     from pro_etl_spark.ops.text import TOKENS, pipeline_gopher_filter
 
     docs = load(spark, d, "documents").select(
@@ -833,7 +841,9 @@ def pipeline_data_funnel(spark: SparkSession, d: str) -> DataFrame:
         .select("doc_id")
     )
     s2 = s1.join(survivors, "doc_id", "left_semi")
-    drop = dedup_minhash_lsh(spark, d).select(
+    from pro_etl_spark.ops.dedup import dedup_minhash_shingle_lsh
+
+    drop = dedup_minhash_shingle_lsh(spark, d).select(
         F.col("doc_b").alias("doc_id")
     )
     s3 = s2.join(drop, "doc_id", "left_anti")

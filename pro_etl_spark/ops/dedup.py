@@ -47,7 +47,19 @@ _TOKSET_SQL = r"list_distinct(regexp_split_to_array(trim(text), '\s+'))"
 def tokset() -> Column:
     """Distinct unigram token set of a document (the shingle set for
     Jaccard/MinHash; unigrams because the synthetic corpus is
-    word-salad — swap for 3-gram shingles on real text)."""
+    word-salad — ``dedup_minhash_shingle_lsh`` is the 3-gram-shingle
+    production path for real text).
+
+    UNICODE POLICY (pinned by tests/test_properties.py): token hashing
+    is BYTE-EXACT over the raw strings — NFC and NFKC variants of the
+    same text are *distinct* tokens by design. Rationale: every dedup
+    operator carries a DuckDB value oracle, so any normalization must
+    be bit-identical in both engines; Spark has no built-in NFC
+    function, and routing the dedup hot path through a Python UDF to
+    normalize would break the engine's no-row-UDF discipline. Corpora
+    that mix normalization forms should NFC-normalize once at ingest
+    (where the text is already being decoded), not inside every
+    hash-consumer."""
     return F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
 
 
@@ -877,26 +889,87 @@ def dedup_minhash_estimate(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-_SHINGLE_SQL = r"""list_distinct(list_transform(
-      range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
-      i -> regexp_split_to_array(trim(text), '\s+')[i] || ' '
-           || regexp_split_to_array(trim(text), '\s+')[i + 1] || ' '
-           || regexp_split_to_array(trim(text), '\s+')[i + 2]))"""
+#: Horner radix for the order-sensitive shingle hash: each 3-word
+#: shingle hashes as ((h_i·R + h_{i+1}) mod P·R + h_{i+2}) mod P over
+#: the per-token md5 hashes reduced mod P — one md5 per token POSITION
+#: instead of one per ~3×-longer concatenated shingle string (the
+#: round-6 plan audit's remaining 9.5 s). R < 2^31 keeps every
+#: intermediate below 2^62, overflow-free in both engines' BIGINTs.
+SH_R = 1_000_003
 
-_SHINGLE_SIG_SQL = f"""
-      list_transform(range(0, {MINHASH_PERMS}),
-        j -> list_min(list_transform(
-               list_transform({_SHINGLE_SQL}, t -> {DUCK_HASH60.format(x="t")} % {MH_P}),
-               h -> ((2*j + 1) * h + j * {MH_C} + 7) % {MH_P})))
+_TOKSEQ_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+#: shared oracle prefix: raw per-position token hashes (order kept),
+#: then the DISTINCT Horner shingle-hash set, then the MinHash
+#: signature over it — the shingle analogue of _MINHASH_SIG_SQL.
+_SHINGLE_CTE = f"""
+    WITH seqs AS (
+      SELECT doc_id, source,
+             list_transform({_TOKSEQ_SQL},
+                            t -> {DUCK_HASH60.format(x="t")} % {MH_P}) AS th_seq
+      FROM documents
+      WHERE len({_TOKSEQ_SQL}) >= 3
+    ), sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(th_seq) - 1),
+               i -> ((th_seq[i] * {SH_R} + th_seq[i + 1]) % {MH_P}
+                     * {SH_R} + th_seq[i + 2]) % {MH_P})) AS th
+      FROM seqs
+    ), sig AS (
+      SELECT doc_id, source, th,
+             list_transform(range(0, {MINHASH_PERMS}),
+               j -> list_min(list_transform(th,
+                      h -> ((2*j + 1) * h + j * {MH_C} + 7) % {MH_P})))
+               AS sig
+      FROM sh
+    )
 """
+
+
+def _shingle_table(spark: SparkSession, d: str) -> DataFrame:
+    """Cached (doc_id, source, th60) table of DISTINCT order-sensitive
+    3-shingle hashes — the shingle analogue of ``_token_table`` and the
+    base every shingle-LSH operator composes on.
+
+    Hashing strategy (round-7 speedup): md5 runs once per token
+    POSITION (the raw sequence — order matters, so no list_distinct
+    before hashing), reduced mod MH_P and MATERIALIZED via cache —
+    the barrier matters because ``element_at`` inside the shingle
+    lambda would otherwise re-evaluate the whole md5-transform subtree
+    per element (the round-6 105 s CSE lesson). Each shingle hash is
+    then the Horner mix of three cached values — three multiply-adds
+    replacing an md5 over the concatenated shingle string. Docs under
+    3 tokens have no shingle set and are filtered on both sides."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")  # RAW sequence
+    seqs = (
+        load(spark, d, "documents")
+        .where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.transform(toks, lambda t: hash60(t) % MH_P).alias("th_seq"),
+        )
+        .cache()
+    )
+
+    def h(i):
+        return F.element_at(F.col("th_seq"), i)
+
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("th_seq") - 2),
+            lambda i: ((h(i) * SH_R + h(i + 1)) % MH_P * SH_R + h(i + 2))
+            % MH_P,
+        )
+    )
+    return seqs.select("doc_id", "source", sh.alias("th60"))
 
 
 @register(
     "dedup_minhash_shingle",
-    oracle=f"""
-    SELECT doc_id, array_to_string({_SHINGLE_SIG_SQL}, '-') AS sig
-    FROM documents
-    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT doc_id, array_to_string(sig, '-') AS sig FROM sig
     """,
 )
 def dedup_minhash_shingle(spark: SparkSession, d: str) -> DataFrame:
@@ -905,39 +978,159 @@ def dedup_minhash_shingle(spark: SparkSession, d: str) -> DataFrame:
     on natural language; shingles preserve local order so the Jaccard
     estimate tracks edit locality). Same universal-hash permutations,
     same signature layout — swap the token set, keep the pipeline:
-    band-bucketing and verification compose on this table unchanged.
-    Docs under 3 tokens have no shingle set and are filtered on BOTH
-    sides (sequence() would count DOWN). Narrow map-only scan; the
-    md5-per-shingle cost is the honest price of order sensitivity —
-    paid ONCE: the shingle hashes are materialized in a cached table
-    before the permutation fan-out, the same barrier as
-    ``_token_table`` (inlined, CollapseProject re-evaluates the md5
-    subtree once per (shingle, permutation) — measured 105 s → ~7 s
-    at sf0.1)."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")  # RAW sequence — order matters
-    n = F.size(toks)
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-    )
-    sh60 = (
-        load(spark, d, "documents")
-        .where(n >= 3)
-        .select("doc_id", F.transform(shingles, hash60).alias("sh60"))
-        .cache()
-    )
-    return sh60.select(
+    ``dedup_minhash_shingle_lsh`` band-buckets and verifies on this
+    exact table. Narrow map-only scan; one md5 per token position +
+    three multiply-adds per shingle (see ``_shingle_table``)."""
+    return _shingle_table(spark, d).select(
         "doc_id",
         F.concat_ws(
-            "-", _minhash_perms(F.col("sh60")).cast("array<string>")
+            "-", _minhash_perms(F.col("th60")).cast("array<string>")
         ).alias("sig"),
+    )
+
+
+#: the band→bucket→cap→candidate→verify tail shared by the unigram
+#: (_LSH_PAIRS_CTE) and shingle LSH oracles — identical SQL text, only
+#: the upstream ``sig`` CTE differs (token-set hashes vs shingle
+#: hashes; both expose (doc_id, th, sig)).
+_LSH_TAIL_CTE = f"""
+    , bands AS (
+      SELECT doc_id, th, b.band,
+             md5(array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4), '-'))
+               AS bucket
+      FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS band) b
+    ), capped AS (
+      SELECT * FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {MAX_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             any_value(a.th) AS th_a, any_value(b.th) AS th_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(len(list_intersect(th_a, th_b)) AS DOUBLE)
+                   / (len(th_a) + len(th_b) - len(list_intersect(th_a, th_b))), 6)
+               AS jaccard
+      FROM cand
+      WHERE CAST(len(list_intersect(th_a, th_b)) AS DOUBLE)
+            / (len(th_a) + len(th_b) - len(list_intersect(th_a, th_b)))
+            >= {JACCARD_THRESHOLD}
+    )
+"""
+
+_SHINGLE_LSH_CTE = _SHINGLE_CTE + _LSH_TAIL_CTE
+
+
+@register(
+    "dedup_minhash_shingle_lsh",
+    oracle=_SHINGLE_LSH_CTE + "SELECT doc_a, doc_b, jaccard FROM pairs",
+)
+def dedup_minhash_shingle_lsh(spark: SparkSession, d: str) -> DataFrame:
+    """Shingle-MinHash + LSH near-dup pairs — the PRODUCTION near-dup
+    configuration for real text (unigram sets saturate on natural
+    language: two documents over the same vocabulary look identical to
+    set-Jaccard; 3-shingles keep local order, so only genuinely
+    overlapping prose pairs survive verification). The pipeline is
+    ``dedup_minhash_lsh``'s, unchanged, over the shingle-hash table:
+    signature → 4 bands × 4 rows → band buckets (the ONLY shuffle
+    keys) → in-row pair expansion under the MAX_BUCKET cap → exact
+    shingle-Jaccard verification on the cached hash sets. Same scale
+    shape: shuffle volume O(docs × bands), never O(pairs).
+
+    Cached: ``pipeline_data_funnel``'s near-dup stage and
+    ``dedup_shingle_lsh_eval`` consume this verified pair table in the
+    same session (at 100 TB it is the persisted shingle-pair table)."""
+    sized = _lsh_sized_pairs(_shingle_table(spark, d))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        sized.where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .cache()
+    )
+
+
+@register(
+    "dedup_shingle_lsh_eval",
+    oracle=_SHINGLE_LSH_CTE + f"""
+    , truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.th, b.th)) AS DOUBLE)
+            / (len(a.th) + len(b.th) - len(list_intersect(a.th, b.th)))
+            >= {JACCARD_THRESHOLD}
+    ), lsh AS (SELECT doc_a, doc_b FROM pairs),
+    hit AS (
+      SELECT t.doc_a FROM truth t
+      JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+    ), src AS (SELECT doc_id, source FROM documents)
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM hit) AS n_hit,
+           CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall,
+           (SELECT COUNT(*) FROM lsh
+            JOIN src sa ON sa.doc_id = lsh.doc_a
+            JOIN src sb ON sb.doc_id = lsh.doc_b
+            WHERE sa.source <> sb.source) AS n_cross_source_extra
+    """,
+)
+def dedup_shingle_lsh_eval(spark: SparkSession, d: str) -> DataFrame:
+    """Recall certification of the SHINGLE-LSH path against the exact
+    source-blocked 3-gram baseline — the same contract as
+    ``dedup_lsh_eval`` certifies for the unigram path: every LSH pair
+    is exact-verified (precision 1 by construction), so the numbers
+    that matter are banding recall within the baseline's blocks and
+    the TRUE cross-source pairs LSH finds that blocking is
+    structurally blind to. The quadratic truth join is within-source
+    blocks only and exists exclusively here (an eval, never a
+    production path); it intersects the CACHED shingle-hash sets, so
+    no re-hashing happens on either side."""
+    sh = _shingle_table(spark, d)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.th60"), F.col("b.th60"))).cast(
+        "double"
+    )
+    union = (
+        F.size(F.col("a.th60"))
+        + F.size(F.col("b.th60"))
+        - F.size(F.array_intersect(F.col("a.th60"), F.col("b.th60")))
+    )
+    truth = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(inter / union >= JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    lsh = dedup_minhash_shingle_lsh(spark, d).select("doc_a", "doc_b")
+    hit = truth.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    src = load(spark, d, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    cross = (
+        lsh.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(F.col("src_a") != F.col("src_b"))
+    )
+    return (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .crossJoin(cross.agg(F.count("*").alias("n_cross_source_extra")))
+        .select(
+            "n_truth",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0))
+            ).alias("recall"),
+            "n_cross_source_extra",
+        )
     )
 
 

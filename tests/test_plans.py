@@ -711,10 +711,13 @@ def test_rfm_ntile_has_no_single_partition_window(spark):
     """rfm_segmentation's quintile scores use the distributed exact
     NTILE (range shuffle + per-partition ranks + literal offsets) —
     a SinglePartition exchange would mean a global window sort crept
-    back in."""
+    back in. Since the round-7 fix for the double-execution race, the
+    range exchange is pinned behind an eager localCheckpoint, so the
+    final plan reads the materialized RDD (`Scan ExistingRDD`) instead
+    of showing `rangepartitioning` inline — both facets are asserted."""
     plan = plan_of(spark, "rfm_segmentation")
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed range exchange
 
 
 def test_lsh_pair_joins_resolve_to_broadcast_via_aqe(spark):

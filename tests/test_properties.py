@@ -481,3 +481,63 @@ def test_distributed_running_sums_equal_global_window(spark):
         ).collect()
     }
     assert got == want
+
+
+# --- Unicode-normalization policy for the dedup hash family ----------
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    word=st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu")),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_hash60_is_byte_exact_no_normalization(spark, word):
+    """Pinned policy (ops.dedup.tokset docstring): token hashing is
+    byte-exact over the raw strings — NFC and NFKD variants of the
+    same text hash DIFFERENTLY whenever their codepoint sequences
+    differ, and identically when they don't. This is what keeps every
+    dedup oracle bit-identical in DuckDB (md5 over the same bytes);
+    normalization belongs at ingest, not inside the hash consumers."""
+    import hashlib
+    import unicodedata
+
+    from pro_etl_spark.ops.hashing import hash60
+
+    variants = {unicodedata.normalize(f, word) for f in ("NFC", "NFKD")}
+    df = spark.createDataFrame([(v,) for v in variants], ["t"])
+    got = {r.t: r.h for r in df.select("t", hash60(F.col("t")).alias("h")).collect()}
+
+    def py_h60(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    for v in variants:
+        assert got[v] == py_h60(v)  # byte-exact: md5 over raw UTF-8
+    if len(variants) == 2:
+        a, b = variants
+        assert (got[a] == got[b]) == (a == b)
+
+
+def test_shingle_lsh_pairs_subset_of_exact(spark):
+    """Shingle-LSH invariants at test scale: every emitted pair is
+    exact-verified at or above the Jaccard threshold (precision 1 by
+    construction), pairs are canonically ordered (doc_a < doc_b), and
+    the recall eval's hit count never exceeds its truth count."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    pairs = qs["dedup_minhash_shingle_lsh"](spark, SF_ORACLE).collect()
+    assert pairs, "expected at least one shingle near-dup at test scale"
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert r.jaccard >= 0.5
+    ev = qs["dedup_shingle_lsh_eval"](spark, SF_ORACLE).collect()[0]
+    assert ev.n_hit <= ev.n_truth
+    assert ev.recall is None or 0.0 <= ev.recall <= 1.0

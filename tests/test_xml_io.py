@@ -120,3 +120,49 @@ def test_escaping_special_chars(spark, tmp_path):
     attr = cust.find("custom-attributes/custom-attribute")
     assert attr.attrib["name"] == "N&me"
     assert attr.text == 'va<l"ue'
+
+
+def test_sharded_write_round_trips_every_document(spark, tmp_path):
+    """Sharded sink value test: every shard directory holds exactly one
+    well-formed XML DOCUMENT (strict ET parse — declaration, envelope
+    root, nsmap), the union of shard customers equals the input id set
+    exactly, and each record landed in the shard its id hashes to."""
+    import glob
+    import os
+
+    n = nested_customers(spark, SF).drop("key")
+    rendered = xml_io.customer_xml(n).withColumn(
+        "_id", F.regexp_extract(F.col("value"), r'customer id="([^"]*)"', 1)
+    )
+    out = str(tmp_path / "sharded")
+    shards = 3
+    manifest = {
+        r.shard: r.n_records
+        for r in xml_io.write_xml_document_sharded(
+            rendered.select("value", "_id"),
+            out,
+            shards,
+            shard_key=F.col("_id"),
+            nsmap=xml_io.ENFINITY_NSMAP,
+        ).collect()
+    }
+    expected = {r.id for r in n.select("id").collect()}
+
+    seen: set[str] = set()
+    for s in range(shards):
+        files = glob.glob(os.path.join(out, f"shard={s}", "part-*"))
+        assert len(files) == 1, f"shard {s}: one complete document expected"
+        root = ET.parse(files[0]).getroot()  # strict: raises if malformed
+        assert root.tag == "enfinity"
+        ids = {c.attrib["id"] for c in root.findall("customer")}
+        assert len(ids) == manifest.get(s, 0)
+        # shard placement honors the hash assignment
+        placed = {
+            r.id
+            for r in spark.createDataFrame([(i,) for i in ids] or [("",)], ["id"])
+            .where(F.pmod(F.hash("id"), F.lit(shards)) == s)
+            .collect()
+        }
+        assert ids == (placed if ids else set())
+        seen |= ids
+    assert seen == expected
