@@ -106,6 +106,11 @@ HEADLINE = [
     # sharded enveloped-XML sink (executor-side multi-doc write)
     "dedup_minhash_shingle_lsh",
     "sink_xml_sharded",
+    # round-7 batch 2: shingle components, SemDeDup survivors, and the
+    # grid-blocked spatial radius join
+    "dedup_shingle_clusters",
+    "dedup_semantic_keep",
+    "join_spatial_grid",
 ]
 
 

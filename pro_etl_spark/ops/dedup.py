@@ -592,10 +592,10 @@ def dedup_simhash_lsh(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-#: pairs CTE extended to the connected-components labeling ``lp(node,
-#: cluster_id)`` — shared by ``dedup_clusters``' oracle and by
-#: composers that pick per-cluster canonicals (ops.corpus).
-_CLUSTERS_CTE = _LSH_PAIRS_CTE + """
+#: connected-components tail appended to a pairs CTE: the labeling
+#: ``lp(node, cluster_id)`` via a recursive-CTE fixpoint — shared by
+#: the unigram and shingle cluster oracles.
+_CC_TAIL_CTE = """
     , edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
@@ -613,6 +613,11 @@ _CLUSTERS_CTE = _LSH_PAIRS_CTE + """
       SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
     )
 """
+
+#: pairs CTE extended to the connected-components labeling — shared by
+#: ``dedup_clusters``' oracle and by composers that pick per-cluster
+#: canonicals (ops.corpus).
+_CLUSTERS_CTE = _LSH_PAIRS_CTE + _CC_TAIL_CTE
 
 
 @register(
@@ -654,19 +659,49 @@ def dedup_clusters(spark: SparkSession, d: str) -> DataFrame:
     cache matching — memoizing the driver loop's output avoids running
     LSH + propagation twice per sweep.
     """
-    memo_key = (spark.sparkContext.applicationId, d)
+    memo_key = (spark.sparkContext.applicationId, d, "unigram")
     cached = _CLUSTERS_MEMO.get(memo_key)
     if cached is not None:
         return cached
-    jac = dedup_minhash_lsh(spark, d).select("doc_a", "doc_b")
-    edges = jac.union(
-        jac.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    pairs = dedup_minhash_lsh(spark, d).select("doc_a", "doc_b")
+    result = _cc_min_label(pairs)
+    _CLUSTERS_MEMO[memo_key] = result
+    return result
+
+
+def _cc_min_label(pairs: DataFrame) -> DataFrame:
+    """Connected components over a verified pair table via min-label
+    propagation WITH pointer doubling (the Pregel pattern as plain
+    DataFrame ops). Each round does two steps:
+
+    1. edge propagation — join current labels across the symmetric
+       edge list, keep the per-node min (one hop per round);
+    2. label flattening — replace each node's label with its label's
+       label (``label(label(n)) ≤ label(n)`` because every label is
+       itself a node pointing at an equal-or-smaller label). This is
+       pointer doubling: the distance to the component minimum halves
+       every round, so convergence is O(log diameter) rounds, not
+       O(diameter) — a 15-round cap covers diameters past 2¹⁵ (the
+       round-7 scale probe surfaced a >15-diameter chain in the sparse
+       embedding pair graph at sf0.1 that pure propagation missed).
+
+    Two keyed shuffles per round over the pair-graph NODES only;
+    lineage truncated with localCheckpoint so plans don't grow
+    exponentially — the same loop runs at 100 TB (GraphFrames' CC uses
+    the same large-star/small-star doubling idea). Convergence probe:
+    labels only ever decrease, so SUM(label) is stationary iff the
+    labeling is — one cheap agg over the checkpointed frame per round,
+    not a join. Returns (doc_id, cluster_id, is_survivor), survivor =
+    min id."""
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
     edges = edges.localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
+
     def label_sum(lbl: DataFrame):
         # DECIMAL(38) accumulator: immune to long overflow even with
         # billions of 64-bit ids (ANSI mode would throw on long sum)
@@ -679,10 +714,20 @@ def dedup_clusters(spark: SparkSession, d: str) -> DataFrame:
             edges.join(labels, edges["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "label")
         )
-        new_labels = (
+        hop = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer doubling: label(label(node)) — left join because the
+        # component minimum's own label is itself (no row needed) and
+        # every label IS a node of the same graph
+        parent = hop.select(
+            F.col("node").alias("label"), F.col("label").alias("gl")
+        )
+        new_labels = (
+            hop.join(parent, "label", "left")
+            .select("node", F.coalesce("gl", "label").alias("label"))
             .localCheckpoint()
         )
         # per-node min over a superset only ever lowers labels, so the
@@ -695,19 +740,17 @@ def dedup_clusters(spark: SparkSession, d: str) -> DataFrame:
             break
     if changed != 0:
         # fail loudly rather than return a partially-propagated labeling
-        # (a >15-diameter component would otherwise silently yield
+        # (a huge-diameter component would otherwise silently yield
         # multiple survivors per real cluster)
         raise RuntimeError(
-            "dedup_clusters did not converge within 15 rounds — "
-            "component diameter exceeds the bound; raise the round cap"
+            "min-label propagation did not converge within 15 doubling "
+            "rounds — component diameter exceeds 2^15; raise the cap"
         )
-    result = labels.select(
+    return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("is_survivor"),
     )
-    _CLUSTERS_MEMO[memo_key] = result
-    return result
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1198,3 +1241,30 @@ def dedup_lsh_eval(spark: SparkSession, d: str) -> DataFrame:
             "n_cross_source_extra",
         )
     )
+
+
+@register(
+    "dedup_shingle_clusters",
+    oracle=_SHINGLE_LSH_CTE + _CC_TAIL_CTE + """
+    SELECT node AS doc_id, cluster_id,
+           (node = cluster_id) AS is_survivor
+    FROM lp
+    """,
+)
+def dedup_shingle_clusters(spark: SparkSession, d: str) -> DataFrame:
+    """Duplicate clustering over the SHINGLE-LSH pair graph — the
+    keep/drop decision stage of the production near-dup path for real
+    text (``dedup_minhash_shingle_lsh``), completing the shingle
+    pipeline: signatures → verified pairs → components → survivors.
+    Same min-label propagation loop as the unigram ``dedup_clusters``
+    (one keyed shuffle per round, checkpointed lineage), same
+    recursive-CTE oracle — only the pair generator differs. Memoized
+    per (session, dataset) like its unigram twin."""
+    memo_key = (spark.sparkContext.applicationId, d, "shingle")
+    cached = _CLUSTERS_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    pairs = dedup_minhash_shingle_lsh(spark, d).select("doc_a", "doc_b")
+    result = _cc_min_label(pairs)
+    _CLUSTERS_MEMO[memo_key] = result
+    return result

