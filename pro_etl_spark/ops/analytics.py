@@ -151,6 +151,68 @@ def agg_histogram(spark: SparkSession, d: str) -> DataFrame:
 
 
 @register(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_disc(l_extendedprice, 0.25) AS b1,
+             quantile_disc(l_extendedprice, 0.50) AS b2,
+             quantile_disc(l_extendedprice, 0.75) AS b3
+      FROM lineitem
+    )
+    SELECT CASE WHEN l_extendedprice <= b.b1 THEN 1
+                WHEN l_extendedprice <= b.b2 THEN 2
+                WHEN l_extendedprice <= b.b3 THEN 3
+                ELSE 4 END AS bucket,
+           COUNT(*) AS n,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, d: str) -> DataFrame:
+    """Equi-DEPTH histogram (quartile buckets) — the companion to
+    ``agg_histogram``'s equi-width binning and what an optimizer's
+    column statistics actually store: boundaries are the exact
+    discrete quartiles (``percentile_disc`` — value selection, no
+    interpolation arithmetic to drift cross-engine), bucket assignment
+    is a CASE over the broadcast 1-row boundary set, and the counts
+    are one map-side-combined grouped pass. Bucket populations are
+    near-equal by construction; ties at a boundary all fall left
+    (<=), which keeps the bucketing deterministic without needing a
+    row tiebreak. Two passes over the fact, zero fact-side shuffles
+    beyond the final 4-group aggregate."""
+    li = load(spark, d, "lineitem")
+    b = li.agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("b1"),
+        F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("b2"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("b3"),
+    )
+    v = F.col("l_extendedprice")
+    bucket = (
+        F.when(v <= F.col("b1"), 1)
+        .when(v <= F.col("b2"), 2)
+        .when(v <= F.col("b3"), 3)
+        .otherwise(4)
+    )
+    return (
+        li.crossJoin(F.broadcast(b))
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(v).alias("lo"),
+            F.max(v).alias("hi"),
+        )
+    )
+
+
+@register(
     "fn_winsorize",
     oracle="""
     WITH b AS (

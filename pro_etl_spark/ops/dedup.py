@@ -84,6 +84,43 @@ def dedup_exact(spark: SparkSession, d: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_normalized",
+    oracle=r"""
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT md5(text)) AS n_raw_variants
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, d: str) -> DataFrame:
+    """Normalized exact dedup — ``dedup_exact`` after the C4-style
+    canonicalization crawl pipelines apply first: trim, collapse all
+    whitespace runs to one space, lowercase. Catches the trivially
+    reformatted copies (case changes, re-wrapped lines, double spaces)
+    that byte-exact hashing misses but that aren't worth the near-dup
+    machinery. ``n_raw_variants`` counts how many distinct RAW texts
+    collapsed into each normalized group — the audit number that says
+    what normalization bought. Same scale shape as dedup_exact: one
+    shuffle on the 128-bit normalized-content hash (the per-group
+    distinct-raw count rides the same exchange). Note this is CASE
+    normalization only, not Unicode normalization — the byte-exact
+    policy in ``tokset`` still applies to NFC/NFKC variants."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        load(spark, d, "documents")
+        .groupBy(F.md5(norm).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct(F.md5("text")).alias("n_raw_variants"),
+        )
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     baseline_twin="dedup_minhash_lsh",
     oracle=f"""

@@ -123,10 +123,14 @@ def udtf_bigrams(spark: SparkSession, d: str) -> DataFrame:
     (X4) is the fast path for this shape — the UDTF exists for
     expansions that genuinely need imperative Python per row, and this
     query proves that surface end-to-end (class pickled by reference →
-    shipped to workers via the registry's addPyFile zip)."""
+    shipped to workers via the registry's addPyFile zip). Arrow mode
+    (round 7): ``useArrow=True`` compiles to ArrowEvalPythonUDTF —
+    batch columnar transfer instead of pickled rows — the same
+    vectorization step every other Python path here already takes
+    (flagged by scripts/plan_audit.py's BatchEvalPython scan)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos bigint, bigram string", useArrow=False)
+    @udtf(returnType="pos bigint, bigram string", useArrow=True)
     class BigramUDTF:
         def eval(self, text: str):
             toks = text.split()

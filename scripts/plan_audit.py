@@ -1,0 +1,145 @@
+"""Registry-wide physical-plan audit: `.explain` every registered
+query at sf0.001 and flag the anti-patterns that kill 100 TB plans:
+
+- ``CartesianProduct``     — an unblocked cartesian shuffle join (the
+                             broadcast nested-loop variant is allowed
+                             only where a side is provably tiny);
+- ``BatchEvalPython``      — a row-at-a-time Python UDF in the plan
+                             (Arrow variants ArrowEvalPython /
+                             MapInArrow / FlatMapGroupsInPandas etc.
+                             are the sanctioned Python paths);
+- ``SinglePartition``      — a global exchange feeding a window/sort,
+                             allowed only on provably tiny frames
+                             (model-state aggregates, ≤K-row tables).
+
+Each flag is either clean, or carries a per-query allowlist entry with
+the reason the pattern is safe THERE (the audit fails loudly on any
+new, unexplained occurrence — run it after adding operators).
+
+Usage: python scripts/plan_audit.py [SF_DIR] [OUT_JSON]
+Defaults: /root/testdata/sf0.001, PLAN_AUDIT.json (repo root)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: query -> {flag: reason} — every entry is a justified exception
+#: (audited by hand against the executed plan, round 7).
+ALLOWED = {
+    # deliberate BroadcastNestedLoopJoin demo compiles from a literal
+    # crossJoin of two broadcast-sized frames; grid spines and scalar
+    # boundary sets are O(1)-row broadcasts, not data-sized shuffles.
+    "join_cross": {"CartesianProduct": "BNLJ demo over two tiny dims"},
+    # global windows/sorts over MODEL-STATE frames (aggregate outputs
+    # of a handful of rows), not over the fact table: the exchange
+    # moves O(groups) rows.
+    "events_benford": {
+        "SinglePartition": "9-row digit table ranking",
+    },
+    "pareto_abc": {
+        "SinglePartition": "running share over the part-group aggregate",
+    },
+    "survival_km": {
+        "SinglePartition": "KM product over distinct event days (<=31)",
+    },
+    "events_peaks": {
+        "SinglePartition": "global stddev scalar broadcast back",
+    },
+    "agg_approx_topk": {
+        "SinglePartition": "approx_top_k sketch merge: partials -> one "
+        "sketch row, then explode (model state)",
+    },
+    "corpus_vocab": {
+        "SinglePartition": "token-id window over the SURVIVING vocab "
+        "only (~1e5-1e6 rows at any corpus size — see docstring)",
+    },
+    "events_ks_test": {
+        "SinglePartition": "global MAX / total aggregates finishing to "
+        "one row (the CDF pass itself is range-distributed)",
+    },
+    "join_bloom_runtime": {
+        "SinglePartition": "bloom_filter_agg merge: mergeable partial "
+        "sketches combine into the one runtime filter row",
+    },
+    "pipeline_data_funnel": {
+        "SinglePartition": "final sort of the 4-row stage census",
+    },
+    "profile_columns": {
+        "SinglePartition": "stack() over the single global stats row",
+    },
+    "sql_important_stock": {
+        "SinglePartition": "Q11 scalar-subquery threshold: global sum "
+        "to one row; the group-by side is hash-distributed",
+    },
+    "sql_top_supplier": {
+        "SinglePartition": "Q15 max-over-aggregate window on the "
+        "supplier-grain revenue frame (dim-sized)",
+    },
+    "sql_with_ties": {
+        "SinglePartition": "global rank is WITH TIES' semantics; "
+        "WindowGroupLimit pre-prunes to top-k per partition before "
+        "the single-partition finish",
+    },
+}
+
+#: flags to scan for; SinglePartition is only flagged when it feeds a
+#: Window or Sort (a single-partition Exchange under a scalar
+#: aggregate is how global aggs are supposed to finish).
+FLAGS = ("CartesianProduct", "BatchEvalPython")
+
+
+def single_partition_window(plan: str) -> bool:
+    """True when a SinglePartition exchange feeds a Window/Sort — scan
+    the plan text line-window for the pattern."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            ctx = "\n".join(lines[max(0, i - 6): i])
+            if "Window" in ctx or "Sort" in ctx:
+                return True
+    return False
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "PLAN_AUDIT.json"
+    import pro_etl_spark
+    from pro_etl_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    qs = pro_etl_spark.get_queries()
+    findings = {}
+    clean = 0
+    for name in sorted(qs):
+        try:
+            df = qs[name](spark, sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:
+            findings[name] = {"ERROR": f"{type(e).__name__}: {str(e)[:150]}"}
+            continue
+        hits = {}
+        for flag in FLAGS:
+            if flag in plan and flag not in ALLOWED.get(name, {}):
+                hits[flag] = "unallowed"
+        if single_partition_window(plan) and "SinglePartition" not in ALLOWED.get(name, {}):
+            hits["SinglePartition"] = "unallowed window/sort feed"
+        if hits:
+            findings[name] = hits
+        else:
+            clean += 1
+        print(json.dumps({name: hits or "clean"}), flush=True)
+    doc = {"clean": clean, "total": len(qs), "findings": findings,
+           "allowed": {k: list(v) for k, v in ALLOWED.items()}}
+    json.dump(doc, open(out_path, "w"), indent=1)
+    print(f"\n{clean}/{len(qs)} clean, {len(findings)} flagged -> {out_path}",
+          file=sys.stderr)
+    for k, v in findings.items():
+        print(f"  {k}: {v}", file=sys.stderr)
+    sys.exit(1 if findings else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,8 @@ REPRESENTATIVES = [
     "dedup_shingle_lsh_eval",
     "dedup_semantic_keep",
     "join_spatial_grid",
+    "dedup_exact_normalized",
+    "agg_histogram_equidepth",
 ]
 
 
