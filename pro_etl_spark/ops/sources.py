@@ -201,6 +201,59 @@ def sink_xml(spark: SparkSession, d: str) -> DataFrame:
     return back.select(F.col("id").cast("string").alias("id")).orderBy("id")
 
 
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def scan_binary_files(spark: SparkSession, d: str) -> DataFrame:
+    """``binaryFile`` source scan — THE ingestion path for images /
+    audio / video at scale (one row per file: path, length, binary
+    content), here staged from the first 50 documents' UTF-8 bytes so
+    the scan is value-checkable: the oracle recomputes each file's
+    byte length and content md5 from the table the files were staged
+    from. The 50-row driver-side staging is one-time test-fixture
+    creation (same pattern as the streaming source fixtures), not a
+    query path; the SCAN is the operator — distributed, one task per
+    file group, content never touches the driver. In production this
+    reads s3://bucket/images/*.jpg straight into the multimodal
+    pipeline (ops.multimodal decodes the same binary column)."""
+    import os as _os
+
+    path = _tmp(f"binfiles_{dataset_suffix(d)}")
+
+    def stage() -> None:
+        rows = (
+            load(spark, d, "documents")
+            .where(F.col("doc_id") < 50)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(_os.path.join(path, f"{r.doc_id}.bin"), "wb") as w:
+                w.write(r.text.encode("utf-8"))
+        open(_os.path.join(path, "_SUCCESS"), "w").close()
+
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        stage()
+    b = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return b.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
 @register("sink_xml_sharded")  # rows-only: multi-doc round-trip fidelity
 def sink_xml_sharded(spark: SparkSession, d: str) -> DataFrame:
     """S5 at scale: SHARDED enveloped-XML sink. ``sink_xml``'s

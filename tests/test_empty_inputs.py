@@ -131,6 +131,7 @@ REPRESENTATIVES = [
     "join_spatial_grid",
     "dedup_exact_normalized",
     "agg_histogram_equidepth",
+    "scan_binary_files",
 ]
 
 

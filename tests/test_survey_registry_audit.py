@@ -58,3 +58,19 @@ def test_known_naming_artifacts_resolved():
     text = open(SURVEY).read()
     assert "`running_totals_stream`" not in text
     assert "| operational CLI | query_cli module" in text
+
+
+def test_plan_audit_allowlist_names_registered_queries():
+    """scripts/plan_audit.py's ALLOWED map must only name real query
+    keys — a renamed operator would otherwise silently orphan its
+    justification and the audit would re-flag it as a regression."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", "/root/repo/scripts/plan_audit.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    registered = set(pro_etl_spark.get_queries())
+    orphans = sorted(set(mod.ALLOWED) - registered)
+    assert not orphans, f"ALLOWED entries without a registered query: {orphans}"
