@@ -111,6 +111,8 @@ HEADLINE = [
     "dedup_shingle_clusters",
     "dedup_semantic_keep",
     "join_spatial_grid",
+    # round-7 batch 3: exact rank-sum test (distributed midranks)
+    "events_mannwhitney",
 ]
 
 

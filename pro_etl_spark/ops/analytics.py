@@ -2320,6 +2320,100 @@ def events_ks_test(spark: SparkSession, d: str) -> DataFrame:
 
 
 @register(
+    "events_mannwhitney",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS c1,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS c2
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value
+    ), cum AS (
+      SELECT c1, c2, c1 + c2 AS cnt,
+             SUM(c1) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+             + SUM(c2) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+             - c1 - c2 AS nbefore
+      FROM s
+    ), tot AS (
+      SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS n2
+      FROM s
+    ), r AS (
+      SELECT CAST(COALESCE(SUM(c1 * (2 * nbefore + cnt + 1)), 0) AS BIGINT)
+               AS r1_x2
+      FROM cum
+    )
+    SELECT tot.n1, tot.n2, r.r1_x2,
+           CAST(r.r1_x2 - tot.n1 * (tot.n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * tot.n1 * tot.n2
+                - (r.r1_x2 - tot.n1 * (tot.n1 + 1)) AS BIGINT) AS u2_x2,
+           CASE WHEN tot.n1 * tot.n2 > 0 THEN
+             CAST(LEAST(r.r1_x2 - tot.n1 * (tot.n1 + 1),
+                        2 * tot.n1 * tot.n2
+                        - (r.r1_x2 - tot.n1 * (tot.n1 + 1))) AS DOUBLE) / 2
+           END AS u_stat
+    FROM tot CROSS JOIN r
+    """,
+)
+def events_mannwhitney(spark: SparkSession, d: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test — the
+    nonparametric location-shift screen completing the drift/AB family
+    next to the exact KS statistic (``events_ks_test``), the chi-square
+    independence test and Welch's t (``ab_ttest``): are click values
+    stochastically larger than purchase values? Computed EXACTLY with
+    midrank tie handling and zero floats until the final halving:
+    collapse events to the distinct-value support, one distributed
+    running-sum pass gives each value's rank offset, and the doubled
+    average rank ``2·before + cnt + 1`` is an INTEGER, so the doubled
+    rank sum R1×2 and both doubled U statistics accumulate as plain
+    longs (u1_x2 + u2_x2 = 2·n1·n2 by construction — pinned in
+    tests). One support-grain shuffle (``_global_running_sums``' range
+    exchange) + global aggregates; no single-partition sort."""
+    ev = load(spark, d, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c2"),
+    )
+    cum = _global_running_sums(s, ["value"], ["c1", "c2"])
+    tot = s.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum("c2"), F.lit(0)).cast("long").alias("n2"),
+    )
+    nbefore = (
+        F.col("run_c1") + F.col("run_c2") - F.col("c1") - F.col("c2")
+    )
+    r = cum.agg(
+        F.coalesce(
+            F.sum(
+                F.col("c1") * (2 * nbefore + F.col("c1") + F.col("c2") + 1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("r1_x2")
+    )
+    u1 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    u2 = 2 * F.col("n1") * F.col("n2") - u1
+    return r.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "r1_x2",
+        u1.cast("long").alias("u1_x2"),
+        u2.cast("long").alias("u2_x2"),
+        F.when(
+            F.col("n1") * F.col("n2") > 0,
+            F.least(u1, u2).cast("double") / 2,
+        ).alias("u_stat"),
+    )
+
+
+@register(
     "events_chi_square",
     oracle="""
     WITH o AS (

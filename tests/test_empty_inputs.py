@@ -132,6 +132,7 @@ REPRESENTATIVES = [
     "dedup_exact_normalized",
     "agg_histogram_equidepth",
     "scan_binary_files",
+    "events_mannwhitney",
 ]
 
 

@@ -541,3 +541,39 @@ def test_shingle_lsh_pairs_subset_of_exact(spark):
     ev = qs["dedup_shingle_lsh_eval"](spark, SF_ORACLE).collect()[0]
     assert ev.n_hit <= ev.n_truth
     assert ev.recall is None or 0.0 <= ev.recall <= 1.0
+
+
+def test_mannwhitney_matches_pure_python_midranks(spark):
+    """events_mannwhitney invariants + independent recomputation: the
+    doubled U statistics must satisfy u1_x2 + u2_x2 = 2·n1·n2, and R1
+    must equal a pure-Python midrank rank-sum over the same values."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    row = (
+        pro_etl_spark.get_queries()["events_mannwhitney"](spark, SF_ORACLE)
+        .collect()[0]
+    )
+    assert row.u1_x2 + row.u2_x2 == 2 * row.n1 * row.n2
+    assert row.u_stat == min(row.u1_x2, row.u2_x2) / 2
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+        "event_type", "value"
+    )
+    vals = [
+        (r.event_type, r.value)
+        for r in ev.collect()
+        if r.event_type in ("click", "purchase")
+    ]
+    ranked = sorted(vals, key=lambda t: t[1])
+    # midranks: average rank over each tie group, doubled to stay int
+    r1_x2 = 0
+    i = 0
+    while i < len(ranked):
+        j = i
+        while j < len(ranked) and ranked[j][1] == ranked[i][1]:
+            j += 1
+        avg_rank_x2 = (i + 1) + j  # 2 * (first_rank + last_rank) / 2
+        r1_x2 += sum(avg_rank_x2 for t, _ in ranked[i:j] if t == "click")
+        i = j
+    assert r1_x2 == row.r1_x2
