@@ -175,13 +175,21 @@ def sink_csv(spark: SparkSession, d: str) -> DataFrame:
     return spark.read.schema(schema).option("header", True).csv(path)
 
 
-@register("sink_xml")  # rows-only: XML round-trip fidelity
+@register(
+    "sink_xml",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS id FROM customer
+    """,
+)
 def sink_xml(spark: SparkSession, d: str) -> DataFrame:
     """S5: XML sink + rescan. Spark 4.x has a native XML source; write
     the nested customers with rowTag=customer (the reference's record
     element, migrate.py:94/257) and read them back. Envelope fidelity
     (root attrs, nsmap — migrate.py:274-284) is handled by
-    pro_etl_spark.xml_io and its unit tests."""
+    pro_etl_spark.xml_io and its unit tests. Value-exact since round
+    7: the rescanned id set must equal the customer keys the nested
+    documents were derived from — the round-trip proof as an oracle
+    row set, not just a row count."""
     from pro_etl_spark.ops.nested import nested_customers
 
     path = _tmp(f"sink_xml_{dataset_suffix(d)}")

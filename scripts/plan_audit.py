@@ -60,6 +60,12 @@ ALLOWED = {
         "SinglePartition": "global MAX / total aggregates finishing to "
         "one row (the CDF pass itself is range-distributed)",
     },
+    "events_mannwhitney": {
+        "SinglePartition": "global rank-sum aggregate finishing to one "
+        "row (verified by hand: the running-sum window above it is "
+        "hash-partitioned by _pid; the single-partition exchange feeds "
+        "only the scalar HashAggregate)",
+    },
     "join_bloom_runtime": {
         "SinglePartition": "bloom_filter_agg merge: mergeable partial "
         "sketches combine into the one runtime filter row",
