@@ -113,6 +113,16 @@ HEADLINE = [
     "join_spatial_grid",
     # round-7 batch 3: exact rank-sum test (distributed midranks)
     "events_mannwhitney",
+    # round-7 batch 4: tokenizer application (train + replay over the
+    # vocab grain) and the broadcast-back group-median imputation
+    "bpe_encode",
+    "impute_group_median",
+    # round-7 batch 5: integer-exact systematic PPS sampling over the
+    # range-distributed grouped running-sum helper
+    "sample_weighted_systematic",
+    # round-7 batch 6: third iterative graph family — synchronous LPA
+    # over the LSH pair graph (keyed shuffle + window argmax per round)
+    "graph_label_propagation",
 ]
 
 

@@ -2234,6 +2234,69 @@ def _global_running_sums(df, order_cols, sum_cols):
     return out.drop("_pid", *[f"_run_{c}" for c in sum_cols])
 
 
+def _grouped_running_sums(df, group_cols, order_cols, sum_cols):
+    """Per-GROUP distributed running sums — ``_global_running_sums``
+    generalized to a partitioned order, for when the window's
+    PARTITION BY key is LOW-cardinality (a handful of sources) so a
+    plain ``Window.partitionBy(group)`` would funnel each whole group
+    through one task at 100 TB. Range-shuffle on (group, ordering) —
+    each group spans a contiguous run of range partitions — then
+    per-(partition, group) local window sums run in parallel, and the
+    per-cell totals (O(#partitions + #groups) rows by contiguity —
+    model state) fold into per-cell offsets shipped back as a
+    broadcast join. Bit-exact equal to the single-task grouped window
+    for integer columns; the same eager-localCheckpoint pin prevents
+    the range exchange from executing twice with different sampled
+    boundaries."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    rng = (
+        df.repartitionByRange(*[F.col(c) for c in [*group_cols, *order_cols]])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_in = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = rng.select(
+        "*", *[F.sum(c).over(w_in).alias(f"_run_{c}") for c in sum_cols]
+    )
+    cells = (
+        rng.groupBy("_pid", *group_cols)
+        .agg(*[F.sum(c).alias(f"t_{c}") for c in sum_cols])
+        .collect()
+    )
+    acc_by_group: dict = {}
+    rows = []
+    for r in sorted(
+        cells, key=lambda r: (tuple(r[g] for g in group_cols), r["_pid"])
+    ):
+        key = tuple(r[g] for g in group_cols)
+        acc = acc_by_group.setdefault(key, [0] * len(sum_cols))
+        rows.append((r["_pid"], *key, *acc))
+        for i, c in enumerate(sum_cols):
+            acc[i] += r[f"t_{c}"] or 0
+    schema = T.StructType(
+        [T.StructField("_pid", T.IntegerType())]
+        + [T.StructField(g, df.schema[g].dataType) for g in group_cols]
+        + [T.StructField(f"_off_{c}", T.LongType()) for c in sum_cols]
+    )
+    off = spark.createDataFrame(rows, schema)
+    out = local.join(F.broadcast(off), ["_pid", *group_cols])
+    for c in sum_cols:
+        out = out.withColumn(
+            f"run_{c}", (F.col(f"_off_{c}") + F.col(f"_run_{c}")).cast("long")
+        )
+    return out.drop(
+        "_pid",
+        *[f"_run_{c}" for c in sum_cols],
+        *[f"_off_{c}" for c in sum_cols],
+    )
+
+
 @register(
     "events_ks_test",
     oracle="""
@@ -2582,4 +2645,117 @@ def window_holt(spark: SparkSession, d: str) -> DataFrame:
             F.round(F.col("st.b"), 6).alias("trend"),
             F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast"),
         )
+    )
+
+
+@register(
+    "impute_group_median",
+    oracle="""
+    WITH masked AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+      FROM events
+    ), med AS (
+      SELECT event_type,
+             PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM masked WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT m.event_id, m.event_type,
+           COALESCE(m.value, med.med) AS value_filled,
+           m.value IS NULL AS was_imputed
+    FROM masked m JOIN med USING (event_type)
+    """,
+)
+def impute_group_median(spark: SparkSession, d: str) -> DataFrame:
+    """Missing-value imputation by per-group median — the ETL staple
+    for sensor dropout / partial-ingest gaps: fill each NULL measure
+    with the MEDIAN of its group's observed values (median, not mean,
+    so one corrupt spike can't poison the fill). Dropout is simulated
+    deterministically (event_id % 7) since the synthetic feed has no
+    nulls; PERCENTILE_DISC keeps the fill an actual observed value and
+    is deterministic cross-engine (ANSI: first value at cume_dist >=
+    0.5 — same construct sql_percentile_within_group pins).
+
+    Scale: one grouped exact-percentile pass (per-type sort; swap in
+    approx_percentile for heavy-hitter groups at 100 TB) collapses to
+    an O(|event types|) median table that BROADCASTS back over the
+    fact scan — the fill itself is a narrow coalesce, no second
+    shuffle of the fact table."""
+    masked = load(spark, d, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    med = (
+        masked.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"
+            ).alias("med")
+        )
+    )
+    return masked.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.coalesce(F.col("value"), F.col("med")).alias("value_filled"),
+        F.col("value").isNull().alias("was_imputed"),
+    )
+
+
+@register(
+    "events_seasonal_dow",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, SUM(n_events) AS n_tot, SUM(s) AS s_tot
+      FROM cell GROUP BY 1
+    )
+    SELECT c.event_type, CAST(c.dow AS INT) AS dow,
+           CAST(c.n_events AS BIGINT) AS n_events,
+           ROUND(CAST(c.s AS DOUBLE) / c.n_events, 6) AS dow_avg,
+           ROUND((CAST(c.s AS DOUBLE) / c.n_events)
+                 / (CAST(t.s_tot AS DOUBLE) / t.n_tot), 6) AS seasonal_index
+    FROM cell c JOIN tot t USING (event_type)
+    """,
+)
+def events_seasonal_dow(spark: SparkSession, d: str) -> DataFrame:
+    """Day-of-week seasonal index per event type — the seasonality
+    decomposition a metrics warehouse publishes next to the trend
+    smoothers (``window_holt``, ``window_ewma``): index > 1 means that
+    weekday runs hot vs the type's overall mean, and dividing a
+    series by its index is the classic deseasonalization step. Sums
+    ride DECIMAL(27,6) (value is 2-decimal, so the cast is exact and
+    the sum order-independent) and become doubles only at the two
+    final divisions; dayofweek is aligned across engines the same way
+    as ``events_chi_square`` (+1 on the DuckDB side).
+
+    Scale: one grouped pass collapses events to |types|x7 cells; the
+    per-type totals aggregate the CELL table and broadcast back —
+    constant-size work after the first shuffle."""
+    cell = (
+        load(spark, d, "events")
+        .groupBy("event_type", F.dayofweek("ts").alias("dow"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DECV)).alias("s"),
+        )
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_tot"), F.sum("s").alias("s_tot")
+    )
+    dow_avg = F.col("s").cast("double") / F.col("n_events")
+    type_avg = F.col("s_tot").cast("double") / F.col("n_tot")
+    return cell.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(dow_avg, 6).alias("dow_avg"),
+        F.round(dow_avg / type_avg, 6).alias("seasonal_index"),
     )

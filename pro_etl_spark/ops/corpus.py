@@ -863,3 +863,65 @@ def pipeline_data_funnel(spark: SparkSession, d: str) -> DataFrame:
         .unionByName(census(s3, 3, "near_dedup"))
         .orderBy("stage_ord")
     )
+
+
+@register(
+    "corpus_lang_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS cnt
+      FROM documents GROUP BY source, lang
+    ), t AS (
+      SELECT source, SUM(cnt) AS n, COUNT(*) AS n_langs
+      FROM c GROUP BY source
+    )
+    SELECT c.source, CAST(t.n AS BIGINT) AS n_docs,
+           CAST(t.n_langs AS BIGINT) AS n_langs,
+           CAST(SUM(CAST(FLOOR(
+             c.cnt * LOG2(CAST(t.n AS DOUBLE) / c.cnt) / t.n * 1000000.0
+           ) AS BIGINT)) AS BIGINT) AS entropy_micros
+    FROM c JOIN t USING (source)
+    GROUP BY c.source, t.n, t.n_langs
+    """,
+)
+def corpus_lang_entropy(spark: SparkSession, d: str) -> DataFrame:
+    """Shannon entropy of each source's language distribution — the
+    information-theoretic companion to ``corpus_source_drift``'s
+    total-variation audit: a monolingual crawl scores 0 bits, a
+    uniform 4-language mix scores 2, and a sudden entropy drop on a
+    refreshed source is the classic symptom of a scraper losing its
+    non-English sections. Each -p*log2(p) term is floor-quantized to
+    integer micros BEFORE summing (the repo's established
+    order-independence recipe from ``events_chi_square``: float sums
+    depend on partial-merge order, integer sums don't), with the
+    expression shapes mirrored token-for-token across engines.
+
+    Scale: one grouped pass collapses documents to (source, lang)
+    cells — O(|sources| x |langs|), tiny at any corpus size; the
+    per-source totals are an aggregate OF the cell table and the
+    entropy terms never touch the raw corpus again."""
+    c = (
+        load(spark, d, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+    t = c.groupBy("source").agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("n_langs")
+    )
+    term = F.floor(
+        F.col("cnt")
+        * F.log2(F.col("n").cast("double") / F.col("cnt"))
+        / F.col("n")
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source", "n", "n_langs")
+        .agg(F.sum(term).cast("long").alias("entropy_micros"))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            "entropy_micros",
+        )
+    )

