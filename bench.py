@@ -123,6 +123,10 @@ HEADLINE = [
     # round-7 batch 6: third iterative graph family — synchronous LPA
     # over the LSH pair graph (keyed shuffle + window argmax per round)
     "graph_label_propagation",
+    # round-7 batch 7: info-theoretic source drift (closed-form
+    # absent-term mass) and prior-window Bollinger gating
+    "corpus_js_divergence",
+    "window_bollinger",
 ]
 
 

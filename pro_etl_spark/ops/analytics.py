@@ -2759,3 +2759,92 @@ def events_seasonal_dow(spark: SparkSession, d: str) -> DataFrame:
         F.round(dow_avg, 6).alias("dow_avg"),
         F.round(dow_avg / type_avg, 6).alias("seasonal_index"),
     )
+
+
+BOLL_WIN = 8
+BOLL_MIN = 4
+
+
+@register(
+    "window_bollinger",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             COUNT(value) OVER f AS n_win,
+             SUM(CAST(value AS DECIMAL(18,6))) OVER f AS s,
+             SUM(CAST(value AS DECIMAL(18,6))
+                 * CAST(value AS DECIMAL(18,6))) OVER f AS ssq
+      FROM events
+      WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {BOLL_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts, value,
+           CAST(n_win AS BIGINT) AS n_win,
+           CASE WHEN n_win >= {BOLL_MIN} THEN
+             ROUND(CAST(s AS DOUBLE) / n_win, 6) END AS mean_w,
+           CASE WHEN n_win >= {BOLL_MIN} THEN
+             ROUND(sqrt(GREATEST(CAST(ssq AS DOUBLE) / n_win
+                   - (CAST(s AS DOUBLE) / n_win)
+                     * (CAST(s AS DOUBLE) / n_win), 0)), 6) END AS std_w,
+           CASE WHEN n_win >= {BOLL_MIN} THEN
+             value > CAST(s AS DOUBLE) / n_win
+                     + 2 * sqrt(GREATEST(CAST(ssq AS DOUBLE) / n_win
+                       - (CAST(s AS DOUBLE) / n_win)
+                         * (CAST(s AS DOUBLE) / n_win), 0))
+             OR value < CAST(s AS DOUBLE) / n_win
+                     - 2 * sqrt(GREATEST(CAST(ssq AS DOUBLE) / n_win
+                       - (CAST(s AS DOUBLE) / n_win)
+                         * (CAST(s AS DOUBLE) / n_win), 0))
+           END AS breakout
+    FROM w
+    """,
+)
+def window_bollinger(spark: SparkSession, d: str) -> DataFrame:
+    """Bollinger-band anomaly gating per user series: each event is
+    judged against the mean ± 2σ of its PRIOR BOLL_WIN-row window
+    (current row excluded — the honest streaming semantics: a spike
+    must not widen the band that judges it), completing the despiking
+    family next to ``window_hampel`` (median/MAD robust twin) and
+    ``anomaly_cusum`` (drift). Sums and squares ride DECIMAL (value is
+    2-decimal, squares 4-decimal — both exact), turning into doubles
+    only in the final mean/variance/sqrt sequence, mirrored
+    operation-for-operation across engines; warm-up rows (< BOLL_MIN
+    priors) emit NULL bands rather than unstable estimates.
+
+    Scale: one window pass partitioned by user_id (high-cardinality)
+    over a bounded row frame — no global sort, no second shuffle."""
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-BOLL_WIN, -1)
+    )
+    dv = F.col("value").cast(DECV)
+    w = load(spark, d, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.count("value").over(f).alias("n_win"),
+        F.sum(dv).over(f).alias("s"),
+        F.sum(dv * dv).over(f).alias("ssq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_win")
+    var = F.greatest(
+        F.col("ssq").cast("double") / F.col("n_win") - mean * mean, F.lit(0.0)
+    )
+    std = F.sqrt(var)
+    ok = F.col("n_win") >= BOLL_MIN
+    return w.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.col("n_win").cast("long").alias("n_win"),
+        F.when(ok, F.round(mean, 6)).alias("mean_w"),
+        F.when(ok, F.round(std, 6)).alias("std_w"),
+        F.when(
+            ok,
+            (F.col("value") > mean + 2 * std)
+            | (F.col("value") < mean - 2 * std),
+        ).alias("breakout"),
+    )

@@ -614,3 +614,105 @@ def interval_concurrency(spark: SparkSession, d: str) -> DataFrame:
         .groupBy("day")
         .agg(F.max("live").cast("long").alias("peak_concurrent"))
     )
+
+
+IVM_MINUTES = 30
+
+
+@register(
+    "interval_merge",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id, ts,
+             ts + INTERVAL {IVM_MINUTES} MINUTE AS te
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, te,
+             CASE WHEN MAX(te) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) IS NULL
+                       OR ts > MAX(te) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                                      AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), ids AS (
+      SELECT user_id, ts, te,
+             SUM(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY ts, te
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS island_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+           MIN(ts) AS island_start, MAX(te) AS island_end,
+           COUNT(*) AS n_events,
+           CAST((epoch_us(MAX(te)) - epoch_us(MIN(ts))) // 60000000
+                AS BIGINT) AS span_minutes
+    FROM ids GROUP BY user_id, island_id
+    """,
+)
+def interval_merge(spark: SparkSession, d: str) -> DataFrame:
+    """Gaps-and-islands interval COALESCING: give each event a
+    [ts, ts+30min) activity interval and stitch overlapping/touching
+    intervals per user into maximal islands — the classic SQL-hard
+    merge behind availability windows, on-call coverage, and
+    machine-uptime stitching, complementing ``interval_concurrency``
+    (sweep-line peak) and ``sessionize`` (gap-based sessions differ:
+    an island is bounded by interval OVERLAP, not inter-event gaps).
+    An island break is `ts > running MAX(end) over all prior rows` —
+    the running max (not lag) is what makes nested intervals correct;
+    the break flags' running sum numbers the islands. Every
+    comparison is timestamp/integer, so islands are bit-deterministic
+    cross-engine.
+
+    Scale: two window passes over one user_id partitioning
+    (high-cardinality) + one grouped reduce — a single shuffle."""
+    iv = load(spark, d, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("ts") + F.expr(f"INTERVAL {IVM_MINUTES} MINUTES")).alias("te"),
+    )
+    prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "ts",
+        "te",
+        F.when(
+            F.max("te").over(prior).isNull()
+            | (F.col("ts") > F.max("te").over(prior)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "te")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ids = flagged.select(
+        "user_id", "ts", "te", F.sum("new_island").over(run).alias("island_id")
+    )
+    return ids.groupBy("user_id", "island_id").agg(
+        F.min("ts").alias("island_start"),
+        F.max("te").alias("island_end"),
+        F.count("*").alias("n_events"),
+        F.expr(
+            "(unix_micros(max(te)) - unix_micros(min(ts))) div 60000000"
+        ).alias("span_minutes"),
+    ).select(
+        "user_id",
+        F.col("island_id").cast("long").alias("island_id"),
+        "island_start",
+        "island_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        "span_minutes",
+    )

@@ -925,3 +925,86 @@ def corpus_lang_entropy(spark: SparkSession, d: str) -> DataFrame:
             "entropy_micros",
         )
     )
+
+
+@register(
+    "corpus_js_divergence",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents
+    ), per_src AS (
+      SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), src_tot AS (
+      SELECT source, SUM(c) AS n FROM per_src GROUP BY source
+    ), gcnt AS (
+      SELECT token, SUM(c) AS g FROM per_src GROUP BY token
+    ), glob_tot AS (SELECT SUM(g) AS ng FROM gcnt),
+    terms AS (
+      SELECT s.source, s.n,
+             CAST(FLOOR(
+               0.5 * (CAST(p.c AS DOUBLE) / s.n
+                      * LOG2((CAST(p.c AS DOUBLE) / s.n)
+                             / ((CAST(p.c AS DOUBLE) / s.n
+                                 + CAST(g.g AS DOUBLE) / gt.ng) / 2))
+                      + CAST(g.g AS DOUBLE) / gt.ng
+                      * LOG2((CAST(g.g AS DOUBLE) / gt.ng)
+                             / ((CAST(p.c AS DOUBLE) / s.n
+                                 + CAST(g.g AS DOUBLE) / gt.ng) / 2))
+                      - CAST(g.g AS DOUBLE) / gt.ng)
+               * 1000000.0) AS BIGINT) AS t
+      FROM per_src p
+      JOIN src_tot s USING (source)
+      JOIN gcnt g USING (token)
+      CROSS JOIN glob_tot gt
+    )
+    SELECT source, CAST(MIN(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(t) + 500000 AS BIGINT) AS js_micros,
+           CAST(SUM(t) + 500000 AS DOUBLE) / 1000000.0 AS js_divergence
+    FROM terms GROUP BY source
+    """,
+)
+def corpus_js_divergence(spark: SparkSession, d: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and the corpus-wide one — the bounded, symmetric
+    drift measure (0..1 bit) domain-weighting schemes key on, closing
+    the info-theoretic family next to the TV audit
+    (``corpus_source_drift``) and the entropy gauge
+    (``corpus_lang_entropy``). KL's infinities on absent terms are
+    what JS fixes, and the absent-term mass here is EXACT via closed
+    form: a token the source lacks contributes q·log2(q/(q/2)) = q to
+    the corpus half, so Σ_absent = 1 − Σ_present q and only OBSERVED
+    (source, token) pairs ever materialize — the 0.5·(1 − Σ q·…)
+    constant folds into +500000 micros after per-term floor
+    quantization (order-independent integer sum, negative terms
+    floored identically on both engines).
+
+    Scale: identical shape to the TV audit — one tokenize pass, one
+    (source, token) count, vocab-sized joins with broadcast totals."""
+    tok = load(spark, d, "documents").select(
+        "source", F.explode(_toks()).alias("token")
+    )
+    per_src = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("n"))
+    glob = per_src.groupBy("token").agg(F.sum("c").alias("g"))
+    glob_tot = glob.agg(F.sum("g").alias("ng"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("g").cast("double") / F.col("ng")
+    m = (p + q) / F.lit(2)
+    term = F.lit(0.5) * (p * F.log2(p / m) + q * F.log2(q / m) - q)
+    terms = (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(glob, "token")
+        .crossJoin(F.broadcast(glob_tot))
+        .select(
+            "source",
+            "n",
+            F.floor(term * F.lit(1_000_000.0)).cast("long").alias("t"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.min("n").cast("long").alias("n_tokens"),
+        (F.sum("t") + F.lit(500000)).cast("long").alias("js_micros"),
+        ((F.sum("t") + F.lit(500000)).cast("double") / F.lit(1_000_000.0)).alias(
+            "js_divergence"
+        ),
+    )

@@ -1726,3 +1726,63 @@ def join_spatial_grid(spark: SparkSession, d: str) -> DataFrame:
     return cand.where(d2 <= SPATIAL_R * SPATIAL_R).select(
         "custkey", "suppkey", d2.cast("long").alias("dist2")
     )
+
+
+SPATIAL_KNN_K = 3
+
+
+@register(
+    "join_spatial_knn",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey AS custkey,
+             (c_custkey * 7919) % {SPATIAL_GRID} AS x,
+             (c_custkey * 104729) % {SPATIAL_GRID} AS y
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey AS suppkey,
+             (s_suppkey * 7919) % {SPATIAL_GRID} AS x,
+             (s_suppkey * 104729) % {SPATIAL_GRID} AS y
+      FROM supplier
+    ), cand AS (
+      SELECT c.custkey, s.suppkey,
+             (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+      FROM c JOIN s
+        ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+           <= {SPATIAL_R} * {SPATIAL_R}
+    )
+    SELECT custkey, suppkey, dist2, CAST(rn AS INT) AS knn_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey
+                                   ORDER BY dist2, suppkey) AS rn
+      FROM cand
+    ) WHERE rn <= {SPATIAL_KNN_K}
+    """,
+)
+def join_spatial_knn(spark: SparkSession, d: str) -> DataFrame:
+    """Bounded-radius k-nearest-neighbor spatial join — the K closest
+    suppliers within R of each customer, the geo analogue of
+    ``ann_cosine_topk``'s embedding top-k and the second member of
+    the spatial family next to ``join_spatial_grid``'s radius join.
+    Candidates come from the identical one-cell-plus-8-neighbors grid
+    equi-join (bounded x9 replication of the small side, never an
+    all-pairs theta join); ranking is a per-customer window over the
+    RADIUS-FILTERED candidates only (a handful of rows each), with the
+    all-integer (dist2, suppkey) order making rank — and the K-th-place
+    boundary — deterministic cross-engine. row_number <= K compiles to
+    WindowGroupLimit, so each group prunes to K rows BEFORE the final
+    sort; customers with no supplier within R drop out (the contract:
+    kNN-within-radius, the production shape — unbounded kNN needs ring
+    expansion, which IVF multi-probe demonstrates for embeddings)."""
+    cand = join_spatial_grid(spark, d)
+    w = Window.partitionBy("custkey").orderBy("dist2", "suppkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SPATIAL_KNN_K)
+        .select(
+            "custkey",
+            "suppkey",
+            "dist2",
+            F.col("rn").cast("int").alias("knn_rank"),
+        )
+    )

@@ -707,3 +707,75 @@ def fn_binary_codec(spark: SparkSession, d: str) -> DataFrame:
         ),
         F.octet_length(payload).cast("long").alias("n_bytes"),
     )
+
+
+@register(
+    "fn_ip_parse",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), ip AS (
+      SELECT user_id,
+             CAST((user_id * 131) % 256 AS VARCHAR) || '.' ||
+             CAST((user_id * 137) % 256 AS VARCHAR) || '.' ||
+             CAST((user_id * 139) % 256 AS VARCHAR) || '.' ||
+             CAST((user_id * 149) % 256 AS VARCHAR) AS ip_str
+      FROM u
+    ), parsed AS (
+      SELECT user_id, ip_str,
+             CAST(string_split(ip_str, '.')[1] AS BIGINT) AS o1,
+             CAST(string_split(ip_str, '.')[2] AS BIGINT) AS o2,
+             CAST(string_split(ip_str, '.')[3] AS BIGINT) AS o3,
+             CAST(string_split(ip_str, '.')[4] AS BIGINT) AS o4
+      FROM ip
+    )
+    SELECT user_id, ip_str,
+           o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
+           o1 || '.' || o2 || '.' || o3 || '.0/24' AS subnet24,
+           CASE WHEN o1 = 127 THEN 'loopback'
+                WHEN o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                     OR (o1 = 192 AND o2 = 168) THEN 'private'
+                ELSE 'public' END AS ip_class
+    FROM parsed
+    """,
+)
+def fn_ip_parse(spark: SparkSession, d: str) -> DataFrame:
+    """IPv4 parsing and classification — the log-enrichment scalar
+    family every clickstream ETL runs: split dotted-quad text into
+    octets, pack the 32-bit integer form (range joins against geo/CIDR
+    tables key on it), derive the /24 subnet label, and classify
+    RFC-1918 private / loopback / public ranges. Addresses are
+    synthesized deterministically from user_id (the feed carries no
+    PII by design) and then round-trip through the STRING parse path,
+    so the operator exercises exactly what production does: split,
+    cast, pack, CASE-classify — all narrow codegen expressions, no
+    UDF, no shuffle beyond the distinct."""
+    u = load(spark, d, "events").select("user_id").distinct()
+    octs = [
+        ((F.col("user_id") * m) % 256).cast("long")
+        for m in (131, 137, 139, 149)
+    ]
+    ip = u.select(
+        "user_id",
+        F.concat_ws(".", *[o.cast("string") for o in octs]).alias("ip_str"),
+    )
+    part = F.split(F.col("ip_str"), r"\.")
+    o = [F.element_at(part, i + 1).cast("long") for i in range(4)]
+    return ip.select(
+        "user_id",
+        "ip_str",
+        (o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]).alias("ip_num"),
+        F.concat_ws(
+            ".", o[0].cast("string"), o[1].cast("string"),
+            o[2].cast("string"), F.lit("0/24"),
+        ).alias("subnet24"),
+        F.when(o[0] == 127, "loopback")
+        .when(
+            (o[0] == 10)
+            | ((o[0] == 172) & o[1].between(16, 31))
+            | ((o[0] == 192) & (o[1] == 168)),
+            "private",
+        )
+        .otherwise("public")
+        .alias("ip_class"),
+    )

@@ -943,3 +943,36 @@ def sql_with_ties(spark: SparkSession, d: str) -> DataFrame:
     scan still prunes to the projected three columns."""
     _views(spark, d)
     return spark.sql(SQL_WITH_TIES_SPARK)
+
+
+#: ANSI GROUPING SETS with GROUPING() disambiguation: per-(region,
+#: nation) customer rollup plus region subtotals plus the grand total
+#: in ONE pass, gid = 2·GROUPING(region) + GROUPING(nation) telling a
+#: report's renderer which stratum each row is (the bit NULLs alone
+#: cannot carry once real NULL keys exist). Same text on both engines.
+SQL_GROUPING_SETS = """
+SELECT r_name AS region, n_name AS nation,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+"""
+
+
+@register("sql_grouping_sets", oracle=SQL_GROUPING_SETS)
+def sql_grouping_sets(spark: SparkSession, d: str) -> DataFrame:
+    """ANSI GROUPING SETS + GROUPING() — the explicit-strata
+    generalization of ``agg_rollup`` (which covers the ROLLUP
+    shorthand): three chosen aggregation levels in one grouped pass,
+    with the GROUPING() bits packed into a grouping id so downstream
+    consumers can route detail vs subtotal vs grand-total rows
+    without sniffing NULLs. Spark expands the sets via a single
+    Expand + hash aggregate — one shuffle regardless of how many
+    strata are requested, the whole point of the construct at scale
+    vs UNION ALL of three separate aggregations (three scans, three
+    shuffles). Sums ride DECIMAL for order-independent exactness."""
+    _views(spark, d)
+    return spark.sql(SQL_GROUPING_SETS)

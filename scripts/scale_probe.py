@@ -55,6 +55,13 @@ KEYS = [
     "seq_pack",
     "shuffle_shards",
     "decontaminate_ngrams",
+    # round-7 additions: third iterative graph family (LPA), tokenizer
+    # application (train + replay), info-theoretic drift, and the
+    # grouped-running-sum PPS sampler
+    "graph_label_propagation",
+    "bpe_encode",
+    "corpus_lang_entropy",
+    "sample_weighted_systematic",
 ]
 
 

@@ -682,3 +682,20 @@ def test_lpa_communities_are_node_ids_and_stable_round1(spark):
     for r in lpa:
         if r.doc_id in cc and r.community in cc:
             assert cc[r.doc_id] == cc[r.community], r
+
+
+def test_js_divergence_bounds(spark):
+    """0 <= JS <= 1 bit (quantization slack one micro per observed
+    term), and sources must not all be identical (the synthetic
+    corpus mixes domains, so some drift must register)."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["corpus_js_divergence"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert -0.001 <= r.js_divergence <= 1.001, r
+    # the synthetic sources share one vocabulary, so divergences are
+    # small — but sampling noise must register as strictly positive
+    assert all(r.js_divergence > 0 for r in rows)
