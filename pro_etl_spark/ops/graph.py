@@ -442,3 +442,84 @@ def graph_label_propagation(spark: SparkSession, d: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").cast("long").alias("community")
     )
+
+
+BFS_ROUNDS = 3
+BFS_SEEDS = 5
+
+
+def _bfs_oracle() -> str:
+    """Unroll BFS_ROUNDS frontier relaxations as chained CTEs: each
+    round keeps the per-node MIN of (previous distance, any neighbor's
+    distance + 1) — pure integer math, deterministic seeds (the
+    BFS_SEEDS smallest node ids)."""
+    sql = _LSH_PAIRS_CTE + f"""
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), d0 AS (
+      SELECT node, 0 AS dist FROM (
+        SELECT DISTINCT src AS node FROM edges ORDER BY node
+        LIMIT {BFS_SEEDS}
+      )
+    )"""
+    for i in range(1, BFS_ROUNDS + 1):
+        sql += f""", d{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.dist + 1 AS dist
+        FROM edges e JOIN d{i - 1} p ON p.node = e.src
+      ) GROUP BY node
+    )"""
+    return sql + f"""
+    SELECT node AS doc_id, CAST(dist AS INT) AS hops
+    FROM d{BFS_ROUNDS}
+    """
+
+
+@register("graph_bfs_distances", oracle=_bfs_oracle())
+def graph_bfs_distances(spark: SparkSession, d: str) -> DataFrame:
+    """Multi-source BFS hop distances over the near-dup graph — the
+    Pregel primitive under "how far is every doc from a seed set"
+    questions (contamination blast radius from known-bad documents,
+    influence frontiers from canonical sources). Seeds are the
+    BFS_SEEDS smallest node ids (deterministic); each round relaxes
+    the frontier one hop: dist(node) = min(own dist, neighbor dist +
+    1), all-integer so rounds are bit-exact cross-engine; nodes
+    unreached within BFS_ROUNDS hops are absent (frontier semantics,
+    not NULL padding).
+
+    Scale: per round one keyed shuffle (frontier ⋈ edges + per-node
+    MIN) exactly like ``graph_pagerank``'s update; the frontier table
+    only ever holds reached nodes. Lineage truncated per round."""
+    pairs = dedup_minhash_lsh(spark, d)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(BFS_SEEDS)
+        .select("node", F.lit(0).alias("dist"))
+    )
+    for _ in range(BFS_ROUNDS):
+        relaxed = edges.join(
+            dist, edges["src"] == dist["node"], "inner"
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(
+        F.col("node").alias("doc_id"), F.col("dist").cast("int").alias("hops")
+    )

@@ -1786,3 +1786,36 @@ def join_spatial_knn(spark: SparkSession, d: str) -> DataFrame:
             F.col("rn").cast("int").alias("knn_rank"),
         )
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT r_name AS region,
+           COUNT(*) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_listagg(spark: SparkSession, d: str) -> DataFrame:
+    """Ordered string aggregation — ANSI LISTAGG ... WITHIN GROUP
+    (Spark 4's new ``listagg``; DuckDB's ``string_agg ... ORDER BY``):
+    the report-friendly sibling of ``agg_collect_set_sorted``'s array
+    form, and deterministic ONLY because the order clause is explicit
+    (an unordered listagg hashes differently run to run — the trap
+    this operator's test posture forbids). Per-group sort of a
+    dim-sized member list; at scale the same statement over a
+    high-cardinality key sorts within each hash partition only."""
+    n = load(spark, d, "nation")
+    r = load(spark, d, "region")
+    return (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").cast("long").alias("n_nations"),
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations_csv"),
+        )
+    )

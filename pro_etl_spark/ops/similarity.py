@@ -1941,3 +1941,83 @@ def dedup_semantic_keep(spark: SparkSession, d: str) -> DataFrame:
     return _cc_min_label(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "is_survivor"
     )
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    raw AS (
+      SELECT vec_id, label, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    ), j AS (
+      SELECT r.vec_id, r.label, r.embedding, r.nrm, a.cell
+      FROM raw r JOIN acell a USING (vec_id)
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             {DUCK_DOT.format(a="q.embedding", b="c.embedding")}
+               / (q.nrm * c.nrm) AS cos
+      FROM j q JOIN j c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+                        AND q.cell = c.cell AND c.label = q.label
+    )
+    SELECT query_id, neighbor_id, CAST(label AS INT) AS label,
+           ROUND(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, d: str) -> DataFrame:
+    """FILTERED vector search — top-k cosine among candidates that
+    also satisfy a metadata predicate (here: share the query's label),
+    the constrained-retrieval shape every production vector store has
+    to solve ("nearest products IN THIS CATEGORY"). This is the
+    PRE-filter strategy: the predicate rides INTO the IVF cell scan as
+    one more pushable conjunct, so top-k is taken over the filtered
+    set and always returns k true matches when they exist — vs
+    post-filtering a plain ANN result, which silently under-returns
+    when the predicate is selective (the classic filtered-ANN
+    recall trap). At 100 TB the corpus is laid out by (cell, label)
+    and the filter becomes partition pruning on top of cell probing;
+    the query set stays a broadcast."""
+    cells = _kmeans_assignment(spark, d).select("vec_id", "cell")
+    # corpus_table already carries label (the metadata column)
+    e = corpus_table(spark, d).join(cells, "vec_id")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cell").alias("q_cell"),
+        F.col("label").alias("q_label"),
+    )
+    scored = e.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("vec_id"))
+        & (F.col("q_cell") == F.col("cell"))
+        & (F.col("label") == F.col("q_label")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        (
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("label").cast("int").alias("label"),
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

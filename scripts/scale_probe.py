@@ -11,8 +11,11 @@ amplification makes every cell 10× denser (100× candidates), the
 documented IVF trade whose production mitigation is growing the cell
 count with the corpus (nlist ≈ √N).
 
-Usage: python scripts/scale_probe.py [SF_DIR] [OUT_JSON]
-Defaults: /tmp/testdata_sf1, SCALEPROBE.json (repo root)
+Usage: python scripts/scale_probe.py [SF_DIR] [OUT_JSON] [KEY ...]
+Defaults: /tmp/testdata_sf1, SCALEPROBE.json (repo root); with KEY
+args only those keys run and the OUT_JSON is MERGED (existing
+timings for other keys are kept) — lets a long probe resume past the
+~200 s dedup_embedding_kmeans stress case without rerunning it.
 """
 
 import json
@@ -68,14 +71,18 @@ KEYS = [
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALEPROBE.json"
+    only = [k for k in sys.argv[3:]]
     import pro_etl_spark
     from pro_etl_spark.session import get_spark
 
     spark = get_spark("scale-probe")
     qs = pro_etl_spark.get_queries()
     out = {}
+    if only and os.path.exists(out_path):
+        prior = json.load(open(out_path))
+        out.update(prior.get("queries", {}))
     t_all = time.perf_counter()
-    for name in KEYS:
+    for name in only or KEYS:
         t0 = time.perf_counter()
         try:
             qs[name](spark, sf).write.format("noop").mode("overwrite").save()

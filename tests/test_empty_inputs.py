@@ -133,6 +133,23 @@ REPRESENTATIVES = [
     "agg_histogram_equidepth",
     "scan_binary_files",
     "events_mannwhitney",
+    # round-7 batch 2+: tokenizer apply, LPA, PPS sampler, imputation,
+    # info-theoretic drift, spatial kNN, islands, Bollinger, grouping
+    "bpe_encode",
+    "graph_label_propagation",
+    "sample_weighted_systematic",
+    "impute_group_median",
+    "corpus_lang_entropy",
+    "corpus_js_divergence",
+    "join_spatial_knn",
+    "fn_ip_parse",
+    "interval_merge",
+    "window_bollinger",
+    "events_seasonal_dow",
+    "sql_grouping_sets",
+    "graph_bfs_distances",
+    "agg_listagg",
+    "ann_filtered_topk",
 ]
 
 

@@ -699,3 +699,86 @@ def test_js_divergence_bounds(spark):
     # the synthetic sources share one vocabulary, so divergences are
     # small — but sampling noise must register as strictly positive
     assert all(r.js_divergence > 0 for r in rows)
+
+
+def test_bfs_distances_seed_and_bound_invariants(spark):
+    """Seeds (the BFS_SEEDS smallest node ids) must carry hops=0,
+    every hop value must lie in [0, BFS_ROUNDS], and every reached
+    node at hops=h>0 must have at least one LSH-pair neighbor at
+    h-1 (frontier relaxation can only grow one hop at a time)."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.graph import BFS_ROUNDS, BFS_SEEDS
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["graph_bfs_distances"](spark, SF_ORACLE).collect()
+    assert rows
+    hops = {r.doc_id: r.hops for r in rows}
+    assert all(0 <= h <= BFS_ROUNDS for h in hops.values())
+    pairs = qs["dedup_minhash_lsh"](spark, SF_ORACLE).collect()
+    nodes = sorted({r.doc_a for r in pairs} | {r.doc_b for r in pairs})
+    seeds = set(nodes[:BFS_SEEDS])
+    assert {n for n, h in hops.items() if h == 0} == seeds
+    nbrs = {}
+    for r in pairs:
+        nbrs.setdefault(r.doc_a, set()).add(r.doc_b)
+        nbrs.setdefault(r.doc_b, set()).add(r.doc_a)
+    for n, h in hops.items():
+        if h > 0:
+            assert any(hops.get(m) == h - 1 for m in nbrs[n]), (n, h)
+
+
+def test_listagg_ordered_and_consistent(spark):
+    """nations_csv must be ascending-sorted, its element count must
+    equal n_nations, and the 5-region/25-nation TPC-H shape holds."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["agg_listagg"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    assert sum(r.n_nations for r in rows) == 25
+    for r in rows:
+        parts = r.nations_csv.split(",")
+        assert len(parts) == r.n_nations
+        assert parts == sorted(parts), r
+
+
+def test_filtered_topk_prefilter_semantics(spark):
+    """Every returned neighbor must share the query's label (the
+    predicate held INSIDE the ranking), ranks are dense from 1 with
+    descending cosine, and — the pre-filter guarantee — each query
+    returns min(TOP_K, #same-label-same-cell candidates) rows, never
+    fewer (post-filtering a plain ANN result would under-return)."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.similarity import TOP_K
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["ann_filtered_topk"](spark, SF_ORACLE).collect()
+    assert rows
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    label_of = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    cells = {
+        r.vec_id: r.cell
+        for r in qs["ivf_kmeans_assign"](spark, SF_ORACLE)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert r.label == label_of[r.query_id], r
+        assert label_of[r.neighbor_id] == label_of[r.query_id], r
+        assert -1.000001 <= r.cosine <= 1.000001
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        coss = [r.cosine for r in rs]
+        assert coss == sorted(coss, reverse=True)
+        n_cand = sum(
+            1
+            for v, lb in label_of.items()
+            if v != q and lb == label_of[q] and cells.get(v) == cells.get(q)
+        )
+        assert len(rs) == min(TOP_K, n_cand), (q, len(rs), n_cand)
