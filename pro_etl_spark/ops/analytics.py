@@ -2848,3 +2848,271 @@ def window_bollinger(spark: SparkSession, d: str) -> DataFrame:
             | (F.col("value") < mean - 2 * std),
         ).alias("breakout"),
     )
+
+
+CORR_WIN = 7  # trailing days in the rolling-correlation frame
+
+
+@register(
+    "window_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 3)
+                  AS DECIMAL(15,3)) AS x,
+             CAST(COUNT(*) AS DECIMAL(15,3)) AS y
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, d, x, y,
+             COUNT(*) OVER f AS n,
+             SUM(x) OVER f AS sx, SUM(y) OVER f AS sy,
+             SUM(x * x) OVER f AS sxx, SUM(y * y) OVER f AS syy,
+             SUM(x * y) OVER f AS sxy
+      FROM daily
+      WINDOW f AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN {CORR_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d AS day,
+           CAST(x AS DOUBLE) AS day_value,
+           CAST(y AS BIGINT) AS day_events,
+           CAST(n AS BIGINT) AS n_win,
+           CASE WHEN n >= {CORR_WIN}
+                 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+           THEN ROUND(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           END AS corr_w
+    FROM w
+    """,
+)
+def window_rolling_corr(spark: SparkSession, d: str) -> DataFrame:
+    """Rolling Pearson correlation between two per-day series (daily
+    value total vs daily event count, per event type) over a trailing
+    CORR_WIN-day row frame — the moving co-movement diagnostic behind
+    "did volume decouple from value this week" monitoring, completing
+    the rolling family next to ``window_bollinger`` (one-series bands)
+    and the global ``agg_corr``. The daily x totals are ROUNDED ONCE
+    to DECIMAL(15,3) at the grain change (narrow enough that the
+    cross-moment products stay inside 128-bit decimals in BOTH
+    engines), then every windowed moment
+    (Σx, Σy, Σx², Σy², Σxy) accumulates in DECIMAL — order-independent
+    and bit-identical cross-engine — becoming doubles only inside the
+    final r formula; warm-up rows (< CORR_WIN days) and zero-variance
+    windows emit NULL rather than unstable estimates.
+
+    Scale: one grouped pass collapses events to |types|×|days| cells,
+    then one window pass partitioned by event_type over the tiny daily
+    table — the corpus is touched once."""
+    daily = (
+        load(spark, d, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.round(F.sum(F.col("value").cast(DECV)), 3)
+            .cast("decimal(15,3)")
+            .alias("x"),
+            F.count("*").cast("decimal(15,3)").alias("y"),
+        )
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(CORR_WIN - 1), 0)
+    )
+    w = daily.select(
+        "event_type",
+        "d",
+        "x",
+        "y",
+        F.count("*").over(f).alias("n"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(f).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    return w.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("x").cast("double").alias("day_value"),
+        F.col("y").cast("long").alias("day_events"),
+        F.col("n").cast("long").alias("n_win"),
+        F.when(
+            (F.col("n") >= CORR_WIN) & (vx > 0) & (vy > 0),
+            F.round((nd * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+        ).alias("corr_w"),
+    )
+
+
+IQR_K = 1.5  # Tukey fence multiplier
+
+
+@register(
+    "anomaly_iqr",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), q AS (
+      SELECT event_type, n,
+             MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                      THEN value END) AS q1,
+             MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                      THEN value END) AS q3
+      FROM ranked GROUP BY event_type, n
+    )
+    SELECT e.event_type,
+           CAST(q.n AS BIGINT) AS n,
+           q.q1 AS q1, q.q3 AS q3,
+           ROUND(q.q3 - q.q1, 6) AS iqr,
+           ROUND(q.q1 - {IQR_K} * (q.q3 - q.q1), 6) AS fence_lo,
+           ROUND(q.q3 + {IQR_K} * (q.q3 - q.q1), 6) AS fence_hi,
+           CAST(SUM(CASE WHEN e.value < q.q1 - {IQR_K} * (q.q3 - q.q1)
+                           OR e.value > q.q3 + {IQR_K} * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type, q.n, q.q1, q.q3
+    """,
+)
+def anomaly_iqr(spark: SparkSession, d: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier gate per event type — the
+    boxplot-rule member of the robust-anomaly family (``anomaly_mad``
+    = median/MAD, ``agg_zscore_outliers`` = moment-based,
+    ``window_hampel`` = rolling): quartiles as DISCRETE order
+    statistics (rn = ceil(q·n) under an explicit (value, event_id)
+    tiebreak — actual observed values, no interpolation ambiguity
+    cross-engine), fences at q ± IQR_K·IQR, and the per-type census of
+    rows outside them. Everything is picked or counted, never
+    float-summed, so both engines agree bit-for-bit before the final
+    display rounds.
+
+    Scale: one window pass keyed by event_type ranks each group, the
+    quartile table collapses to |types| rows and broadcasts back over
+    the second scan for the outlier count — no all-row sort, no
+    single-partition stage."""
+    e = load(spark, d, "events")
+    rw = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(rw).alias("rn"),
+        F.count("*").over(cw).alias("n"),
+    )
+    q = ranked.groupBy("event_type", "n").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - IQR_K * iqr
+    hi = F.col("q3") + IQR_K * iqr
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when((F.col("value") < lo) | (F.col("value") > hi), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "q1",
+            "q3",
+            F.round(iqr, 6).alias("iqr"),
+            F.round(lo, 6).alias("fence_lo"),
+            F.round(hi, 6).alias("fence_hi"),
+            "n_outliers",
+        )
+    )
+
+
+@register(
+    "events_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 3)
+                  AS DECIMAL(15,3)) AS x
+      FROM events GROUP BY 1, 2
+    ), f AS (
+      SELECT event_type, d, x,
+             lag(x) OVER (PARTITION BY event_type ORDER BY d) AS fc
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(fc) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(abs(x - fc)) AS DOUBLE) / COUNT(fc), 6) AS mae,
+           ROUND(CAST(SUM(abs(x - fc)) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN fc IS NOT NULL THEN abs(x) END)
+                        AS DOUBLE), 6) AS wape
+    FROM f GROUP BY event_type
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, d: str) -> DataFrame:
+    """Naive-forecast backtest (MAE + WAPE per event type): score the
+    persistence forecast "tomorrow = today" over the daily series —
+    the floor every real forecasting model must beat, and the shape of
+    ANY backtest join (forecast column lagged alongside actuals,
+    scored only where a forecast exists). Daily totals are rounded
+    ONCE to DECIMAL(15,3) at the grain change; absolute errors then
+    accumulate in DECIMAL (order-independent) and turn into doubles
+    only at the two final divisions. WAPE (Σ|err|/Σ|actual|) rather
+    than MAPE — no per-day division, so zero-valued days cannot blow
+    up the metric.
+
+    Scale: one grouped pass to the daily grain, one lag window per
+    type over the tiny daily table, one |types|-row aggregate."""
+    daily = (
+        load(spark, d, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.round(F.sum(F.col("value").cast(DECV)), 3)
+            .cast("decimal(15,3)")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    f = daily.withColumn("fc", F.lag("x").over(w))
+    err = F.abs(F.col("x") - F.col("fc"))
+    return f.groupBy("event_type").agg(
+        F.count("fc").cast("long").alias("n_days"),
+        F.round(
+            F.sum(err).cast("double") / F.count("fc"), 6
+        ).alias("mae"),
+        F.round(
+            F.sum(err).cast("double")
+            / F.sum(
+                F.when(F.col("fc").isNotNull(), F.abs(F.col("x")))
+            ).cast("double"),
+            6,
+        ).alias("wape"),
+    )

@@ -523,3 +523,42 @@ def graph_bfs_distances(spark: SparkSession, d: str) -> DataFrame:
     return dist.select(
         F.col("node").alias("doc_id"), F.col("dist").cast("int").alias("hops")
     )
+
+
+def _degree_oracle() -> str:
+    sql = _LSH_PAIRS_CTE + """
+    , deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT doc_a AS node, doc_b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+      ) GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """
+    return sql
+
+
+@register("graph_degree_distribution", oracle=_degree_oracle())
+def graph_degree_distribution(spark: SparkSession, d: str) -> DataFrame:
+    """Degree histogram of the near-dup graph — the first health check
+    on any similarity graph before running clustering on it (a fat
+    tail here predicts LSH bucket skew, a spike at high degree exposes
+    boilerplate/template families that should be df-capped upstream).
+    Each undirected LSH pair contributes one degree to both endpoints;
+    two keyed aggregations collapse edges → per-node degree →
+    |distinct degrees| histogram rows.
+
+    Scale: edge table shuffles once on node, the histogram aggregate
+    is map-side combinable on a tiny key space; no joins, no windows."""
+    pairs = dedup_minhash_lsh(spark, d)
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )

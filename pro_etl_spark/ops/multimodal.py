@@ -443,3 +443,74 @@ def mm_scene_cuts(spark: SparkSession, d: str) -> DataFrame:
             F.lit(False),
         ).alias("is_cut"),
     )
+
+
+TILE_PX = 128  # tile edge for the vision-preprocessing crop grid
+
+
+@register(
+    "mm_image_tiles",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             320 + octet_length(encode(text)) % 320 AS w,
+             240 + octet_length(encode(text)) % 240 AS h
+      FROM documents
+    ), g AS (
+      SELECT doc_id, w, h,
+             CAST(ceil(w / {TILE_PX}.0) AS BIGINT) AS nx,
+             CAST(ceil(h / {TILE_PX}.0) AS BIGINT) AS ny
+      FROM dims
+    ), t AS (
+      SELECT doc_id, w, h, nx,
+             unnest(range(0, nx * ny)) AS i
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(i % nx AS BIGINT) AS tile_x,
+           CAST(i // nx AS BIGINT) AS tile_y,
+           CAST((i % nx) * {TILE_PX} AS BIGINT) AS x0,
+           CAST((i // nx) * {TILE_PX} AS BIGINT) AS y0,
+           CAST(LEAST((i % nx) * {TILE_PX} + {TILE_PX}, w) AS BIGINT) AS x1,
+           CAST(LEAST((i // nx) * {TILE_PX} + {TILE_PX}, h) AS BIGINT) AS y1
+    FROM t
+    """,
+)
+def mm_image_tiles(spark: SparkSession, d: str) -> DataFrame:
+    """Vision-preprocessing tile manifest: one row per TILE_PX-square
+    crop of each image's (width, height) grid, edge tiles clamped —
+    the fan-out a ViT-style pipeline runs before patch extraction, as
+    pure engine plumbing (the decode itself stays in
+    ``mm_decode_features``; dims reuse its documented deterministic
+    fallback so the oracle recomputes them from payload length). One
+    ``sequence``+``explode`` per row generates the whole grid —
+    tx = i mod nx, ty = i div nx — all-integer, no UDF.
+
+    Scale: narrow explode (≤20 rows/image at these dims), no shuffle;
+    at 100 TB the tile manifest partitions by the same content bucket
+    as the payload column so crop workers read locally."""
+    m = binary_manifest(load(spark, d, "documents"))
+    w = 320 + F.col("n_bytes") % 320
+    h = 240 + F.col("n_bytes") % 240
+    nx = F.ceil(w / float(TILE_PX)).cast("long")
+    ny = F.ceil(h / float(TILE_PX)).cast("long")
+    g = m.select(
+        "doc_id",
+        w.alias("w"),
+        h.alias("h"),
+        nx.alias("nx"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), nx * ny - 1)
+        ).alias("i"),
+    )
+    tx = F.col("i") % F.col("nx")
+    ty = (F.col("i") / F.col("nx")).cast("long")
+    return g.select(
+        "doc_id",
+        tx.cast("long").alias("tile_x"),
+        ty.alias("tile_y"),
+        (tx * TILE_PX).cast("long").alias("x0"),
+        (ty * TILE_PX).cast("long").alias("y0"),
+        F.least(tx * TILE_PX + TILE_PX, F.col("w")).cast("long").alias("x1"),
+        F.least(ty * TILE_PX + TILE_PX, F.col("h")).cast("long").alias("y1"),
+    )

@@ -414,3 +414,58 @@ def subtree_rewrite(spark: SparkSession, d: str) -> DataFrame:
             F.col("u.default_customer").alias("default_customer"),
         )
     )
+
+
+@register(
+    "fn_xpath",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           o_orderstatus AS status,
+           o_totalprice AS total,
+           CAST(o_orderpriority LIKE '1-%' AS BOOLEAN) AS is_urgent
+    FROM orders
+    """,
+)
+def fn_xpath(spark: SparkSession, d: str) -> DataFrame:
+    """XPath extraction scalars (Spark's ``xpath_long`` /
+    ``xpath_string`` / ``xpath_double`` / ``xpath_boolean``) — the
+    query-side complement of the reference's XPath-driven document
+    surgery (migrate.py:116ff navigates customers with lxml XPath):
+    each order is rendered as an XML fragment, then every field is
+    recovered through a real XPath evaluation (attribute axis, child
+    text(), numeric cast, boolean existence test). The oracle states
+    the round-trip contract — extract(render(row)) == row — so any
+    serialization or parsing drift hash-fails. Spark's double→string
+    cast is shortest-roundtrip, so ``xpath_double`` recovers
+    o_totalprice bit-exactly.
+
+    Scale: narrow per-row expressions (render + 4 XPath evals), no
+    shuffle, no UDF — whole-stage-codegen'd JVM XPath; at 100 TB this
+    is a pure map over the scan."""
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"><status>'),
+        F.col("o_orderstatus"),
+        F.lit("</status><total>"),
+        F.col("o_totalprice").cast("string"),
+        F.lit('</total><priority level="'),
+        F.col("o_orderpriority"),
+        F.lit('"/></order>'),
+    )
+    return (
+        load(spark, d, "orders")
+        .select(xml.alias("xml"))
+        .select(
+            F.expr("xpath_long(xml, '/order/@id')").alias("order_id"),
+            F.expr("xpath_string(xml, '/order/status/text()')").alias(
+                "status"
+            ),
+            F.expr("xpath_double(xml, '/order/total/text()')").alias(
+                "total"
+            ),
+            F.expr(
+                'xpath_boolean(xml, \'/order/priority[starts-with(@level, "1-")]\')'
+            ).alias("is_urgent"),
+        )
+    )

@@ -1819,3 +1819,59 @@ def agg_listagg(spark: SparkSession, d: str) -> DataFrame:
             ).alias("nations_csv"),
         )
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS wt,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+    )
+    SELECT l_returnflag AS grp,
+           CAST(MAX(totw) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN 2 * cumw >= totw THEN v END) AS weighted_median
+    FROM w GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, d: str) -> DataFrame:
+    """Exact weighted median per group — the robust middle of a
+    quantity-weighted price distribution (each row counts for its
+    integer weight, the definition inventory/price analytics use when
+    a 1000-unit line must outweigh a 1-unit line): the smallest value
+    whose running weight reaches half the group total (lower weighted
+    median, a DISCRETE observed value — no interpolation, so both
+    engines agree bit-for-bit). Weights accumulate as BIGINTs under an
+    explicit (value, key) tiebreak; equal-value runs cannot change the
+    selected value, only which physical row crosses the threshold.
+
+    Scale: one window pass keyed by the group column (running weight +
+    group total share the partitioning), then a group-sized aggregate —
+    the fact table shuffles once, same posture as ``window_rolling_24h``."""
+    li = load(spark, d, "lineitem")
+    wt = F.col("l_quantity").cast("long")
+    cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum(wt).over(cum).alias("cumw"),
+        F.sum(wt).over(tot).alias("totw"),
+    )
+    return w.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.max("totw").cast("long").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cumw") >= F.col("totw"), F.col("v"))
+        ).alias("weighted_median"),
+    )

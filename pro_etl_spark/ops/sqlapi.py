@@ -976,3 +976,58 @@ def sql_grouping_sets(spark: SparkSession, d: str) -> DataFrame:
     shuffles). Sums ride DECIMAL for order-independent exactness."""
     _views(spark, d)
     return spark.sql(SQL_GROUPING_SETS)
+
+
+#: TPC-H Q8 proper (national market share): the nation dim joined
+#: TWICE under different roles (supplier's nation n1 for the share
+#: split, customer's nation n2 → region for the market filter) — the
+#: same-dim-two-roles pattern sql_market_share's single-role rollup
+#: doesn't exercise. Share = conditional revenue / total revenue per
+#: order year; both sums DECIMAL-routed so the division sees identical
+#: values in both engines.
+SQL_NATIONAL_MARKET_SHARE = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_2'
+                     THEN volume ELSE CAST(0 AS DECIMAL(27,6)) END)
+            AS DOUBLE) AS nation_volume,
+       CAST(SUM(volume) AS DOUBLE) AS total_volume,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_2'
+                           THEN volume ELSE CAST(0 AS DECIMAL(27,6)) END)
+                  AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)) AS volume,
+         n1.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("sql_national_market_share", oracle=SQL_NATIONAL_MARKET_SHARE)
+def sql_national_market_share(spark: SparkSession, d: str) -> DataFrame:
+    """TPC-H Q8 proper (national market share): what fraction of
+    ASIA's STANDARD-part order volume was supplied from NATION_2,
+    per order year. The distinctive surface is the nation dimension
+    participating TWICE in one query under different join roles
+    (supplier nationality vs customer market) — Catalyst aliases the
+    scan, broadcasts both roles plus part/supplier/customer/region,
+    and the fact table is scanned and shuffled once for the grouped
+    aggregate. The share is a conditional-sum / sum division, both
+    DECIMAL until the final cast (reference surface: the reconciliation
+    ratio of /root/reference/migrate.py:298-306 generalized to a
+    market-share report)."""
+    _views(spark, d)
+    return spark.sql(SQL_NATIONAL_MARKET_SHARE)

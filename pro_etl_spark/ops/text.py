@@ -2110,3 +2110,129 @@ def sample_weighted_systematic(spark: SparkSession, d: str) -> DataFrame:
             F.col("_n_picks").cast("long").alias("n_picks"),
         )
     )
+
+
+OOV_TOPK = 12  # closed-vocab size; ~10^5 in production — sized to the
+# synthetic corpus (31 distinct words) so coverage actually splits
+
+
+@register(
+    "corpus_oov_rate",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY 1
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY c DESC, token) AS rn
+        FROM cnt
+      ) WHERE rn <= {OOV_TOPK}
+    )
+    SELECT t.source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.source
+    """,
+)
+def corpus_oov_rate(spark: SparkSession, d: str) -> DataFrame:
+    """Tokenizer-coverage audit: the fraction of each source's token
+    OCCURRENCES not covered by the top-OOV_TOPK closed vocabulary
+    (frequency-ranked, (count desc, token) deterministic tiebreak) —
+    the go/no-go number before freezing a vocab: a source whose OOV
+    rate spikes will shatter into <unk>/byte-fallback at training
+    time. Occurrence-weighted (not type-weighted) because the loss
+    sees occurrences; complements ``corpus_vocab`` (df-thresholded
+    construction) and ``text_tokens``.
+
+    Scale: one corpus-wide token census (map-side combined), a
+    vocab-sized top-K sort (legitimately single-partition — the vocab
+    table is ~10⁵ rows no matter the corpus, same posture as
+    ``corpus_vocab``), then the vocab BROADCASTS back over the token
+    stream for the left-anti coverage count — the corpus shuffles once
+    on token for the census and never again."""
+    tok = load(spark, d, "documents").select(
+        "source", F.explode(TOKENS()).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), "token")
+    vocab = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= OOV_TOPK)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "sample_balanced",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {DUCK_HASH60.format(x="doc_id::VARCHAR || ':bal'")},
+                        doc_id) AS rn
+      FROM documents
+    ), m AS (
+      SELECT MIN(cnt) AS m FROM (
+        SELECT COUNT(*) AS cnt FROM documents GROUP BY lang
+      )
+    )
+    SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS class_rank
+    FROM ranked, m WHERE rn <= m.m
+    """,
+)
+def sample_balanced(spark: SparkSession, d: str) -> DataFrame:
+    """Class-balanced downsampling to the minority class — every lang
+    keeps exactly min-class-count documents, the rebalancing step
+    before training a classifier on skewed labels (complement of
+    ``sample_stratified``'s fixed per-class rates: here the rate is
+    DERIVED from the data so classes come out exactly equal). Which
+    rows survive is decided by a salted-hash ranking (never rand()):
+    the same document wins or loses its slot on every engine, rerun,
+    and partitioning, and the kept set is a uniform draw because the
+    hash order is independent of any data column.
+
+    Scale: one window pass keyed by the class column ranks each class;
+    the minority count is an O(|classes|) aggregate broadcast into the
+    filter. Skewed class sizes are exactly what the operator exists
+    for; a single giant class is one window partition — salt the rank
+    by hash-prefix buckets and take per-bucket quotas if a class
+    outgrows an executor (documented trade, same family as
+    agg_salted_twophase)."""
+    docs = load(spark, d, "documents")
+    h = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":bal")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "doc_id", "lang", "source", F.row_number().over(w).alias("rn")
+    )
+    m = docs.groupBy("lang").count().agg(F.min("count").alias("m"))
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .where(F.col("rn") <= F.col("m"))
+        .select(
+            "doc_id", "lang", "source", F.col("rn").cast("long").alias("class_rank")
+        )
+    )

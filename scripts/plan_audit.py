@@ -56,6 +56,10 @@ ALLOWED = {
         "SinglePartition": "token-id window over the SURVIVING vocab "
         "only (~1e5-1e6 rows at any corpus size — see docstring)",
     },
+    "corpus_oov_rate": {
+        "SinglePartition": "top-K window over the distinct-token "
+        "census only (vocab-sized, same posture as corpus_vocab)",
+    },
     "events_ks_test": {
         "SinglePartition": "global MAX / total aggregates finishing to "
         "one row (the CDF pass itself is range-distributed)",

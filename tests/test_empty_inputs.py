@@ -150,6 +150,16 @@ REPRESENTATIVES = [
     "graph_bfs_distances",
     "agg_listagg",
     "ann_filtered_topk",
+    "sql_national_market_share",
+    "window_rolling_corr",
+    "anomaly_iqr",
+    "corpus_oov_rate",
+    "fn_xpath",
+    "agg_weighted_median",
+    "sample_balanced",
+    "events_forecast_backtest",
+    "graph_degree_distribution",
+    "mm_image_tiles",
 ]
 
 

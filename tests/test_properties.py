@@ -782,3 +782,194 @@ def test_filtered_topk_prefilter_semantics(spark):
             if v != q and lb == label_of[q] and cells.get(v) == cells.get(q)
         )
         assert len(rs) == min(TOP_K, n_cand), (q, len(rs), n_cand)
+
+
+def test_rolling_corr_bounds_and_warmup(spark):
+    """corr_w must be NULL for warm-up rows (n_win < CORR_WIN) and in
+    [-1, 1] (+rounding slack) otherwise; n_win never exceeds the
+    frame size."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.analytics import CORR_WIN
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["window_rolling_corr"](spark, SF_ORACLE).collect()
+    assert rows
+    saw_full = False
+    for r in rows:
+        assert 1 <= r.n_win <= CORR_WIN
+        if r.n_win < CORR_WIN:
+            assert r.corr_w is None, r
+        elif r.corr_w is not None:
+            saw_full = True
+            assert -1.000001 <= r.corr_w <= 1.000001, r
+    assert saw_full
+
+
+def test_iqr_fences_consistent(spark):
+    """q1 <= q3, fences bracket the quartiles symmetrically by
+    IQR_K*IQR, quartiles are actual observed values, and the outlier
+    census matches a direct recount."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.analytics import IQR_K
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["anomaly_iqr"](spark, SF_ORACLE).collect()
+    assert rows
+    ev = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e.value)
+    for r in rows:
+        vals = by_type[r.event_type]
+        assert r.n == len(vals)
+        assert r.q1 <= r.q3 and r.q1 in vals and r.q3 in vals
+        assert abs(r.fence_lo - (r.q1 - IQR_K * (r.q3 - r.q1))) < 1e-6
+        assert abs(r.fence_hi - (r.q3 + IQR_K * (r.q3 - r.q1))) < 1e-6
+        n_out = sum(1 for v in vals if v < r.fence_lo - 1e-9 or v > r.fence_hi + 1e-9)
+        assert abs(n_out - r.n_outliers) <= 2, r  # fence-rounding edge slack
+
+
+def test_oov_rate_sums_and_bounds(spark):
+    """Per-source token totals must equal the corpus token census and
+    every OOV rate sits in [0, 1]; a top-500 vocab on a Zipfy corpus
+    must cover SOME but not ALL occurrences (0 < overall rate < 1)."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["corpus_oov_rate"](spark, SF_ORACLE).collect()
+    assert rows
+    tot = sum(r.n_tokens for r in rows)
+    oov = sum(r.n_oov for r in rows)
+    assert 0 < oov < tot
+    for r in rows:
+        assert 0.0 <= r.oov_rate <= 1.0
+        assert abs(r.oov_rate - r.n_oov / r.n_tokens) < 1e-6
+
+
+def test_weighted_median_is_observed_and_balanced(spark):
+    """The weighted median must be an actual observed value in its
+    group, with at least half the total weight on each side (the
+    defining property: W(v<=m) >= W/2 and W(v>=m) >= W/2)."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["agg_weighted_median"](spark, SF_ORACLE).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    by_g = {}
+    for r in li:
+        by_g.setdefault(r.l_returnflag, []).append(
+            (r.l_extendedprice, int(r.l_quantity))
+        )
+    for r in rows:
+        vals = by_g[r.grp]
+        tot = sum(w for _, w in vals)
+        assert r.total_weight == tot
+        assert any(v == r.weighted_median for v, _ in vals)
+        below = sum(w for v, w in vals if v <= r.weighted_median)
+        above = sum(w for v, w in vals if v >= r.weighted_median)
+        assert 2 * below >= tot and 2 * above >= tot, r
+
+
+def test_balanced_sample_exact_class_sizes(spark):
+    """Every language must keep exactly min-class-count documents,
+    each kept doc belongs to its claimed class, and class_rank is a
+    dense 1..m sequence per class."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["sample_balanced"](spark, SF_ORACLE).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    counts = {
+        r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()
+    }
+    m = min(counts.values())
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.class_rank)
+    assert set(by_lang) == set(counts)
+    for lang, ranks in by_lang.items():
+        assert sorted(ranks) == list(range(1, m + 1)), lang
+
+
+def test_forecast_backtest_metric_sanity(spark):
+    """n_days = days - 1 per type (no forecast for the first day),
+    MAE and WAPE are non-negative, and WAPE ~= MAE * n / sum|actual|."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["events_forecast_backtest"](spark, SF_ORACLE).collect()
+    assert rows
+    import pyspark.sql.functions as F
+
+    daily = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .count()
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    n_days = {r["event_type"]: r["count"] for r in daily}
+    for r in rows:
+        assert r.n_days == n_days[r.event_type] - 1
+        assert r.mae >= 0 and r.wape >= 0
+
+
+def test_degree_distribution_totals(spark):
+    """Histogram must account for every node of the pair graph and
+    sum(degree * n_nodes) must equal 2x the edge count."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    hist = qs["graph_degree_distribution"](spark, SF_ORACLE).collect()
+    pairs = qs["dedup_minhash_lsh"](spark, SF_ORACLE).collect()
+    nodes = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert sum(h.n_nodes for h in hist) == len(nodes)
+    assert sum(h.degree * h.n_nodes for h in hist) == 2 * len(pairs)
+
+
+def test_image_tiles_cover_exactly(spark):
+    """Per image: tiles exactly cover [0,w)x[0,h) — tile count equals
+    ceil(w/T)*ceil(h/T), areas sum to w*h, no box exceeds the image
+    or the tile size."""
+    import math
+
+    import pro_etl_spark
+    from pro_etl_spark.ops.multimodal import TILE_PX
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["mm_image_tiles"](spark, SF_ORACLE).collect()
+    assert rows
+    dims = {
+        r.doc_id: (320 + r.n_bytes % 320, 240 + r.n_bytes % 240)
+        for r in qs["mm_manifest"](spark, SF_ORACLE).collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, ts in by_doc.items():
+        w, h = dims[doc]
+        assert len(ts) == math.ceil(w / TILE_PX) * math.ceil(h / TILE_PX)
+        area = sum((t.x1 - t.x0) * (t.y1 - t.y0) for t in ts)
+        assert area == w * h, (doc, area, w * h)
+        for t in ts:
+            assert 0 < t.x1 - t.x0 <= TILE_PX and 0 < t.y1 - t.y0 <= TILE_PX
+            assert t.x1 <= w and t.y1 <= h
