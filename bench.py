@@ -127,6 +127,14 @@ HEADLINE = [
     # absent-term mass) and prior-window Bollinger gating
     "corpus_js_divergence",
     "window_bollinger",
+    # round-7 batch 8: frontier BFS over the near-dup graph (third
+    # Pregel-style iterative family in the bench), filtered vector
+    # search (the metadata-constrained retrieval shape), hard-negative
+    # mining, and the rolling-correlation co-movement window
+    "graph_bfs_distances",
+    "ann_filtered_topk",
+    "ann_hard_negatives",
+    "window_rolling_corr",
 ]
 
 

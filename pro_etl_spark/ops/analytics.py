@@ -3116,3 +3116,51 @@ def events_forecast_backtest(spark: SparkSession, d: str) -> DataFrame:
             6,
         ).alias("wape"),
     )
+
+
+@register(
+    "agg_geomean",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(floor(ln(l_extendedprice) * 1000000) AS BIGINT) AS lnm
+      FROM lineitem WHERE l_extendedprice > 0
+    )
+    SELECT l_returnflag AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(lnm) AS BIGINT) AS log_sum_micros,
+           ROUND(exp(CAST(SUM(lnm) AS DOUBLE) / 1000000.0 / COUNT(*)), 2)
+             AS geomean
+    FROM t GROUP BY l_returnflag
+    """,
+)
+def agg_geomean(spark: SparkSession, d: str) -> DataFrame:
+    """Exact-accumulation geometric mean per group — the right average
+    for multiplicative quantities (growth rates, price relatives,
+    latency ratios) where the arithmetic mean over-weights spikes.
+    Each ln(x) term is floor-quantized to integer micros BEFORE the
+    sum (the repo's order-independence recipe — float sums depend on
+    partial-merge order, BIGINT sums don't), so ``log_sum_micros`` is
+    bit-exact cross-engine and the only float steps are one division
+    and one exp, rounded to cents (exp is not correctly-rounded
+    across libms; at 1e-2 granularity a last-ulp disagreement cannot
+    flip the rounding).
+
+    Scale: one map-side-combinable grouped pass; positive-value guard
+    keeps ln total."""
+    li = load(spark, d, "lineitem").where(F.col("l_extendedprice") > 0)
+    lnm = F.floor(F.log(F.col("l_extendedprice")) * 1000000).cast("long")
+    return (
+        li.select("l_returnflag", lnm.alias("lnm"))
+        .groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("lnm").cast("long").alias("log_sum_micros"),
+            F.round(
+                F.exp(
+                    F.sum("lnm").cast("double") / 1000000.0 / F.count("*")
+                ),
+                2,
+            ).alias("geomean"),
+        )
+    )

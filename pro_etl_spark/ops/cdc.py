@@ -716,3 +716,81 @@ def interval_merge(spark: SparkSession, d: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         "span_minutes",
     )
+
+
+@register(
+    "merge_scd2_apply",
+    oracle="""
+    WITH batch AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS acctbal
+      FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+    ), changed AS (
+      SELECT b.custkey, b.acctbal AS new_bal
+      FROM batch b JOIN customer c ON b.custkey = c.c_custkey
+      WHERE b.acctbal <> c.c_acctbal
+    )
+    SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal,
+           CAST(1 AS INT) AS version,
+           (ch.custkey IS NULL) AS is_current
+    FROM customer c LEFT JOIN changed ch ON c.c_custkey = ch.custkey
+    UNION ALL
+    SELECT custkey, new_bal AS acctbal, CAST(2 AS INT) AS version,
+           TRUE AS is_current
+    FROM changed
+    """,
+)
+def merge_scd2_apply(spark: SparkSession, d: str) -> DataFrame:
+    """SCD2 MERGE (type-2 upsert) — the nightly warehouse pattern
+    ``scd2_intervals`` builds history FROM, here run as the forward
+    operation: an incoming snapshot batch lands against the current
+    dimension; rows whose tracked attribute actually CHANGED close
+    their open version (is_current=false) and insert a successor
+    (version+1, current); re-sent-but-identical rows are a NO-OP (the
+    change detector, not the batch membership, drives versioning —
+    the classic MERGE mistake is versioning on arrival); keys absent
+    from the batch are untouched. The batch is derived
+    deterministically from the dim itself (every 7th key changes,
+    every 11th re-sends unchanged) so the oracle recomputes the merge
+    relationally.
+
+    Scale: ONE equi-join of batch against the current-version slice
+    (batch is the small side — broadcast), then a union; the dimension
+    is never rewritten wholesale, matching how a lakehouse MERGE
+    touches only matched files."""
+    dim = load(spark, d, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    batch = dim.where(
+        (F.col("custkey") % 7 == 0) | (F.col("custkey") % 11 == 0)
+    ).select(
+        "custkey",
+        F.when(F.col("custkey") % 7 == 0, F.col("acctbal") + 100.0)
+        .otherwise(F.col("acctbal"))
+        .alias("new_bal"),
+    )
+    changed = (
+        F.broadcast(batch)
+        .join(dim, "custkey")
+        .where(F.col("new_bal") != F.col("acctbal"))
+        .select("custkey", "new_bal")
+    )
+    closed_or_kept = dim.join(
+        F.broadcast(changed.select("custkey", F.lit(True).alias("ch"))),
+        "custkey",
+        "left",
+    ).select(
+        "custkey",
+        "acctbal",
+        F.lit(1).cast("int").alias("version"),
+        F.col("ch").isNull().alias("is_current"),
+    )
+    inserted = changed.select(
+        "custkey",
+        F.col("new_bal").alias("acctbal"),
+        F.lit(2).cast("int").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed_or_kept.unionAll(inserted)

@@ -1008,3 +1008,76 @@ def corpus_js_divergence(spark: SparkSession, d: str) -> DataFrame:
             "js_divergence"
         ),
     )
+
+
+N_RENDEZVOUS_SHARDS = 8
+
+
+@register(
+    "shard_rendezvous",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, s.shard,
+             {DUCK_HASH60.format(x="doc_id::VARCHAR || ':shard:' || s.shard::VARCHAR")}
+               AS h
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, {N_RENDEZVOUS_SHARDS})) AS shard) s
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard
+    FROM (
+      SELECT doc_id, shard,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY h DESC, shard) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def shard_rendezvous(spark: SparkSession, d: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the
+    consistent-sharding primitive for incremental corpus rebuilds:
+    each document goes to the shard with the highest hash(doc, shard)
+    score, so adding or removing ONE shard moves only ~1/N of the
+    documents (mod-N sharding reshuffles almost everything — the
+    difference between an incremental re-index and a full one). The
+    argmax runs IN-ROW (transform over the shard list + array_max on
+    (score, shard) structs — no fan-out, no shuffle, no window); the
+    oracle expands the same scores relationally and ranks, proving
+    the in-row argmax equals the join-based one.
+
+    Scale: narrow per-row expression over the scan; N_SHARDS is a
+    literal. At a reshard from N to N+1 the only movers are docs whose
+    new shard wins the rendezvous — certified minimal by
+    test_rendezvous_minimal_movement."""
+    shards = F.sequence(
+        F.lit(0), F.lit(N_RENDEZVOUS_SHARDS - 1)
+    )
+    scored = F.transform(
+        shards,
+        lambda s: F.struct(
+            hash60(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":shard:"),
+                    s.cast("string"),
+                )
+            ).alias("h"),
+            s.cast("int").alias("shard"),
+        ),
+    )
+    # array_max on (h, shard) structs = rendezvous argmax with the
+    # same (h DESC, shard ASC) tiebreak as the oracle: equal h would
+    # pick the LARGER shard under struct ordering, so invert the
+    # shard sign in the struct and flip it back (h ties are a 2^-60
+    # event, but the tiebreak must still be well-defined)
+    neg = F.transform(
+        scored,
+        lambda t: F.struct(
+            t.getField("h").alias("h"),
+            (-t.getField("shard")).alias("nshard"),
+        ),
+    )
+    win = F.array_max(neg)
+    return load(spark, d, "documents").select(
+        "doc_id",
+        (-win.getField("nshard")).cast("int").alias("shard"),
+    )

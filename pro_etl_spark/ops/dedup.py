@@ -1305,3 +1305,39 @@ def dedup_shingle_clusters(spark: SparkSession, d: str) -> DataFrame:
     result = _cc_min_label(pairs)
     _CLUSTERS_MEMO[memo_key] = result
     return result
+
+
+@register(
+    "dedup_pair_similarity_histogram",
+    oracle=_LSH_PAIRS_CTE + """
+    SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bucket,
+           ROUND(CAST(floor(jaccard * 20) AS BIGINT) * 0.05, 2)
+             AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def dedup_pair_similarity_histogram(spark: SparkSession, d: str) -> DataFrame:
+    """Similarity histogram of the VERIFIED LSH pair table (0.05-wide
+    Jaccard buckets) — the threshold-tuning census a dedup rollout
+    reads before choosing its cut: a bimodal histogram (true dups near
+    1.0, boilerplate cousins near the LSH floor) says the threshold is
+    safe; mass piled right at the floor says the bands are admitting
+    noise and the pipeline over-merges. Pure composition: reuses the
+    cached verified pair table (no new corpus work) and both engines
+    floor the SAME rounded-to-1e-6 jaccard double, so bucket edges
+    cannot disagree.
+
+    Scale: aggregate of the pair table on a ≤21-value key —
+    map-side combined, negligible next to the LSH pass itself."""
+    pairs = dedup_minhash_lsh(spark, d)
+    bucket = F.floor(F.col("jaccard") * 20).cast("long")
+    return (
+        pairs.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * 0.05, 2).alias("bucket_lo"),
+            "n_pairs",
+        )
+    )

@@ -1875,3 +1875,104 @@ def agg_weighted_median(spark: SparkSession, d: str) -> DataFrame:
             F.when(2 * F.col("cumw") >= F.col("totw"), F.col("v"))
         ).alias("weighted_median"),
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+             AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, d: str) -> DataFrame:
+    """The SHUFFLE_HASH join strategy, forced by hint — the third
+    physical equi-join next to ``join_broadcast_inner`` (no shuffle,
+    build side must fit per executor) and ``join_sortmerge`` (two
+    sorts, spillable): shuffle both sides, build a hash map from the
+    smaller, NO sort on either side. At 100 TB it wins over SMJ when
+    one side is far smaller than the other but too big to broadcast —
+    you pay the shuffle anyway and skip both sorts; the trade is that
+    the build side's per-partition slice must fit in memory (no
+    graceful sort-spill), which is why it is hint-gated rather than
+    default. tests/test_plans.py pins ShuffledHashJoin in the physical
+    plan so a silent fallback to SMJ fails loudly."""
+    li = load(spark, d, "lineitem")
+    o = load(spark, d, "orders").hint("SHUFFLE_HASH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+)
+def set_intersect_all(spark: SparkSession, d: str) -> DataFrame:
+    """INTERSECT ALL — bag-semantics intersection (each value keeps
+    min(multiplicity_left, multiplicity_right) copies), completing the
+    ANSI set-operator family next to ``set_intersect`` (distinct) and
+    ``set_except_all``: the multiset overlap a reconciliation needs
+    when duplicate rows are themselves the signal (how many customer
+    slots per nation ALSO have a supplier slot, pairing one-for-one).
+    Spark plans ``intersectAll`` as one aggregate computing both
+    per-key counts + a generate replaying min(l, r) copies — one
+    shuffle, never a join.
+
+    Scale: both sides shuffle once on the compare key; multiplicity
+    replay is in-row generation, no pair expansion."""
+    c = load(spark, d, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, d, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
+
+
+@register(
+    "agg_boolean_family",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 400) AS any_large,
+           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_100,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_boolean_family(spark: SparkSession, d: str) -> DataFrame:
+    """ANSI boolean aggregates — ``every``/``any`` (SQL:1999
+    EVERY/ANY, a.k.a. bool_and/bool_or) and ``count_if`` — the
+    assertion layer of a data-quality scan ("are ALL values positive,
+    did ANY breach the threshold, how many exceeded the SLA") without
+    the CASE-sum circumlocution. Each compiles to a map-side-combinable
+    partial (AND/OR/count are all associative+commutative), so the
+    whole family finishes in one grouped exchange.
+
+    Scale: one shuffle on the group key; booleans merge as single
+    bits — the cheapest aggregates in the engine."""
+    e = load(spark, d, "events")
+    return e.groupBy("event_type").agg(
+        F.every(F.col("value") > 0).alias("all_positive"),
+        F.some(F.col("value") > 400).alias("any_large"),
+        F.count_if(F.col("value") > 100).cast("long").alias("n_over_100"),
+        F.count("*").cast("long").alias("n"),
+    )

@@ -779,3 +779,53 @@ def fn_ip_parse(spark: SparkSession, d: str) -> DataFrame:
         .otherwise("public")
         .alias("ip_class"),
     )
+
+
+AES_KEY = "0123456789abcdef"  # 16-byte demo key (AES-128)
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS plain,
+           CAST(16 * ((octet_length(encode(o_orderpriority)) // 16) + 1)
+                AS BIGINT) AS ct_bytes,
+           o_orderpriority AS decrypted,
+           TRUE AS roundtrip_ok
+    FROM orders
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, d: str) -> DataFrame:
+    """Column-level encryption scalars (``aes_encrypt`` /
+    ``aes_decrypt``, AES-128-ECB + PKCS7) — the reversible sibling of
+    ``fn_mask`` for PII columns that must round-trip (tokenize on
+    ingest, detokenize for the entitled consumer). ECB is chosen HERE
+    because it is deterministic (same plaintext → same ciphertext →
+    testable; also what join-preserving tokenization needs); the
+    docstring trade is that ECB leaks equality — randomized GCM (the
+    Spark default) is the right mode when ciphertexts only need
+    storage, ECB/SIV when they must still join. The oracle pins the
+    contract: decrypt(encrypt(x)) == x for every row, and the PKCS7
+    ciphertext length 16·(⌊len/16⌋+1) — both recomputable without the
+    cipher.
+
+    Scale: narrow per-row JVM crypto, no UDF, no shuffle."""
+    o = load(spark, d, "orders")
+    ct = F.expr(
+        f"aes_encrypt(o_orderpriority, '{AES_KEY}', 'ECB', 'PKCS')"
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("plain"),
+        F.octet_length(ct).cast("long").alias("ct_bytes"),
+        F.expr(
+            f"CAST(aes_decrypt(aes_encrypt(o_orderpriority, '{AES_KEY}', "
+            f"'ECB', 'PKCS'), '{AES_KEY}', 'ECB', 'PKCS') AS STRING)"
+        ).alias("decrypted"),
+        F.expr(
+            f"CAST(aes_decrypt(aes_encrypt(o_orderpriority, '{AES_KEY}', "
+            f"'ECB', 'PKCS'), '{AES_KEY}', 'ECB', 'PKCS') AS STRING) "
+            "= o_orderpriority"
+        ).alias("roundtrip_ok"),
+    )

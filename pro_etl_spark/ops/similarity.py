@@ -2021,3 +2021,216 @@ def ann_filtered_topk(spark: SparkSession, d: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    raw AS (
+      SELECT vec_id, label, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    ), j AS (
+      SELECT r.vec_id, r.label, r.embedding, r.nrm, a.cell
+      FROM raw r JOIN acell a USING (vec_id)
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             {DUCK_DOT.format(a="q.embedding", b="c.embedding")}
+               / (q.nrm * c.nrm) AS cos
+      FROM j q JOIN j c ON q.vec_id < {N_QUERIES}
+                        AND q.cell = c.cell AND c.label <> q.label
+    )
+    SELECT query_id, CAST(query_label AS INT) AS query_label,
+           negative_id, CAST(negative_label AS INT) AS negative_label,
+           ROUND(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, negative_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, d: str) -> DataFrame:
+    """HARD-NEGATIVE mining — the contrastive-training data op: for
+    each anchor, the nearest vectors with a DIFFERENT label (the
+    negatives most likely to confuse the model, which is exactly why
+    they make the best training pairs for embedding models / rerankers
+    — random negatives are too easy and teach nothing). The inverted
+    twin of ``ann_filtered_topk``: the metadata predicate EXCLUDES the
+    anchor's own class inside the IVF cell scan, so the top-k is taken
+    over true negatives only (self-exclusion is free — the anchor
+    shares its own label). Same scale posture: broadcast anchors ride
+    into the cell-blocked scan; at 100 TB the (cell, label) layout
+    prunes before the dot products."""
+    cells = _kmeans_assignment(spark, d).select("vec_id", "cell")
+    e = corpus_table(spark, d).join(cells, "vec_id")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cell").alias("q_cell"),
+    )
+    scored = e.join(
+        F.broadcast(q),
+        (F.col("q_cell") == F.col("cell"))
+        & (F.col("label") != F.col("query_label")),
+    ).select(
+        "query_id",
+        F.col("query_label").cast("int").alias("query_label"),
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").cast("int").alias("negative_label"),
+        (
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+#: shared CTE: per-label centroid arrays (dim-ordered) + member counts
+_CARR_CTE = """
+    flat AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), cent AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)
+               AS centroid
+      FROM flat GROUP BY label, dim
+    ), carr AS (
+      SELECT label, list(centroid ORDER BY dim) AS c
+      FROM cent GROUP BY label
+    )
+"""
+
+_DUCK_D2 = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, len({a}) + 1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) "
+    "* (CAST({a}[i] AS DOUBLE) - {b}[i]))), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "embed_class_separation",
+    oracle=f"""
+    WITH {_CARR_CTE},
+    memb AS (
+      SELECT e.label,
+             {_DUCK_D2.format(a="e.embedding", b="carr.c")} AS dd
+      FROM embeddings e JOIN carr USING (label)
+    ), intra AS (
+      SELECT label, COUNT(*) AS n_vectors,
+             SUM(CAST(floor(dd * 1000000) AS BIGINT)) AS s_micros
+      FROM memb GROUP BY label
+    ), cpairs AS (
+      SELECT a.label, b.label AS other,
+             {_DUCK_D2.format(a="a.c", b="b.c")} AS cd2
+      FROM carr a JOIN carr b ON a.label <> b.label
+    ), nearest AS (
+      SELECT label, other, cd2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY cd2, other) AS rn
+      FROM cpairs
+    )
+    SELECT CAST(i.label AS INT) AS label,
+           CAST(i.n_vectors AS BIGINT) AS n_vectors,
+           ROUND(CAST(i.s_micros AS DOUBLE) / 1000000.0 / i.n_vectors, 6)
+             AS intra_msd,
+           CAST(n.other AS INT) AS nearest_label,
+           ROUND(n.cd2, 6) AS inter_d2,
+           ROUND(n.cd2 / (CAST(i.s_micros AS DOUBLE) / 1000000.0
+                          / i.n_vectors), 6) AS separation
+    FROM intra i JOIN nearest n ON i.label = n.label AND n.rn = 1
+    """,
+)
+def embed_class_separation(spark: SparkSession, d: str) -> DataFrame:
+    """Embedding-space health audit: per class, the mean SQUARED
+    distance of members to their own centroid (intra-class spread) vs
+    the squared distance to the NEAREST other centroid (inter-class
+    margin) — separation = inter/intra, the one number that predicts
+    whether a nearest-centroid classifier (or IVF cells keyed on
+    labels) will work before anything is trained; classes whose
+    nearest margin is inside their own spread are the confusion pairs.
+
+    Exactness: centroids are DECIMAL-mean doubles (identical both
+    engines); each member's d² folds IN-ROW over the dim-ordered
+    zip (sequential left fold — same add order everywhere) and is
+    floor-quantized to integer micros BEFORE the per-class sum, the
+    repo's order-independence recipe; centroid-to-centroid d² is the
+    same deterministic fold over the 10×10 centroid grid.
+
+    Scale: one 640-row centroid aggregate, centroid arrays broadcast
+    back over the corpus (one narrow pass, one shuffle on label for
+    the intra sums); the centroid-pair grid is model-state."""
+    cent = embed_centroid(spark, d).select("label", "dim", "centroid")
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+            lambda t: t.getField("centroid"),
+        ).alias("c")
+    )
+    e = load(spark, d, "embeddings")
+    dd = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "c",
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    intra = (
+        e.join(F.broadcast(carr), "label")
+        .select("label", F.floor(dd * 1000000).cast("long").alias("ddm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("ddm").alias("s_micros"),
+        )
+    )
+    a = carr.select(F.col("label").alias("la"), F.col("c").alias("ca"))
+    b = carr.select(F.col("label").alias("lb"), F.col("c").alias("cb"))
+    cd2 = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wr = Window.partitionBy("la").orderBy("cd2", "lb")
+    nearest = (
+        a.join(F.broadcast(b), F.col("la") != F.col("lb"))
+        .select("la", "lb", cd2.alias("cd2"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+    )
+    msd = F.col("s_micros").cast("double") / 1000000.0 / F.col("n_vectors")
+    return (
+        intra.join(nearest, intra["label"] == nearest["la"])
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_vectors",
+            F.round(msd, 6).alias("intra_msd"),
+            F.col("lb").cast("int").alias("nearest_label"),
+            F.round("cd2", 6).alias("inter_d2"),
+            F.round(F.col("cd2") / msd, 6).alias("separation"),
+        )
+    )

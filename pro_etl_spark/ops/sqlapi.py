@@ -21,7 +21,8 @@ from pro_etl_spark.io import load
 from pro_etl_spark.registry import register
 
 _VIEW_TABLES = (
-    "customer", "orders", "lineitem", "supplier", "nation", "region", "part"
+    "customer", "orders", "lineitem", "supplier", "nation", "region", "part",
+    "events",
 )
 
 
@@ -1031,3 +1032,42 @@ def sql_national_market_share(spark: SparkSession, d: str) -> DataFrame:
     market-share report)."""
     _views(spark, d)
     return spark.sql(SQL_NATIONAL_MARKET_SHARE)
+
+
+#: ANSI-adjacent PIVOT clause (Spark SQL surface; DataFrame pivot is
+#: covered by pivot_event_counts): wide per-cohort counts in ONE
+#: grouped pass. The oracle is the portable CASE-sum rewrite —
+#: identical cells, engine-neutral.
+SQL_PIVOT_SYNTAX = """
+SELECT event_type,
+       COALESCE(c0, 0) AS cohort_0, COALESCE(c1, 0) AS cohort_1,
+       COALESCE(c2, 0) AS cohort_2, COALESCE(c3, 0) AS cohort_3
+FROM (SELECT event_type, user_id % 4 AS cohort FROM events)
+PIVOT (COUNT(*) FOR cohort IN (0 c0, 1 c1, 2 c2, 3 c3))
+"""
+
+
+@register(
+    "sql_pivot_syntax",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cohort_0,
+           CAST(SUM(CASE WHEN user_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cohort_1,
+           CAST(SUM(CASE WHEN user_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS cohort_2,
+           CAST(SUM(CASE WHEN user_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS cohort_3
+    FROM events GROUP BY event_type
+    """,
+)
+def sql_pivot_syntax(spark: SparkSession, d: str) -> DataFrame:
+    """The SQL ``PIVOT`` clause (the query-language surface;
+    ``pivot_event_counts`` covers the DataFrame API twin): per-type
+    event counts spread wide across four user cohorts. Catalyst
+    compiles PIVOT to ONE hash aggregate whose values are pivot-filtered
+    partials — one shuffle however many pivot columns, vs N scans of
+    the UNION-per-column rewrite; absent cells surface as NULL and are
+    COALESCEd to 0 to match the CASE-sum oracle exactly.
+
+    Scale: identical to any grouped count — map-side combine then one
+    exchange on event_type."""
+    _views(spark, d)
+    return spark.sql(SQL_PIVOT_SYNTAX)

@@ -688,3 +688,94 @@ def stream_foreach_batch(spark: SparkSession, d: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+# --- dropDuplicatesWithinWatermark (real run) -------------------------
+
+_DEDUP_WM_MEMO: dict = {}
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, d: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` run FOR REAL under the
+    micro-batch engine — the bounded-state streaming dedup (Spark
+    3.5+) that ``stream_dedup``'s plain ``dropDuplicates`` cannot be
+    at 100 TB: state for a key is dropped once the watermark passes
+    its last-seen event time, so memory is O(keys active inside the
+    lateness horizon), not O(all keys ever). The events file is
+    staged as two halves with ``maxFilesPerTrigger=1`` so suppression
+    is exercised across REAL micro-batch boundaries (a key seen in
+    batch 0 must still be suppressed in batch 1 via carried state).
+
+    WHICH physical row survives per (user, type) depends on arrival
+    order — semantics, not a bug — so the registered result is the
+    batching-invariant projection (distinct event types per user:
+    exactly one survivor per key, whichever row won), which the
+    oracle recomputes relationally. The watermark delay (40 days)
+    exceeds the dataset's span, so no key expires mid-replay and the
+    survivor count is exact; survivors-=-keys is additionally pinned
+    by a property test.
+
+    Scale: one keyed state store, bounded by the lateness horizon —
+    the production dedup for at-least-once sources."""
+    key = (spark.sparkContext.applicationId, d)
+    out_dir = _DEDUP_WM_MEMO.get(key)
+    if out_dir is None:
+        import os
+        import shutil
+        import tempfile
+
+        src_dir = tempfile.mkdtemp(prefix="pro_etl_ddw_src_")
+        out_dir = tempfile.mkdtemp(prefix="pro_etl_ddw_out_")
+        full = load(spark, d, "events").select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        full.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src_dir}/half_a")
+        full.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src_dir}/half_b")
+        stage = tempfile.mkdtemp(prefix="pro_etl_ddw_stage_")
+        i = 0
+        for half in ("half_a", "half_b"):
+            for f in sorted(os.listdir(f"{src_dir}/{half}")):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(src_dir, half, f),
+                        os.path.join(stage, f"part_{i}.parquet"),
+                    )
+                    i += 1
+
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        survivors = stream.withWatermark(
+            "ts", "40 days"
+        ).dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        q = (
+            survivors.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="pro_etl_ddw_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _DEDUP_WM_MEMO[key] = out_dir
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").cast("long").alias("n_types"))
+    )

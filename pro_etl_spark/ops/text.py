@@ -2236,3 +2236,45 @@ def sample_balanced(spark: SparkSession, d: str) -> DataFrame:
             "doc_id", "lang", "source", F.col("rn").cast("long").alias("class_rank")
         )
     )
+
+
+@register(
+    "corpus_len_histogram",
+    oracle=r"""
+    WITH n AS (
+      SELECT CAST(floor(log2(len(regexp_split_to_array(trim(text), '\s+'))))
+                  AS BIGINT) AS bucket_log2
+      FROM documents
+    )
+    SELECT bucket_log2,
+           CAST(POWER(2, bucket_log2) AS BIGINT) AS bucket_min_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM n GROUP BY bucket_log2
+    """,
+)
+def corpus_len_histogram(spark: SparkSession, d: str) -> DataFrame:
+    """Sequence-length histogram in power-of-two buckets — the
+    distribution every training run consults before choosing a context
+    length and a packing strategy (what fraction of docs exceed 2^k
+    tokens decides truncation loss vs padding waste; feeds
+    ``seq_pack``/``pack_bestfit``). log2 bucketing via FLOOR(log2(n))
+    on integer token counts: n is exact, log2 of an integer only sits
+    ON a bucket boundary when n is a power of two, where log2 is exact
+    in both engines — so the floor is deterministic cross-engine.
+
+    Scale: narrow token count per doc, one tiny grouped aggregate
+    (≤ ~40 buckets at any corpus size)."""
+    n = F.size(TOKENS()).cast("long")
+    return (
+        load(spark, d, "documents")
+        .select(F.floor(F.log2(n)).cast("long").alias("bucket_log2"))
+        .groupBy("bucket_log2")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "bucket_log2",
+            F.pow(F.lit(2.0), F.col("bucket_log2"))
+            .cast("long")
+            .alias("bucket_min_tokens"),
+            "n_docs",
+        )
+    )

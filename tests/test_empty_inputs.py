@@ -160,6 +160,19 @@ REPRESENTATIVES = [
     "events_forecast_backtest",
     "graph_degree_distribution",
     "mm_image_tiles",
+    "udf_iter_series",
+    "join_shuffle_hash_hint",
+    "set_intersect_all",
+    "fn_aes_roundtrip",
+    "agg_geomean",
+    "ann_hard_negatives",
+    "merge_scd2_apply",
+    "sql_pivot_syntax",
+    "agg_boolean_family",
+    "corpus_len_histogram",
+    "dedup_pair_similarity_histogram",
+    "shard_rendezvous",
+    "embed_class_separation",
 ]
 
 

@@ -746,3 +746,25 @@ def test_skew_profile_topk_rides_take_ordered(spark):
     # never a global sort of the key census
     plan = plan_of(spark, "skew_key_profile")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_shuffle_hash_hint_compiles_to_shuffled_hash_join(spark):
+    # the hint must actually produce a ShuffledHashJoin (no sort on
+    # either side) — a silent fallback to SortMergeJoin defeats the
+    # operator's reason to exist
+    plan = plan_of(spark, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+
+
+def test_intersect_all_is_aggregate_not_join(spark):
+    # Spark plans INTERSECT ALL as count-replay (aggregate + generate),
+    # never a pairwise join
+    plan = plan_of(spark, "set_intersect_all")
+    assert "Generate" in plan and "SortMergeJoin" not in plan
+
+
+def test_iter_series_udf_is_arrow_batched(spark):
+    # the iterator pandas UDF must compile to ArrowEvalPython, not
+    # row-at-a-time BatchEvalPython
+    plan = plan_of(spark, "udf_iter_series")
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan

@@ -973,3 +973,203 @@ def test_image_tiles_cover_exactly(spark):
         for t in ts:
             assert 0 < t.x1 - t.x0 <= TILE_PX and 0 < t.y1 - t.y0 <= TILE_PX
             assert t.x1 <= w and t.y1 <= h
+
+
+def test_stream_dedup_watermark_one_survivor_per_key(spark):
+    """The real dropDuplicatesWithinWatermark run must keep EXACTLY
+    one survivor per (user, type) key across micro-batch boundaries:
+    sum of per-user type counts == distinct (user, type) pairs, and
+    per-user counts match a relational recount."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["stream_dedup_watermark"](spark, SF_ORACLE).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    truth = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id")
+        .agg(
+            __import__("pyspark.sql.functions", fromlist=["countDistinct"])
+            .countDistinct("event_type")
+            .alias("n")
+        )
+        .collect()
+    }
+    got = {r.user_id: r.n_types for r in rows}
+    assert got == truth
+
+
+def test_geomean_am_gm_inequality(spark):
+    """Geometric mean must not exceed the arithmetic mean (AM-GM) and
+    must sit inside the group's [min, max]."""
+    import pro_etl_spark
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["agg_geomean"](spark, SF_ORACLE).collect()
+    assert rows
+    stats = {
+        r.grp: (r.am, r.lo, r.hi)
+        for r in spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        .groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(
+            F.avg("l_extendedprice").alias("am"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    for r in rows:
+        am, lo, hi = stats[r.grp]
+        assert lo <= r.geomean <= am + 0.01, r
+        assert r.geomean <= hi
+
+
+def test_hard_negatives_labels_differ(spark):
+    """Every mined negative must carry a label DIFFERENT from its
+    anchor's, ranks dense from 1 with descending cosine, and each
+    anchor returns min(TOP_K, #different-label-same-cell candidates)."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.similarity import TOP_K
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["ann_hard_negatives"](spark, SF_ORACLE).collect()
+    assert rows
+    label_of = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    cells = {
+        r.vec_id: r.cell
+        for r in qs["ivf_kmeans_assign"](spark, SF_ORACLE)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    by_q = {}
+    for r in rows:
+        assert r.negative_label != r.query_label, r
+        assert label_of[r.negative_id] == r.negative_label
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        coss = [r.cosine for r in rs]
+        assert coss == sorted(coss, reverse=True)
+        n_cand = sum(
+            1
+            for v, lb in label_of.items()
+            if lb != label_of[q] and cells.get(v) == cells.get(q)
+        )
+        assert len(rs) == min(TOP_K, n_cand), (q, len(rs), n_cand)
+
+
+def test_scd2_merge_version_shape(spark):
+    """Changed keys (every 7th, excluding re-sent-identical cases)
+    must carry exactly two versions with only v2 current; every other
+    key exactly one current v1 row; total key set == the dimension."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["merge_scd2_apply"](spark, SF_ORACLE).collect()
+    assert rows
+    cust = {
+        r.c_custkey
+        for r in spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+    }
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.custkey, []).append(r)
+    assert set(by_key) == cust
+    for k, vs in by_key.items():
+        if k % 7 == 0:
+            assert len(vs) == 2
+            cur = [v for v in vs if v.is_current]
+            assert len(cur) == 1 and cur[0].version == 2
+            old = [v for v in vs if not v.is_current][0]
+            assert abs(cur[0].acctbal - old.acctbal - 100.0) < 1e-9
+        else:
+            assert len(vs) == 1 and vs[0].is_current and vs[0].version == 1
+
+
+def _hrw_shard(doc_id: int, n_shards: int) -> int:
+    """Reference rendezvous assignment: same 60-bit md5 recipe as
+    pro_etl_spark.ops.hashing.hash60, argmax by (h DESC, shard ASC)."""
+    import hashlib
+
+    best = None
+    for s in range(n_shards):
+        h = int(
+            hashlib.md5(f"{doc_id}:shard:{s}".encode()).hexdigest()[:15], 16
+        )
+        key = (-h, s)
+        if best is None or key < best[0]:
+            best = (key, s)
+    return best[1]
+
+
+def test_rendezvous_matches_reference_and_minimal_movement(spark):
+    """The in-row argmax must equal the reference HRW computation, and
+    — the property rendezvous hashing exists for — growing the shard
+    set from N to N+1 may only move documents TO the new shard (no
+    doc ever moves between surviving shards)."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    # import AFTER get_queries(): ops.corpus's funnel oracle reads the
+    # text.py registry entry, so the registry must load in its order
+    from pro_etl_spark.ops.corpus import N_RENDEZVOUS_SHARDS
+
+    rows = qs["shard_rendezvous"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.shard == _hrw_shard(r.doc_id, N_RENDEZVOUS_SHARDS), r
+    for r in rows[:500]:
+        grown = _hrw_shard(r.doc_id, N_RENDEZVOUS_SHARDS + 1)
+        if grown != r.shard:
+            assert grown == N_RENDEZVOUS_SHARDS, (r.doc_id, r.shard, grown)
+
+
+def test_pair_similarity_histogram_accounts_for_every_pair(spark):
+    """Histogram mass must equal the pair-table row count and every
+    bucket must sit in [0, 20] with bucket_lo = bucket * 0.05."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    hist = qs["dedup_pair_similarity_histogram"](spark, SF_ORACLE).collect()
+    pairs = qs["dedup_minhash_lsh"](spark, SF_ORACLE).collect()
+    assert sum(h.n_pairs for h in hist) == len(pairs)
+    for h in hist:
+        assert 0 <= h.bucket <= 20
+        assert abs(h.bucket_lo - h.bucket * 0.05) < 1e-9
+
+
+def test_class_separation_positive_and_distinct(spark):
+    """intra spread and inter margin must be positive, nearest_label
+    != label, and every embedding label is audited."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["embed_class_separation"](spark, SF_ORACLE).collect()
+    labels = {
+        r.label
+        for r in spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    assert {r.label for r in rows} == labels
+    for r in rows:
+        assert r.intra_msd > 0 and r.inter_d2 > 0 and r.separation > 0
+        assert r.nearest_label != r.label
