@@ -3164,3 +3164,199 @@ def agg_geomean(spark: SparkSession, d: str) -> DataFrame:
             ).alias("geomean"),
         )
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'orders->customer' AS relation,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM orders o
+                 LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                 WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphan_children,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_parent,
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey))
+                AS BIGINT) AS n_unreferenced_parents
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_partkey IS NULL),
+           (SELECT COUNT(*) FROM part),
+           (SELECT COUNT(*) FROM part p
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_partkey = p.p_partkey))
+    UNION ALL
+    SELECT 'events->customer',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(*) FROM events e
+            LEFT JOIN customer c ON e.user_id = c.c_custkey
+            WHERE c.c_custkey IS NULL),
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey))
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, d: str) -> DataFrame:
+    """Referential-integrity census across the star schema — the
+    foreign-key checks a lakehouse cannot enforce at write time (no FK
+    constraints on parquet) and therefore MUST audit: per relation,
+    orphaned children (facts pointing at no dimension row — silent
+    row loss in every inner join downstream) and unreferenced parents
+    (dead SKUs / inactive customers — the coverage side). Each
+    relation costs one left-anti count in each direction over the keys
+    only; ``dq_expectations`` covers column-level predicates, this op
+    covers the cross-table contract.
+
+    Scale: per relation two key-projected anti-joins (dim side
+    broadcasts); counts are map-side combined. The union of three
+    1-row frames is model-state."""
+    def audit(rel: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        orphans = child.join(
+            F.broadcast(parent), child[ckey] == parent[pkey], "left_anti"
+        )
+        unref = parent.join(child, parent[pkey] == child[ckey], "left_anti")
+        return (
+            child.agg(F.count("*").cast("long").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count("*").cast("long").alias("n_orphan_children")
+                )
+            )
+            .crossJoin(
+                parent.agg(F.count("*").cast("long").alias("n_parent"))
+            )
+            .crossJoin(
+                unref.agg(
+                    F.count("*").cast("long").alias("n_unreferenced_parents")
+                )
+            )
+            .select(
+                F.lit(rel).alias("relation"),
+                "n_child",
+                "n_orphan_children",
+                "n_parent",
+                "n_unreferenced_parents",
+            )
+        )
+
+    cust = load(spark, d, "customer").select("c_custkey")
+    rels = [
+        audit(
+            "orders->customer",
+            load(spark, d, "orders").select("o_custkey"),
+            "o_custkey",
+            cust,
+            "c_custkey",
+        ),
+        audit(
+            "lineitem->part",
+            load(spark, d, "lineitem").select("l_partkey"),
+            "l_partkey",
+            load(spark, d, "part").select("p_partkey"),
+            "p_partkey",
+        ),
+        audit(
+            "events->customer",
+            load(spark, d, "events").select("user_id"),
+            "user_id",
+            cust,
+            "c_custkey",
+        ),
+    ]
+    out = rels[0]
+    for r in rels[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT v.user_id,
+             MIN(e.ts) AS first_purchase, MAX(v.first_view) AS fv
+      FROM v JOIN events e ON e.user_id = v.user_id
+       AND e.event_type = 'purchase' AND e.ts >= v.first_view
+      GROUP BY v.user_id
+    ), deltas AS (
+      SELECT user_id,
+             CAST(epoch_us(first_purchase) - epoch_us(fv) AS BIGINT)
+               AS delta_us,
+             ROW_NUMBER() OVER (ORDER BY epoch_us(first_purchase)
+                                - epoch_us(fv), user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN delta_us END) AS p50_us,
+           MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                    THEN delta_us END) AS p90_us
+    FROM deltas
+    """,
+)
+def events_time_to_convert(spark: SparkSession, d: str) -> DataFrame:
+    """Time-to-convert distribution — the latency between a user's
+    FIRST view and their first purchase AT OR AFTER it, summarized as
+    discrete p50/p90 (actual observed microsecond deltas picked by the
+    rn = ceil(q·n) order statistic, the same no-interpolation recipe
+    as ``anomaly_iqr`` — exact cross-engine). The conversion funnel's
+    "how long", next to ``funnel_conversion``'s "how many"; the
+    ordering constraint (purchase ≥ first view) is the same
+    order-aware matching, in time units.
+
+    Scale: two user-keyed aggregates sharing one shuffle shape, then
+    an order statistic over the converters table computed with the
+    distributed global-ranking recipe (_global_running_sums: range
+    shuffle + per-partition windows + O(#partitions) driver offsets —
+    converters are O(users), so a single-partition sort would be a
+    real bottleneck, not model state); deltas are integer micros end
+    to end."""
+    e = load(spark, d, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase"),
+            F.max("first_view").alias("fv"),
+        )
+    )
+    us = (
+        F.unix_micros(F.col("first_purchase")) - F.unix_micros(F.col("fv"))
+    ).alias("delta_us")
+    deltas = p.select("user_id", us, F.lit(1).cast("long").alias("_one"))
+    ranked = _global_running_sums(
+        deltas, ["delta_us", "user_id"], ["_one"]
+    ).withColumnRenamed("run__one", "rn")
+    n_tot = deltas.agg(F.count("*").cast("long").alias("n"))
+    ranked = ranked.crossJoin(F.broadcast(n_tot))
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converters"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.50 * F.col("n")).cast("long"),
+                F.col("delta_us"),
+            )
+        ).alias("p50_us"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.90 * F.col("n")).cast("long"),
+                F.col("delta_us"),
+            )
+        ).alias("p90_us"),
+    )

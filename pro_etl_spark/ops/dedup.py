@@ -1341,3 +1341,76 @@ def dedup_pair_similarity_histogram(spark: SparkSession, d: str) -> DataFrame:
             "n_pairs",
         )
     )
+
+
+@register(
+    "dedup_minhash_bbit",
+    oracle=_LSH_PAIRS_CTE + f"""
+    , sigs AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL} AS sig FROM documents
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST(len(list_filter(range(1, {MINHASH_PERMS} + 1),
+                    i -> sa.sig[i] % 2 = sb.sig[i] % 2)) AS BIGINT)
+             AS bits_agree,
+           ROUND(GREATEST(
+             2.0 * len(list_filter(range(1, {MINHASH_PERMS} + 1),
+                       i -> sa.sig[i] % 2 = sb.sig[i] % 2))
+               / {MINHASH_PERMS} - 1.0, 0.0), 6) AS jaccard_bbit,
+           ROUND(abs(GREATEST(
+             2.0 * len(list_filter(range(1, {MINHASH_PERMS} + 1),
+                       i -> sa.sig[i] % 2 = sb.sig[i] % 2))
+               / {MINHASH_PERMS} - 1.0, 0.0) - p.jaccard), 6) AS abs_err
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    """,
+)
+def dedup_minhash_bbit(spark: SparkSession, d: str) -> DataFrame:
+    """b-bit minwise hashing audit (Li & König, b=1): keep ONLY the
+    lowest bit of each MinHash value — a 16-bit signature instead of
+    16×31 bits, the storage trade that lets a 100 TB corpus hold its
+    sketch index in RAM — and certify the estimator ĵ = 2·A − 1
+    (agreement A of b-bit values is ≈ ½ + j/2: matched minima always
+    agree, unmatched agree by coin flip) against the exact verified
+    Jaccard on the LSH pair table, pairwise. The companion of
+    ``dedup_minhash_estimate`` (full-width sketch accuracy): together
+    they measure what resolution each storage tier buys.
+
+    Scale: signatures come from the cached token table (in production
+    the persisted sig table), pairs from the cached LSH table — the
+    audit itself is a pair-table-sized join, no corpus work."""
+    sigs = _token_table(spark, d).select(
+        "doc_id", _minhash_perms(F.col("th60")).alias("sig")
+    )
+    pairs = dedup_minhash_lsh(spark, d)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(
+                "sig_a", "sig_b", lambda x, y: (x % 2) == (y % 2)
+            ),
+            lambda b: b,
+        )
+    ).cast("long")
+    est = F.greatest(
+        2.0 * F.col("bits_agree") / MINHASH_PERMS - 1.0, F.lit(0.0)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("bits_agree", agree)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "bits_agree",
+            F.round(est, 6).alias("jaccard_bbit"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )

@@ -514,3 +514,113 @@ def mm_image_tiles(spark: SparkSession, d: str) -> DataFrame:
         F.least(tx * TILE_PX + TILE_PX, F.col("w")).cast("long").alias("x1"),
         F.least(ty * TILE_PX + TILE_PX, F.col("h")).cast("long").alias("y1"),
     )
+
+
+CDC_WIN = 8  # rolling-hash window (bytes/chars)
+CDC_BASE = 257  # polynomial base
+CDC_MOD = 1_000_003  # hash modulus
+CDC_MASK = 64  # cut where h % CDC_MASK == 0 (expected chunk ~64)
+#: B^j mod P precomputed (B^7 overflows double precision — pow() in
+#: either engine would silently round; literals keep it exact)
+CDC_POWS = [1, 257, 66049, 974545, 457315, 529604, 107820, 709659]
+
+
+CDC_POWS_SQL = ", ".join(str(p) for p in CDC_POWS)
+
+
+@register(
+    "mm_chunk_cdc",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE length(text) >= {CDC_WIN}
+    ), cuts AS (
+      SELECT doc_id, n,
+             list_prepend(CAST(0 AS BIGINT), list_filter(
+               list_transform(range({CDC_WIN}, n + 1), i ->
+                 CASE WHEN list_reduce(
+                        list_transform(range(0, {CDC_WIN}), j ->
+                          (ascii(substr(text, CAST(i - j AS INT), 1))
+                           * ([{CDC_POWS_SQL}])[CAST(j + 1 AS INT)])
+                          % {CDC_MOD}),
+                        (a, v) -> (a + v) % {CDC_MOD}
+                      ) % {CDC_MASK} = 0
+                      THEN CAST(i AS BIGINT) ELSE NULL END),
+               x -> x IS NOT NULL)) AS starts
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(starts, 1) - 1 AS BIGINT) AS chunk_idx,
+           CAST(unnest(starts) AS BIGINT) AS chunk_start,
+           CAST(COALESCE(starts[generate_subscripts(starts, 1) + 1], n)
+                - unnest(starts) AS BIGINT) AS chunk_len
+    FROM cuts
+    """,
+)
+def mm_chunk_cdc(spark: SparkSession, d: str) -> DataFrame:
+    """CONTENT-DEFINED chunking — the rolling-hash cut-point selection
+    (FastCDC's core idea) that ``mm_chunk_dedup``'s fixed-width
+    chunking explicitly documents as the production technique: cut
+    wherever the W-byte polynomial window hash ≡ 0 (mod CDC_MASK), so
+    an insertion near the start of a payload shifts only the ONE chunk
+    it lands in — fixed-width chunking would shift every boundary
+    after it and destroy all downstream fingerprint matches. The
+    rolling hash is pure integer arithmetic (codepoint·B^j mod P,
+    folded mod P), so cut positions are bit-identical cross-engine and
+    the whole boundary table gets a value oracle — upgrading the
+    documented fixed-width limitation.
+
+    Scale: O(n·W) integer work per payload, ALL in-row (transform over
+    positions + fold) — no shuffle, no UDF; chunk rows explode from
+    the cut list. Payloads shorter than the window are skipped (no
+    window fits)."""
+    t = load(spark, d, "documents").where(
+        F.length("text") >= CDC_WIN
+    ).select("doc_id", "text", F.length("text").cast("long").alias("n"))
+    win_hash = lambda i: F.aggregate(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(0), F.lit(CDC_WIN - 1)),
+            lambda j: (
+                F.ascii(F.substring(F.col("text"), (i - j).cast("int"), 1))
+                * F.element_at(
+                    F.array(*[F.lit(p).cast("long") for p in CDC_POWS]),
+                    (j + 1).cast("int"),
+                )
+            )
+            % CDC_MOD,
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: (a + v) % CDC_MOD,
+    )
+    starts = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(CDC_WIN).cast("long"), F.col("n")),
+                lambda i: F.when(win_hash(i) % CDC_MASK == 0, i),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    cuts = t.select("doc_id", "n", starts.alias("starts"))
+    return cuts.select(
+        "doc_id",
+        "n",
+        F.posexplode("starts").alias("chunk_idx", "chunk_start"),
+        F.col("starts").alias("s_all"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        (
+            F.coalesce(
+                F.try_element_at(
+                    F.col("s_all"), (F.col("chunk_idx") + 2).cast("int")
+                ),
+                F.col("n"),
+            )
+            - F.col("chunk_start")
+        )
+        .cast("long")
+        .alias("chunk_len"),
+    )

@@ -1976,3 +1976,42 @@ def agg_boolean_family(spark: SparkSession, d: str) -> DataFrame:
         F.count_if(F.col("value") > 100).cast("long").alias("n_over_100"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+@register(
+    "agg_conditional_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CASE WHEN value > 250 THEN user_id END)
+             AS n_heavy_users,
+           ROUND(CAST(COUNT(DISTINCT CASE WHEN value > 250
+                                          THEN user_id END) AS DOUBLE)
+                 / COUNT(DISTINCT user_id), 6) AS heavy_share
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_conditional_distinct(spark: SparkSession, d: str) -> DataFrame:
+    """Conditional COUNT(DISTINCT) — distinct users overall vs
+    distinct users satisfying a predicate, in ONE grouped pass (the
+    reporting idiom behind every "active vs engaged" ratio): the CASE
+    inside the DISTINCT maps non-qualifying rows to NULL, which
+    COUNT(DISTINCT) ignores, so no second scan and no self-join.
+    Spark plans multiple DISTINCT aggregates over the same child with
+    one Expand (each row replicated per distinct-group) — one shuffle
+    total; the oracle is the identical ANSI text.
+
+    Scale: Expand doubles the shuffled rows (2 distinct specs) but
+    keys stay (event_type, user_id)-grained — far cheaper than two
+    scans at 100 TB."""
+    e = load(spark, d, "events")
+    heavy = F.count_distinct(
+        F.when(F.col("value") > 250, F.col("user_id"))
+    )
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        heavy.alias("n_heavy_users"),
+        F.round(
+            heavy.cast("double") / F.count_distinct("user_id"), 6
+        ).alias("heavy_share"),
+    )

@@ -829,3 +829,106 @@ def fn_aes_roundtrip(spark: SparkSession, d: str) -> DataFrame:
             "= o_orderpriority"
         ).alias("roundtrip_ok"),
     )
+
+
+TRY_ADDEND = 9_223_372_036_854_775_000  # near-MAX_BIGINT addend
+TRY_FACTOR = 4_611_686_018_427_387_904  # 2^62 multiplier
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 3 = 0 THEN NULL
+                ELSE l_extendedprice / (l_linenumber - 3) END AS safe_div,
+           CASE WHEN CAST(l_orderkey AS HUGEINT) + {TRY_ADDEND}
+                     > 9223372036854775807
+                THEN CAST(-1 AS BIGINT)
+                ELSE CAST((CAST(l_orderkey AS HUGEINT) + {TRY_ADDEND}) % 997
+                          AS BIGINT) END AS add_mod997,
+           CASE WHEN CAST(l_orderkey AS HUGEINT) * {TRY_FACTOR}
+                     > 9223372036854775807
+                THEN TRUE ELSE FALSE END AS mul_overflowed
+    FROM lineitem
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, d: str) -> DataFrame:
+    """ANSI-safe arithmetic (``try_divide`` / ``try_add`` /
+    ``try_multiply``) — the value-level siblings of ``fn_try_cast``:
+    under ANSI mode (this engine's posture) division by zero and
+    BIGINT overflow are runtime ERRORS that kill a 100 TB job at hour
+    nine; the try_* family turns exactly the poisoned rows into NULLs
+    while every healthy row computes normally (vs the blunt fix of
+    disabling ANSI mode globally, which silently corrupts overflow
+    everywhere). The divisor hits zero on every linenumber=3 row and
+    the addend/multiplier overflow on nearly every key, so both NULL
+    paths are exercised densely; the oracle recomputes the guards in
+    HUGEINT.
+
+    Scale: narrow codegen expressions, no UDF, no shuffle."""
+    li = load(spark, d, "lineitem")
+    # the raw near-MAX_BIGINT survivors can't ride the grading path
+    # (pandas renders nullable BIGINT as float64, losing low bits), so
+    # the registered output reduces them: a small exact modulus where
+    # the add survived (-1 where it overflowed) and a boolean overflow
+    # flag for the multiply — both dtype-stable and value-exact
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), (F.col("l_linenumber") - 3).cast("double")
+        ).alias("safe_div"),
+        F.coalesce(
+            F.try_add(F.col("l_orderkey"), F.lit(TRY_ADDEND)) % 997,
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("add_mod997"),
+        F.try_multiply(F.col("l_orderkey"), F.lit(TRY_FACTOR))
+        .isNull()
+        .alias("mul_overflowed"),
+    )
+
+
+@register(
+    "fn_url_params",
+    oracle="""
+    SELECT o_orderkey,
+           'shop.example.com' AS host,
+           '/orders/' || CAST(o_orderkey AS VARCHAR) AS path,
+           o_orderstatus AS status_param,
+           CAST(o_orderkey % 100 AS VARCHAR) AS page_param
+    FROM orders
+    """,
+)
+def fn_url_params(spark: SparkSession, d: str) -> DataFrame:
+    """URL dissection scalars (``parse_url``: HOST / PATH / QUERY with
+    a key) — the log-enrichment companion of ``fn_url_canon``
+    (canonicalization) and ``fn_ip_parse``: every clickstream pipeline
+    splits landing URLs into host, path, and individual query
+    parameters before anything else. Each order is rendered as a URL
+    and every component recovered through a real parse_url evaluation;
+    the oracle states the extract(render(row)) == row round-trip, the
+    same contract shape as ``fn_xpath``.
+
+    Scale: narrow per-row JVM parsing, no UDF, no shuffle."""
+    url = F.concat(
+        F.lit("https://shop.example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?status="),
+        F.col("o_orderstatus"),
+        F.lit("&page="),
+        (F.col("o_orderkey") % 100).cast("string"),
+    )
+    o = load(spark, d, "orders").select("o_orderkey", url.alias("url"))
+    return o.select(
+        "o_orderkey",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("status")).alias(
+            "status_param"
+        ),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page")).alias(
+            "page_param"
+        ),
+    )

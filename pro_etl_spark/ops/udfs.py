@@ -350,3 +350,39 @@ def udf_iter_series(spark: SparkSession, d: str) -> DataFrame:
         .select("doc_id", F.col("n_chars"))
         .select("doc_id", model_score("n_chars").alias("model_score"))
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(octet_length(encode(o_orderpriority)) * 7 + 3 AS BIGINT)
+             AS arrow_score
+    FROM orders
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, d: str) -> DataFrame:
+    """X-family completion: the ARROW-OPTIMIZED Python UDF
+    (``@udf(useArrow=True)``, Spark 3.5+) — row-at-a-time Python
+    SEMANTICS (each call sees one value, the easiest migration target
+    for legacy ``F.udf`` code) with Arrow BATCH transport underneath
+    (~2-10× the pickled row path; the plan shows ArrowEvalPython, and
+    tests pin that no BatchEvalPython survives anywhere). Completes
+    the Python-execution matrix: scalar pandas (batch), iterator
+    pandas (amortized init), grouped map/agg, mapInPandas/Arrow, UDTF,
+    and now arrow-scalar. The function is deterministic integer math
+    so the oracle recomputes it relationally.
+
+    Scale: Arrow-batched transport, no shuffle — but still one Python
+    call PER ROW inside the worker: for hot paths prefer the pandas
+    UDF (vectorized body); this surface exists for logic too gnarly to
+    vectorize."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def arrow_score(s: str) -> int:
+        return len(s.encode("utf-8")) * 7 + 3
+
+    return load(spark, d, "orders").select(
+        "o_orderkey", arrow_score("o_orderpriority").alias("arrow_score")
+    )

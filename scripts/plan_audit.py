@@ -70,6 +70,13 @@ ALLOWED = {
         "hash-partitioned by _pid; the single-partition exchange feeds "
         "only the scalar HashAggregate)",
     },
+    "events_time_to_convert": {
+        "SinglePartition": "same class as events_mannwhitney: both "
+        "single-partition exchanges are scalar partial->final "
+        "aggregate finishes (the p50/p90 MAX and the broadcast COUNT); "
+        "the order-statistic ranking itself is the _pid-partitioned "
+        "_global_running_sums window",
+    },
     "join_bloom_runtime": {
         "SinglePartition": "bloom_filter_agg merge: mergeable partial "
         "sketches combine into the one runtime filter row",

@@ -173,6 +173,14 @@ REPRESENTATIVES = [
     "dedup_pair_similarity_histogram",
     "shard_rendezvous",
     "embed_class_separation",
+    "dq_referential_integrity",
+    "events_time_to_convert",
+    "dedup_minhash_bbit",
+    "fn_try_arithmetic",
+    "udf_arrow_scalar",
+    "fn_url_params",
+    "agg_conditional_distinct",
+    "mm_chunk_cdc",
 ]
 
 

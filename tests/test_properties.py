@@ -1173,3 +1173,161 @@ def test_class_separation_positive_and_distinct(spark):
     for r in rows:
         assert r.intra_msd > 0 and r.inter_d2 > 0 and r.separation > 0
         assert r.nearest_label != r.label
+
+
+def test_referential_integrity_counts(spark):
+    """Orphan/unreferenced counts must match direct recounts; the
+    synthetic star schema is FK-consistent (0 orphans) while
+    events->customer leaves some customers unreferenced."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = {r.relation: r for r in qs["dq_referential_integrity"](spark, SF_ORACLE).collect()}
+    assert set(rows) == {"orders->customer", "lineitem->part", "events->customer"}
+    for r in rows.values():
+        assert r.n_orphan_children == 0
+    ev_users = {
+        r.user_id
+        for r in spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .select("user_id").distinct().collect()
+    }
+    custs = {
+        r.c_custkey
+        for r in spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+        .select("c_custkey").collect()
+    }
+    assert rows["events->customer"].n_unreferenced_parents == len(custs - ev_users)
+
+
+def test_time_to_convert_matches_reference(spark):
+    """p50/p90 must equal a driver-side recomputation of the same
+    discrete order statistics, and every delta is non-negative."""
+    import pro_etl_spark
+    import math
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    row = qs["events_time_to_convert"](spark, SF_ORACLE).collect()[0]
+    ev = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    first_view, first_purch = {}, {}
+    for e in ev:
+        if e.event_type == "view":
+            if e.user_id not in first_view or e.ts < first_view[e.user_id]:
+                first_view[e.user_id] = e.ts
+    for e in ev:
+        if e.event_type == "purchase" and e.user_id in first_view and e.ts >= first_view[e.user_id]:
+            if e.user_id not in first_purch or e.ts < first_purch[e.user_id]:
+                first_purch[e.user_id] = e.ts
+    deltas = sorted(
+        (int((first_purch[u] - first_view[u]).total_seconds() * 1_000_000), u)
+        for u in first_purch
+    )
+    n = len(deltas)
+    assert row.n_converters == n
+    assert row.p50_us == deltas[math.ceil(0.5 * n) - 1][0]
+    assert row.p90_us == deltas[math.ceil(0.9 * n) - 1][0]
+    assert all(d >= 0 for d, _ in deltas)
+
+
+def test_bbit_estimator_bounds(spark):
+    """bits_agree in [0, PERMS]; estimator in [0, 1]; exact-duplicate
+    pairs (jaccard == 1) must agree on EVERY bit (matched minima)."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.dedup import MINHASH_PERMS
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["dedup_minhash_bbit"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bits_agree <= MINHASH_PERMS
+        assert 0.0 <= r.jaccard_bbit <= 1.0
+        if r.jaccard == 1.0:
+            assert r.bits_agree == MINHASH_PERMS, r
+
+
+def test_try_arithmetic_poison_rows_only(spark):
+    """safe_div NULL exactly on linenumber==3; mul overflow everywhere
+    except orderkey in {0, 1}; add survives only for tiny keys."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["fn_try_arithmetic"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows[:2000]:
+        assert (r.safe_div is None) == (r.l_linenumber == 3), r
+        assert r.mul_overflowed == (r.l_orderkey > 1), r
+        if r.l_orderkey > 807:
+            assert r.add_mod997 == -1, r
+
+
+def test_cdc_chunks_tile_payload_and_shift_locally(spark):
+    """Chunks must tile [0, n) exactly per doc; and — the property
+    content-defined chunking exists for — a reference recomputation
+    of the same rolling hash yields identical cut points, while
+    prepending one character to a text shifts ONLY boundaries before
+    the first post-insertion cut (checked on a sample)."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.multimodal import (
+        CDC_MASK, CDC_MOD, CDC_POWS, CDC_WIN,
+    )
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["mm_chunk_cdc"](spark, SF_ORACLE).collect()
+    assert rows
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def cuts(text: str) -> list:
+        starts = [0]
+        for i in range(CDC_WIN, len(text) + 1):
+            h = 0
+            for j in range(CDC_WIN):
+                h = (h + ord(text[i - j - 1]) * CDC_POWS[j]) % CDC_MOD
+            if h % CDC_MASK == 0:
+                starts.append(i)
+        return starts
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    checked = 0
+    for doc, ts in sorted(by_doc.items())[:50]:
+        text = docs[doc]
+        ts.sort(key=lambda r: r.chunk_idx)
+        assert ts[0].chunk_start == 0
+        for cur, nxt in zip(ts, ts[1:]):
+            assert cur.chunk_start + cur.chunk_len == nxt.chunk_start
+        assert ts[-1].chunk_start + ts[-1].chunk_len == len(text)
+        assert [t.chunk_start for t in ts] == cuts(text)
+        # boundary-shift resistance: prepend one char; all cuts at
+        # i >= first cut beyond CDC_WIN simply shift by +1 (same
+        # content windows), i.e. the tail of the cut set is preserved
+        shifted = cuts("Z" + text)
+        tail = [c for c in cuts(text) if c >= CDC_WIN]
+        assert set(c + 1 for c in tail) <= set(shifted)
+        checked += 1
+    assert checked
+
+
+def test_conditional_distinct_subset(spark):
+    """Heavy users must be a subset: n_heavy_users <= n_users, and the
+    share consistent."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    for r in qs["agg_conditional_distinct"](spark, SF_ORACLE).collect():
+        assert 0 <= r.n_heavy_users <= r.n_users
+        assert abs(r.heavy_share - r.n_heavy_users / r.n_users) < 1e-6
