@@ -1081,3 +1081,68 @@ def shard_rendezvous(spark: SparkSession, d: str) -> DataFrame:
         "doc_id",
         (-win.getField("nshard")).cast("int").alias("shard"),
     )
+
+
+@register(
+    "corpus_shard_balance",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+             CAST({DUCK_HASH60.format(x="doc_id::VARCHAR || ':balshard'")}
+                  % {{n_shards}} AS BIGINT) AS shard
+      FROM documents
+    ), per AS (
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM assigned GROUP BY shard
+    ), tot AS (
+      SELECT SUM(n_docs) AS td, SUM(n_tokens) AS tt, COUNT(*) AS k
+      FROM per
+    )
+    SELECT shard, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE)
+                 / (CAST(tt AS DOUBLE) / k), 6) AS token_balance
+    FROM per, tot
+    """.replace("{n_shards}", "8"),
+)
+def corpus_shard_balance(spark: SparkSession, d: str) -> DataFrame:
+    """Shard-balance audit: per training shard, doc and TOKEN counts
+    plus the token load relative to a perfectly uniform split — the
+    pre-flight check before a distributed training read (a shard at
+    1.3× the mean is the straggler that sets epoch wall-clock; doc
+    counts balance by construction under hash sharding, token counts
+    need auditing because document LENGTH is skewed). Assignment uses
+    the salted-hash mod-N recipe of ``shuffle_shards``; the audit is
+    one grouped pass plus an O(#shards) broadcast total.
+
+    Scale: one corpus scan, one 8-key aggregate — the audit costs
+    nothing next to the epoch it protects."""
+    n_shards = 8
+    docs = load(spark, d, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    assigned = docs.select(
+        F.size(toks).cast("long").alias("n_toks"),
+        (
+            hash60(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":balshard"))
+            )
+            % n_shards
+        ).alias("shard"),
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("tt"),
+        F.count("*").alias("k"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / (F.col("tt") / F.col("k")), 6
+        ).alias("token_balance"),
+    )

@@ -1311,8 +1311,8 @@ def dedup_shingle_clusters(spark: SparkSession, d: str) -> DataFrame:
     "dedup_pair_similarity_histogram",
     oracle=_LSH_PAIRS_CTE + """
     SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bucket,
-           ROUND(CAST(floor(jaccard * 20) AS BIGINT) * 0.05, 2)
-             AS bucket_lo,
+           ROUND(CAST(floor(jaccard * 20) AS BIGINT)
+                 * CAST(0.05 AS DOUBLE), 2) AS bucket_lo,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM pairs GROUP BY 1
     """,

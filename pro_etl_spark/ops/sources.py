@@ -1378,3 +1378,66 @@ def scan_file_metadata(spark: SparkSession, d: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+@register(
+    "scan_glob_discovery",
+    oracle="""
+    SELECT 'deep' AS layout, COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderstatus) AS n_status
+    FROM orders WHERE o_orderstatus IN ('O', 'F')
+    UNION ALL
+    SELECT 'glob_o_only', COUNT(*), COUNT(DISTINCT o_orderstatus)
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def scan_glob_discovery(spark: SparkSession, d: str) -> DataFrame:
+    """Source discovery by GLOB + recursive lookup — the two scan
+    options (``recursiveFileLookup``, ``pathGlobFilter``) that replace
+    hand-rolled directory walks when a lake's layout is
+    deeply-nested-but-not-partition-structured (vendor drops, date
+    trees with stray README files): stage orders under
+    nested/status=X/depth2/ directories, then (a) recursively discover
+    EVERYTHING under the root — Spark finds leaf files at any depth
+    without listing code — and (b) the same scan with a glob admitting
+    only the O-status subtree. The oracle recomputes both censuses
+    relationally from the base table, proving discovery is exactly
+    content-complete (no stray file, no missed leaf).
+
+    Scale: file listing is driver/metastore work proportional to file
+    COUNT, not bytes; the glob prunes at listing time — files outside
+    it are never opened (cheaper than a post-scan filter, the same
+    reason partition pruning beats predicate evaluation)."""
+    path = _tmp(f"glob_disc_{dataset_suffix(d)}")
+    o = load(spark, d, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def stage() -> None:
+        for status in ("O", "F"):
+            (
+                o.where(F.col("o_orderstatus") == status)
+                .write.mode("overwrite")
+                .parquet(f"{path}/nested/status_{status}/depth2")
+            )
+
+    _write_once(path, stage)
+    deep = (
+        spark.read.option("recursiveFileLookup", "true").parquet(path)
+    )
+    o_only = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{path}/nested/status_O")
+    )
+    a = deep.agg(
+        F.lit("deep").alias("layout"),
+        F.count("*").alias("n_rows"),
+        F.count_distinct("o_orderstatus").alias("n_status"),
+    ).select("layout", "n_rows", "n_status")
+    b = o_only.agg(
+        F.lit("glob_o_only").alias("layout"),
+        F.count("*").alias("n_rows"),
+        F.count_distinct("o_orderstatus").alias("n_status"),
+    ).select("layout", "n_rows", "n_status")
+    return a.unionAll(b)

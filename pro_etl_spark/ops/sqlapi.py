@@ -1071,3 +1071,78 @@ def sql_pivot_syntax(spark: SparkSession, d: str) -> DataFrame:
     exchange on event_type."""
     _views(spark, d)
     return spark.sql(SQL_PIVOT_SYNTAX)
+
+
+#: SQL UNPIVOT clause (Spark 3.4+ query-language surface; the
+#: DataFrame melt is unpivot_measures): wide order measures → long
+#: (metric, value) rows + per-metric rollup in one statement. The
+#: oracle is the portable UNION ALL desugaring.
+SQL_UNPIVOT_SYNTAX = """
+SELECT o_orderstatus AS status, metric,
+       CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) AS total
+FROM (
+  SELECT o_orderstatus, metric, val
+  FROM orders
+  UNPIVOT (val FOR metric IN (o_totalprice AS price,
+                              o_custkey AS custkey_sum))
+)
+GROUP BY o_orderstatus, metric
+"""
+
+
+@register(
+    "sql_unpivot_syntax",
+    oracle="""
+    SELECT o_orderstatus AS status, metric,
+           CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM (
+      SELECT o_orderstatus, 'price' AS metric,
+             CAST(o_totalprice AS DOUBLE) AS val FROM orders
+      UNION ALL
+      SELECT o_orderstatus, 'custkey_sum',
+             CAST(o_custkey AS DOUBLE) FROM orders
+    )
+    GROUP BY o_orderstatus, metric
+    """,
+)
+def sql_unpivot_syntax(spark: SparkSession, d: str) -> DataFrame:
+    """The SQL ``UNPIVOT`` clause — the query-language twin of
+    ``unpivot_measures``' DataFrame melt, paired against the UNION ALL
+    desugaring it replaces. Spark expands UNPIVOT in-task (narrow
+    Expand, one scan) where the UNION ALL rewrite scans the table once
+    PER MEASURE — at 100 TB that difference is the whole point of
+    having the clause. Values are widened to DOUBLE before the melt
+    (UNPIVOT requires a common type) and sums ride DECIMAL."""
+    _views(spark, d)
+    return spark.sql(SQL_UNPIVOT_SYNTAX)
+
+
+#: VALUES inline table: the literal dimension everyone embeds in
+#: reports (priority -> SLA days) joined against a real table — same
+#: text both engines.
+SQL_VALUES_INLINE = """
+SELECT sla.sla_days,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+         AS total_price
+FROM orders
+JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 5),
+             ('4-NOT SPECIFIED', 7), ('5-LOW', 10))
+     AS sla(priority, sla_days)
+  ON o_orderpriority = sla.priority
+GROUP BY sla.sla_days
+"""
+
+
+@register("sql_values_inline_table", oracle=SQL_VALUES_INLINE)
+def sql_values_inline_table(spark: SparkSession, d: str) -> DataFrame:
+    """ANSI ``VALUES`` inline table — the literal lookup dimension
+    (priority → SLA days) embedded directly in the statement and
+    joined against a fact table: how reports attach small reference
+    data without shipping a physical dim table. Catalyst folds the
+    VALUES into a LocalRelation and broadcasts it — zero scan cost,
+    one fact-side aggregate; the same five-row literal would be a
+    config-table parquet in a lesser pipeline. Identical text runs on
+    both engines."""
+    _views(spark, d)
+    return spark.sql(SQL_VALUES_INLINE)

@@ -181,6 +181,9 @@ REPRESENTATIVES = [
     "fn_url_params",
     "agg_conditional_distinct",
     "mm_chunk_cdc",
+    "sql_unpivot_syntax",
+    "sql_values_inline_table",
+    "corpus_shard_balance",
 ]
 
 

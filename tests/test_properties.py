@@ -1331,3 +1331,24 @@ def test_conditional_distinct_subset(spark):
     for r in qs["agg_conditional_distinct"](spark, SF_ORACLE).collect():
         assert 0 <= r.n_heavy_users <= r.n_users
         assert abs(r.heavy_share - r.n_heavy_users / r.n_users) < 1e-6
+
+
+def test_shard_balance_accounts_for_corpus(spark):
+    """Shard doc/token totals must equal the corpus census, every
+    shard 0..7 must be populated, and balance factors average ~1."""
+    import pro_etl_spark
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["corpus_shard_balance"](spark, SF_ORACLE).collect()
+    assert {r.shard for r in rows} == set(range(8))
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    truth = docs.select(
+        F.count("*").alias("n"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t"),
+    ).collect()[0]
+    assert sum(r.n_docs for r in rows) == truth.n
+    assert sum(r.n_tokens for r in rows) == truth.t
+    mean_bal = sum(r.token_balance for r in rows) / len(rows)
+    assert abs(mean_bal - 1.0) < 0.01
