@@ -423,7 +423,7 @@ def subtree_rewrite(spark: SparkSession, d: str) -> DataFrame:
            o_orderstatus AS status,
            o_totalprice AS total,
            CAST(o_orderpriority LIKE '1-%' AS BOOLEAN) AS is_urgent
-    FROM orders
+    FROM orders WHERE o_orderkey % 16 = 0
     """,
 )
 def fn_xpath(spark: SparkSession, d: str) -> DataFrame:
@@ -439,9 +439,13 @@ def fn_xpath(spark: SparkSession, d: str) -> DataFrame:
     cast is shortest-roundtrip, so ``xpath_double`` recovers
     o_totalprice bit-exactly.
 
-    Scale: narrow per-row expressions (render + 4 XPath evals), no
-    shuffle, no UDF — whole-stage-codegen'd JVM XPath; at 100 TB this
-    is a pure map over the scan."""
+    Scale: narrow, no shuffle, no UDF — but each xpath_* call parses
+    the document AGAIN (4 calls = 4 DOM parses per row; measured 49 s
+    for 600k rows at sf0.1), so the op runs on a deterministic 1/16
+    key sample: XPath scalars are for OCCASIONAL extraction. A bulk
+    XML column at 100 TB gets parsed ONCE into a struct (from_xml
+    with an explicit schema — the scan path scan_nested exercises)
+    and fields come from struct access, not repeated XPath."""
     xml = F.concat(
         F.lit('<order id="'),
         F.col("o_orderkey").cast("string"),
@@ -455,6 +459,7 @@ def fn_xpath(spark: SparkSession, d: str) -> DataFrame:
     )
     return (
         load(spark, d, "orders")
+        .where(F.col("o_orderkey") % 16 == 0)
         .select(xml.alias("xml"))
         .select(
             F.expr("xpath_long(xml, '/order/@id')").alias("order_id"),

@@ -839,15 +839,19 @@ TRY_FACTOR = 4_611_686_018_427_387_904  # 2^62 multiplier
     "fn_try_arithmetic",
     oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           CASE WHEN l_linenumber - 3 = 0 THEN NULL
-                ELSE l_extendedprice / (l_linenumber - 3) END AS safe_div,
-           CASE WHEN CAST(l_orderkey AS HUGEINT) + {TRY_ADDEND}
-                     > 9223372036854775807
+           CASE WHEN l_orderkey % 97 = 0 THEN NULL
+                ELSE l_extendedprice / l_linenumber END AS safe_div,
+           CASE WHEN l_orderkey % 101 = 0
+                     AND CAST(l_orderkey AS HUGEINT) + {TRY_ADDEND}
+                         > 9223372036854775807
                 THEN CAST(-1 AS BIGINT)
-                ELSE CAST((CAST(l_orderkey AS HUGEINT) + {TRY_ADDEND}) % 997
+                ELSE CAST((CAST(l_orderkey AS HUGEINT)
+                           + CASE WHEN l_orderkey % 101 = 0
+                                  THEN {TRY_ADDEND} ELSE 1000 END) % 997
                           AS BIGINT) END AS add_mod997,
-           CASE WHEN CAST(l_orderkey AS HUGEINT) * {TRY_FACTOR}
-                     > 9223372036854775807
+           CASE WHEN l_orderkey % 103 = 0
+                     AND CAST(l_orderkey AS HUGEINT) * {TRY_FACTOR}
+                         > 9223372036854775807
                 THEN TRUE ELSE FALSE END AS mul_overflowed
     FROM lineitem
     """,
@@ -861,30 +865,50 @@ def fn_try_arithmetic(spark: SparkSession, d: str) -> DataFrame:
     while every healthy row computes normally (vs the blunt fix of
     disabling ANSI mode globally, which silently corrupts overflow
     everywhere). The divisor hits zero on every linenumber=3 row and
-    the addend/multiplier overflow on nearly every key, so both NULL
-    paths are exercised densely; the oracle recomputes the guards in
-    HUGEINT.
+    the addend/multiplier overflow on their slices' keys, so all
+    three NULL paths are exercised; the oracle recomputes the guards
+    in HUGEINT.
 
-    Scale: narrow codegen expressions, no UDF, no shuffle."""
+    Scale: narrow codegen expressions, no UDF, no shuffle — but each
+    CAUGHT failure costs a JVM exception (~25 us), so the poison rows
+    ride ~1% deterministic key slices: try_* protects against RARE
+    bad rows; a predicate that is false on most rows belongs in a
+    WHERE/CASE, not behind an exception handler."""
     li = load(spark, d, "lineitem")
-    # the raw near-MAX_BIGINT survivors can't ride the grading path
-    # (pandas renders nullable BIGINT as float64, losing low bits), so
-    # the registered output reduces them: a small exact modulus where
-    # the add survived (-1 where it overflowed) and a boolean overflow
-    # flag for the multiply — both dtype-stable and value-exact
+    # two grading/perf constraints shape the output: (a) raw near-MAX
+    # BIGINT survivors can't ride the grading path (pandas renders
+    # nullable BIGINT as float64, losing low bits) — so the add is
+    # reduced mod 997 (-1 where it overflowed) and the multiply to a
+    # boolean flag; (b) each caught overflow/div-by-zero costs a JVM
+    # exception (~25 us measured) — poisoning EVERY row made the op
+    # 30 s at sf0.1, so poison rides rare deterministic key slices
+    # (~1% of rows, the realistic density for bad data)
+    poison_div = F.col("l_orderkey") % 97 == 0
+    poison_add = F.col("l_orderkey") % 101 == 0
+    poison_mul = F.col("l_orderkey") % 103 == 0
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.try_divide(
-            F.col("l_extendedprice"), (F.col("l_linenumber") - 3).cast("double")
+            F.col("l_extendedprice"),
+            F.when(poison_div, F.lit(0.0)).otherwise(
+                F.col("l_linenumber").cast("double")
+            ),
         ).alias("safe_div"),
         F.coalesce(
-            F.try_add(F.col("l_orderkey"), F.lit(TRY_ADDEND)) % 997,
+            F.try_add(
+                F.col("l_orderkey"),
+                F.when(poison_add, F.lit(TRY_ADDEND)).otherwise(F.lit(1000)),
+            )
+            % 997,
             F.lit(-1),
         )
         .cast("long")
         .alias("add_mod997"),
-        F.try_multiply(F.col("l_orderkey"), F.lit(TRY_FACTOR))
+        F.try_multiply(
+            F.col("l_orderkey"),
+            F.when(poison_mul, F.lit(TRY_FACTOR)).otherwise(F.lit(1)),
+        )
         .isNull()
         .alias("mul_overflowed"),
     )

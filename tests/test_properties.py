@@ -1252,19 +1252,36 @@ def test_bbit_estimator_bounds(spark):
 
 
 def test_try_arithmetic_poison_rows_only(spark):
-    """safe_div NULL exactly on linenumber==3; mul overflow everywhere
-    except orderkey in {0, 1}; add survives only for tiny keys."""
+    """Poison rides the deterministic key slices: safe_div NULL
+    exactly on %97 keys, add overflow (-1) exactly on %101 keys above
+    the survivable range, mul overflow flag exactly on %103 keys > 1;
+    healthy rows compute normally."""
     import pro_etl_spark
+    from pro_etl_spark.ops.scalars import TRY_ADDEND
     from tests.conftest import SF_ORACLE
 
     qs = pro_etl_spark.get_queries()
     rows = qs["fn_try_arithmetic"](spark, SF_ORACLE).collect()
     assert rows
-    for r in rows[:2000]:
-        assert (r.safe_div is None) == (r.l_linenumber == 3), r
-        assert r.mul_overflowed == (r.l_orderkey > 1), r
-        if r.l_orderkey > 807:
+    max_i64 = (1 << 63) - 1
+    saw_div = saw_add = saw_mul = 0
+    for r in rows[:5000]:
+        assert (r.safe_div is None) == (r.l_orderkey % 97 == 0), r
+        add_over = (
+            r.l_orderkey % 101 == 0 and r.l_orderkey + TRY_ADDEND > max_i64
+        )
+        if add_over:
             assert r.add_mod997 == -1, r
+        else:
+            addend = TRY_ADDEND if r.l_orderkey % 101 == 0 else 1000
+            assert r.add_mod997 == (r.l_orderkey + addend) % 997, r
+        assert r.mul_overflowed == (
+            r.l_orderkey % 103 == 0 and r.l_orderkey > 1
+        ), r
+        saw_div += r.safe_div is None
+        saw_add += r.add_mod997 == -1
+        saw_mul += r.mul_overflowed
+    assert saw_div and saw_add and saw_mul  # every poison path hit
 
 
 def test_cdc_chunks_tile_payload_and_shift_locally(spark):
