@@ -3360,3 +3360,83 @@ def events_time_to_convert(spark: SparkSession, d: str) -> DataFrame:
             )
         ).alias("p90_us"),
     )
+
+
+MARKOV_POWER_ROUNDS = 4
+
+
+def _stationary_oracle() -> str:
+    from pro_etl_spark.registry import ORACLES
+
+    sql = f"""
+    WITH trans AS ({ORACLES["markov_transitions"]}),
+    tot AS (SELECT cur, SUM(n) AS t FROM trans GROUP BY cur),
+    p0 AS (
+      SELECT cur AS type,
+             1000000 // (SELECT COUNT(DISTINCT cur) FROM trans) AS m
+      FROM (SELECT DISTINCT cur FROM trans)
+    )"""
+    for i in range(1, MARKOV_POWER_ROUNDS + 1):
+        sql += f""", p{i} AS (
+      SELECT tr.nxt AS type, SUM((p.m * tr.n) // tt.t) AS m
+      FROM trans tr
+      JOIN p{i - 1} p ON p.type = tr.cur
+      JOIN tot tt ON tt.cur = tr.cur
+      GROUP BY tr.nxt
+    )"""
+    return sql + f"""
+    SELECT type AS event_type,
+           CAST(m AS BIGINT) AS stationary_micros,
+           ROUND(CAST(m AS DOUBLE) / 1000000.0, 6) AS stationary
+    FROM p{MARKOV_POWER_ROUNDS}
+    """
+
+
+@register("events_markov_stationary", oracle=_stationary_oracle())
+def events_markov_stationary(spark: SparkSession, d: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — power
+    iteration of ``markov_transitions``' matrix from the uniform start
+    (where does user attention CONVERGE, the chain's long-run answer
+    to "which state dominates"; the same fixed-point PageRank computes
+    on the doc graph, here on the behavioral model). All arithmetic is
+    INTEGER: the mass vector lives in micros and each update term is
+    (π_i·n_ij) div t_i — integral division, so every round is
+    bit-exact cross-engine with no float-summation order to pin
+    (flooring leaks ≤|types| micros of mass per round, an audit-grade
+    approximation documented here; the oracle unrolls identical
+    rounds as CTEs).
+
+    Scale: the transition matrix is |types|² = model state; each round
+    is a broadcast join + tiny aggregate — corpus is touched once by
+    the transition census."""
+    trans = markov_transitions(spark, d).select("cur", "nxt", "n")
+    trans = trans.localCheckpoint(eager=False)
+    tot = trans.groupBy("cur").agg(F.sum("n").alias("t"))
+    n_types = trans.select("cur").distinct().count()
+    pi = (
+        trans.select("cur")
+        .distinct()
+        .select(
+            F.col("cur").alias("type"),
+            # max(...,1): empty input has no types — the distinct
+            # spine is empty anyway, the literal just must not divide
+            # by zero while the plan is being built
+            F.lit(1000000 // max(n_types, 1)).cast("long").alias("m"),
+        )
+    )
+    for _ in range(MARKOV_POWER_ROUNDS):
+        pi = (
+            trans.join(F.broadcast(pi), trans["cur"] == F.col("type"))
+            .join(F.broadcast(tot), "cur")
+            .select(
+                "nxt",
+                F.expr("(m * n) DIV t").alias("term"),
+            )
+            .groupBy(F.col("nxt").alias("type"))
+            .agg(F.sum("term").cast("long").alias("m"))
+        )
+    return pi.select(
+        F.col("type").alias("event_type"),
+        F.col("m").alias("stationary_micros"),
+        F.round(F.col("m").cast("double") / 1000000.0, 6).alias("stationary"),
+    )

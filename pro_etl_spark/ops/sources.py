@@ -1441,3 +1441,45 @@ def scan_glob_discovery(spark: SparkSession, d: str) -> DataFrame:
         F.count_distinct("o_orderstatus").alias("n_status"),
     ).select("layout", "n_rows", "n_status")
     return a.unionAll(b)
+
+
+@register(
+    "scan_agg_pushdown",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    """,
+)
+def scan_agg_pushdown(spark: SparkSession, d: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown (``spark.sql.parquet.
+    aggregatePushdown``): MIN/MAX/COUNT answered from row-group
+    FOOTER STATISTICS without decoding a single data page — the
+    difference between "scan 100 TB to find the date range" and
+    "read a few MB of metadata". Works for un-filtered, un-grouped
+    aggregates over unpartitioned columns (exactly the profile of a
+    table health-check query); anything else falls back to a normal
+    scan, which is why the conf is a pushdown HINT, not a semantics
+    change — results are identical either way, as the oracle proves.
+    tests/test_plans.py pins ``PushedAggregation`` in the scan node so
+    a silent fallback fails loudly.
+
+    Scale: metadata-proportional (row-group count), not
+    byte-proportional — the cheapest possible full-table statistic."""
+    # aggregate pushdown is a v2-DataSource feature; both confs are
+    # restored to their defaults by registry.tune() before the NEXT
+    # query plans (RUNTIME_CONFS leak-guard), so the v2 switch cannot
+    # perturb other operators' plan shapes
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    o = load(spark, d, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )

@@ -2278,3 +2278,82 @@ def corpus_len_histogram(spark: SparkSession, d: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY 1
+    ), ranked AS (
+      SELECT CAST(floor(ln(row_number() OVER (ORDER BY c DESC, token))
+                        * 1000000) AS BIGINT) AS lx,
+             CAST(floor(ln(c) * 1000000) AS BIGINT) AS ly
+      FROM cnt
+    ), s AS (
+      SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 6) AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx)) * sx)
+                 / n / 1000000.0, 6) AS log_c_intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, d: str) -> DataFrame:
+    """Zipf-law fit of the corpus frequency spectrum: OLS slope of
+    log(frequency) against log(rank) over the full vocabulary —
+    natural text sits near slope −1; a corpus that drifts far from it
+    is the classic symptom of template spam (too flat) or synthetic
+    repetition (too steep), which makes this the one-number
+    "does this crawl read like language" audit. Both logs are
+    floor-quantized to integer micros BEFORE the OLS sums (the repo's
+    order-independence recipe), so the moments are bit-exact
+    cross-engine; rank ties break on (count desc, token).
+
+    Scale: one corpus token census (map-side combined), then the OLS
+    moments over the VOCAB-sized ranked table; the ranking window is
+    vocab-sized (same legitimate single-partition posture as
+    ``corpus_vocab``, allowlisted in the plan audit). The slope
+    itself aggregates to one row."""
+    tok = load(spark, d, "documents").select(
+        F.explode(TOKENS()).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), "token")
+    ranked = cnt.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 1000000)
+        .cast("long")
+        .alias("lx"),
+        F.floor(F.log(F.col("c").cast("double")) * 1000000)
+        .cast("long")
+        .alias("ly"),
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / nd / 1000000.0, 6).alias(
+            "log_c_intercept"
+        ),
+    )

@@ -49,6 +49,11 @@ RUNTIME_CONFS = {
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
     # same leak-guard for sink_partition_overwrite's dynamic mode
     "spark.sql.sources.partitionOverwriteMode": "static",
+    # leak-guard for scan_agg_pushdown: it switches parquet to the v2
+    # DataSource (aggregate pushdown is v2-only) for its own plan;
+    # every other query plans against the v1 defaults
+    "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,parquet,text",
+    "spark.sql.parquet.aggregatePushdown": "false",
     # same leak-guard for join_bloom_runtime: it zeroes the
     # application-side scan threshold to force the rewrite at test
     # scale; without restoring the defaults (enabled=true, 10GB)

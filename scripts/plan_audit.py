@@ -60,6 +60,10 @@ ALLOWED = {
         "SinglePartition": "top-K window over the distinct-token "
         "census only (vocab-sized, same posture as corpus_vocab)",
     },
+    "text_zipf_fit": {
+        "SinglePartition": "rank window over the distinct-token "
+        "census only (vocab-sized, same posture as corpus_vocab)",
+    },
     "events_ks_test": {
         "SinglePartition": "global MAX / total aggregates finishing to "
         "one row (the CDF pass itself is range-distributed)",

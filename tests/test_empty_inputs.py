@@ -184,6 +184,9 @@ REPRESENTATIVES = [
     "sql_unpivot_syntax",
     "sql_values_inline_table",
     "corpus_shard_balance",
+    "scan_agg_pushdown",
+    "text_zipf_fit",
+    "events_markov_stationary",
 ]
 
 

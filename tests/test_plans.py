@@ -768,3 +768,16 @@ def test_iter_series_udf_is_arrow_batched(spark):
     # row-at-a-time BatchEvalPython
     plan = plan_of(spark, "udf_iter_series")
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_agg_pushdown_reaches_parquet_footer(spark):
+    # MIN/MAX/COUNT must be answered from row-group statistics: the
+    # v2 scan node advertises PushedAggregation (a silent fallback to
+    # a full scan would still be correct, but defeats the operator)
+    plan = plan_of(spark, "scan_agg_pushdown")
+    assert "PushedAggregation: [" in plan, plan[:1500]
+    # and the leak-guard restored v1 parquet for subsequent plans
+    assert (
+        "parquet" in spark.conf.get("spark.sql.sources.useV1SourceList")
+        or plan_of(spark, "filter_eq")  # re-tune happened on next call
+    )

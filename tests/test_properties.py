@@ -1369,3 +1369,54 @@ def test_shard_balance_accounts_for_corpus(spark):
     assert sum(r.n_tokens for r in rows) == truth.t
     mean_bal = sum(r.token_balance for r in rows) / len(rows)
     assert abs(mean_bal - 1.0) < 0.01
+
+
+def test_zipf_slope_negative_and_bounded(spark):
+    """The frequency spectrum must slope DOWN in log-log space (the
+    defining Zipf property) and n_types must equal the vocab size."""
+    import pro_etl_spark
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    row = qs["text_zipf_fit"](spark, SF_ORACLE).collect()[0]
+    n_vocab = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert row.n_types == n_vocab
+    assert row.zipf_slope < 0
+
+
+def test_markov_stationary_is_distribution_and_fixed_pointish(spark):
+    """The stationary vector must (a) keep ~unit mass (floor leak
+    <= rounds * |types|^2 micros — one micro per matrix TERM), (b)
+    cover every observed event type,
+    and (c) be close to one more application of the transition matrix
+    (near-fixed-point after the power rounds)."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.analytics import MARKOV_POWER_ROUNDS
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    pi = {
+        r.event_type: r.stationary_micros
+        for r in qs["events_markov_stationary"](spark, SF_ORACLE).collect()
+    }
+    trans = qs["markov_transitions"](spark, SF_ORACLE).collect()
+    types = {t.cur for t in trans}
+    assert set(pi) == types
+    total = sum(pi.values())
+    leak_bound = MARKOV_POWER_ROUNDS * (len(types) ** 2 + 1)
+    assert 1_000_000 - leak_bound <= total <= 1_000_000
+    tot_i = {}
+    for t in trans:
+        tot_i[t.cur] = tot_i.get(t.cur, 0) + t.n
+    nxt = {k: 0 for k in types}
+    for t in trans:
+        nxt[t.nxt] += (pi[t.cur] * t.n) // tot_i[t.cur]
+    for k in types:
+        assert abs(nxt[k] - pi[k]) < 25_000, (k, nxt[k], pi[k])
