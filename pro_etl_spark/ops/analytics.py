@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pro_etl_spark.io import load
+from pro_etl_spark.ops.hashing import DUCK_HASH60, hash60
 from pro_etl_spark.registry import register
 
 DECV = "decimal(18,6)"
@@ -3439,4 +3440,182 @@ def events_markov_stationary(spark: SparkSession, d: str) -> DataFrame:
         F.col("type").alias("event_type"),
         F.col("m").alias("stationary_micros"),
         F.round(F.col("m").cast("double") / 1000000.0, 6).alias("stationary"),
+    )
+
+
+#: Poisson(1) inverse-CDF thresholds in integer micros (cumulative
+#: P(X<=k), k=0..7): a hash-uniform below threshold k gets weight <= k.
+#: Literal integers so both engines compare identically.
+BOOT_CUM_MICROS = [367879, 735759, 919699, 980988, 996340, 999406,
+                   999917, 999990]
+BOOT_REPLICATES = 8
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH w AS (
+      SELECT r.r AS replicate, e.value,
+             len(list_filter({BOOT_CUM_MICROS},
+                 t -> t <= ({{h}} % 1000000))) AS wt
+      FROM events e
+      CROSS JOIN (SELECT unnest(range(0, {BOOT_REPLICATES})) AS r) r
+    )
+    SELECT CAST(replicate AS BIGINT) AS replicate,
+           CAST(SUM(wt) AS BIGINT) AS n_eff,
+           ROUND(CAST(SUM(CAST(wt AS DECIMAL(18,6))
+                          * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / SUM(wt), 6) AS rep_mean
+    FROM w GROUP BY replicate
+    """.replace(
+        "{h}",
+        DUCK_HASH60.format(
+            x="e.event_id::VARCHAR || ':boot:' || r.r::VARCHAR"
+        ),
+    ),
+)
+def sample_poisson_bootstrap(spark: SparkSession, d: str) -> DataFrame:
+    """Poisson bootstrap — the SCALABLE bootstrap: instead of
+    resampling n rows with replacement (impossible distributed — it
+    needs global coordination), every row independently draws a
+    Poisson(1) weight per replicate (the n→∞ limit of Binomial(n,1/n))
+    and each replicate's statistic is the weighted mean; the spread of
+    the replicate means IS the standard error, no second pass over the
+    data. Weights come from a salted-hash uniform pushed through the
+    Poisson inverse CDF as integer-micro thresholds — deterministic,
+    reproducible, engine-identical (never rand()); weighted sums ride
+    DECIMAL.
+
+    Scale: one scan fans out ×R in-task and map-side combines to R
+    rows per partition before the tiny R-key shuffle — the bootstrap
+    costs one pass regardless of corpus size, which is the method's
+    entire reason to exist."""
+    e = load(spark, d, "events")
+    r = F.explode(
+        F.sequence(F.lit(0), F.lit(BOOT_REPLICATES - 1))
+    ).alias("replicate")
+    u = hash60(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit(":boot:"),
+            F.col("replicate").cast("string"),
+        )
+    ) % 1000000
+    wt = F.size(
+        F.filter(
+            F.array(*[F.lit(t).cast("long") for t in BOOT_CUM_MICROS]),
+            lambda t: t <= u,
+        )
+    ).cast("long")
+    return (
+        e.select("event_id", "value", r)
+        .select("replicate", "value", wt.alias("wt"))
+        .groupBy(F.col("replicate").cast("long").alias("replicate"))
+        .agg(
+            F.sum("wt").cast("long").alias("n_eff"),
+            F.round(
+                F.sum(
+                    F.col("wt").cast(DECV) * F.col("value").cast(DECV)
+                ).cast("double")
+                / F.sum("wt"),
+                6,
+            ).alias("rep_mean"),
+        )
+    )
+
+
+@register(
+    "events_seasonal_residual",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS dow_mean
+      FROM events GROUP BY 1, 2
+    ), res AS (
+      SELECT e.event_type,
+             e.value - c.dow_mean AS r
+      FROM events e
+      JOIN cell c ON c.event_type = e.event_type
+                 AND c.dow = dayofweek(e.ts) + 1
+    ), m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(r AS DECIMAL(27,6))) AS DOUBLE) AS sr,
+             CAST(SUM(CAST(r * r AS DECIMAL(27,6))) AS DOUBLE) AS srr
+      FROM res GROUP BY event_type
+    )
+    SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+           ROUND(sqrt(GREATEST(srr / n - (sr / n) * (sr / n), 0)), 6)
+             AS sigma_r,
+           CAST((SELECT COUNT(*) FROM res
+                 WHERE res.event_type = m.event_type
+                   AND abs(res.r) > 3 * sqrt(GREATEST(
+                         m.srr / m.n - (m.sr / m.n) * (m.sr / m.n), 0)))
+                AS BIGINT) AS n_anomalies
+    FROM m
+    """,
+)
+def events_seasonal_residual(spark: SparkSession, d: str) -> DataFrame:
+    """Seasonally-adjusted anomaly gate: subtract each event's
+    (type, day-of-week) mean FIRST, then threshold the residual at
+    3σ — the deseasonalization step ``agg_zscore_outliers`` skips,
+    which matters because a weekly-periodic metric flags every Sunday
+    as anomalous under a raw z-score while a real Sunday spike hides
+    inside the weekly swing. Cell means and residual moments are
+    DECIMAL-routed (order-independent); the quantization of r² to
+    6 decimals happens per row BEFORE the sum, both engines identical;
+    dayofweek alignment follows the events_chi_square recipe (+1 on
+    the DuckDB side).
+
+    Scale: one grouped pass to |types|×7 cells (broadcast back), one
+    residual pass with the per-type moment aggregate and the anomaly
+    census sharing a partitioning — the corpus is scanned twice,
+    shuffled once."""
+    e = load(spark, d, "events")
+    cell = (
+        e.groupBy("event_type", F.dayofweek("ts").alias("dow"))
+        .agg(
+            (
+                F.sum(F.col("value").cast(DECV)).cast("double")
+                / F.count("*")
+            ).alias("dow_mean")
+        )
+    )
+    res = e.withColumn("dow", F.dayofweek("ts")).join(
+        F.broadcast(cell), ["event_type", "dow"]
+    ).select("event_type", (F.col("value") - F.col("dow_mean")).alias("r"))
+    res = res.cache()
+    m = res.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("r").cast("decimal(27,6)")).cast("double").alias("sr"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("srr"),
+    )
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("srr") / F.col("n")
+            - (F.col("sr") / F.col("n")) * (F.col("sr") / F.col("n")),
+            F.lit(0.0),
+        )
+    )
+    flagged = (
+        res.join(
+            F.broadcast(m.select("event_type", "n", "sr", "srr")),
+            "event_type",
+        )
+        .where(F.abs(F.col("r")) > 3 * sigma)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_anomalies"))
+    )
+    return (
+        m.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(sigma, 6).alias("sigma_r"),
+            F.coalesce("n_anomalies", F.lit(0).cast("long")).alias(
+                "n_anomalies"
+            ),
+        )
     )

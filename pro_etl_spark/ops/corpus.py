@@ -1146,3 +1146,86 @@ def corpus_shard_balance(spark: SparkSession, d: str) -> DataFrame:
             F.col("n_tokens").cast("double") / (F.col("tt") / F.col("k")), 6
         ).alias("token_balance"),
     )
+
+
+def _cross_dedup_oracle() -> str:
+    from pro_etl_spark.ops.dedup import _LSH_PAIRS_CTE
+
+    return _LSH_PAIRS_CTE + """
+    , src AS (SELECT doc_id, source FROM documents),
+    counts AS (SELECT source, COUNT(*) AS n_docs FROM src GROUP BY 1),
+    m AS (
+      SELECT LEAST(sa.source, sb.source) AS source_a,
+             GREATEST(sa.source, sb.source) AS source_b,
+             COUNT(*) AS n_dup_pairs
+      FROM pairs p
+      JOIN src sa ON sa.doc_id = p.doc_a
+      JOIN src sb ON sb.doc_id = p.doc_b
+      GROUP BY 1, 2
+    )
+    SELECT m.source_a, m.source_b, CAST(m.n_dup_pairs AS BIGINT)
+             AS n_dup_pairs,
+           ROUND(1000000.0 * m.n_dup_pairs
+                 / (CAST(ca.n_docs AS DOUBLE) * cb.n_docs), 6)
+             AS dup_ppm
+    FROM m
+    JOIN counts ca ON ca.source = m.source_a
+    JOIN counts cb ON cb.source = m.source_b
+    """
+
+
+@register("corpus_cross_dedup_matrix", oracle=_cross_dedup_oracle())
+def corpus_cross_dedup_matrix(spark: SparkSession, d: str) -> DataFrame:
+    """Cross-source duplication matrix: for each (source, source)
+    cell, how many VERIFIED near-dup pairs straddle it, normalized by
+    the cell's doc-count product (parts-per-million) — the provenance
+    census that tells a crawl team WHO is mirroring WHOM (a hot
+    off-diagonal cell = one source republishing another; a hot
+    diagonal = internal boilerplate). Pure composition over the
+    cached LSH pair table + a broadcast source census; the pair's
+    sources are canonically ordered (least/greatest) so each
+    unordered cell appears once.
+
+    Scale: pair-table-sized joins against a broadcast (doc_id →
+    source) projection... at 100 TB that projection is itself big, so
+    the two lookups are key shuffles of the PAIR table (dup pairs ≪
+    corpus), never of the corpus."""
+    pairs = dedup_minhash_lsh(spark, d)
+    src = load(spark, d, "documents").select("doc_id", "source")
+    counts = src.groupBy("source").agg(F.count("*").alias("n_docs"))
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    m = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_dup_pairs"))
+    )
+    ca = counts.select(
+        F.col("source").alias("source_a"), F.col("n_docs").alias("na")
+    )
+    cb = counts.select(
+        F.col("source").alias("source_b"), F.col("n_docs").alias("nb")
+    )
+    return (
+        m.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_dup_pairs",
+            F.round(
+                1000000.0
+                * F.col("n_dup_pairs")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("dup_ppm"),
+        )
+    )

@@ -956,3 +956,64 @@ def fn_url_params(spark: SparkSession, d: str) -> DataFrame:
             "page_param"
         ),
     )
+
+
+@register(
+    "fn_json_struct",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_back,
+           o_totalprice AS total_back,
+           CAST(o_orderkey % 5 AS BIGINT) AS tag_count,
+           TRUE AS roundtrip_ok
+    FROM orders
+    """,
+)
+def fn_json_struct(spark: SparkSession, d: str) -> DataFrame:
+    """Schema-ed JSON round-trip (``to_json`` / ``from_json``) — the
+    TYPED companion of ``fn_json``'s path extraction
+    (get_json_object returns strings; from_json with an explicit
+    schema returns a real struct with typed fields, the only sane way
+    to consume a JSON column at scale — schema inference is a full
+    extra pass and per-row path extraction re-parses the document per
+    field). Each order is serialized to a JSON document with a nested
+    array, parsed back through the declared schema, and every typed
+    field recovered; the oracle pins extract(parse(render(row))) ==
+    row. Doubles survive exactly (shortest-round-trip literals).
+
+    Scale: narrow per-row Jackson parse, ONE parse per row for ALL
+    fields (vs one per field with path extraction), no UDF."""
+    o = load(spark, d, "orders")
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_totalprice").alias("t"),
+            F.when(
+                F.col("o_orderkey") % 5 > 0,
+                F.transform(
+                    # guard: sequence(1, 0) is DESCENDING [1, 0] in
+                    # Spark, not empty — %5==0 must yield [] explicitly
+                    F.sequence(
+                        F.lit(1), (F.col("o_orderkey") % 5).cast("int")
+                    ),
+                    lambda i: F.concat(F.lit("tag"), i.cast("string")),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("tags"),
+        )
+    )
+    schema = "k long, s string, t double, tags array<string>"
+    parsed = F.from_json(doc, schema)
+    return o.select(
+        "o_orderkey",
+        parsed.getField("s").alias("status_back"),
+        parsed.getField("t").alias("total_back"),
+        F.size(parsed.getField("tags")).cast("long").alias("tag_count"),
+        (
+            (parsed.getField("k") == F.col("o_orderkey"))
+            & (parsed.getField("s") == F.col("o_orderstatus"))
+            & (parsed.getField("t") == F.col("o_totalprice"))
+        ).alias("roundtrip_ok"),
+    )

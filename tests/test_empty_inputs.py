@@ -187,6 +187,10 @@ REPRESENTATIVES = [
     "scan_agg_pushdown",
     "text_zipf_fit",
     "events_markov_stationary",
+    "sample_poisson_bootstrap",
+    "corpus_cross_dedup_matrix",
+    "fn_json_struct",
+    "events_seasonal_residual",
 ]
 
 

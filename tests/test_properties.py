@@ -1420,3 +1420,62 @@ def test_markov_stationary_is_distribution_and_fixed_pointish(spark):
         nxt[t.nxt] += (pi[t.cur] * t.n) // tot_i[t.cur]
     for k in types:
         assert abs(nxt[k] - pi[k]) < 25_000, (k, nxt[k], pi[k])
+
+
+def test_poisson_bootstrap_weights_distribution(spark):
+    """Every replicate must draw ~n effective rows (Poisson(1) mass
+    sums to ~1 per row: |n_eff - n| well inside 5 sigma = 5*sqrt(n))
+    and replicate means must cluster around the true mean."""
+    import math
+
+    import pro_etl_spark
+    from pro_etl_spark.ops.analytics import BOOT_REPLICATES
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["sample_poisson_bootstrap"](spark, SF_ORACLE).collect()
+    assert len(rows) == BOOT_REPLICATES
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select("value")
+    n = ev.count()
+    true_mean = ev.agg({"value": "avg"}).collect()[0][0]
+    for r in rows:
+        assert abs(r.n_eff - n) < 5 * math.sqrt(n), r
+        assert abs(r.rep_mean - true_mean) / true_mean < 0.2, r
+
+
+def test_cross_dedup_matrix_accounts_for_pairs(spark):
+    """Matrix mass must equal the LSH pair count and every cell's
+    sources must be canonically ordered."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    cells = qs["corpus_cross_dedup_matrix"](spark, SF_ORACLE).collect()
+    pairs = qs["dedup_minhash_lsh"](spark, SF_ORACLE).collect()
+    assert sum(c.n_dup_pairs for c in cells) == len(pairs)
+    for c in cells:
+        assert c.source_a <= c.source_b
+        assert c.dup_ppm > 0
+
+
+def test_seasonal_residual_fewer_flags_than_raw_zscore(spark):
+    """All anomaly counts are small relative to n (3-sigma gates), and
+    sigma_r must not exceed the raw per-type sigma (removing the DOW
+    component can only shrink variance, up to quantization slack)."""
+    import pro_etl_spark
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["events_seasonal_residual"](spark, SF_ORACLE).collect()
+    assert rows
+    raw = {
+        r.event_type: r.s
+        for r in spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.stddev_pop("value").alias("s"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_anomalies < 0.05 * r.n
+        assert r.sigma_r <= raw[r.event_type] + 1e-6, r
