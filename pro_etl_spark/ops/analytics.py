@@ -3619,3 +3619,118 @@ def events_seasonal_residual(spark: SparkSession, d: str) -> DataFrame:
             ),
         )
     )
+
+
+VWAP_WIN = 24  # trailing trades in the rolling VWAP frame
+
+
+@register(
+    "window_vwap",
+    oracle=f"""
+    SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,3))
+                           * CAST(l_quantity AS DECIMAL(9,3))) OVER f
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(9,3))) OVER f
+                        AS DOUBLE), 6) AS vwap,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(9,3))) OVER f AS DOUBLE)
+             AS vol_w
+    FROM lineitem
+    WINDOW f AS (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN {VWAP_WIN - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_vwap(spark: SparkSession, d: str) -> DataFrame:
+    """Rolling VWAP (volume-weighted average price) per part over the
+    trailing VWAP_WIN trades — the execution-quality benchmark every
+    trading/procurement system computes (a fill above rolling VWAP
+    overpaid; a PO priced below it beat the market): Σ(price·qty) /
+    Σ(qty) over a bounded row frame, both sums riding DECIMAL so the
+    division sees identical values in each engine. Completes the
+    weighted family next to ``agg_weighted_avg`` (global) and
+    ``agg_weighted_median`` (robust).
+
+    Scale: one window pass partitioned by the high-cardinality part
+    key over a bounded frame — no global sort, one shuffle."""
+    f = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-(VWAP_WIN - 1), 0)
+    )
+    li = load(spark, d, "lineitem")
+    # narrow grains ((15,3) x (9,3) -> 24-digit product) so the
+    # windowed products stay inside 128-bit decimals in BOTH engines
+    # (the (18,6) x (18,6) form overflows DuckDB's multiply)
+    pq = F.col("l_extendedprice").cast("decimal(15,3)") * F.col(
+        "l_quantity"
+    ).cast("decimal(9,3)")
+    vol = F.sum(F.col("l_quantity").cast("decimal(9,3)")).over(f)
+    return li.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.sum(pq).over(f).cast("double") / vol.cast("double"), 6
+        ).alias("vwap"),
+        vol.cast("double").alias("vol_w"),
+    )
+
+
+BURST_BUCKET_MIN = 15  # minutes per arrival-count bucket
+
+
+@register(
+    "events_burstiness",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT event_type, time_bucket(INTERVAL '{BURST_BUCKET_MIN} minutes', ts)
+               AS b, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS mean_rate,
+           ROUND((CAST(SUM(c * c) AS DOUBLE) / COUNT(*)
+                  - (CAST(SUM(c) AS DOUBLE) / COUNT(*))
+                    * (CAST(SUM(c) AS DOUBLE) / COUNT(*)))
+                 / (CAST(SUM(c) AS DOUBLE) / COUNT(*)), 6) AS fano
+    FROM buckets GROUP BY event_type
+    """,
+)
+def events_burstiness(spark: SparkSession, d: str) -> DataFrame:
+    """Burstiness (Fano factor / index of dispersion) per event type:
+    variance-to-mean ratio of arrival counts in fixed
+    BURST_BUCKET_MIN-minute buckets — a Poisson-steady stream scores
+    ≈1, machine retry storms and bot bursts score ≫1, throttled/
+    regular feeds <1; the one-number triage BEFORE reaching for
+    ``anomaly_cusum``'s changepoint machinery. Counts are integers,
+    so every moment (Σc, Σc²) is an exact BIGINT sum — no quantization
+    needed anywhere before the two final divisions.
+
+    Scale: one grouped pass to |types|×|buckets| cells, then a
+    |types|-key aggregate of the cell table."""
+    b = (
+        load(spark, d, "events")
+        .groupBy(
+            "event_type",
+            F.window("ts", f"{BURST_BUCKET_MIN} minutes")["start"].alias("b"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    mean = F.sum("c").cast("double") / F.count("*")
+    return b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.round(mean, 6).alias("mean_rate"),
+        F.round(
+            (
+                F.sum(F.col("c") * F.col("c")).cast("double") / F.count("*")
+                - mean * mean
+            )
+            / mean,
+            6,
+        ).alias("fano"),
+    )

@@ -1229,3 +1229,79 @@ def corpus_cross_dedup_matrix(spark: SparkSession, d: str) -> DataFrame:
             ).alias("dup_ppm"),
         )
     )
+
+
+def _dup_inflation_oracle() -> str:
+    from pro_etl_spark.ops.dedup import _LSH_PAIRS_CTE
+
+    return _LSH_PAIRS_CTE + r"""
+    , nodes AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION SELECT doc_b FROM pairs
+    ), toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+      FROM documents
+    ), tot AS (
+      SELECT SUM(n_toks) AS tt, COUNT(*) AS td FROM toks
+    ), dup AS (
+      SELECT COALESCE(SUM(t.n_toks), 0) AS dt, COUNT(*) AS dd
+      FROM nodes n JOIN toks t USING (doc_id)
+    )
+    SELECT CAST(tot.td AS BIGINT) AS n_docs,
+           CAST(tot.tt AS BIGINT) AS n_tokens,
+           CAST(dup.dd AS BIGINT) AS n_dup_docs,
+           CAST(dup.dt AS BIGINT) AS n_dup_tokens,
+           ROUND(CAST(dup.dt AS DOUBLE) / tot.tt, 6) AS dup_token_share
+    FROM tot, dup
+    """
+
+
+@register("corpus_dup_inflation", oracle=_dup_inflation_oracle())
+def corpus_dup_inflation(spark: SparkSession, d: str) -> DataFrame:
+    """Duplication inflation — the TOKEN-weighted cost of near-dups:
+    what share of the corpus's token mass sits inside verified
+    near-dup families (every one of those tokens buys repeated
+    gradient steps on repeated content — the compute-waste number a
+    dedup rollout quotes to justify itself, which doc-count dup rates
+    understate because duplicated documents skew long). Membership
+    comes from the cached LSH pair table's node set; token counts from
+    one narrow census; both totals are exact BIGINTs.
+
+    Scale: the pair-node set is dup-sized (≪ corpus); the token census
+    is one map pass + map-side-combined sums; the membership join
+    shuffles the NODE set against the census keys, never the corpus
+    against itself."""
+    from pro_etl_spark.ops.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, d)
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    toks = load(spark, d, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_toks"
+        ),
+    )
+    tot = toks.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    dup = nodes.join(toks, "doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_docs"),
+        F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias(
+            "n_dup_tokens"
+        ),
+    )
+    return tot.crossJoin(F.broadcast(dup)).select(
+        "n_docs",
+        "n_tokens",
+        "n_dup_docs",
+        "n_dup_tokens",
+        F.round(
+            F.col("n_dup_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_token_share"),
+    )

@@ -562,3 +562,128 @@ def graph_degree_distribution(spark: SparkSession, d: str) -> DataFrame:
     return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
         F.count("*").cast("long").alias("n_nodes")
     )
+
+
+PPR_ROUNDS = 3
+PPR_ALPHA_PCT = 15  # teleport probability, percent (integer math)
+
+
+def _ppr_oracle() -> str:
+    """Personalized PageRank unrolled: mass in integer micros; each
+    round spreads 85% of a node's mass equally over its neighbors
+    ((85·m) div (100·deg) per edge) and teleports 15% of the TOTAL
+    round mass back to the seed set — all integral division, so
+    rounds are bit-exact cross-engine."""
+    sql = _LSH_PAIRS_CTE + f"""
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+    ), seeds AS (
+      SELECT node FROM (
+        SELECT DISTINCT src AS node FROM edges ORDER BY node
+        LIMIT {BFS_SEEDS}
+      )
+    ), m0 AS (
+      SELECT node, CAST(1000000 // {BFS_SEEDS} AS BIGINT) AS m FROM seeds
+    )"""
+    for i in range(1, PPR_ROUNDS + 1):
+        sql += f""", spread{i} AS (
+      SELECT e.dst AS node,
+             SUM((85 * p.m) // (100 * d.deg)) AS m
+      FROM edges e
+      JOIN m{i - 1} p ON p.node = e.src
+      JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    ), m{i} AS (
+      SELECT COALESCE(s.node, sd.node) AS node,
+             COALESCE(s.m, 0)
+             + CASE WHEN sd.node IS NOT NULL
+                    THEN (15 * (SELECT SUM(m) FROM m{i - 1})) // (100 * {BFS_SEEDS})
+                    ELSE 0 END AS m
+      FROM spread{i} s FULL JOIN seeds sd ON s.node = sd.node
+    )"""
+    return sql + f"""
+    SELECT node AS doc_id, CAST(m AS BIGINT) AS ppr_micros,
+           ROUND(CAST(m AS DOUBLE) / 1000000.0, 6) AS ppr
+    FROM m{PPR_ROUNDS} WHERE m > 0
+    """
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, d: str) -> DataFrame:
+    """PERSONALIZED PageRank from a seed set over the near-dup graph —
+    the similarity-expansion primitive ("what else is in these
+    documents' neighborhood, weighted by random-walk proximity")
+    behind related-content retrieval and contamination triage, where
+    global ``graph_pagerank`` answers a different question (overall
+    centrality). Mass lives in integer micros: each round spreads 85%
+    of a node's mass over its neighbors via integral division and
+    teleports 15% of the total back to the seeds — no float summation
+    order anywhere, so rounds are bit-exact cross-engine (flooring
+    leaks mass monotonically; an audit-grade trade, same posture as
+    ``events_markov_stationary``).
+
+    Scale: per round one keyed shuffle (mass ⋈ edges + per-node SUM)
+    plus an O(1)-row total — the touched node set stays proportional
+    to the seed neighborhood, not the corpus. Lineage truncated per
+    round."""
+    pairs = dedup_minhash_lsh(spark, d)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(BFS_SEEDS)
+        .localCheckpoint(eager=True)
+    )
+    m = seeds.select(
+        "node", F.lit(1000000 // BFS_SEEDS).cast("long").alias("m")
+    )
+    for _ in range(PPR_ROUNDS):
+        total = m.agg(F.sum("m").alias("tm"))
+        spread = (
+            edges.join(m.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(85 * m) DIV (100 * deg)").alias("m"),
+            )
+            .groupBy("node")
+            .agg(F.sum("m").alias("m"))
+        )
+        teleport = (
+            seeds.crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.expr(f"(15 * tm) DIV (100 * {BFS_SEEDS})").alias("mt"),
+            )
+        )
+        m = (
+            spread.join(teleport, "node", "full")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("m"), F.lit(0))
+                    + F.coalesce(F.col("mt"), F.lit(0))
+                )
+                .cast("long")
+                .alias("m"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return m.where(F.col("m") > 0).select(
+        F.col("node").alias("doc_id"),
+        F.col("m").alias("ppr_micros"),
+        F.round(F.col("m").cast("double") / 1000000.0, 6).alias("ppr"),
+    )

@@ -191,6 +191,10 @@ REPRESENTATIVES = [
     "corpus_cross_dedup_matrix",
     "fn_json_struct",
     "events_seasonal_residual",
+    "window_vwap",
+    "events_burstiness",
+    "graph_personalized_pagerank",
+    "corpus_dup_inflation",
 ]
 
 

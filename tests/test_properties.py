@@ -1479,3 +1479,88 @@ def test_seasonal_residual_fewer_flags_than_raw_zscore(spark):
     for r in rows:
         assert r.n_anomalies < 0.05 * r.n
         assert r.sigma_r <= raw[r.event_type] + 1e-6, r
+
+
+def test_vwap_bracketed_by_prices(spark):
+    """A volume-weighted average must sit inside [min, max] of the
+    prices in its frame — cheap proxy: global per-part min/max."""
+    import pro_etl_spark
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["window_vwap"](spark, SF_ORACLE).collect()
+    assert rows
+    rng = {
+        r.l_partkey: (r.lo, r.hi)
+        for r in spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    for r in rows[:3000]:
+        lo, hi = rng[r.l_partkey]
+        assert lo - 1e-6 <= r.vwap <= hi + 1e-6, r
+        assert r.vol_w > 0
+
+
+def test_burstiness_accounts_and_nonnegative(spark):
+    """Per-type event totals must equal the raw census; Fano factors
+    are non-negative."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["events_burstiness"](spark, SF_ORACLE).collect()
+    truth = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert {r.event_type: r.n_events for r in rows} == truth
+    for r in rows:
+        assert r.fano >= 0 and r.n_buckets > 0
+
+
+def test_ppr_mass_concentrated_near_seeds(spark):
+    """PPR mass must stay <= the initial unit (integral flooring only
+    leaks), seeds must hold positive mass (teleport guarantees it),
+    and every scored node is reachable within PPR_ROUNDS + 1 hops of a
+    seed (mass can only travel one hop per round)."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.graph import BFS_SEEDS, PPR_ROUNDS
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["graph_personalized_pagerank"](spark, SF_ORACLE).collect()
+    assert rows
+    assert sum(r.ppr_micros for r in rows) <= 1_000_000
+    pairs = qs["dedup_minhash_lsh"](spark, SF_ORACLE).collect()
+    nodes = sorted({r.doc_a for r in pairs} | {r.doc_b for r in pairs})
+    seeds = set(nodes[:BFS_SEEDS])
+    scored = {r.doc_id for r in rows}
+    assert seeds <= scored
+    hops = {r.doc_id: r.hops for r in qs["graph_bfs_distances"](spark, SF_ORACLE).collect()}
+    for r in rows:
+        assert hops.get(r.doc_id, 99) <= PPR_ROUNDS, r
+
+
+def test_dup_inflation_consistency(spark):
+    """Dup doc/token counts must match a direct recount from the LSH
+    node set, and the share must be dup_tokens/total."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    row = qs["corpus_dup_inflation"](spark, SF_ORACLE).collect()[0]
+    pairs = qs["dedup_minhash_lsh"](spark, SF_ORACLE).collect()
+    nodes = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert row.n_dup_docs == len(nodes)
+    assert 0 < row.n_dup_tokens <= row.n_tokens
+    assert abs(row.dup_token_share - row.n_dup_tokens / row.n_tokens) < 1e-6
