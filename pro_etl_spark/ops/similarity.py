@@ -2234,3 +2234,79 @@ def embed_class_separation(spark: SparkSession, d: str) -> DataFrame:
             F.round(F.col("cd2") / msd, 6).alias("separation"),
         )
     )
+
+
+@register(
+    "embed_norm_outliers",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT vec_id, label,
+             ROUND(sqrt({DUCK_DOT.format(a="embedding", b="embedding")}),
+                   6) AS nrm
+      FROM embeddings
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY nrm, vec_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM nrm
+    ), med AS (
+      SELECT MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN nrm END) AS m
+      FROM ranked
+    )
+    SELECT r.vec_id, CAST(r.label AS INT) AS label, r.nrm,
+           ROUND(r.nrm / med.m, 6) AS norm_ratio,
+           r.nrm < 0.5 * med.m OR r.nrm > 2.0 * med.m AS is_broken
+    FROM ranked r, med
+    """,
+)
+def embed_norm_outliers(spark: SparkSession, d: str) -> DataFrame:
+    """Embedding-norm health gate: vectors whose L2 norm sits far from
+    the corpus median (>2× or <0.5×) are almost always PIPELINE
+    failures — truncated reads, zero-padded batches, double-applied
+    normalization — not unusual content, and they poison cosine
+    retrieval (a near-zero norm turns the denominator into noise).
+    The median is a DISCRETE order statistic (rn = ceil(n/2), the
+    ``anomaly_iqr`` recipe) over 6-dp-rounded norms, so both engines
+    pick the identical pivot; every vector is scored against it.
+
+    Scale: one narrow norm pass; the median order statistic runs on
+    the DISTRIBUTED global-ranking recipe (range shuffle +
+    per-partition windows + O(#partitions) driver offsets — the
+    vector table is corpus-sized, so a single-partition sort would be
+    a real bottleneck); the broadcast pivot scores the corpus
+    in-place."""
+    from pro_etl_spark.ops.analytics import _global_running_sums
+
+    e = corpus_table(spark, d).select(
+        "vec_id", "label", F.round("nrm", 6).alias("nrm")
+    )
+    ranked = _global_running_sums(
+        e.withColumn("_one", F.lit(1).cast("long")),
+        ["nrm", "vec_id"],
+        ["_one"],
+    ).withColumnRenamed("run__one", "rn")
+    n_tot = e.agg(F.count("*").cast("long").alias("n"))
+    med = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"),
+                    F.col("nrm"),
+                )
+            ).alias("m")
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(med))
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            "nrm",
+            F.round(F.col("nrm") / F.col("m"), 6).alias("norm_ratio"),
+            (
+                (F.col("nrm") < 0.5 * F.col("m"))
+                | (F.col("nrm") > 2.0 * F.col("m"))
+            ).alias("is_broken"),
+        )
+    )

@@ -1483,3 +1483,43 @@ def scan_agg_pushdown(spark: SparkSession, d: str) -> DataFrame:
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
     )
+
+
+@register(
+    "sink_csv_gzip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def sink_csv_gzip(spark: SparkSession, d: str) -> DataFrame:
+    """Compressed text sink round-trip: CSV written with the gzip
+    codec, read back with an explicit schema — the export format every
+    downstream partner still asks for, with the codec handled
+    transparently by the format layer (files land as part-*.csv.gz;
+    the reader sniffs the extension — no flag needed). The oracle pins
+    losslessness: doubles survive the text round-trip exactly because
+    Spark writes shortest-round-trip literals.
+
+    Scale note the docstring owes: gzip is NOT splittable — one .gz
+    file = one read task regardless of size, so a compressed export
+    must keep individual files bounded (this write inherits the
+    upstream partitioning; a production export would repartition to a
+    target file size). For splittable compressed text use bzip2, or
+    better, keep analytics data in parquet (sink here exists for the
+    partner-export contract, not as a lake format)."""
+    path = _tmp(f"csv_gzip_{dataset_suffix(d)}")
+    proj = load(spark, d, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    _write_once(
+        path,
+        lambda: proj.write.mode("overwrite")
+        .option("header", True)
+        .option("compression", "gzip")
+        .csv(path),
+    )
+    return (
+        spark.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .option("header", True)
+        .csv(path)
+    )

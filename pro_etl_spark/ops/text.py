@@ -2357,3 +2357,52 @@ def text_zipf_fit(spark: SparkSession, d: str) -> DataFrame:
             "log_c_intercept"
         ),
     )
+
+
+@register(
+    "text_code_detection",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[{}();=\[\]<>]')
+                ) AS BIGINT) AS n_code_chars,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+             AS n_words,
+           ROUND(CAST(len(regexp_extract_all(text, '[{}();=\[\]<>]'))
+                      AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS symbol_density,
+           len(regexp_extract_all(text, '[{}();=\[\]<>]'))
+             > 0.05 * length(text) AS looks_like_code
+    FROM documents
+    """,
+)
+def text_code_detection(spark: SparkSession, d: str) -> DataFrame:
+    """Code-vs-prose routing signal — the corpus-splitting heuristic a
+    pre-train pipeline runs before anything language-specific (code
+    goes to the code tokenizer/quality stack, prose to Gopher-style
+    gates; mixing them poisons both): density of code-ish punctuation
+    ({}();=[]<>) against document length, thresholded. The synthetic
+    corpus is prose, so the flag is uniformly false HERE — the oracle
+    still proves the counting arithmetic exactly, and the test pins
+    positive detection on a code fixture. Pure regexp counts in
+    whole-stage codegen.
+
+    Scale: narrow map pass, no UDF, no shuffle — router signals must
+    cost nothing because every document pays them."""
+    t = F.col("text")
+    code_chars = F.size(
+        F.regexp_extract_all(t, F.lit(r"[{}();=\[\]<>]"), F.lit(0))
+    ).cast("long")
+    words = F.size(
+        F.regexp_extract_all(t, F.lit("[A-Za-z]+"), F.lit(0))
+    ).cast("long")
+    return load(spark, d, "documents").select(
+        "doc_id",
+        code_chars.alias("n_code_chars"),
+        words.alias("n_words"),
+        F.round(
+            code_chars.cast("double")
+            / F.greatest(F.length(t), F.lit(1)),
+            6,
+        ).alias("symbol_density"),
+        (code_chars > 0.05 * F.length(t)).alias("looks_like_code"),
+    )

@@ -81,6 +81,12 @@ ALLOWED = {
         "the order-statistic ranking itself is the _pid-partitioned "
         "_global_running_sums window",
     },
+    "embed_norm_outliers": {
+        "SinglePartition": "same class again: the median-pivot MAX and "
+        "the COUNT finish as scalar partial->final aggregates; the "
+        "norm ranking is the _pid-partitioned _global_running_sums "
+        "window (verified by hand in the executed plan)",
+    },
     "join_bloom_runtime": {
         "SinglePartition": "bloom_filter_agg merge: mergeable partial "
         "sketches combine into the one runtime filter row",

@@ -195,6 +195,8 @@ REPRESENTATIVES = [
     "events_burstiness",
     "graph_personalized_pagerank",
     "corpus_dup_inflation",
+    "text_code_detection",
+    "embed_norm_outliers",
 ]
 
 

