@@ -1017,3 +1017,42 @@ def fn_json_struct(spark: SparkSession, d: str) -> DataFrame:
             & (parsed.getField("t") == F.col("o_totalprice"))
         ).alias("roundtrip_ok"),
     )
+
+
+WB_LO, WB_HI, WB_N = 50.0, 300.0, 10  # range INSIDE the data span so
+# both overflow buckets (0 and n+1) actually populate
+
+
+@register(
+    "fn_width_bucket",
+    oracle=f"""
+    SELECT event_id, value,
+           CAST(CASE WHEN value < 50.0 THEN 0
+                     WHEN value >= 300.0 THEN 10 + 1
+                     ELSE CAST(floor((value - 50.0)
+                               / ((300.0 - 50.0) / 10)) AS BIGINT)
+                          + 1 END AS BIGINT) AS bucket
+    FROM events
+    """,
+)
+def fn_width_bucket(spark: SparkSession, d: str) -> DataFrame:
+    """ANSI ``WIDTH_BUCKET`` — the equi-width bucketing scalar
+    (SQL:2016) behind every fixed-bin histogram and rate card:
+    bucket i covers [lo + (i-1)·w, lo + i·w), with the two overflow
+    buckets 0 and n+1 the hand-rolled floor() version always forgets
+    (``agg_histogram`` clamps instead — both policies now exist,
+    documented). The oracle is the explicit arithmetic desugaring, so
+    the check also pins Spark's edge semantics (below-range → 0,
+    at-or-above hi → n+1) against the standard's definition.
+
+    Scale: narrow codegen scalar, no UDF, no shuffle."""
+    e = load(spark, d, "events")
+    return e.select(
+        "event_id",
+        "value",
+        F.width_bucket(
+            F.col("value"), F.lit(WB_LO), F.lit(WB_HI), F.lit(WB_N)
+        )
+        .cast("long")
+        .alias("bucket"),
+    )

@@ -1146,3 +1146,34 @@ def sql_values_inline_table(spark: SparkSession, d: str) -> DataFrame:
     both engines."""
     _views(spark, d)
     return spark.sql(SQL_VALUES_INLINE)
+
+
+#: NATURAL JOIN / USING surface: the column-name-driven join forms —
+#: USING merges the key into ONE output column (no a.key/b.key
+#: ambiguity), NATURAL joins on every shared name (here exactly one,
+#: by construction of the renamed subqueries). Same text both engines.
+SQL_JOIN_USING = """
+WITH o AS (SELECT o_custkey AS custkey, o_totalprice FROM orders),
+c AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer)
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+         AS total_price
+FROM o JOIN c USING (custkey)
+GROUP BY c_mktsegment
+"""
+
+
+@register("sql_join_using", oracle=SQL_JOIN_USING)
+def sql_join_using(spark: SparkSession, d: str) -> DataFrame:
+    """The ANSI ``USING`` join clause — the name-driven equi-join form
+    that merges the join key into a single unqualified output column
+    (the a.key-vs-b.key ambiguity every ON-form join drags around
+    simply doesn't exist). The CTE renames pin the shared-name set to
+    exactly the intended key, which is also why bare NATURAL JOIN is
+    left undemonstrated-by-policy: it joins on EVERY shared name, so a
+    later added column silently changes join semantics — USING states
+    the key, NATURAL infers it. Catalyst plans it identically to the
+    ON form (broadcast dim + grouped aggregate, one shuffle)."""
+    _views(spark, d)
+    return spark.sql(SQL_JOIN_USING)

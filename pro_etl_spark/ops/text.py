@@ -2406,3 +2406,77 @@ def text_code_detection(spark: SparkSession, d: str) -> DataFrame:
         ).alias("symbol_density"),
         (code_chars > 0.05 * F.length(t)).alias("looks_like_code"),
     )
+
+
+COVERAGE_THRESHOLDS = (50, 90, 99)  # percent of occurrence mass
+
+
+@register(
+    "corpus_ngram_coverage",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY 1
+    ), ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, token) AS rn,
+             SUM(c) OVER (ORDER BY c DESC, token
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER () AS total
+      FROM cnt
+    )
+    SELECT t.thr AS pct_mass,
+           CAST(MIN(r.rn) AS BIGINT) AS k_tokens,
+           ROUND(CAST(MIN(r.cum) AS DOUBLE) / MAX(r.total), 6)
+             AS mass_share
+    FROM (VALUES {", ".join(f"({t})" for t in COVERAGE_THRESHOLDS)})
+         AS t(thr)
+    JOIN ranked r ON 100 * r.cum >= t.thr * r.total
+    GROUP BY t.thr
+    """,
+)
+def corpus_ngram_coverage(spark: SparkSession, d: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest K such that the top-K
+    tokens (by frequency) cover 50 / 90 / 99 % of all token
+    OCCURRENCES — the tokenizer-sizing number (a vocab past the 99 %
+    knee buys only byte-fallback relief) and the companion of
+    ``text_zipf_fit`` (the slope predicts this curve; this measures
+    it) and ``corpus_oov_rate`` (coverage of ONE chosen K). The mass
+    comparison is all-integer (100·cum ≥ thr·total — no float
+    threshold), and MIN(rn)/MIN(cum) per threshold are exact.
+
+    Scale: one corpus census (map-side combined); the ranked
+    cumulative sum runs over the VOCAB-sized count table
+    (single-partition legitimately, same posture as ``corpus_vocab``);
+    the threshold join is 3 literals against that table."""
+    tok = load(spark, d, "documents").select(
+        F.explode(TOKENS()).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), "token")
+    ranked = cnt.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in COVERAGE_THRESHOLDS], "thr int"
+    )
+    return (
+        ranked.join(
+            F.broadcast(thr),
+            100 * F.col("cum") >= F.col("thr") * F.col("total"),
+        )
+        .groupBy(F.col("thr").alias("pct_mass"))
+        .agg(
+            F.min("rn").cast("long").alias("k_tokens"),
+            F.round(
+                F.min("cum").cast("double") / F.max("total"), 6
+            ).alias("mass_share"),
+        )
+    )

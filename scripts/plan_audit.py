@@ -64,6 +64,11 @@ ALLOWED = {
         "SinglePartition": "rank window over the distinct-token "
         "census only (vocab-sized, same posture as corpus_vocab)",
     },
+    "corpus_ngram_coverage": {
+        "SinglePartition": "rank + cumulative window over the "
+        "distinct-token census only (vocab-sized, same posture as "
+        "corpus_vocab)",
+    },
     "events_ks_test": {
         "SinglePartition": "global MAX / total aggregates finishing to "
         "one row (the CDF pass itself is range-distributed)",

@@ -197,6 +197,10 @@ REPRESENTATIVES = [
     "corpus_dup_inflation",
     "text_code_detection",
     "embed_norm_outliers",
+    "fn_width_bucket",
+    "corpus_ngram_coverage",
+    "graph_modularity",
+    "sql_join_using",
 ]
 
 

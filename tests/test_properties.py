@@ -1614,3 +1614,59 @@ def test_norm_outliers_median_pivot(spark):
     for r in rows:
         assert abs(r.norm_ratio - round(r.nrm / med, 6)) < 1e-6
         assert not r.is_broken, r
+
+
+def test_width_bucket_overflow_buckets_populate(spark):
+    """Both overflow buckets must appear (the range sits inside the
+    data span) and every bucket must match the arithmetic definition."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.scalars import WB_HI, WB_LO, WB_N
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["fn_width_bucket"](spark, SF_ORACLE).collect()
+    seen = {r.bucket for r in rows}
+    assert 0 in seen and WB_N + 1 in seen
+    w = (WB_HI - WB_LO) / WB_N
+    for r in rows[:3000]:
+        if r.value < WB_LO:
+            assert r.bucket == 0
+        elif r.value >= WB_HI:
+            assert r.bucket == WB_N + 1
+        else:
+            assert r.bucket == int((r.value - WB_LO) // w) + 1, r
+
+
+def test_coverage_curve_monotone(spark):
+    """k_tokens and mass_share must both rise with the threshold, and
+    each mass_share must actually clear its threshold."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = sorted(
+        qs["corpus_ngram_coverage"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.pct_mass,
+    )
+    assert [r.pct_mass for r in rows] == [50, 90, 99]
+    ks = [r.k_tokens for r in rows]
+    assert ks == sorted(ks)
+    for r in rows:
+        assert r.mass_share >= r.pct_mass / 100.0
+
+
+def test_modularity_global_sum_in_range(spark):
+    """Global Q (sum of contributions) must lie in [-1, 1], and each
+    community's intra-edge count can't exceed the total edge count."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["graph_modularity"](spark, SF_ORACLE).collect()
+    assert rows
+    m = len(qs["dedup_minhash_lsh"](spark, SF_ORACLE).collect())
+    q = sum(r.q_contrib for r in rows)
+    assert -1.0001 <= q <= 1.0001
+    for r in rows:
+        assert 0 <= r.intra_edges <= m
+        assert abs(r.q_contrib - r.q_num / (4.0 * m * m)) < 1e-6
