@@ -794,3 +794,55 @@ def merge_scd2_apply(spark: SparkSession, d: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed_or_kept.unionAll(inserted)
+
+
+@register(
+    "cdc_late_dimension",
+    oracle="""
+    SELECT o.o_orderkey,
+           CASE WHEN o.o_custkey % 3 <> 0 THEN 1 ELSE 2 END
+             AS resolved_stage,
+           c.c_mktsegment AS segment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def cdc_late_dimension(spark: SparkSession, d: str) -> DataFrame:
+    """LATE-ARRIVING DIMENSION handling — the ingestion reality every
+    streaming warehouse hits: facts land before their dimension row
+    exists (the order beats the customer-master sync). The pattern:
+    join facts against the dim snapshot available NOW; matched facts
+    enrich immediately (stage 1), unmatched facts PARK with a
+    placeholder instead of being dropped or blocking the batch; when
+    the dim catch-up arrives, only the parked facts re-join (stage 2).
+    Here the v1 snapshot deterministically lacks every third customer,
+    so both paths populate; the oracle proves the two-stage union
+    equals the one-shot join against the complete dimension — the
+    invariant the pattern must preserve.
+
+    Scale: stage 1 is the normal broadcast enrichment; stage 2
+    re-joins ONLY the parked slice (dup-sized, not fact-sized) — the
+    whole point vs re-running the full join when the dim updates."""
+    facts = load(spark, d, "orders").select("o_orderkey", "o_custkey")
+    dim_full = load(spark, d, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dim_v1 = dim_full.where(F.col("c_custkey") % 3 != 0)
+    stage1 = facts.join(
+        F.broadcast(dim_v1), facts["o_custkey"] == dim_v1["c_custkey"], "left"
+    )
+    resolved1 = stage1.where(F.col("c_custkey").isNotNull()).select(
+        "o_orderkey",
+        F.lit(1).cast("int").alias("resolved_stage"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    parked = stage1.where(F.col("c_custkey").isNull()).select(
+        "o_orderkey", "o_custkey"
+    )
+    resolved2 = parked.join(
+        F.broadcast(dim_full), parked["o_custkey"] == dim_full["c_custkey"]
+    ).select(
+        "o_orderkey",
+        F.lit(2).cast("int").alias("resolved_stage"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return resolved1.unionAll(resolved2)

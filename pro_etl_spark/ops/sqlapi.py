@@ -1177,3 +1177,86 @@ def sql_join_using(spark: SparkSession, d: str) -> DataFrame:
     ON form (broadcast dim + grouped aggregate, one shuffle)."""
     _views(spark, d)
     return spark.sql(SQL_JOIN_USING)
+
+
+#: OFFSET pagination — kept SMALL and documented as the anti-pattern
+#: it becomes at depth: page k costs O(k·page) work in every engine.
+SQL_PAGINATION_OFFSET = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderdate, o_orderkey
+LIMIT 20 OFFSET 40
+"""
+
+
+@register("sql_pagination_offset", oracle=SQL_PAGINATION_OFFSET)
+def sql_pagination_offset(spark: SparkSession, d: str) -> DataFrame:
+    """ANSI LIMIT/OFFSET pagination (page 3 of 20 under a
+    deterministic total order) — registered TOGETHER with its
+    production replacement ``scan_pagination_keyset`` because the two
+    differ exactly where scale bites: OFFSET must compute and discard
+    every earlier row (page 10⁶ costs 2·10⁷ rows of sort work, per
+    page, in any engine), while keyset pagination seeks. Spark plans
+    the pair as a global TakeOrderedAndProject of offset+limit rows —
+    fine at page 3, the trap at page million."""
+    _views(spark, d)
+    return spark.sql(SQL_PAGINATION_OFFSET)
+
+
+#: keyset (seek) pagination: the cursor IS the last key of the
+#: previous page — the predicate prunes before any sort.
+SQL_PAGINATION_KEYSET = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+WHERE (o_orderdate, o_orderkey) > (
+  SELECT (o_orderdate, o_orderkey) FROM orders
+  ORDER BY o_orderdate, o_orderkey LIMIT 1 OFFSET 59
+)
+ORDER BY o_orderdate, o_orderkey
+LIMIT 20
+"""
+
+
+@register(
+    "scan_pagination_keyset",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20 OFFSET 60
+    """,
+)
+def scan_pagination_keyset(spark: SparkSession, d: str) -> DataFrame:
+    """KEYSET (seek) pagination — the scale-correct cursor: resume
+    AFTER the last (o_orderdate, o_orderkey) of the previous page with
+    a row-value comparison, so the predicate pushes into the scan and
+    page N costs the same as page 1 (OFFSET's discarded prefix never
+    materializes — on a sorted/Z-ordered layout the comparison prunes
+    whole files). The oracle states the equivalent OFFSET page,
+    proving seek == skip exactly under the deterministic order; here
+    the cursor row is derived in-query (subquery at OFFSET 59) so the
+    operator stays self-contained."""
+    _views(spark, d)
+    cur_rows = spark.sql(
+        """
+        SELECT o_orderdate AS cd, o_orderkey AS ck FROM orders
+        ORDER BY o_orderdate, o_orderkey LIMIT 1 OFFSET 59
+        """
+    ).collect()
+    if not cur_rows:  # fewer than 60 rows: past the last page
+        return spark.sql(
+            "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+            "WHERE FALSE"
+        )
+    cursor = cur_rows[0]
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE o_orderdate > TIMESTAMP '{cursor.cd}'
+           OR (o_orderdate = TIMESTAMP '{cursor.cd}'
+               AND o_orderkey > {cursor.ck})
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT 20
+        """
+    )

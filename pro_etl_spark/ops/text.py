@@ -2480,3 +2480,90 @@ def corpus_ngram_coverage(spark: SparkSession, d: str) -> DataFrame:
             ).alias("mass_share"),
         )
     )
+
+
+@register(
+    "text_freq_spectrum",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY 1
+    )
+    SELECT CAST(c AS BIGINT) AS occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM cnt GROUP BY c
+    """,
+)
+def text_freq_spectrum(spark: SparkSession, d: str) -> DataFrame:
+    """Frequency-of-frequency spectrum (how many token TYPES occur
+    exactly k times) — the raw input of Good-Turing smoothing (N_1/N
+    estimates unseen-token mass) and the other lens on the Zipf fit:
+    a healthy corpus has a long N_1 hapax tail, a deduplicated dump of
+    templates collapses the spectrum into spikes. Two map-side-
+    combinable aggregations, all-integer, no quantization anywhere.
+
+    Scale: token census (one shuffle on token), then a |distinct
+    counts|-key aggregate of the vocab table — nothing touches the
+    corpus twice."""
+    tok = load(spark, d, "documents").select(
+        F.explode(TOKENS()).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    return cnt.groupBy(F.col("c").cast("long").alias("occurrences")).agg(
+        F.count("*").cast("long").alias("n_types")
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    from pro_etl_spark.registry import ORACLES
+
+    return f"""
+    WITH pred AS ({ORACLES["text_langid"]}),
+    j AS (
+      SELECT d.lang AS true_lang, p.pred_lang
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    ), tot AS (
+      SELECT true_lang, COUNT(*) AS n_true FROM j GROUP BY 1
+    )
+    SELECT j.true_lang, j.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.n_true), 6) AS share
+    FROM j JOIN tot t ON t.true_lang = j.true_lang
+    GROUP BY j.true_lang, j.pred_lang
+    """
+
+
+@register("text_langid_confusion", oracle=_langid_confusion_oracle())
+def text_langid_confusion(spark: SparkSession, d: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX — the eval loop closed over
+    ``text_langid``: detected language vs the corpus's labeled
+    ``lang`` column, with per-true-language recall shares (the
+    diagonal is recall; a hot off-diagonal cell names the exact
+    confusion to fix before the router mis-shards a whole language).
+    Model-eval-as-a-query: the same pattern
+    ``ann_recall_eval``/``ann_mrr_eval`` apply to retrieval, here for
+    a classifier — detector and truth never leave the engine.
+
+    Scale: the detector is a narrow map pass; the matrix is a
+    |langs|²-key aggregate with a broadcast row-total join."""
+    pred = text_langid(spark, d).select("doc_id", "pred_lang")
+    truth = load(spark, d, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    j = truth.join(pred, "doc_id")
+    tot = j.groupBy("true_lang").agg(F.count("*").alias("n_true"))
+    return (
+        j.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .join(F.broadcast(tot), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_true"), 6).alias(
+                "share"
+            ),
+        )
+    )

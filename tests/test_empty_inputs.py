@@ -201,6 +201,11 @@ REPRESENTATIVES = [
     "corpus_ngram_coverage",
     "graph_modularity",
     "sql_join_using",
+    "sql_pagination_offset",
+    "scan_pagination_keyset",
+    "text_freq_spectrum",
+    "cdc_late_dimension",
+    "text_langid_confusion",
 ]
 
 

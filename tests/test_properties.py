@@ -1670,3 +1670,84 @@ def test_modularity_global_sum_in_range(spark):
     for r in rows:
         assert 0 <= r.intra_edges <= m
         assert abs(r.q_contrib - r.q_num / (4.0 * m * m)) < 1e-6
+
+
+def test_keyset_equals_offset_page(spark):
+    """Seek pagination must return exactly the OFFSET page under the
+    same total order — row for row."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    seek = qs["scan_pagination_keyset"](spark, SF_ORACLE).collect()
+    base = (
+        spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        .orderBy("o_orderdate", "o_orderkey")
+        .collect()
+    )
+    want = [
+        (r.o_orderkey, r.o_orderdate, r.o_totalprice) for r in base[60:80]
+    ]
+    got = [(r.o_orderkey, r.o_orderdate, r.o_totalprice) for r in seek]
+    assert got == want
+
+
+def test_freq_spectrum_mass_accounting(spark):
+    """Σ k·N_k must equal total occurrences and Σ N_k the vocab size."""
+    import pro_etl_spark
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["text_freq_spectrum"](spark, SF_ORACLE).collect()
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+    assert sum(r.occurrences * r.n_types for r in rows) == toks.count()
+    assert sum(r.n_types for r in rows) == toks.distinct().count()
+
+
+def test_late_dimension_two_stage_complete(spark):
+    """Every order resolves exactly once; stage assignment follows the
+    v1-snapshot membership rule; no order is dropped."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["cdc_late_dimension"](spark, SF_ORACLE).collect()
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    seen = {}
+    for r in rows:
+        assert r.o_orderkey not in seen
+        seen[r.o_orderkey] = r.resolved_stage
+        assert r.resolved_stage == (2 if orders[r.o_orderkey] % 3 == 0 else 1)
+    assert set(seen) == set(orders)
+
+
+def test_langid_confusion_shares_sum_to_one(spark):
+    """Per true language the recall shares must sum to 1 and counts to
+    the language's doc count."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    rows = qs["text_langid_confusion"](spark, SF_ORACLE).collect()
+    truth = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.true_lang, []).append(r)
+    assert set(by_true) == set(truth)
+    for lang, rs in by_true.items():
+        assert sum(r.n for r in rs) == truth[lang]
+        assert abs(sum(r.share for r in rs) - 1.0) < 1e-4
