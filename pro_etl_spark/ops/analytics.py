@@ -3734,3 +3734,77 @@ def events_burstiness(spark: SparkSession, d: str) -> DataFrame:
             6,
         ).alias("fano"),
     )
+
+
+TOP_MOVERS_K = 3
+
+
+@register(
+    "events_top_movers",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 3)
+                  AS DECIMAL(15,3)) AS x
+      FROM events GROUP BY 1, 2
+    ), delta AS (
+      SELECT event_type, d, x,
+             lag(x) OVER (PARTITION BY event_type ORDER BY d) AS px
+      FROM daily
+    )
+    SELECT event_type, d AS day,
+           CAST(x AS DOUBLE) AS day_value,
+           ROUND(CAST(x - px AS DOUBLE) / CAST(px AS DOUBLE), 6)
+             AS pct_change,
+           CAST(rnk AS BIGINT) AS move_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(CAST(x - px AS DOUBLE) / CAST(px AS DOUBLE))
+                        DESC, d) AS rnk
+      FROM delta WHERE px IS NOT NULL AND px <> 0
+    ) WHERE rnk <= {TOP_MOVERS_K}
+    """,
+)
+def events_top_movers(spark: SparkSession, d: str) -> DataFrame:
+    """Top movers — the K largest day-over-day percentage swings per
+    event type (the "what changed" panel every operations dashboard
+    leads with): daily totals at the DECIMAL(15,3) grain, lag-1
+    deltas, |pct| ranking with a deterministic date tiebreak. The
+    pct change divides two decimals cast to double — identical
+    operands both engines — and warm-up/zero-base days are excluded
+    (a 0→x move is undefined, not infinite).
+
+    Scale: one grouped pass to the daily grain, two windows sharing
+    the event_type partitioning over the tiny daily table;
+    WindowGroupLimit prunes to K per type before any sort spill."""
+    daily = (
+        load(spark, d, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.round(F.sum(F.col("value").cast(DECV)), 3)
+            .cast("decimal(15,3)")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    delta = daily.withColumn("px", F.lag("x").over(w)).where(
+        F.col("px").isNotNull() & (F.col("px") != 0)
+    )
+    pct = (F.col("x") - F.col("px")).cast("double") / F.col("px").cast(
+        "double"
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(pct).desc(), F.asc("d")
+    )
+    return (
+        delta.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= TOP_MOVERS_K)
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            F.col("x").cast("double").alias("day_value"),
+            F.round(pct, 6).alias("pct_change"),
+            F.col("rnk").cast("long").alias("move_rank"),
+        )
+    )

@@ -1305,3 +1305,57 @@ def corpus_dup_inflation(spark: SparkSession, d: str) -> DataFrame:
             F.col("n_dup_tokens").cast("double") / F.col("n_tokens"), 6
         ).alias("dup_token_share"),
     )
+
+
+TEMPLATE_PREFIX_TOKENS = 8
+
+_PREFIX_SQL = (
+    "array_to_string(regexp_split_to_array(trim(text), '\\s+')"
+    f"[1:{TEMPLATE_PREFIX_TOKENS}], ' ')"
+)
+
+
+@register(
+    "corpus_template_prefix",
+    oracle=rf"""
+    WITH pfx AS (
+      SELECT doc_id,
+             {DUCK_HASH60.format(x=_PREFIX_SQL)} AS ph
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\s+'))
+            >= {TEMPLATE_PREFIX_TOKENS}
+    )
+    SELECT ph AS prefix_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc
+    FROM pfx GROUP BY ph HAVING COUNT(*) > 1
+    """,
+)
+def corpus_template_prefix(spark: SparkSession, d: str) -> DataFrame:
+    """Template-family detection by identical opening: documents
+    sharing the exact same first TEMPLATE_PREFIX_TOKENS tokens are
+    almost always instantiations of one template (auto-generated
+    product pages, boilerplate legal intros) — the cheap screen that
+    catches what full-document MinHash dilutes (a template with long
+    varying bodies has LOW overall Jaccard but an identical head).
+    One prefix hash per doc, one grouped census of families with >1
+    member plus a deterministic exemplar.
+
+    Scale: narrow slice+hash per doc, one map-side-combinable shuffle
+    on the prefix hash — the same cost as exact dedup, run over an
+    8-token key instead of the whole text."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pfx = hash60(
+        F.array_join(F.slice(toks, 1, TEMPLATE_PREFIX_TOKENS), " ")
+    )
+    return (
+        load(spark, d, "documents")
+        .where(F.size(toks) >= TEMPLATE_PREFIX_TOKENS)
+        .select("doc_id", pfx.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("exemplar_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

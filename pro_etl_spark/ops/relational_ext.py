@@ -2015,3 +2015,40 @@ def agg_conditional_distinct(spark: SparkSession, d: str) -> DataFrame:
             heavy.cast("double") / F.count_distinct("user_id"), 6
         ).alias("heavy_share"),
     )
+
+
+@register(
+    "agg_distinct_arithmetic",
+    oracle="""
+    SELECT l_returnflag AS grp,
+           CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
+             AS sum_distinct_qty,
+           ROUND(AVG(DISTINCT CAST(l_quantity AS BIGINT)), 6)
+             AS avg_distinct_qty,
+           COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS n_distinct_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_all
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_arithmetic(spark: SparkSession, d: str) -> DataFrame:
+    """DISTINCT-qualified arithmetic aggregates (SUM/AVG/COUNT
+    DISTINCT side by side with the plain SUM) — the ANSI surface
+    behind "sum each distinct fee once" billing logic, and a planner
+    exercise: Spark evaluates mixed distinct/non-distinct aggregates
+    over one child with a single Expand (each row replicated per
+    distinct group), not one scan per aggregate. Quantities are
+    integer-valued, so SUM/COUNT are exact and AVG is one terminal
+    division.
+
+    Scale: the Expand doubles shuffled rows but keys stay
+    (flag, qty)-grained — one exchange however many DISTINCT specs."""
+    li = load(spark, d, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    return li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.sum_distinct(q).cast("long").alias("sum_distinct_qty"),
+        F.round(F.sum_distinct(q) / F.count_distinct(q), 6).alias(
+            "avg_distinct_qty"
+        ),
+        F.count_distinct(q).alias("n_distinct_qty"),
+        F.sum(q).cast("long").alias("sum_all"),
+    )

@@ -1260,3 +1260,30 @@ def scan_pagination_keyset(spark: SparkSession, d: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+#: correlated scalar subquery in the SELECT list (projection-position
+#: decorrelation — Q17 exercises the WHERE position): per order, the
+#: line count and max line price fetched "per row" declaratively.
+SQL_SCALAR_SUBQUERY_SELECT = """
+SELECT o_orderkey, o_totalprice,
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey = o_orderkey) AS BIGINT) AS n_lines,
+       (SELECT MAX(l_extendedprice) FROM lineitem
+        WHERE l_orderkey = o_orderkey) AS max_line_price
+FROM orders
+"""
+
+
+@register("sql_scalar_subquery_select", oracle=SQL_SCALAR_SUBQUERY_SELECT)
+def sql_scalar_subquery_select(spark: SparkSession, d: str) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT LIST — the
+    projection-position twin of Q17's WHERE-position subquery, and the
+    form ORM-generated reports emit constantly. Catalyst decorrelates
+    BOTH subqueries into ONE aggregate-then-left-join (they share the
+    correlation key), so the declarative per-row lookup compiles to a
+    single pass over lineitem — versus the naive N+1 evaluation the
+    syntax appears to describe; orders without lines get NULLs (left
+    join), exactly the standard's semantics."""
+    _views(spark, d)
+    return spark.sql(SQL_SCALAR_SUBQUERY_SELECT)

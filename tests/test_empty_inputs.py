@@ -206,6 +206,10 @@ REPRESENTATIVES = [
     "text_freq_spectrum",
     "cdc_late_dimension",
     "text_langid_confusion",
+    "agg_distinct_arithmetic",
+    "events_top_movers",
+    "corpus_template_prefix",
+    "sql_scalar_subquery_select",
 ]
 
 

@@ -1751,3 +1751,65 @@ def test_langid_confusion_shares_sum_to_one(spark):
     for lang, rs in by_true.items():
         assert sum(r.n for r in rs) == truth[lang]
         assert abs(sum(r.share for r in rs) - 1.0) < 1e-4
+
+
+def test_distinct_arithmetic_consistency(spark):
+    """sum_distinct <= sum_all; avg_distinct = sum_distinct /
+    n_distinct; distinct count bounded by the quantity domain."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    for r in qs["agg_distinct_arithmetic"](spark, SF_ORACLE).collect():
+        assert r.sum_distinct_qty <= r.sum_all
+        assert abs(
+            r.avg_distinct_qty - round(r.sum_distinct_qty / r.n_distinct_qty, 6)
+        ) < 1e-6
+        assert 1 <= r.n_distinct_qty <= 50
+
+
+def test_top_movers_are_the_extremes(spark):
+    """Exactly K rows per type with dense ranks, and rank 1 carries
+    the largest |pct_change| of its type's returned set."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.analytics import TOP_MOVERS_K
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    by_type = {}
+    for r in qs["events_top_movers"](spark, SF_ORACLE).collect():
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.move_rank)
+        assert [r.move_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_MOVERS_K
+        mags = [abs(r.pct_change) for r in rs]
+        assert mags == sorted(mags, reverse=True)
+
+
+def test_template_families_verified(spark):
+    """Every reported family must contain >= 2 docs that genuinely
+    share the identical 8-token prefix, and the exemplar is its
+    minimum member."""
+    import pro_etl_spark
+    from pro_etl_spark.ops.corpus import TEMPLATE_PREFIX_TOKENS
+    from tests.conftest import SF_ORACLE
+
+    qs = pro_etl_spark.get_queries()
+    fams = qs["corpus_template_prefix"](spark, SF_ORACLE).collect()
+    assert fams
+    docs = {
+        r.doc_id: tuple(r.text.split()[:TEMPLATE_PREFIX_TOKENS])
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    by_prefix = {}
+    for doc, p in docs.items():
+        if len(p) == TEMPLATE_PREFIX_TOKENS:
+            by_prefix.setdefault(p, []).append(doc)
+    true_fams = {
+        min(ds): len(ds) for ds in by_prefix.values() if len(ds) > 1
+    }
+    got = {f.exemplar_doc: f.n_docs for f in fams}
+    assert got == true_fams
