@@ -3808,3 +3808,113 @@ def events_top_movers(spark: SparkSession, d: str) -> DataFrame:
             F.col("rnk").cast("long").alias("move_rank"),
         )
     )
+
+
+#: CUPED pre/post pivot — events before this instant form the
+#: pre-experiment covariate window, the rest the experiment window
+CUPED_PIVOT = "2024-01-16 00:00:00"
+
+
+@register(
+    "ab_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{CUPED_PIVOT}'
+                    THEN CAST(value AS DECIMAL(18,6)) END), 0) AS x,
+             COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_PIVOT}'
+                    THEN CAST(value AS DECIMAL(18,6)) END), 0) AS y
+      FROM events GROUP BY user_id
+    ), arm_moments AS (
+      SELECT arm, COUNT(*) AS n,
+             CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM per_user GROUP BY arm
+    ), pooled AS (
+      SELECT CAST(SUM(CAST(n AS BIGINT)) AS DOUBLE) AS pn,
+             SUM(sx) AS psx, SUM(sy) AS psy,
+             SUM(sxy) AS psxy, SUM(sxx) AS psxx
+      FROM arm_moments
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(n AS BIGINT) AS n_users,
+           ROUND(sy / n, 6) AS mean_post,
+           ROUND((n * syy - sy * sy) / (CAST(n AS DOUBLE) * n), 6)
+             AS var_raw,
+           ROUND((n * syy - sy * sy) / (CAST(n AS DOUBLE) * n)
+                 - 2 * ((pn * psxy - psx * psy) / (pn * psxx - psx * psx))
+                     * ((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n))
+                 + ((pn * psxy - psx * psy) / (pn * psxx - psx * psx))
+                   * ((pn * psxy - psx * psy) / (pn * psxx - psx * psx))
+                   * ((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)), 6)
+             AS var_cuped
+    FROM arm_moments CROSS JOIN pooled
+    """,
+)
+def ab_cuped(spark: SparkSession, d: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data)
+    variance reduction — the standard A/B-test sensitivity booster:
+    per user, covariate x = pre-period value sum and outcome y =
+    experiment-period value sum; theta = cov(x,y)/var(x) is fit on the
+    POOLED population (never per-arm — a per-arm theta re-introduces
+    bias), and each arm reports raw vs CUPED-adjusted outcome
+    variance, var(y') = var(y) - 2*theta*cov(x,y) + theta^2*var(x).
+    The adjusted variance comes from that closed form over exact
+    DECIMAL moment partials (n, Sigmax, Sigmay, Sigmaxy, Sigmaxx, Sigmayy), never
+    from summing per-user residuals in floating point: double sums are
+    partition-order-dependent, the moment identity is not — the same
+    discipline as ``agg_corr``.
+
+    Scale: one grouped pass to per-user (x, y) pairs, a 2-row arm
+    aggregate, and a broadcast of the 1-row pooled theta — no second
+    pass over the raw events, no driver-side data."""
+    ev = load(spark, d, "events")
+    pivot = F.lit(CUPED_PIVOT).cast("timestamp")
+    dec = F.col("value").cast(DECV)
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("arm"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < pivot, dec)), F.lit(0).cast(DECV)
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= pivot, dec)), F.lit(0).cast(DECV)
+        ).alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    arm = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    pooled = arm.agg(
+        F.sum(F.col("n").cast("long")).cast("double").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+        F.sum("sxx").alias("psxx"),
+    )
+    j = arm.crossJoin(F.broadcast(pooled))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    nd = n.cast("double")
+    theta = (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")) / (
+        F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx")
+    )
+    var_raw = (n * syy - sy * sy) / (nd * n)
+    cov = (n * sxy - sx * sy) / (nd * n)
+    var_x = (n * sxx - sx * sx) / (nd * n)
+    return j.select(
+        F.col("arm").cast("long").alias("arm"),
+        n.cast("long").alias("n_users"),
+        F.round(sy / n, 6).alias("mean_post"),
+        F.round(var_raw, 6).alias("var_raw"),
+        F.round(var_raw - 2 * theta * cov + theta * theta * var_x, 6).alias(
+            "var_cuped"
+        ),
+    )

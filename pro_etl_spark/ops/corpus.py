@@ -1359,3 +1359,67 @@ def corpus_template_prefix(spark: SparkSession, d: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+#: exact-substring decontamination probe: a SUBSTR_PROBE_LEN-char
+#: snippet lifted from each eval doc at this (1-based) offset
+SUBSTR_PROBE_START = 41
+SUBSTR_PROBE_LEN = 60
+
+
+@register(
+    "decontaminate_substring",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT substr(text, {SUBSTR_PROBE_START},
+                             {SUBSTR_PROBE_LEN}) AS probe
+      FROM documents
+      WHERE doc_id % {DECON_EVAL_MOD} = 0
+        AND length(text) >= {SUBSTR_PROBE_START + SUBSTR_PROBE_LEN - 1}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_probe_hits
+    FROM documents JOIN ev ON strpos(text, probe) > 0
+    WHERE doc_id % {DECON_EVAL_MOD} != 0
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_substring(spark: SparkSession, d: str) -> DataFrame:
+    """Exact-substring benchmark decontamination — the verbatim-leak
+    twin of ``decontaminate_ngrams``: instead of token shingles, each
+    held-out eval document contributes one fixed-offset
+    SUBSTR_PROBE_LEN-character probe, and any training document whose
+    raw text CONTAINS a probe verbatim is flagged with its hit count.
+    This is the high-precision pass real decontamination stacks run
+    alongside n-gram overlap (n-grams catch paraphrases/whitespace
+    drift; exact substrings catch wholesale copy-paste of answer keys
+    — both GPT-3 and Llama report the pair): a doc can clear the
+    4-gram Jaccard gate yet embed a verbatim eval answer, and vice
+    versa.
+
+    Scale: the probe set is benchmark-sized (MBs) and BROADCAST; the
+    corpus streams past it in one BroadcastNestedLoopJoin with a
+    contains() predicate — no shuffle of the corpus, no tokenization
+    pass; the only shuffle is the final per-doc hit count keyed by
+    doc_id. For probe sets beyond broadcast size the same plan shards
+    probes into an Aho-Corasick automaton per executor (mapInPandas),
+    but at benchmark scale the declarative form wins."""
+    min_len = SUBSTR_PROBE_START + SUBSTR_PROBE_LEN - 1
+    docs = load(spark, d, "documents")
+    probes = (
+        docs.where(
+            (F.col("doc_id") % DECON_EVAL_MOD == 0)
+            & (F.length("text") >= min_len)
+        )
+        .select(
+            F.substring("text", SUBSTR_PROBE_START, SUBSTR_PROBE_LEN).alias(
+                "probe"
+            )
+        )
+        .distinct()
+    )
+    return (
+        docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(F.broadcast(probes), F.instr(F.col("text"), F.col("probe")) > 0)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_probe_hits"))
+    )

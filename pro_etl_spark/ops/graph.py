@@ -796,3 +796,91 @@ def graph_modularity(spark: SparkSession, d: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle=_LSH_PAIRS_CTE
+    + """
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+    ), xy AS (
+      SELECT da.d AS x, db.d AS y
+      FROM edges e
+      JOIN deg da ON da.node = e.src
+      JOIN deg db ON db.node = e.dst
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, d: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph — the Pearson
+    correlation of endpoint degrees over the (symmetrized) edge list.
+    Positive r means high-degree documents preferentially link to each
+    other (one template family densely cross-duplicated — dedup will
+    collapse it to a giant cluster), negative r means hub-and-spoke
+    duplication (one canonical page echoed by many singletons). A
+    one-number shape diagnostic BEFORE running clustering: it predicts
+    whether ``dedup_clusters`` will produce few mega-clusters or many
+    stars. Moments (n, Sigmax, Sigmay, Sigmaxy, Sigmaxx, Sigmayy) are exact integer
+    sums — degrees are ints — so the closed form is evaluated once in
+    double, identically in both engines (sqrt is IEEE
+    correctly-rounded, hence portable; same discipline as
+    ``agg_corr``).
+
+    Scale: degrees are one groupBy over the LSH pair table; attaching
+    them to both edge endpoints is two broadcast-able joins (the deg
+    table is |nodes|, tiny next to the corpus); the moment aggregate
+    is a single global row. No all-pairs anything — cost is bounded by
+    the pair table the LSH stage already materialized."""
+    pairs = dedup_minhash_lsh(spark, d).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    xy = (
+        edges.join(
+            F.broadcast(deg.withColumnRenamed("d", "x")),
+            F.col("src") == F.col("node"),
+        )
+        .drop("node")
+        .join(
+            F.broadcast(deg.withColumnRenamed("d", "y")),
+            F.col("dst") == F.col("node"),
+        )
+        .select("x", "y")
+    )
+    m = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        n.cast("long").alias("n_directed_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )

@@ -1287,3 +1287,31 @@ def sql_scalar_subquery_select(spark: SparkSession, d: str) -> DataFrame:
     join), exactly the standard's semantics."""
     _views(spark, d)
     return spark.sql(SQL_SCALAR_SUBQUERY_SELECT)
+
+
+@register(
+    "sql_star_except",
+    oracle="""
+    SELECT * EXCLUDE (props, value)
+    FROM events
+    WHERE event_type = 'purchase' AND value >= 400
+    """,
+)
+def sql_star_except(spark: SparkSession, d: str) -> DataFrame:
+    """``SELECT * EXCEPT (...)`` — the modern wide-table projection
+    surface (Spark 3.4+/BigQuery spelling; DuckDB spells it EXCLUDE):
+    keep every column EXCEPT the named ones, so a 500-column feature
+    table can drop its payload blobs without enumerating the 497
+    survivors — and, unlike a hand-listed SELECT, the projection stays
+    correct when new columns land upstream (schema-evolution-proof by
+    construction). Catalyst resolves the EXCEPT at analysis time into
+    a plain column-pruned projection: the excluded columns never leave
+    the parquet scan's ReadSchema."""
+    _views(spark, d)
+    return spark.sql(
+        """
+        SELECT * EXCEPT (props, value)
+        FROM events
+        WHERE event_type = 'purchase' AND value >= 400
+        """
+    )
