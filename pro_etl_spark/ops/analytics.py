@@ -3918,3 +3918,171 @@ def ab_cuped(spark: SparkSession, d: str) -> DataFrame:
             "var_cuped"
         ),
     )
+
+
+#: DAU/WAU stickiness: trailing window width in days
+STICKY_WINDOW_DAYS = 7
+
+
+@register(
+    "events_stickiness",
+    oracle=f"""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), spread AS (
+      SELECT user_id, d + CAST(i AS INTEGER) AS day
+      FROM daily, UNNEST(range(0, {STICKY_WINDOW_DAYS})) AS t(i)
+    ), wau AS (
+      SELECT day, COUNT(DISTINCT user_id) AS wau FROM spread GROUP BY day
+    ), dau AS (
+      SELECT d AS day, COUNT(DISTINCT user_id) AS dau FROM daily GROUP BY d
+    )
+    SELECT dau.day AS day,
+           CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau,
+           ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    """,
+)
+def events_stickiness(spark: SparkSession, d: str) -> DataFrame:
+    """DAU/WAU stickiness — the product-analytics engagement headline:
+    per active day, distinct daily actives over distinct
+    trailing-{STICKY_WINDOW_DAYS}-day actives (1.0 = every weekly user
+    shows up daily; ~1/7 = users touch once a week). The rolling
+    DISTINCT is the trap here: a naive per-day re-scan is O(days x
+    events), and count_distinct can't ride a sliding window frame.
+    Instead each (day, user) first-touch row FANS OUT to the
+    {STICKY_WINDOW_DAYS} future days it keeps alive (in-row sequence
+    explode), turning the rolling distinct into a plain equi-keyed
+    groupBy — the same forward-spread trick retention systems use.
+
+    Scale: the fan-out is over the DEDUPED (day,user) table (bounded
+    by users x days, orders of magnitude under raw events), factor
+    {STICKY_WINDOW_DAYS}; both aggregates shuffle on the day key only.
+    Inner-joining back to real active days drops the phantom trailing
+    days the spread invents past each user's last touch."""
+    daily = (
+        load(spark, d, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    spread = daily.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(STICKY_WINDOW_DAYS - 1))
+        ).alias("i"),
+        F.col("d"),
+    ).select("user_id", F.expr("date_add(d, i)").alias("day"))
+    wau = spread.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = daily.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
+@register(
+    "funnel_attribution_position",
+    oracle=f"""
+    WITH touches AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ), purchases AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts,
+             CAST(value AS DOUBLE) AS revenue
+      FROM events WHERE event_type = 'purchase'
+    ), trail AS (
+      SELECT p.p_id, p.revenue, t.event_type, t.ts, t.event_id,
+             ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                ORDER BY t.ts, t.event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY p.p_id) AS k
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.ts < p.p_ts
+       AND t.ts >= p.p_ts - INTERVAL '{ATTR_WINDOW_MIN} minutes'
+    ), credited AS (
+      SELECT event_type,
+             CAST(ROUND(CASE
+               WHEN k = 1 THEN 1.0
+               WHEN k = 2 THEN 0.5
+               WHEN rn = 1 OR rn = k THEN 0.4
+               ELSE 0.2 / (k - 2)
+             END * revenue, 9) AS DECIMAL(18,9)) AS credit
+      FROM trail
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS touches,
+           CAST(CAST(SUM(credit) AS VARCHAR) AS DOUBLE) AS credited_revenue
+    FROM credited GROUP BY event_type
+    """,
+)
+def funnel_attribution_position(spark: SparkSession, d: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution —
+    the standard counterweight to ``funnel_attribution``'s last-touch
+    rule: each purchase's credit goes 40% to the FIRST touch in the
+    {ATTR_WINDOW_MIN}-minute window, 40% to the LAST, and the middle
+    touches split the remaining 20% evenly (1-touch trails take 100%,
+    2-touch trails 50/50). Reported per touch channel (click/view).
+    Per-touch credits are doubles computed from identical operands in
+    both engines, then ROUNDed to DECIMAL(18,9) BEFORE the channel
+    sum, so the aggregate is order-independent exact — never a raw
+    double sum.
+
+    Scale: purchases x prior-touches is a per-user interval join
+    (shuffle keyed user_id, in-partition time filter, trail length
+    bounded by the window); ranking windows partition by purchase id —
+    millions of tiny partitions, no global sort; the final rollup is a
+    |channels|-row aggregate."""
+    ev = load(spark, d, "events")
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("double").alias("revenue"),
+    )
+    trail = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_MIN} MINUTES")
+        ),
+    )
+    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    wk = Window.partitionBy("p_id")
+    trail = trail.withColumn("rn", F.row_number().over(w)).withColumn(
+        "k", F.count("*").over(wk)
+    )
+    k, rn = F.col("k"), F.col("rn")
+    weight = (
+        F.when(k == 1, F.lit(1.0))
+        .when(k == 2, F.lit(0.5))
+        .when((rn == 1) | (rn == k), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (k - 2))
+    )
+    credited = trail.select(
+        "event_type",
+        F.round(weight * F.col("revenue"), 9)
+        .cast("decimal(18,9)")
+        .alias("credit"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("touches"),
+        F.sum("credit").cast("double").alias("credited_revenue"),
+    )

@@ -2310,3 +2310,170 @@ def embed_norm_outliers(spark: SparkSession, d: str) -> DataFrame:
             ).alias("is_broken"),
         )
     )
+
+
+# --- SRP-LSH (signed random projections / hyperplane LSH) ---------------
+#: 16 hyperplanes over the 64-dim embeddings, banded 4x4: two vectors
+#: collide in a band when all 4 sign bits agree; P[bit agrees] =
+#: 1 - angle/pi, so the 4-bit band hits at cos-similarity 0.35
+#: (angle ~ 0.386*pi) with p ~ 0.61^4 ~ 14% per band, ~45% over 4
+#: bands; doubling bands raises recall without touching the verify.
+SRP_NPROJ = 16
+SRP_BANDS = 4
+SRP_ROWS = 4
+
+
+def _srp_signs() -> list:
+    """Deterministic pseudo-random +-1 hyperplane components: sign of
+    hyperplane h at dimension j = parity of md5("srp:h:j") — the same
+    public-hash recipe as hash60, so both engines (and any re-run)
+    see literally the same hyperplanes as Python-level constants."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"srp:{h}:{j}".encode()).hexdigest()[:15], 16)
+            % 2
+            else -1.0
+            for j in range(64)
+        ]
+        for h in range(SRP_NPROJ)
+    ]
+
+
+_SRP = _srp_signs()
+_SRP_SQL = (
+    "["
+    + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in _SRP)
+    + "]"
+)
+
+
+@register(
+    "dedup_embedding_srp",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm,
+             list_transform(range(0, {SRP_NPROJ}), h ->
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, 65), i ->
+                   CAST(embedding[i] AS DOUBLE) * ({_SRP_SQL})[h + 1][i])),
+                 (acc, v) -> acc + v)) AS projs
+      FROM embeddings
+    ), bands AS (
+      SELECT vec_id, embedding, nrm, b,
+             (CASE WHEN projs[4 * b + 1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN projs[4 * b + 2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN projs[4 * b + 3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN projs[4 * b + 4] > 0 THEN 8 ELSE 0 END) AS val
+      FROM sig, UNNEST(range(0, {SRP_BANDS})) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.val = b.val AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           ROUND({DUCK_DOT.format(a="x.embedding", b="y.embedding")}
+                 / (x.nrm * y.nrm), 6) AS cosine
+    FROM cand c
+    JOIN sig x ON x.vec_id = c.vec_a
+    JOIN sig y ON y.vec_id = c.vec_b
+    WHERE {DUCK_DOT.format(a="x.embedding", b="y.embedding")}
+          / (x.nrm * y.nrm) >= {IVF_COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_srp(spark: SparkSession, d: str) -> DataFrame:
+    """Embedding near-dup via SIGNED RANDOM PROJECTIONS (hyperplane
+    LSH, Charikar 2002) — the third member of the embedding-dedup
+    family and the one that needs NO training: where
+    ``dedup_embedding_kmeans`` blocks on learned IVF cells (a k-means
+    fit, recall lost at cell borders) and ``dedup_embedding_cosine``
+    blocks on a data column, SRP buckets vectors by the sign pattern
+    of {SRP_NPROJ} fixed pseudo-random hyperplanes, banded
+    {SRP_BANDS}x{SRP_ROWS} exactly like MinHash-LSH bands text: agree
+    on all {SRP_ROWS} bits of any band -> candidate pair -> exact
+    cosine verify >= {IVF_COSINE_THRESHOLD}. Collision probability is
+    a smooth function of the ANGLE (1 - theta/pi per bit), so recall
+    is tunable analytically (band math in the header comment), per
+    vector pair, with zero model state to version or retrain.
+
+    Hyperplanes are md5-parity +-1 components — Python-level constants
+    inlined into BOTH plans, so the oracle runs literally the same
+    hyperplanes (no RNG, no seed drift between engines or re-runs).
+
+    Scale: the signature pass is narrow (16 sequential 64-element
+    folds per row — at 100 TB these are written once next to the
+    embeddings, like `nrm`); candidates come from a bucket EQUI-join
+    keyed (band, 4-bit value), never an all-pairs product; the exact
+    verify touches only surviving candidate pairs. Degenerate buckets
+    (all-zero vectors projecting identically) are the MAX_BUCKET salt
+    case of the text-LSH family and would get the same cap."""
+    signs = F.array(*[F.array(*[F.lit(v) for v in row]) for row in _SRP])
+    e = corpus_table(spark, d)
+    projs = F.transform(
+        F.sequence(F.lit(0), F.lit(SRP_NPROJ - 1)),
+        lambda h: dot(F.col("embedding"), F.element_at(signs, h + 1)),
+    )
+    sig = e.select("vec_id", "embedding", "nrm", projs.alias("projs")).cache()
+    # explode each vector to SRP_BANDS (band, 4-bit value) rows in-row
+    # (struct transform + explode) so the bucket shuffle carries only
+    # (vec_id, b, val) — never the projections or the embedding
+    bands = (
+        sig.select(
+            "vec_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(SRP_BANDS - 1)),
+                    lambda b: F.struct(
+                        b.alias("b"),
+                        sum(
+                            F.when(
+                                F.element_at(
+                                    F.col("projs"), b * SRP_ROWS + r + 1
+                                )
+                                > 0,
+                                2**r,
+                            ).otherwise(0)
+                            for r in range(SRP_ROWS)
+                        ).alias("val"),
+                    ),
+                )
+            ).alias("bv"),
+        )
+        .select("vec_id", F.col("bv.b").alias("b"), F.col("bv.val").alias("val"))
+    )
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.val") == F.col("c.val"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    x = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    y = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .where(cos >= IVF_COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )
