@@ -4086,3 +4086,276 @@ def funnel_attribution_position(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").cast("long").alias("touches"),
         F.sum("credit").cast("double").alias("credited_revenue"),
     )
+
+
+@register(
+    "survival_nelson_aalen",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             date_diff('day',
+                       CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS life,
+             CAST(MAX(ts) AS DATE)
+               = (SELECT CAST(MAX(ts) AS DATE) FROM events) AS censored
+      FROM events GROUP BY user_id
+    ), timed AS (
+      SELECT user_id, censored,
+             CASE WHEN censored THEN life ELSE life + 1 END AS t_obs
+      FROM span
+    ), days AS (
+      SELECT t_obs AS t,
+             COUNT(*) FILTER (WHERE NOT censored) AS d,
+             COUNT(*) AS leaving
+      FROM timed GROUP BY t_obs
+    ), risk AS (
+      SELECT t, d,
+             (SELECT COUNT(*) FROM timed)
+               - COALESCE(SUM(leaving) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM days
+    ), ev AS (
+      SELECT t, d, n_risk,
+             CAST(d AS DOUBLE) / n_risk AS inc,
+             CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk) AS vinc
+      FROM risk WHERE d > 0
+    ), packed AS (
+      SELECT list(t ORDER BY t) AS ts_l, list(d ORDER BY t) AS ds,
+             list(n_risk ORDER BY t) AS ns,
+             list(inc ORDER BY t) AS incs, list(vinc ORDER BY t) AS vincs
+      FROM ev
+    )
+    SELECT CAST(ts_l[i] AS BIGINT) AS t,
+           CAST(ds[i] AS BIGINT) AS n_deaths,
+           CAST(ns[i] AS BIGINT) AS n_risk,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list_slice(incs, 1, i)),
+                       (acc, v) -> acc + v) AS cum_hazard,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list_slice(vincs, 1, i)),
+                       (acc, v) -> acc + v) AS var_hazard
+    FROM packed, LATERAL (SELECT unnest(range(1, len(ds) + 1)) AS i)
+    """,
+)
+def survival_nelson_aalen(spark: SparkSession, d: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — Kaplan-Meier's
+    sibling (``survival_km``, same censoring model: churn = no
+    activity after day L, last-corpus-day users censored) reporting
+    H(t) = Sigma d_i/n_i and its Poisson variance Sigma d_i/n_i^2 instead of
+    the survival product. H(t) is what hazard-regression and
+    competing-risk pipelines consume directly, and unlike KM it is
+    additive — hazard increments from disjoint shards/time slices
+    merge by plain addition. Exactness discipline: the cumulative
+    sums are SEQUENTIAL in-row folds over the day-ordered increment
+    list (curve-sized), never a float window aggregate whose
+    combine order is partition-dependent; both engines fold the same
+    list left-to-right, so doubles match bit-for-bit — no exp/log.
+
+    Scale: identical to survival_km — one grouped pass over events,
+    a per-day aggregate + one running integer sum, folds on the final
+    curve-sized row only."""
+    ev = load(spark, d, "events")
+    max_day = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    span = (
+        ev.groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            ).alias("life"),
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .select(
+            "life", (F.col("last_day") == F.col("mx")).alias("censored")
+        )
+    )
+    timed = span.select(
+        "censored",
+        F.when(F.col("censored"), F.col("life"))
+        .otherwise(F.col("life") + 1)
+        .alias("t_obs"),
+    )
+    n_total = timed.agg(F.count("*").alias("n_total"))
+    days = timed.groupBy(F.col("t_obs").alias("t")).agg(
+        F.count_if(~F.col("censored")).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        days.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(wcum), F.lit(0)),
+        )
+        .where(F.col("d") > 0)
+        .select(
+            "t",
+            "d",
+            "n_risk",
+            (F.col("d").cast("double") / F.col("n_risk")).alias("inc"),
+            (
+                F.col("d").cast("double")
+                / (F.col("n_risk").cast("double") * F.col("n_risk"))
+            ).alias("vinc"),
+        )
+    )
+    packed = risk.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "n_risk", "inc", "vinc"))
+        ).alias("curve")
+    )
+    out = F.transform(
+        F.col("curve"),
+        lambda s, i: F.struct(
+            s.t.alias("t"),
+            s.d.alias("n_deaths"),
+            s.n_risk.alias("n_risk"),
+            F.aggregate(
+                F.slice(F.col("curve"), 1, i + 1),
+                F.lit(0.0),
+                lambda acc, x: acc + x.inc,
+            ).alias("cum_hazard"),
+            F.aggregate(
+                F.slice(F.col("curve"), 1, i + 1),
+                F.lit(0.0),
+                lambda acc, x: acc + x.vinc,
+            ).alias("var_hazard"),
+        ),
+    )
+    return packed.select(F.explode(out).alias("p")).select(
+        F.col("p.t").cast("long").alias("t"),
+        F.col("p.n_deaths").cast("long").alias("n_deaths"),
+        F.col("p.n_risk").cast("long").alias("n_risk"),
+        F.col("p.cum_hazard").alias("cum_hazard"),
+        F.col("p.var_hazard").alias("var_hazard"),
+    )
+
+
+@register(
+    "skyline_pareto_front",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS pmax
+      FROM orders GROUP BY 1
+    ), front_days AS (
+      SELECT day, pmax
+      FROM (
+        SELECT day, pmax,
+               MAX(pmax) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        FROM daily
+      ) WHERE prevmax IS NULL OR pmax > prevmax
+    )
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+           CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders
+    JOIN front_days
+      ON CAST(o_orderdate AS DATE) = day
+     AND CAST(o_totalprice AS DECIMAL(18,2)) = pmax
+    """,
+)
+def skyline_pareto_front(spark: SparkSession, d: str) -> DataFrame:
+    """2-D SKYLINE (Pareto front) — orders not dominated on
+    (earlier date, higher price): an order is on the front iff no
+    other order is both at most as late AND at least as expensive
+    (with one strict). The classic skyline operator (Borzsony/
+    Kossmann 2001) reduced to its scale-correct 2-D form: collapse to
+    the per-day max price (grouped pass), then a single ordered scan
+    keeps days whose max strictly exceeds the running max of all
+    EARLIER days — O(n) after the groupBy, no pairwise dominance
+    join. Equal-price-equal-day orders are mutually non-dominated and
+    all kept. Prices compare as DECIMAL(18,2) so the dominance test
+    never hinges on a float ulp.
+
+    Scale: the fact table contributes one grouped pass (to |days|
+    rows) and one semi-join back; the running-max window runs on the
+    date-grain table only — the single-partition exchange moves
+    |days| rows, the same model-state posture as ``pareto_abc``."""
+    o = load(spark, d, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.max(dec).alias("pmax")
+    )
+    wprev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front = (
+        daily.withColumn("prevmax", F.max("pmax").over(wprev))
+        .where(F.col("prevmax").isNull() | (F.col("pmax") > F.col("prevmax")))
+        .select("day", "pmax")
+    )
+    return (
+        o.join(
+            F.broadcast(front),
+            (F.col("o_orderdate").cast("date") == F.col("day"))
+            & (dec == F.col("pmax")),
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+    )
+
+
+#: rate-limit audit: flag users exceeding this many events in any
+#: sliding RATE_WINDOW_SEC-second window
+RATE_WINDOW_SEC = 60
+RATE_LIMIT = 5
+
+
+@register(
+    "events_rate_limit",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, ts,
+             COUNT(*) OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN {RATE_WINDOW_SEC - 1} PRECEDING
+                         AND CURRENT ROW) AS burst
+      FROM events
+    )
+    SELECT user_id,
+           CAST(MAX(burst) AS BIGINT) AS peak_rate,
+           CAST(COUNT(*) FILTER (WHERE burst > {RATE_LIMIT}) AS BIGINT)
+             AS n_violations
+    FROM r GROUP BY user_id
+    HAVING MAX(burst) > {RATE_LIMIT}
+    """,
+)
+def events_rate_limit(spark: SparkSession, d: str) -> DataFrame:
+    """Sliding-window rate-limiter audit — the abuse/bot triage query:
+    per user, the count of events in the trailing
+    {RATE_WINDOW_SEC}-second window at every event, reported as the
+    user's peak rate plus how many events fired while over the
+    {RATE_LIMIT}/min limit. The sliding count is a RANGE-frame window
+    over epoch seconds — integer, exact, and evaluated per user
+    partition (no global ordering anywhere); the same frame a
+    streaming enforcement job would keep as state, run here as the
+    offline backfill/audit twin of ``stream_topk_state``.
+
+    Scale: one shuffle keyed user_id; within each user partition the
+    range frame is a two-pointer pass over that user's timeline.
+    Skewed power-users are bounded by their own event count, and the
+    final HAVING collapses output to violators only."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-(RATE_WINDOW_SEC - 1), 0)
+    )
+    r = load(spark, d, "events").withColumn(
+        "burst", F.count("*").over(w)
+    )
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.max("burst").cast("long").alias("peak_rate"),
+            F.count_if(F.col("burst") > RATE_LIMIT)
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .where(F.col("peak_rate") > RATE_LIMIT)
+    )

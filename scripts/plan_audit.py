@@ -45,6 +45,14 @@ ALLOWED = {
     "survival_km": {
         "SinglePartition": "KM product over distinct event days (<=31)",
     },
+    "survival_nelson_aalen": {
+        "SinglePartition": "NA hazard over distinct event days (<=31), "
+        "same posture as survival_km",
+    },
+    "skyline_pareto_front": {
+        "SinglePartition": "running max over the date-grain daily-max "
+        "table (<=|days| rows)",
+    },
     "events_peaks": {
         "SinglePartition": "global stddev scalar broadcast back",
     },
