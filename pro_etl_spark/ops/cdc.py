@@ -846,3 +846,62 @@ def cdc_late_dimension(spark: SparkSession, d: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     return resolved1.unionAll(resolved2)
+
+
+@register(
+    "merge_scd3",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS new_bal
+      FROM orders GROUP BY 1
+      HAVING COUNT(*) >= {UPDATE_MIN_ORDERS}
+    )
+    SELECT c_custkey, c_name,
+           CASE WHEN s.k IS NOT NULL THEN s.new_bal
+                ELSE c.c_acctbal END AS c_acctbal,
+           CASE WHEN s.k IS NOT NULL THEN c.c_acctbal END AS prev_acctbal,
+           s.k IS NOT NULL AS changed
+    FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+    """,
+)
+def merge_scd3(spark: SparkSession, d: str) -> DataFrame:
+    """SCD TYPE-3 merge — the third slowly-changing-dimension
+    discipline next to ``merge_scd1`` (overwrite) and
+    ``scd2_intervals`` (full history): track LIMITED history by
+    keeping the prior value in a dedicated ``prev_*`` column when an
+    update lands — the "current + previous" shape reporting teams ask
+    for when they need period-over-period comparisons but not a
+    row-per-version dimension. Same source as the SCD1 twin (per-
+    customer recomputed balance, update gate >= {UPDATE_MIN_ORDERS}
+    orders); unchanged rows carry NULL prev (type-3 semantics: prev
+    is only meaningful when a change occurred this run).
+
+    Scale: identical to merge_scd1 — one aggregate over the facts,
+    one key-partitioned LEFT join against the dimension (co-located
+    when both are bucketed by custkey); type-3 adds zero extra
+    passes, just two projected CASE columns."""
+    src = (
+        load(spark, d, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("new_bal"),
+            F.count("*").alias("n_orders"),
+        )
+        .where(F.col("n_orders") >= UPDATE_MIN_ORDERS)
+        .drop("n_orders")
+    )
+    c = load(spark, d, "customer")
+    changed = F.col("k").isNotNull()
+    return c.join(src, c.c_custkey == F.col("k"), "left").select(
+        "c_custkey",
+        "c_name",
+        F.when(changed, F.col("new_bal"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(changed, F.col("c_acctbal")).alias("prev_acctbal"),
+        changed.alias("changed"),
+    )

@@ -1423,3 +1423,91 @@ def decontaminate_substring(spark: SparkSession, d: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_probe_hits"))
     )
+
+
+#: Neyman allocation: total sampling budget to split across strata
+NEYMAN_BUDGET = 10_000
+
+
+@register(
+    "sample_neyman_alloc",
+    oracle=f"""
+    WITH m AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS DOUBLE) AS sx,
+             CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx
+      FROM documents GROUP BY source
+    ), s AS (
+      SELECT source, n,
+             sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)))
+               AS sd
+      FROM m WHERE n > 1
+    ), t AS (
+      SELECT source, n, sd,
+             CAST(ROUND(n * sd, 6) AS DECIMAL(28,6)) AS term
+      FROM s
+    ), tot AS (
+      SELECT SUM(term) AS total FROM t
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           ROUND(sd, 6) AS std_chars,
+           ROUND(CAST(term AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS alloc_share,
+           CAST(ROUND({NEYMAN_BUDGET} * CAST(term AS DOUBLE)
+                      / CAST(total AS DOUBLE), 0) AS BIGINT) AS n_alloc
+    FROM t CROSS JOIN tot
+    """,
+)
+def sample_neyman_alloc(spark: SparkSession, d: str) -> DataFrame:
+    """NEYMAN (optimal) stratified-sampling allocation — how a
+    {NEYMAN_BUDGET}-doc eval/annotation budget should split across
+    sources to minimize the estimator variance of a target metric
+    (here n_chars): n_h proportional to N_h*S_h, so big AND
+    internally-diverse strata get more samples than big-but-uniform
+    ones — the upgrade over ``sample_stratified``'s proportional
+    rule. Per-stratum std comes from exact integer moments (n_chars
+    is BIGINT: Sigmax, Sigmax^2 are exact); each N_h*S_h term is rounded to
+    6 dp and summed as DECIMAL so the normalizing total is
+    order-independent — never a raw double sum across strata.
+
+    Scale: one grouped pass to |sources| moment rows; everything
+    after runs on that model-state table (the 1-row total broadcast
+    back). The allocation feeds ``sample_per_group`` as its per-key
+    quota."""
+    m = (
+        load(spark, d, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("double").alias("sx"),
+            F.sum(F.col("n_chars") * F.col("n_chars"))
+            .cast("double")
+            .alias("sxx"),
+        )
+        .where(F.col("n") > 1)
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    s = m.select(
+        "source",
+        "n",
+        F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1))).alias(
+            "sd"
+        ),
+    )
+    t = s.select(
+        "source",
+        "n",
+        "sd",
+        F.round(n * F.col("sd"), 6).cast("decimal(28,6)").alias("term"),
+    )
+    tot = t.agg(F.sum("term").alias("total"))
+    share = F.col("term").cast("double") / F.col("total").cast("double")
+    return t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        n.cast("long").alias("n_docs"),
+        F.round(F.col("sd"), 6).alias("std_chars"),
+        F.round(share, 6).alias("alloc_share"),
+        F.round(F.lit(NEYMAN_BUDGET) * share, 0)
+        .cast("long")
+        .alias("n_alloc"),
+    )

@@ -1414,3 +1414,126 @@ def dedup_minhash_bbit(spark: SparkSession, d: str) -> DataFrame:
             F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
         )
     )
+
+
+@register(
+    "dedup_ppjoin_prefix",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKSET_SQL} AS ts FROM documents
+    ), tok AS (
+      SELECT doc_id, len(ts) AS n, unnest(ts) AS t FROM s
+    ), df AS (
+      SELECT t, COUNT(*) AS df FROM tok GROUP BY t
+    ), ordered AS (
+      SELECT doc_id, n, list(tok.t ORDER BY df.df, tok.t) AS toks
+      FROM tok JOIN df ON df.t = tok.t GROUP BY doc_id, n
+    ), prefix AS (
+      SELECT doc_id, n,
+             unnest(list_slice(toks, 1,
+               n - CAST(ceil({JACCARD_THRESHOLD} * n) AS INTEGER) + 1)) AS t
+      FROM ordered
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.t = b.t AND a.doc_id < b.doc_id
+      WHERE least(a.n, b.n) >= {JACCARD_THRESHOLD} * greatest(a.n, b.n)
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+                 / (len(x.ts) + len(y.ts)
+                    - len(list_intersect(x.ts, y.ts))), 6) AS jaccard
+    FROM cand c
+    JOIN s x ON x.doc_id = c.doc_a
+    JOIN s y ON y.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(x.ts, y.ts)) AS DOUBLE)
+          / (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts)))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ppjoin_prefix(spark: SparkSession, d: str) -> DataFrame:
+    """EXACT similarity self-join via PREFIX FILTERING (AllPairs /
+    PPJoin, Bayardo 2007 / Xiao 2008) — the third pillar of the
+    near-dup family: MinHash-LSH trades recall for speed,
+    ``dedup_ngram_jaccard`` is exact but blocked-quadratic; prefix
+    filtering is exact AND sub-quadratic with ZERO false negatives.
+    Principle: order every token set by GLOBAL RARITY (ascending
+    document frequency, ties lexicographic); for Jaccard >= τ two sets
+    must overlap in their first n - ceil(τ·n) + 1 rarest tokens, so
+    candidates come from an equi-join on PREFIX tokens only — frequent
+    tokens (the skew killers of naive token-inverted-index joins)
+    never enter prefixes precisely because they sort last. A size
+    filter (min >= τ·max) prunes length-incompatible pairs in the
+    join itself; survivors get one exact array-intersect verify.
+    Output is identical in shape to ``dedup_ngram_jaccard`` and must
+    CONTAIN every blocked-baseline pair (the completeness guarantee
+    LSH can't make — asserted in tests).
+
+    Scale: df census = one token-keyed count; per-doc rarity sort is
+    an in-row array_sort after a vocab join; the candidate join keys
+    on rare tokens whose postings lists are short by construction
+    (the τ-dependent prefix bounds fan-out at Σ_token df_prefix², a
+    tiny fraction of Σ df² — the published 10-100× win over plain
+    inverted-index joins); the verify touches candidates only. The
+    rarity census is recomputed per batch at 100 TB or maintained
+    incrementally like any other aggregate."""
+    tt = _token_table(spark, d)
+    tok = tt.select(
+        "doc_id", F.size("ts").alias("n"), F.explode("ts").alias("t")
+    )
+    dfc = tok.groupBy("t").agg(F.count("*").alias("df"))
+    ordered = (
+        tok.join(dfc, "t")
+        .groupBy("doc_id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "t"))).alias("st"))
+    )
+    plen = (
+        F.col("n")
+        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n"))
+        + 1
+    ).cast("int")
+    prefix = ordered.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.slice(
+                F.transform(F.col("st"), lambda s: s.t), F.lit(1), plen
+            )
+        ).alias("t"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n"))
+                >= JACCARD_THRESHOLD
+                * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    s = tt.select("doc_id", "ts")
+    x = s.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    y = s.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b"))).cast(
+        "double"
+    )
+    union = (
+        F.size("ts_a")
+        + F.size("ts_b")
+        - F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+    )
+    jac = inter / union
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -198,3 +198,23 @@ def test_hll_merge_equals_direct_and_bounds_error(spark):
         assert abs(r["est_merged"] - r["exact_users"]) <= max(
             2, 0.05 * r["exact_users"]
         )
+
+
+def test_ppjoin_contains_every_blocked_baseline_pair(spark):
+    """Prefix filtering's zero-false-negative guarantee: every pair
+    the blocked-quadratic exact baseline finds (same-source blocks)
+    must appear in dedup_ppjoin_prefix's GLOBAL exact join, with the
+    identical Jaccard value."""
+    qs = pro_etl_spark.get_queries()
+    base = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in qs["dedup_ngram_jaccard"](spark, SF).collect()
+    }
+    pp = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in qs["dedup_ppjoin_prefix"](spark, SF).collect()
+    }
+    missing = set(base) - set(pp)
+    assert not missing, f"false negatives: {sorted(missing)[:5]}"
+    for k, v in base.items():
+        assert pp[k] == v, (k, v, pp[k])
