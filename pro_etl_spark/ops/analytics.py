@@ -4359,3 +4359,115 @@ def events_rate_limit(spark: SparkSession, d: str) -> DataFrame:
         )
         .where(F.col("peak_rate") > RATE_LIMIT)
     )
+
+
+#: top-K most common 3-step behavioral paths
+PATH_TOP_K = 20
+
+
+@register(
+    "events_path_trigrams",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path
+      FROM seq WHERE t3 IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM paths GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT {PATH_TOP_K}
+    """,
+)
+def events_path_trigrams(spark: SparkSession, d: str) -> DataFrame:
+    """Top-{PATH_TOP_K} behavioral PATHS — the most common 3-step
+    event-type sequences across all user journeys (the "what do users
+    actually do" census behind funnel design, and the n-gram
+    generalization of ``markov_transitions``' single-step matrix:
+    trigrams expose second-order structure a first-order Markov chain
+    provably cannot, e.g. view>click>purchase vs click>view>purchase).
+    Consecutive steps come from two lead() windows per user; ties in
+    the top-K are broken by path string so the selection is a total
+    order.
+
+    Scale: the sequence pass shuffles once on user_id (each user's
+    timeline sorts independently); the path census is a map-side-
+    combinable groupBy; the final top-K is TakeOrderedAndProject —
+    per-partition heaps merged on the driver, never a global sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, d, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    paths = seq.where(F.col("t3").isNotNull()).select(
+        F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
+@register(
+    "events_twap",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             date_diff('second', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS dur
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(dur) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur) AS BIGINT) AS total_sec,
+           ROUND(CAST(CAST(SUM(v * dur) AS VARCHAR) AS DOUBLE)
+                 / CAST(SUM(dur) AS DOUBLE), 6) AS twap
+    FROM seg WHERE dur IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_twap(spark: SparkSession, d: str) -> DataFrame:
+    """Time-weighted average (TWAP) of `value` per user — each
+    reading counts proportionally to how long it was the CURRENT
+    state (seconds until the next event), the correct average for
+    irregularly-sampled gauges (sensor readings, position marks,
+    feature flags) where the arithmetic mean over-weights bursty
+    periods. The final open-ended reading carries no duration and is
+    excluded (standard TWAP convention). Weights are integer seconds
+    and values ride DECIMAL(18,6), so the weighted sum is
+    order-independent exact — the double division happens once per
+    user.
+
+    Scale: one window pass and one aggregate, both keyed user_id —
+    a single shuffle; no global ordering anywhere."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = load(spark, d, "events").select(
+        "user_id",
+        F.col("value").cast(DECV).alias("v"),
+        (F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long")).alias(
+            "dur"
+        ),
+    )
+    return (
+        seg.where(F.col("dur").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("dur").cast("long").alias("n_intervals"),
+            F.sum("dur").cast("long").alias("total_sec"),
+            F.round(
+                F.sum(F.col("v") * F.col("dur")).cast("double")
+                / F.sum("dur").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+    )

@@ -1056,3 +1056,44 @@ def fn_width_bucket(spark: SparkSession, d: str) -> DataFrame:
         .cast("long")
         .alias("bucket"),
     )
+
+
+@register(
+    "fn_pad_split",
+    oracle="""
+    SELECT o_orderkey,
+           lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded_key,
+           split_part(o_orderpriority, '-', 1) AS priority_rank,
+           split_part(o_orderpriority, '-', 2) AS priority_name,
+           rpad(o_orderstatus, 4, '.') AS status_cell,
+           reverse(CAST(o_orderkey AS VARCHAR)) AS reversed_key,
+           repeat('*', CAST(o_orderkey % 5 AS INTEGER)) AS stars
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def fn_pad_split(spark: SparkSession, d: str) -> DataFrame:
+    """Fixed-width / delimited string shaping family — lpad (zero-pad
+    keys for lexicographic-sortable ids), split_part (1-indexed field
+    extraction from '1-URGENT'-style codes, the sane alternative to
+    regex for single-delimiter fields), rpad (fixed-width report
+    cells), reverse (prefix-hotspot key scrambling for range-partition
+    stores), repeat. All JVM whole-stage-codegen scalar ops with
+    byte-identical DuckDB twins — narrow projection, zero shuffle,
+    predicate pushed to the scan."""
+    o = load(spark, d, "orders").where(F.col("o_orderkey") % 97 == 0)
+    key_s = F.col("o_orderkey").cast("string")
+    return o.select(
+        "o_orderkey",
+        F.lpad(key_s, 10, "0").alias("padded_key"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).alias(
+            "priority_rank"
+        ),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(2)).alias(
+            "priority_name"
+        ),
+        F.rpad(F.col("o_orderstatus"), 4, ".").alias("status_cell"),
+        F.reverse(key_s).alias("reversed_key"),
+        F.repeat(F.lit("*"), (F.col("o_orderkey") % 5).cast("int")).alias(
+            "stars"
+        ),
+    )
