@@ -205,10 +205,15 @@ def test_ppjoin_contains_every_blocked_baseline_pair(spark):
     the blocked-quadratic exact baseline finds (same-source blocks)
     must appear in dedup_ppjoin_prefix's GLOBAL exact join, with the
     identical Jaccard value."""
+    from pro_etl_spark.ops.dedup import PPJOIN_MOD, PPJOIN_TAU
+
     qs = pro_etl_spark.get_queries()
     base = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in qs["dedup_ngram_jaccard"](spark, SF).collect()
+        if r.jaccard >= PPJOIN_TAU
+        and r.doc_a % PPJOIN_MOD == 0
+        and r.doc_b % PPJOIN_MOD == 0
     }
     pp = {
         (r.doc_a, r.doc_b): r.jaccard
