@@ -1097,3 +1097,33 @@ def fn_pad_split(spark: SparkSession, d: str) -> DataFrame:
             "stars"
         ),
     )
+
+
+@register(
+    "fn_char_codes",
+    oracle="""
+    SELECT c_custkey,
+           ascii(c_mktsegment) AS seg_code,
+           chr(ascii(c_mktsegment) + 1) AS seg_next,
+           ascii(substr(c_name, -1, 1)) AS name_last_code,
+           length(c_name) AS name_len
+    FROM customer WHERE c_custkey % 29 = 0
+    """,
+)
+def fn_char_codes(spark: SparkSession, d: str) -> DataFrame:
+    """Character/codepoint scalar family — ascii() (leading-codepoint
+    extraction, the cheap first-byte bucketing trick for
+    range-partitioned stores), chr() (codepoint -> character, its
+    inverse), negative-index substr (last character), length. All
+    whole-stage-codegen JVM scalars with byte-identical DuckDB twins;
+    narrow projection, predicate pushed to the scan."""
+    c = load(spark, d, "customer").where(F.col("c_custkey") % 29 == 0)
+    return c.select(
+        "c_custkey",
+        F.ascii("c_mktsegment").alias("seg_code"),
+        F.chr(F.ascii("c_mktsegment") + 1).alias("seg_next"),
+        F.ascii(F.substring(F.col("c_name"), -1, 1)).alias(
+            "name_last_code"
+        ),
+        F.length("c_name").alias("name_len"),
+    )

@@ -1315,3 +1315,32 @@ def sql_star_except(spark: SparkSession, d: str) -> DataFrame:
         WHERE event_type = 'purchase' AND value >= 400
         """
     )
+
+
+SQL_NAMED_WINDOW = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+       CAST(o_totalprice AS DOUBLE) AS totalprice,
+       CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+            AS DOUBLE) AS prev_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+            AS DOUBLE) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("sql_named_window", oracle=SQL_NAMED_WINDOW)
+def sql_named_window(spark: SparkSession, d: str) -> DataFrame:
+    """The ANSI WINDOW clause — declare the partitioning/ordering ONCE
+    and share it by name across ranking, offset, and framed-aggregate
+    functions (here row_number, lag, and a running DECIMAL sum all
+    ride `w`; the sum's default RANGE-to-current-row frame equals the
+    row frame because the order key is unique per partition). Beyond
+    the deduplication of intent, the shared name is a physical
+    guarantee: all three functions provably land in ONE Window
+    operator over ONE exchange+sort — with inline copies, a typo'd
+    ORDER BY silently forks a second sort. Running sums accumulate in
+    DECIMAL so partition order can't leak into the last ulp."""
+    _views(spark, d)
+    return spark.sql(SQL_NAMED_WINDOW)

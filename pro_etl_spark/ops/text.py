@@ -2567,3 +2567,124 @@ def text_langid_confusion(spark: SparkSession, d: str) -> DataFrame:
             ),
         )
     )
+
+
+#: intra-document span dedup: repeated n-gram width (3 fires on ~5%
+#: of this corpus's docs; 5+ never repeats inside these short docs)
+INTRA_SPAN_N = 3
+
+
+@register(
+    "text_dedup_intra_span",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sp AS (
+      SELECT doc_id, toks, len(toks) AS m,
+             CASE WHEN len(toks) >= {INTRA_SPAN_N}
+                  THEN list_transform(
+                         range(1, len(toks) - {INTRA_SPAN_N - 2}),
+                         i -> array_to_string(
+                                list_slice(toks, i, i + {INTRA_SPAN_N - 1}),
+                                ' '))
+                  ELSE [] END AS spans
+      FROM t
+    ), dup AS (
+      SELECT doc_id, toks, m,
+             list_transform(range(1, len(spans) + 1),
+               i -> i > 1 AND list_contains(list_slice(spans, 1, i - 1),
+                                            spans[i])) AS dupf
+      FROM sp
+    ), marked AS (
+      SELECT doc_id, toks, m,
+             list_filter(range(1, m + 1),
+               k -> len(dupf) = 0 OR NOT len(list_filter(
+                      range(greatest(1, k - {INTRA_SPAN_N - 1}),
+                            least(k, len(dupf)) + 1),
+                      i -> dupf[i])) > 0) AS kept
+      FROM dup
+    )
+    SELECT doc_id,
+           CAST(m AS BIGINT) AS n_tokens,
+           CAST(m - len(kept) AS BIGINT) AS n_removed,
+           array_to_string(list_transform(kept, k -> toks[k]), ' ')
+             AS cleaned_text
+    FROM marked
+    """,
+)
+def text_dedup_intra_span(spark: SparkSession, d: str) -> DataFrame:
+    """IN-DOCUMENT repeated-span removal — the intra-doc half of
+    dedup that corpus-level MinHash can't see (MassiveText /
+    RefinedWeb "repetitious content" rule): any {INTRA_SPAN_N}-token
+    span that already occurred VERBATIM earlier in the same document
+    marks all its tokens for removal; the document is re-emitted with
+    only the kept tokens (first occurrence always survives). Catches
+    boilerplate echoes, scraper stutter, and navigation loops that
+    inflate token counts and teach models to repeat themselves. The
+    whole transform is in-row higher-order functions — span list,
+    earlier-duplicate flags, per-token coverage test — identical
+    lambda algebra in both engines, so even the reconstructed text is
+    value-exact.
+
+    Scale: zero shuffles — a narrow map over documents; per-doc cost
+    is O(spans^2) string compares (bounded by document length, the
+    classic trade against building a per-doc hash set in a Python
+    UDF, which would leave the JVM). At 100 TB this runs as a scan-
+    attached projection in the ingest pass, before any corpus-level
+    dedup shuffles."""
+    n = INTRA_SPAN_N
+    docs = load(spark, d, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    m = F.size("toks")
+    spans = F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sp = docs.select("doc_id", "toks", m.alias("m"), spans.alias("spans"))
+    dupf = F.transform(
+        F.sequence(F.lit(1), F.size("spans")),
+        lambda i: (i > 1)
+        & F.array_contains(
+            F.slice(F.col("spans"), F.lit(1), (i - 1).cast("int")),
+            F.element_at(F.col("spans"), i),
+        ),
+    )
+    dup = sp.select(
+        "doc_id",
+        "toks",
+        "m",
+        F.when(F.size("spans") > 0, dupf)
+        .otherwise(F.array().cast("array<boolean>"))
+        .alias("dupf"),
+    )
+    removed = lambda k: F.when(  # noqa: E731
+        F.size("dupf") > 0,
+        F.exists(
+            F.sequence(
+                F.greatest(F.lit(1), k - (n - 1)),
+                F.least(k, F.size("dupf")),
+            ),
+            lambda i: F.element_at(F.col("dupf"), i),
+        )
+        & (F.greatest(F.lit(1), k - (n - 1)) <= F.least(k, F.size("dupf"))),
+    ).otherwise(F.lit(False))
+    kept = F.filter(
+        F.sequence(F.lit(1), F.col("m")), lambda k: ~removed(k)
+    )
+    marked = dup.select("doc_id", "toks", "m", kept.alias("kept"))
+    return marked.select(
+        "doc_id",
+        F.col("m").cast("long").alias("n_tokens"),
+        (F.col("m") - F.size("kept")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.col("kept"), lambda k: F.element_at(F.col("toks"), k)
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
