@@ -4471,3 +4471,136 @@ def events_twap(spark: SparkSession, d: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+@register(
+    "agg_percentile_cont",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           quantile_cont(l_quantity, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_cont(spark: SparkSession, d: str) -> DataFrame:
+    """Exact CONTINUOUS (interpolating) percentiles — the
+    PERCENTILE_CONT semantics: at rank position r = p*(n-1) the value
+    is lo + (r - floor(r))*(hi - lo) between the two straddling order
+    statistics, vs the discrete nearest-rank family
+    (``agg_percentile`` / ``sql_percentile_within_group``). Both
+    engines compute the identical interpolation from identical
+    operands (l_quantity values are small exact doubles), so the
+    result pairs bit-for-bit without rounding. Four quantiles ride
+    ONE sort per group, not four.
+
+    Scale: Spark's exact percentile() aggregates per-group sorted
+    sketches of the values — fine at dimension-key group counts;
+    for a quantile of a 100 TB fact column switch to
+    approx_percentile (``agg_approx_percentile``) — this op is the
+    exact twin that certifies it."""
+    return (
+        load(spark, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+            F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
+        )
+    )
+
+
+#: bot-score gates: sliding-minute burst, error share, type diversity
+BOT_BURST_MIN = 4
+BOT_ERR_SHARE = 0.3
+BOT_MIN_EVENTS = 40
+
+
+@register(
+    "events_bot_score",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             COUNT(*) OVER (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN {RATE_WINDOW_SEC - 1} PRECEDING
+                         AND CURRENT ROW) AS burst
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             CAST(MAX(burst) AS BIGINT) AS peak_rate,
+             COUNT(DISTINCT event_type) AS n_types,
+             ROUND(CAST(COUNT(*) FILTER (WHERE event_type = 'error')
+                        AS DOUBLE) / COUNT(*), 6) AS error_share
+      FROM r GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events, peak_rate,
+           CAST(n_types AS BIGINT) AS n_types, error_share,
+           CAST((CASE WHEN peak_rate >= {BOT_BURST_MIN} THEN 2 ELSE 0 END)
+              + (CASE WHEN error_share >= {BOT_ERR_SHARE} THEN 1 ELSE 0 END)
+              + (CASE WHEN n_types <= 2
+                       AND n_events >= {BOT_MIN_EVENTS} THEN 1 ELSE 0 END)
+             AS BIGINT) AS bot_score,
+           (CASE WHEN peak_rate >= {BOT_BURST_MIN} THEN 2 ELSE 0 END)
+              + (CASE WHEN error_share >= {BOT_ERR_SHARE} THEN 1 ELSE 0 END)
+              + (CASE WHEN n_types <= 2
+                       AND n_events >= {BOT_MIN_EVENTS} THEN 1 ELSE 0 END)
+             >= 2 AS is_bot
+    FROM per_user
+    """,
+)
+def events_bot_score(spark: SparkSession, d: str) -> DataFrame:
+    """Composite BOT/abuse score — the behavioral twin of the corpus
+    family's ``pipeline_gopher_filter``: three independent integer/
+    rational gates vote per user — (a) machine-speed bursts (peak
+    {RATE_WINDOW_SEC}s sliding rate >= {BOT_BURST_MIN}, weight 2 — the
+    strongest tell), (b) error-heavy traffic (share >=
+    {BOT_ERR_SHARE}: scripted clients hammer broken endpoints), (c)
+    monotone behavior (<= 2 distinct event types across >=
+    {BOT_MIN_EVENTS} events: real users wander, scrapers loop). Score
+    >= 2 flags the user, and every signal ships alongside the verdict
+    so triage can see WHY. All gates are integer counts or one
+    rounded rational — exact in both engines; thresholds are plan
+    literals, not data-dependent.
+
+    Scale: one user-keyed shuffle shared by the sliding-window pass
+    and the profile aggregate; the census never leaves the user
+    partitioning. The same gates run streaming as an
+    applyInPandasWithState scorer (``stream_topk_state``'s shape)
+    with identical semantics — this is the offline backfill."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-(RATE_WINDOW_SEC - 1), 0)
+    )
+    r = load(spark, d, "events").withColumn("burst", F.count("*").over(w))
+    per_user = r.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("burst").cast("long").alias("peak_rate"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(
+            F.count_if(F.col("event_type") == "error").cast("double")
+            / F.count("*"),
+            6,
+        ).alias("error_share"),
+    )
+    score = (
+        F.when(F.col("peak_rate") >= BOT_BURST_MIN, 2).otherwise(0)
+        + F.when(F.col("error_share") >= BOT_ERR_SHARE, 1).otherwise(0)
+        + F.when(
+            (F.col("n_types") <= 2) & (F.col("n_events") >= BOT_MIN_EVENTS),
+            1,
+        ).otherwise(0)
+    )
+    return per_user.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "peak_rate",
+        F.col("n_types").cast("long").alias("n_types"),
+        "error_share",
+        score.cast("long").alias("bot_score"),
+        (score >= 2).alias("is_bot"),
+    )

@@ -1523,3 +1523,55 @@ def sink_csv_gzip(spark: SparkSession, d: str) -> DataFrame:
         .option("header", True)
         .csv(path)
     )
+
+
+@register(
+    "sink_csv_quoted",
+    oracle="""
+    SELECT c_custkey,
+           'pre,"' || c_mktsegment || '"' || chr(10) || 'post' AS tricky,
+           c_name
+    FROM customer WHERE c_custkey % 31 = 0
+    """,
+)
+def sink_csv_quoted(spark: SparkSession, d: str) -> DataFrame:
+    """Adversarial CSV round-trip — fields containing the THREE things
+    that break naive CSV handling at once: embedded delimiters,
+    embedded double-quotes, and embedded NEWLINES. The writer must
+    quote and double the quotes (RFC 4180); the reader must run in
+    multiLine mode (a record no longer equals a line, so the format
+    stops being trivially splittable — the documented cost of quoted
+    newlines, and the reason lakes prefer parquet). The oracle states
+    the ORIGINAL expression over the source table, so a hash match
+    proves the writer+reader pair is lossless end-to-end — nothing
+    about the escaping leaks into the values.
+
+    Scale: narrow projection to the sink, one read back; multiLine
+    CSV reads are per-file tasks (not per-split) — bound file sizes
+    at write time, exactly like the gzip sink."""
+    path = _tmp(f"sink_csv_quoted_{dataset_suffix(d)}")
+    tricky = F.concat(
+        F.lit('pre,"'),
+        F.col("c_mktsegment"),
+        F.lit('"'),
+        F.lit("\n"),
+        F.lit("post"),
+    )
+    proj = (
+        load(spark, d, "customer")
+        .where(F.col("c_custkey") % 31 == 0)
+        .select("c_custkey", tricky.alias("tricky"), "c_name")
+    )
+    _write_once(
+        path,
+        lambda: proj.write.mode("overwrite")
+        .option("header", True)
+        .csv(path),
+    )
+    schema = "c_custkey bigint, tricky string, c_name string"
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
