@@ -905,3 +905,85 @@ def merge_scd3(spark: SparkSession, d: str) -> DataFrame:
         F.when(changed, F.col("c_acctbal")).alias("prev_acctbal"),
         changed.alias("changed"),
     )
+
+
+@register(
+    "interval_allen_census",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, event_type, MIN(ts) AS s, MAX(ts) AS e
+      FROM events GROUP BY user_id, event_type
+    ), pairs AS (
+      SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+             CASE
+               WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+               WHEN a.e < b.s THEN 'before'
+               WHEN b.e < a.s THEN 'after'
+               WHEN a.e = b.s THEN 'meets'
+               WHEN b.e = a.s THEN 'met_by'
+               WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+               WHEN a.s = b.s AND a.e > b.e THEN 'started_by'
+               WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+               WHEN a.e = b.e AND a.s < b.s THEN 'finished_by'
+               WHEN a.s > b.s AND a.e < b.e THEN 'during'
+               WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+               WHEN a.s < b.s AND a.e < b.e THEN 'overlaps'
+               ELSE 'overlapped_by'
+             END AS relation
+      FROM spans a JOIN spans b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+    )
+    SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM pairs GROUP BY relation
+    """,
+)
+def interval_allen_census(spark: SparkSession, d: str) -> DataFrame:
+    """ALLEN'S INTERVAL ALGEBRA census — classify every pair of
+    per-user activity spans (one interval per event type: first to
+    last occurrence) into the 13 Allen relations (before/meets/
+    overlaps/starts/during/finishes, their inverses, equals) and
+    count each relation's frequency. This is the formal vocabulary
+    under every temporal-join question the cdc family answers
+    piecemeal (``join_interval_overlap`` = one relation bucket,
+    ``join_temporal`` = point-in-'during'); the census tells you
+    WHICH temporal join a dataset actually needs — if 95% of spans
+    are 'before', sessionized funnels beat interval joins. Pure
+    timestamp comparisons: exact in both engines by construction.
+
+    Scale: spans are one grouped pass (|users| x |types| rows); the
+    pair join is user-keyed with a bounded per-user fan-out
+    (|types| choose 2 = 10 here), never a global product; the census
+    is a |relations|-row aggregate."""
+    spans = (
+        load(spark, d, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    a, b = spans.alias("a"), spans.alias("b")
+    s_a, e_a = F.col("a.s"), F.col("a.e")
+    s_b, e_b = F.col("b.s"), F.col("b.e")
+    relation = (
+        F.when((s_a == s_b) & (e_a == e_b), "equals")
+        .when(e_a < s_b, "before")
+        .when(e_b < s_a, "after")
+        .when(e_a == s_b, "meets")
+        .when(e_b == s_a, "met_by")
+        .when((s_a == s_b) & (e_a < e_b), "starts")
+        .when((s_a == s_b) & (e_a > e_b), "started_by")
+        .when((e_a == e_b) & (s_a > s_b), "finishes")
+        .when((e_a == e_b) & (s_a < s_b), "finished_by")
+        .when((s_a > s_b) & (e_a < e_b), "during")
+        .when((s_a < s_b) & (e_a > e_b), "contains")
+        .when((s_a < s_b) & (e_a < e_b), "overlaps")
+        .otherwise("overlapped_by")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(F.col("a.user_id").alias("user_id"), relation.alias("relation"))
+    return pairs.groupBy("relation").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

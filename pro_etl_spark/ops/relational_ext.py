@@ -2052,3 +2052,118 @@ def agg_distinct_arithmetic(spark: SparkSession, d: str) -> DataFrame:
         F.count_distinct(q).alias("n_distinct_qty"),
         F.sum(q).cast("long").alias("sum_all"),
     )
+
+
+@register(
+    "agg_bitmap_rollup",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_months
+      FROM orders GROUP BY o_orderstatus
+    ), d AS (
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT m.o_orderstatus, CAST(n_months AS BIGINT) AS n_months,
+           CAST(n_custs AS BIGINT) AS n_custs
+    FROM m JOIN d ON m.o_orderstatus = d.o_orderstatus
+    """,
+)
+def agg_bitmap_rollup(spark: SparkSession, d: str) -> DataFrame:
+    """MERGEABLE exact-distinct rollup — the property that makes
+    bitmap distinct (``agg_bitmap_distinct``) a warehouse primitive
+    rather than a parlor trick: per-(status, month, bucket) bitmaps
+    are built ONCE at the fine grain, then the coarser status-level
+    distinct comes from OR-merging those same bitmaps
+    (``bitmap_or_agg``) — never re-touching the fact table. The
+    oracle states the straight COUNT(DISTINCT) at the coarse grain,
+    so a hash match PROVES merge(OR) loses nothing — the exact-
+    distinct analogue of agg_incremental's re-aggregation contract,
+    and the plan shape a 100 TB daily-refresh pipeline needs (daily
+    bitmap partials persisted, every rollup level reads partials).
+
+    Scale: one fact-table pass to fine-grain bitmaps (shuffle payload
+    = <=4 KB bitmap per group-bucket, not raw keys); the rollup
+    shuffles only bitmaps; popcounts finish per group."""
+    o = load(spark, d, "orders")
+    fine = o.groupBy(
+        "o_orderstatus",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias(
+            "bm"
+        )
+    )
+    merged = fine.groupBy("o_orderstatus", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm"),
+        F.countDistinct("month").alias("n_months_bucket"),
+    )
+    months = fine.groupBy("o_orderstatus").agg(
+        F.countDistinct("month").alias("n_months")
+    )
+    custs = merged.groupBy("o_orderstatus").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_custs")
+    )
+    return months.join(custs, "o_orderstatus").select(
+        "o_orderstatus",
+        F.col("n_months").cast("long").alias("n_months"),
+        "n_custs",
+    )
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value,
+           first_value(CASE WHEN event_type = 'purchase' THEN value END
+                       IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+             AS first_purchase_value
+    FROM events
+    """,
+)
+def window_ignore_nulls(spark: SparkSession, d: str) -> DataFrame:
+    """IGNORE NULLS window navigation — the forward-fill primitive
+    stated declaratively: sparse per-user purchase values (NULL on
+    every other event) carried forward with last_value(... IGNORE
+    NULLS) over a running frame, plus the partition-wide first
+    purchase via first_value over an unbounded frame. This is THE
+    standard last-observation-carried-forward idiom (ticks, sensor
+    state, dimension attributes sparse in a fact stream) — without
+    IGNORE NULLS it takes a self-join or a two-pass gap-fill
+    (``window_gap_fill`` builds exactly this from parts; here it is
+    one operator). NULL rows stay NULL until a user's first purchase
+    — semantics, not data loss.
+
+    Scale: both windows share one user-keyed exchange+sort;
+    WholeStageCodegen keeps the frame evaluation JVM-side."""
+    val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return load(spark, d, "events").select(
+        "event_id",
+        "user_id",
+        F.last(val, ignorenulls=True)
+        .over(w_run)
+        .alias("last_purchase_value"),
+        F.first(val, ignorenulls=True)
+        .over(w_all)
+        .alias("first_purchase_value"),
+    )
