@@ -4604,3 +4604,55 @@ def events_bot_score(spark: SparkSession, d: str) -> DataFrame:
         score.cast("long").alias("bot_score"),
         (score >= 2).alias("is_bot"),
     )
+
+
+#: freshness SLA: a feed lagging more than this behind the corpus
+#: high-water mark is stale
+FRESHNESS_SLA_MIN = 60
+
+
+@register(
+    "dq_freshness",
+    oracle=f"""
+    WITH hw AS (SELECT MAX(ts) AS corpus_max FROM events),
+    per_feed AS (
+      SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_events
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, last_ts,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(floor(date_diff('second', last_ts, corpus_max) / 60.0)
+                AS BIGINT) AS minutes_behind,
+           date_diff('second', last_ts, corpus_max)
+             > {FRESHNESS_SLA_MIN} * 60 AS is_stale
+    FROM per_feed CROSS JOIN hw
+    """,
+)
+def dq_freshness(spark: SparkSession, d: str) -> DataFrame:
+    """Feed-freshness SLA audit — the first data-quality page every
+    on-call loads: per feed (event type), the last-seen timestamp,
+    how many minutes it lags the corpus high-water mark, and the
+    stale flag at the {FRESHNESS_SLA_MIN}-minute SLA. Lag against the
+    corpus max (not wall clock) keeps the check deterministic and
+    replayable — the production twin swaps in current_timestamp().
+    Complements ``dq_expectations`` (value rules) and
+    ``cdc_late_dimension`` (late upstream data) with the
+    arrival-liveness axis.
+
+    Scale: one grouped pass to |feeds| rows plus a broadcast 1-row
+    high-water mark — the fact table is touched once."""
+    ev = load(spark, d, "events")
+    hw = ev.agg(F.max("ts").alias("corpus_max"))
+    per_feed = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count("*").alias("n_events")
+    )
+    lag_sec = F.col("corpus_max").cast("long") - F.col("last_ts").cast(
+        "long"
+    )
+    return per_feed.crossJoin(F.broadcast(hw)).select(
+        "event_type",
+        "last_ts",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.floor(lag_sec / 60.0).cast("long").alias("minutes_behind"),
+        (lag_sec > FRESHNESS_SLA_MIN * 60).alias("is_stale"),
+    )

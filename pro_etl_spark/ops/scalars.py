@@ -1127,3 +1127,47 @@ def fn_char_codes(spark: SparkSession, d: str) -> DataFrame:
         ),
         F.length("c_name").alias("name_len"),
     )
+
+
+@register(
+    "fn_make_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           make_date(CAST(year(o_orderdate) AS INTEGER),
+                     CAST(month(o_orderdate) AS INTEGER),
+                     1) AS month_start,
+           make_timestamp(CAST(year(o_orderdate) AS INTEGER),
+                          CAST(month(o_orderdate) AS INTEGER),
+                          CAST(day(o_orderdate) AS INTEGER),
+                          12, 0, 0.0) AS noon_that_day,
+           CAST(o_orderdate AS DATE)
+             + to_days(CAST(o_orderkey % 30 AS INTEGER)) AS jitter_day
+    FROM orders WHERE o_orderkey % 113 = 0
+    """,
+)
+def fn_make_datetime(spark: SparkSession, d: str) -> DataFrame:
+    """Datetime CONSTRUCTORS — make_date / make_timestamp from
+    component fields plus day-offset arithmetic: the inverse of the
+    extraction family (``fn_datetime_parts``) and the tool for
+    normalizing event times to period anchors (month start, fixed
+    local noon) without string formatting round-trips. Components are
+    integers in both engines, so construction is exact by definition;
+    the timestamp lands in the session timezone pinned to UTC.
+
+    Scale: whole-stage-codegen scalars, narrow projection, pushed
+    filter."""
+    o = load(spark, d, "orders").where(F.col("o_orderkey") % 113 == 0)
+    y = F.year("o_orderdate")
+    m = F.month("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.make_date(y, m, F.lit(1)).alias("month_start"),
+        F.expr(
+            "make_timestamp(year(o_orderdate), month(o_orderdate), "
+            "day(o_orderdate), 12, 0, 0)"
+        ).alias("noon_that_day"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 30).cast("int"),
+        ).alias("jitter_day"),
+    )

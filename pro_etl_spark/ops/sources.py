@@ -1575,3 +1575,32 @@ def sink_csv_quoted(spark: SparkSession, d: str) -> DataFrame:
         .option("multiLine", True)
         .csv(path)
     )
+
+
+@register(
+    "sink_text_roundtrip",
+    oracle="""
+    SELECT text AS value FROM documents
+    """,
+)
+def sink_text_roundtrip(spark: SparkSession, d: str) -> DataFrame:
+    """Plain-text sink+scan round-trip — the last cell of the format
+    matrix (parquet/ORC/CSV/JSON/XML/binary are covered by their own
+    sinks): one document per line via ``spark.write.text``, read back
+    with ``spark.read.text`` (schema = single ``value`` string). The
+    oracle is the source column itself, so the hash match proves the
+    line protocol is lossless for newline-free records — the
+    PRECONDITION text format actually has: records containing the
+    delimiter must be escaped by the producer or shipped in a framed
+    format instead (``sink_csv_quoted`` demonstrates the quoted
+    alternative; this corpus is newline-free by construction).
+
+    Scale: narrow single-column write, splittable uncompressed reads;
+    text is the interchange format for tokenizer training corpora —
+    exactly the export this engine's BPE family would consume."""
+    path = _tmp(f"sink_text_{dataset_suffix(d)}")
+    proj = load(spark, d, "documents").select("text")
+    _write_once(
+        path, lambda: proj.write.mode("overwrite").text(path)
+    )
+    return spark.read.text(path)
