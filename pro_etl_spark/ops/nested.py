@@ -474,3 +474,67 @@ def fn_xpath(spark: SparkSession, d: str) -> DataFrame:
             ).alias("is_urgent"),
         )
     )
+
+
+@register(
+    "arr_ops_family",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT doc_id,
+           CAST(COALESCE(list_position(toks, 'spark'), 0) AS INTEGER)
+             AS spark_pos,
+           len(list_filter(toks, x -> x <> 'the')) AS n_without_the,
+           list_has_any(toks, ['join', 'merge']) AS mentions_join,
+           array_to_string(list_sort(list_distinct(
+             list_filter(toks, x -> x IN ('scan', 'sort', 'hash')))), ',')
+             AS ops_found,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok
+    FROM t
+    """,
+)
+def arr_ops_family(spark: SparkSession, d: str) -> DataFrame:
+    """Array-function surface beyond the HOF core: array_position
+    (1-based locate, 0 = absent), array_remove-style filtered count,
+    arrays_overlap set probe, the filter->distinct->sort->join
+    normalization chain, and head/tail element access (negative
+    index = from the end). These are the building blocks the dedup/
+    text families compose implicitly; this key pins their exact
+    cross-engine semantics — notably 1-BASED positions and
+    NULL-vs-0 on absence — so a refactor can't silently shift
+    indexing conventions.
+
+    Scale: narrow in-row projection, pushed filter, no shuffle."""
+    t = (
+        load(spark, d, "documents")
+        .where(F.col("doc_id") % 17 == 0)
+        .select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+        )
+    )
+    toks = F.col("toks")
+    return t.select(
+        "doc_id",
+        F.array_position(toks, "spark").cast("int").alias("spark_pos"),
+        F.size(F.array_remove(toks, "the")).alias("n_without_the"),
+        F.arrays_overlap(
+            toks, F.array(F.lit("join"), F.lit("merge"))
+        ).alias("mentions_join"),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        toks,
+                        lambda x: x.isin("scan", "sort", "hash"),
+                    )
+                )
+            ),
+            ",",
+        ).alias("ops_found"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+    )

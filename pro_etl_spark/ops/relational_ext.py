@@ -2167,3 +2167,147 @@ def window_ignore_nulls(spark: SparkSession, d: str) -> DataFrame:
         .over(w_all)
         .alias("first_purchase_value"),
     )
+
+
+#: binned big-x-big range join: bin width (and window) in seconds
+RANGE_BIN_SEC = 300
+
+
+@register(
+    "join_range_binned",
+    oracle=f"""
+    WITH p AS (
+      SELECT ts FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT event_id, event_type, ts FROM events
+    ), joined AS (
+      SELECT e.event_id, e.event_type, COUNT(p.ts) AS nearby
+      FROM e LEFT JOIN p
+        ON p.ts > e.ts - INTERVAL '{RANGE_BIN_SEC} seconds'
+       AND p.ts < e.ts
+      GROUP BY e.event_id, e.event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(nearby) AS BIGINT) AS total_nearby,
+           ROUND(CAST(SUM(nearby) AS DOUBLE) / COUNT(*), 6)
+             AS mean_nearby
+    FROM joined GROUP BY event_type
+    """,
+)
+def join_range_binned(spark: SparkSession, d: str) -> DataFrame:
+    """BIG-x-BIG range join via TIME BINNING — the batch pattern for
+    a non-equi time-proximity join when NEITHER side broadcasts (the
+    1-D analogue of ``join_spatial_grid``, and the batch twin of the
+    stream-stream interval join): count, for every event, the
+    purchases (any user) in the preceding {RANGE_BIN_SEC}s. A naive
+    theta join is a cartesian shuffle; instead both sides key on
+    floor(epoch/{RANGE_BIN_SEC}) bins — the probe side duplicates
+    into its own and the PREVIOUS bin (a preceding-window match can
+    only live in those two) — making the join a plain EQUI-join on the bin
+    key, with the exact interval predicate refining inside each bin
+    pair. Equi-shuffle + bounded in-bin refinement replaces the
+    cartesian: fan-out is 2x the probe side, and bin width tunes the
+    shuffle-vs-refinement trade.
+
+    The oracle states the naive range join declaratively — a hash
+    match proves the binned rewrite is semantics-preserving
+    (left-join zero counts included via the bin containing the event
+    itself).
+
+    Scale: two narrow projections, one equi-shuffle on the bin key,
+    per-bin refinement bounded by bin population (skewed hot bins
+    split by widening to (bin, salt) exactly like ``join_salted``);
+    the census is a |types|-row rollup."""
+    ev = load(spark, d, "events")
+    bin_col = F.floor(F.col("ts").cast("long") / RANGE_BIN_SEC)
+    probes = ev.select(
+        "event_id",
+        "event_type",
+        F.col("ts").alias("e_ts"),
+        F.explode(
+            F.array(bin_col.cast("long"), (bin_col - 1).cast("long"))
+        ).alias("bin"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"), bin_col.cast("long").alias("bin")
+    )
+    hits = (
+        probes.join(purchases, "bin")
+        .where(
+            (F.col("p_ts") > F.col("e_ts") - F.expr(f"INTERVAL {RANGE_BIN_SEC} SECONDS"))
+            & (F.col("p_ts") < F.col("e_ts"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("nearby"))
+    )
+    joined = (
+        ev.select("event_id", "event_type")
+        .join(hits, "event_id", "left")
+        .select(
+            "event_type", F.coalesce("nearby", F.lit(0)).alias("nearby")
+        )
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("nearby").cast("long").alias("total_nearby"),
+        F.round(
+            F.sum("nearby").cast("double") / F.count("*"), 6
+        ).alias("mean_nearby"),
+    )
+
+
+@register(
+    "agg_herfindahl",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS n
+      FROM events GROUP BY event_type, user_id
+    ), m AS (
+      SELECT event_type,
+             CAST(SUM(n) AS DOUBLE) AS total,
+             CAST(SUM(n * n) AS DOUBLE) AS f2,
+             COUNT(*) AS n_users
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_users AS BIGINT) AS n_users,
+           ROUND(f2 / (total * total), 6) AS hhi,
+           ROUND((total * total) / f2, 6) AS effective_users
+    FROM m
+    """,
+)
+def agg_herfindahl(spark: SparkSession, d: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per feed — HHI =
+    Sigma share_u^2 over each user's share of the feed's events, and its
+    reciprocal, the EFFECTIVE number of contributors (the
+    inverse-Simpson diversity): 150 nominal users but
+    effective_users = 12 means a dozen accounts dominate the feed —
+    the concentration lens ``agg_gini`` (inequality) and
+    ``skew_key_profile`` (join planning) each approximate from their
+    own angle, and the number that decides whether per-user salting
+    is needed. Computed from exact integer moments (Sigma c, Sigma c^2), one
+    double division at the end.
+
+    Scale: two cascaded groupBys — (type, user) then type; both
+    map-side combinable, no window, no distinct expansion."""
+    c = (
+        load(spark, d, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    m = c.groupBy("event_type").agg(
+        F.sum("n").cast("double").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("f2"),
+        F.count("*").alias("n_users"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(F.col("f2") / (F.col("total") * F.col("total")), 6).alias(
+            "hhi"
+        ),
+        F.round(
+            (F.col("total") * F.col("total")) / F.col("f2"), 6
+        ).alias("effective_users"),
+    )
