@@ -4656,3 +4656,82 @@ def dq_freshness(spark: SparkSession, d: str) -> DataFrame:
         F.floor(lag_sec / 60.0).cast("long").alias("minutes_behind"),
         (lag_sec > FRESHNESS_SLA_MIN * 60).alias("is_stale"),
     )
+
+
+#: two-sided alpha=0.05 and power=0.80 normal quantiles (z_{0.975},
+#: z_{0.8}) — plan literals, the standard experiment-sizing pair
+AB_Z_ALPHA = 1.959963984540054
+AB_Z_POWER = 0.8416212335729143
+
+
+@register(
+    "ab_power_mde",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,6)) END), 0) AS y
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(sy / n, 6) AS mean_metric,
+           ROUND((n * syy - sy * sy) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+             AS var_metric,
+           ROUND(({AB_Z_ALPHA} + {AB_Z_POWER})
+                 * sqrt(2 * ((n * syy - sy * sy)
+                             / (CAST(n AS DOUBLE) * (n - 1)))
+                        / (n / 2.0)), 6) AS mde_abs,
+           ROUND(({AB_Z_ALPHA} + {AB_Z_POWER})
+                 * sqrt(2 * ((n * syy - sy * sy)
+                             / (CAST(n AS DOUBLE) * (n - 1)))
+                        / (n / 2.0)) / (sy / n) * 100, 6) AS mde_pct
+    FROM m
+    """,
+)
+def ab_power_mde(spark: SparkSession, d: str) -> DataFrame:
+    """Experiment POWER ANALYSIS — the minimum detectable effect
+    (MDE) for a 50/50 A/B split at alpha=0.05 (two-sided) and 80%
+    power: MDE = (z_alpha + z_power) * sqrt(2*sigma^2/n_per_arm), from the
+    population variance of the per-user purchase metric. This is the
+    question every experiment review asks BEFORE launch ("can this
+    traffic even detect a 1% move?") and the design-time complement
+    of ``ab_ttest`` (post-hoc significance) and ``ab_cuped``
+    (variance reduction — rerun this after CUPED to see the MDE
+    shrink). z quantiles are plan literals; variance comes from exact
+    DECIMAL moments; sqrt is IEEE-exact — both engines evaluate the
+    identical closed form once.
+
+    Scale: one grouped pass to per-user metrics, one 1-row moment
+    aggregate — the fact table is touched once."""
+    ev = load(spark, d, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast(DECV),
+                )
+            ),
+            F.lit(0).cast(DECV),
+        ).alias("y")
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
+    var = (n * syy - sy * sy) / (n.cast("double") * (n - 1))
+    mde = (AB_Z_ALPHA + AB_Z_POWER) * F.sqrt(2 * var / (n / F.lit(2.0)))
+    return m.select(
+        n.cast("long").alias("n_users"),
+        F.round(sy / n, 6).alias("mean_metric"),
+        F.round(var, 6).alias("var_metric"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / (sy / n) * 100, 6).alias("mde_pct"),
+    )

@@ -1604,3 +1604,64 @@ def sink_text_roundtrip(spark: SparkSession, d: str) -> DataFrame:
         path, lambda: proj.write.mode("overwrite").text(path)
     )
     return spark.read.text(path)
+
+
+def _nested_parquet(spark: SparkSession, d: str) -> str:
+    """Stage a parquet file with NESTED struct columns (written once
+    per dataset): each order as (o_orderkey, meta struct<status,
+    priority>, amounts struct<price, half>)."""
+    path = _tmp(f"nested_parquet_{dataset_suffix(d)}")
+    proj = load(spark, d, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("meta"),
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            (F.col("o_totalprice") / 2).alias("half"),
+        ).alias("amounts"),
+    )
+    _write_once(
+        path, lambda: proj.write.mode("overwrite").parquet(path)
+    )
+    return path
+
+
+@register(
+    "scan_nested_pruning",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_nested_pruning(spark: SparkSession, d: str) -> DataFrame:
+    """NESTED-COLUMN projection pushdown — aggregate over exactly two
+    struct SUBFIELDS (meta.status, amounts.price) of a staged nested
+    parquet table, with ``spark.sql.optimizer.nestedSchemaPruning``
+    (default on) shrinking the scan's ReadSchema to just those leaf
+    fields: the untouched siblings (meta.priority, amounts.half)
+    never leave the parquet column chunks. On a 100 TB event table
+    whose payload structs carry dozens of fields, leaf-level pruning
+    is the difference between reading 2 columns and reading 40 — the
+    nested analogue of the top-level column pruning every other scan
+    op already proves. The oracle aggregates the FLAT source table,
+    so the hash match also certifies the nested write+read round-trip
+    (tests/test_plans.py pins the pruned ReadSchema itself).
+
+    Scale: columnar leaf reads + one group-by shuffle; the struct
+    nesting costs nothing at scan time once pruned."""
+    path = _nested_parquet(spark, d)
+    nested = spark.read.parquet(path)
+    return (
+        nested.groupBy(F.col("meta.status").alias("status"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("amounts.price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

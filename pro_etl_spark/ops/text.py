@@ -2688,3 +2688,71 @@ def text_dedup_intra_span(spark: SparkSession, d: str) -> DataFrame:
             " ",
         ).alias("cleaned_text"),
     )
+
+
+#: fragment stitching: suffix/prefix bridge width in tokens
+STITCH_K = 2
+
+
+@register(
+    "text_fragment_stitch",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), ends AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, 1, {STITCH_K}), ' ')
+               AS head_gram,
+             array_to_string(list_slice(toks, len(toks) - {STITCH_K - 1},
+                                        len(toks)), ' ') AS tail_gram
+      FROM t WHERE len(toks) >= {STITCH_K * 2}
+    )
+    SELECT a.doc_id AS doc_tail, b.doc_id AS doc_head,
+           a.tail_gram AS bridge
+    FROM ends a JOIN ends b
+      ON a.tail_gram = b.head_gram AND a.doc_id <> b.doc_id
+    """,
+)
+def text_fragment_stitch(spark: SparkSession, d: str) -> DataFrame:
+    """FRAGMENT-STITCH detection — find document pairs where one
+    page's closing {STITCH_K}-gram is another's opening {STITCH_K}-
+    gram: the signature of pagination splits, "continued on next
+    page" crawl fragments, and chunked uploads that entered the
+    corpus as separate records. Corpus-level near-dup (MinHash) can't
+    see these — the fragments OVERLAP only at the seam, so their
+    Jaccard is tiny — yet training on them teaches truncation
+    artifacts; stitch candidates feed a merge-or-drop review queue.
+    Join keys are the literal boundary grams (head_gram = first
+    {STITCH_K} tokens, tail_gram = last {STITCH_K}), so the match is
+    byte-exact and order matters (A ends where B begins, directed
+    pair).
+
+    Scale: one narrow pass computes two boundary grams per doc; the
+    candidate join is an EQUI-join on the gram string (shuffle keyed
+    by gram) — never a similarity product; hot boilerplate grams
+    (every page ending 'click next') are the MAX_BUCKET/stop-gram
+    case and get the same frequency cap as the LSH family before the
+    join at crawl scale."""
+    t = load(spark, d, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    ends = t.where(F.size("toks") >= STITCH_K * 2).select(
+        "doc_id",
+        F.array_join(F.slice(F.col("toks"), 1, STITCH_K), " ").alias(
+            "head_gram"
+        ),
+        F.array_join(
+            F.slice(F.col("toks"), -STITCH_K, STITCH_K), " "
+        ).alias("tail_gram"),
+    )
+    a, b = ends.alias("a"), ends.alias("b")
+    return a.join(
+        b,
+        (F.col("a.tail_gram") == F.col("b.head_gram"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_tail"),
+        F.col("b.doc_id").alias("doc_head"),
+        F.col("a.tail_gram").alias("bridge"),
+    )

@@ -10,6 +10,8 @@ scale-killer, which is exactly what these assertions catch.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import pro_etl_spark
@@ -781,3 +783,22 @@ def test_agg_pushdown_reaches_parquet_footer(spark):
         "parquet" in spark.conf.get("spark.sql.sources.useV1SourceList")
         or plan_of(spark, "filter_eq")  # re-tune happened on next call
     )
+
+
+def test_nested_pruning_readschema(spark):
+    """scan_nested_pruning: the parquet ReadSchema must contain ONLY
+    the two touched leaf fields — the untouched struct siblings
+    (meta.priority, amounts.half) must be pruned from the scan."""
+    import pro_etl_spark
+    from tests.conftest import SF_ORACLE
+
+    df = pro_etl_spark.get_queries()["scan_nested_pruning"](
+        spark, SF_ORACLE
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "status" in schema and "price" in schema, schema
+    assert "priority" not in schema, schema
+    assert "half" not in schema, schema
