@@ -4735,3 +4735,54 @@ def ab_power_mde(spark: SparkSession, d: str) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / (sy / n) * 100, 6).alias("mde_pct"),
     )
+
+
+@register(
+    "features_user_velocity",
+    oracle="""
+    WITH hw AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE ts > mx - INTERVAL 1 DAY)
+                AS BIGINT) AS n_1d,
+           CAST(COUNT(*) FILTER (WHERE ts > mx - INTERVAL 7 DAY)
+                AS BIGINT) AS n_7d,
+           CAST(COUNT(*) AS BIGINT) AS n_30d,
+           ROUND(CAST(COUNT(*) FILTER (WHERE ts > mx - INTERVAL 1 DAY)
+                      AS DOUBLE)
+                 / greatest(COUNT(*) FILTER
+                              (WHERE ts > mx - INTERVAL 7 DAY), 1), 6)
+             AS burst_ratio
+    FROM events CROSS JOIN hw
+    GROUP BY user_id
+    """,
+)
+def features_user_velocity(spark: SparkSession, d: str) -> DataFrame:
+    """VELOCITY FEATURES — the feature-store staple: per user, event
+    counts over trailing 1/7/30-day windows anchored at the corpus
+    high-water mark (deterministic replay; production swaps in the
+    serving clock) plus the 1d/7d burst ratio that flags accelerating
+    accounts. All three windows come from ONE pass with conditional
+    aggregation — never three scans — and the anchor is a broadcast
+    1-row aggregate; counts are integers, the ratio divides once.
+    These are the offline-computed features a fraud/churn model
+    consumes, and the batch twin of what ``stream_running_totals``
+    maintains incrementally.
+
+    Scale: one fact pass + user-keyed aggregate; the same shape
+    backfills years of daily snapshots by re-anchoring mx per
+    partition date."""
+    ev = load(spark, d, "events")
+    hw = ev.agg(F.max("ts").alias("mx"))
+    j = ev.crossJoin(F.broadcast(hw))
+    in_1d = F.col("ts") > F.col("mx") - F.expr("INTERVAL 1 DAY")
+    in_7d = F.col("ts") > F.col("mx") - F.expr("INTERVAL 7 DAY")
+    return j.groupBy("user_id").agg(
+        F.count_if(in_1d).cast("long").alias("n_1d"),
+        F.count_if(in_7d).cast("long").alias("n_7d"),
+        F.count("*").cast("long").alias("n_30d"),
+        F.round(
+            F.count_if(in_1d).cast("double")
+            / F.greatest(F.count_if(in_7d), F.lit(1)),
+            6,
+        ).alias("burst_ratio"),
+    )

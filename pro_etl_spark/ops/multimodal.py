@@ -627,3 +627,66 @@ def mm_chunk_cdc(spark: SparkSession, d: str) -> DataFrame:
         chunker,
         "doc_id long, chunk_idx long, chunk_start long, chunk_len long",
     )
+
+
+#: container frame magic for mm_header_parse (2 bytes)
+MM_MAGIC = "4D4D"  # "MM"
+
+
+@register(
+    "mm_header_parse",
+    oracle=f"""
+    WITH framed AS (
+      SELECT doc_id,
+             from_hex('{MM_MAGIC}')
+               || from_hex(lpad(to_hex(n_chars % 4096), 8, '0'))
+               || from_hex(lpad(to_hex((n_chars * 3) % 4096), 8, '0'))
+               || encode(text) AS frame
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT doc_id,
+           substr(hex(frame), 1, 4) = '{MM_MAGIC}' AS magic_ok,
+           CAST(('0x' || substr(hex(frame), 5, 8))::BIGINT AS BIGINT)
+             AS width,
+           CAST(('0x' || substr(hex(frame), 13, 8))::BIGINT AS BIGINT)
+             AS height,
+           CAST(octet_length(frame) - 10 AS BIGINT) AS payload_bytes
+    FROM framed
+    """,
+)
+def mm_header_parse(spark: SparkSession, d: str) -> DataFrame:
+    """Binary CONTAINER FRAMING + header parsing — the byte-level
+    plumbing every multimodal lake format needs (TFRecord, WARC,
+    RecordIO all frame opaque payloads behind fixed headers): each
+    payload is wrapped as [2-byte magic 'MM' | 4-byte big-endian
+    width | 4-byte big-endian height | payload], then the header is
+    parsed BACK with pure binary slicing (substring over BinaryType)
+    and hex->integer conversion — no UDF, no decode; the JVM and
+    DuckDB agree byte for byte because the frame layout is explicit.
+    Integer<->bytes goes through hex with fixed zero-padding, the
+    portable spelling of big-endian encoding. In production the
+    framing runs at ingest and THIS parse is the cheap manifest scan
+    that never touches the payload bytes beyond the header — exactly
+    how ``mm_manifest``'s stats stay narrow on 100 TB of media.
+
+    Scale: narrow projection, zero shuffle; header reads on a framed
+    format are offset reads, not full-payload scans."""
+    docs = load(spark, d, "documents").where(F.col("doc_id") % 13 == 0)
+    w = F.col("n_chars") % 4096
+    h = (F.col("n_chars") * 3) % 4096
+    i2b4 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    frame = F.concat(
+        F.unhex(F.lit(MM_MAGIC)), i2b4(w), i2b4(h), F.encode("text", "UTF-8")
+    )
+    framed = docs.select("doc_id", frame.alias("frame"))
+    return framed.select(
+        "doc_id",
+        (F.hex(F.substring("frame", 1, 2)) == MM_MAGIC).alias("magic_ok"),
+        F.conv(F.hex(F.substring("frame", 3, 4)), 16, 10)
+        .cast("long")
+        .alias("width"),
+        F.conv(F.hex(F.substring("frame", 7, 4)), 16, 10)
+        .cast("long")
+        .alias("height"),
+        (F.octet_length("frame") - 10).cast("long").alias("payload_bytes"),
+    )

@@ -2311,3 +2311,67 @@ def agg_herfindahl(spark: SparkSession, d: str) -> DataFrame:
             (F.col("total") * F.col("total")) / F.col("f2"), 6
         ).alias("effective_users"),
     )
+
+
+#: trimmed mean: fraction dropped from EACH tail
+TRIM_FRAC = 0.05
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) / COUNT(*)
+             AS trimmed_mean
+    FROM ranked
+    WHERE rn > CAST(ceil({TRIM_FRAC} * n) AS BIGINT)
+      AND rn <= n - CAST(ceil({TRIM_FRAC} * n) AS BIGINT)
+    GROUP BY l_returnflag
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, d: str) -> DataFrame:
+    """TRIMMED MEAN — the robust location estimate between the mean
+    (outlier-hostage) and the median (throws away 98% of the data):
+    drop the lowest and highest {TRIM_FRAC:.0%} by rank (deterministic
+    total order: value, then the unique line key breaks ties so both
+    engines trim the IDENTICAL rows), average the rest through a
+    DECIMAL sum. The estimator dashboards should use for revenue-per-
+    order style metrics where one whale or one refund otherwise moves
+    the headline.
+
+    Scale: one rank window per group key (hash-partitioned by
+    l_returnflag — no global sort), one aggregate over the kept
+    band."""
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = load(spark, d, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    cut = F.ceil(TRIM_FRAC * F.col("n"))
+    return (
+        ranked.where((F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_kept"),
+            (F.sum("v").cast("double") / F.count("*")).alias(
+                "trimmed_mean"
+            ),
+        )
+    )
