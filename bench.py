@@ -135,6 +135,17 @@ HEADLINE = [
     "ann_filtered_topk",
     "ann_hard_negatives",
     "window_rolling_corr",
+    # round-7 session 2: the PPJoin exact similarity self-join (prefix
+    # + positional filtering), hyperplane SRP-LSH over embeddings,
+    # in-document repeated-span removal (pure-HOF text transform),
+    # the binned big-x-big range join, the composite bot-score gate,
+    # and CUPED variance reduction (moment-partial statistics)
+    "dedup_ppjoin_prefix",
+    "dedup_embedding_srp",
+    "text_dedup_intra_span",
+    "join_range_binned",
+    "events_bot_score",
+    "ab_cuped",
 ]
 
 

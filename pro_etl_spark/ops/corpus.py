@@ -1511,3 +1511,92 @@ def sample_neyman_alloc(spark: SparkSession, d: str) -> DataFrame:
         .cast("long")
         .alias("n_alloc"),
     )
+
+
+@register(
+    "corpus_contamination_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), sh AS (
+      {_DUCK_SHINGLES}
+    ), ev AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0
+    ), ng AS (
+      SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)
+      WHERE sh.doc_id % {DECON_EVAL_MOD} != 0
+    ), probes AS (
+      SELECT DISTINCT substr(text, {SUBSTR_PROBE_START},
+                             {SUBSTR_PROBE_LEN}) AS probe
+      FROM documents
+      WHERE doc_id % {DECON_EVAL_MOD} = 0
+        AND length(text) >= {SUBSTR_PROBE_START + SUBSTR_PROBE_LEN - 1}
+    ), sub AS (
+      SELECT DISTINCT doc_id FROM documents JOIN probes
+        ON strpos(text, probe) > 0
+      WHERE doc_id % {DECON_EVAL_MOD} != 0
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(ng.doc_id) AS BIGINT) AS n_ngram_hits,
+           CAST(COUNT(sub.doc_id) AS BIGINT) AS n_substring_hits,
+           CAST(COUNT(CASE WHEN ng.doc_id IS NOT NULL
+                            AND sub.doc_id IS NOT NULL THEN 1 END)
+                AS BIGINT) AS n_both,
+           ROUND(CAST(COUNT(CASE WHEN ng.doc_id IS NOT NULL
+                                   OR sub.doc_id IS NOT NULL THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS contaminated_share
+    FROM documents d
+    LEFT JOIN ng ON ng.doc_id = d.doc_id
+    LEFT JOIN sub ON sub.doc_id = d.doc_id
+    WHERE d.doc_id % {DECON_EVAL_MOD} != 0
+    GROUP BY d.source
+    """,
+)
+def corpus_contamination_report(spark: SparkSession, d: str) -> DataFrame:
+    """CONTAMINATION REPORT — the per-source audit both
+    decontamination passes feed: n-gram overlap
+    (``decontaminate_ngrams``, catches paraphrase/whitespace drift)
+    and exact-substring probes (``decontaminate_substring``, catches
+    verbatim answer-key paste) attributed per training source, with
+    the overlap between methods — the table a data lead reads before
+    deciding which sources need quarantine vs spot-review. Method
+    attribution matters: a source hot on substring but cold on n-gram
+    is wholesale copying; the reverse is template soup.
+
+    Scale: composes the two flag tables (each already
+    broadcast-probe-shaped); the report join is two LEFT semi-shaped
+    joins on doc_id against flag sets orders of magnitude smaller
+    than the corpus, then a |sources|-row rollup."""
+    docs = load(spark, d, "documents")
+    ng = (
+        decontaminate_ngrams(spark, d)
+        .select("doc_id")
+        .withColumn("ng_hit", F.lit(1))
+    )
+    sub = (
+        decontaminate_substring(spark, d)
+        .select("doc_id")
+        .withColumn("sub_hit", F.lit(1))
+    )
+    train = docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0).select(
+        "doc_id", "source"
+    )
+    j = train.join(ng, "doc_id", "left").join(sub, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_train_docs"),
+        F.count("ng_hit").cast("long").alias("n_ngram_hits"),
+        F.count("sub_hit").cast("long").alias("n_substring_hits"),
+        F.count_if(
+            F.col("ng_hit").isNotNull() & F.col("sub_hit").isNotNull()
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.round(
+            F.count_if(
+                F.col("ng_hit").isNotNull() | F.col("sub_hit").isNotNull()
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("contaminated_share"),
+    )

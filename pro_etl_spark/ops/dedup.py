@@ -1577,3 +1577,51 @@ def dedup_ppjoin_prefix(spark: SparkSession, d: str) -> DataFrame:
         .where(jac >= PPJOIN_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=_CLUSTERS_CTE
+    + """
+    , sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM lp GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_droppable
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, d: str) -> DataFrame:
+    """Duplicate-CLUSTER SIZE spectrum — the one-page summary of what
+    dedup will actually do: for each cluster size, how many clusters,
+    how many documents they hold, and how many rows deletion frees
+    (size - 1 per cluster). Shape is diagnostic: a long tail of pairs
+    = organic near-dups; a few giant clusters = template families or
+    mirror sites (and a direct read on ``graph_assortativity``'s
+    prediction). The droppable total is the headline number a dedup
+    rollout quotes. Consumes the SAME converged component labeling as
+    ``dedup_clusters`` (memoized per session), so the histogram costs
+    two small aggregates on top.
+
+    Scale: cluster labels are the LSH-pair-graph CC output (bounded
+    rounds, keyed shuffles); the histogram is two cascaded groupBys
+    over |nodes| then |distinct sizes| rows."""
+    labels = dedup_clusters(spark, d).select("cluster_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+        (F.sum("cluster_size") - F.count("*"))
+        .cast("long")
+        .alias("n_droppable"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_droppable",
+    )

@@ -2477,3 +2477,76 @@ def dedup_embedding_srp(spark: SparkSession, d: str) -> DataFrame:
         .where(cos >= IVF_COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+#: a dimension whose variance falls below this is "dead" (collapsed)
+DIM_DEAD_VAR = 0.001
+
+
+@register(
+    "embed_dim_stats",
+    oracle=f"""
+    WITH flat AS (
+      SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), m AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(val AS DECIMAL(18,9))
+                         * CAST(val AS DECIMAL(18,9))) AS VARCHAR)
+                  AS DOUBLE) AS sxx,
+             MIN(val) AS vmin, MAX(val) AS vmax
+      FROM flat GROUP BY dim
+    )
+    SELECT dim,
+           ROUND(sx / n, 6) AS mean_val,
+           ROUND((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n), 6)
+             AS var_val,
+           ROUND(vmin, 6) AS min_val,
+           ROUND(vmax, 6) AS max_val,
+           (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)
+             < {DIM_DEAD_VAR} AS is_dead
+    FROM m
+    """,
+)
+def embed_dim_stats(spark: SparkSession, d: str) -> DataFrame:
+    """Per-DIMENSION embedding health — mean/variance/range of every
+    coordinate across the corpus, with a dead-dimension flag
+    (variance < {DIM_DEAD_VAR}): collapsed dimensions are the
+    classic sign of a degenerate encoder (dimensional collapse), they
+    waste index bytes, and they silently break SQ8 quantization
+    (``embed_quantize_sq8`` scales by per-dim range — a dead dim
+    quantizes noise). Run this BEFORE building any index; feed dead
+    dims to Matryoshka-style truncation (``ann_matryoshka_eval``).
+    Variance from exact DECIMAL moments; the per-vector grain never
+    shuffles — posexplode fans out in-row and the aggregate is keyed
+    by the 64 dims.
+
+    Scale: one narrow pass, 64-key aggregate — model-state output."""
+    flat = load(spark, d, "embeddings").select(
+        F.posexplode("embedding").alias("dim0", "val")
+    )
+    # float -> DOUBLE -> DECIMAL(18,9), matching the oracle's cast
+    # chain; (18,9) keeps the squared product inside 38 digits of
+    # precision in BOTH engines (a (27,12) square would overflow and
+    # each engine rescales overflow differently)
+    dec = F.col("val").cast("double").cast("decimal(18,9)")
+    m = flat.groupBy((F.col("dim0") + 1).cast("long").alias("dim")).agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+        F.min(F.col("val").cast("double")).alias("vmin"),
+        F.max(F.col("val").cast("double")).alias("vmax"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (n * sxx - sx * sx) / (n.cast("double") * n)
+    return m.select(
+        "dim",
+        F.round(sx / n, 6).alias("mean_val"),
+        F.round(var, 6).alias("var_val"),
+        F.round(F.col("vmin"), 6).alias("min_val"),
+        F.round(F.col("vmax"), 6).alias("max_val"),
+        (var < DIM_DEAD_VAR).alias("is_dead"),
+    )
