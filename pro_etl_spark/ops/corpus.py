@@ -31,6 +31,7 @@ from pro_etl_spark.io import load
 from pro_etl_spark.ops.dedup import (
     _CLUSTERS_CTE,
     _LSH_PAIRS_CTE,
+    dedup_clusters,
     dedup_minhash_lsh,
 )
 from pro_etl_spark.ops.hashing import DUCK_HASH60, hash60
@@ -1599,4 +1600,67 @@ def corpus_contamination_report(spark: SparkSession, d: str) -> DataFrame:
             / F.count("*"),
             6,
         ).alias("contaminated_share"),
+    )
+
+
+@register(
+    "split_leakage_safe",
+    oracle=_CLUSTERS_CTE
+    + f"""
+    , cl AS (
+      SELECT node AS doc_id, cluster_id FROM lp
+    ), assigned AS (
+      SELECT d.doc_id,
+             COALESCE(cl.cluster_id, d.doc_id) AS unit,
+             CASE WHEN {DUCK_HASH60.format(
+                 x="(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)"
+                   " || ':leak')")} % 100 < 90
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT unit) AS BIGINT) AS n_units
+    FROM assigned GROUP BY split
+    """,
+)
+def split_leakage_safe(spark: SparkSession, d: str) -> DataFrame:
+    """LEAKAGE-SAFE train/test split — assign by NEAR-DUP CLUSTER,
+    not by document: a plain row-hash split (``split_train_test``)
+    puts two 0.9-Jaccard copies of the same page on opposite sides of
+    the fence, and the eval set silently becomes a memorization test.
+    Here every document inherits its ``dedup_clusters`` component id
+    (singletons stay themselves), and the salted split hash is taken
+    over the CLUSTER id — so an entire duplicate family lands in one
+    split by construction, the same group-aware discipline sklearn's
+    GroupShuffleSplit encodes, applied to the dedup graph. Output is
+    the per-split census (docs + distinct units); the no-straddle
+    invariant is structural (one hash per unit decides everyone) and
+    pinned by test.
+
+    Scale: one left join of the corpus against the cluster labeling
+    (itself the bounded-round CC output), a hash, and a 2-row
+    census."""
+    labels = dedup_clusters(spark, d).select(
+        F.col("doc_id").alias("l_doc"), "cluster_id"
+    )
+    docs = load(spark, d, "documents").select("doc_id")
+    unit = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    assigned = (
+        docs.join(labels, F.col("doc_id") == F.col("l_doc"), "left")
+        .select(
+            "doc_id",
+            unit.alias("unit"),
+            F.when(
+                hash60(F.concat(unit.cast("string"), F.lit(":leak"))) % 100
+                < 90,
+                "train",
+            )
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("unit").cast("long").alias("n_units"),
     )

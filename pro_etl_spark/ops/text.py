@@ -2756,3 +2756,84 @@ def text_fragment_stitch(spark: SparkSession, d: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_head"),
         F.col("a.tail_gram").alias("bridge"),
     )
+
+
+#: KWIC concordance: probe token and context width (tokens per side)
+KWIC_PROBE = "spark"
+KWIC_WIDTH = 3
+
+
+@register(
+    "text_kwic",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE doc_id % 7 = 0
+    ), hits AS (
+      SELECT doc_id, toks, i
+      FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+      WHERE toks[i] = '{KWIC_PROBE}'
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           COALESCE(array_to_string(list_slice(toks,
+             greatest(1, i - {KWIC_WIDTH}), i - 1), ' '), '') AS left_ctx,
+           COALESCE(array_to_string(list_slice(toks, i + 1,
+             least(len(toks), i + {KWIC_WIDTH})), ' '), '') AS right_ctx
+    FROM hits
+    """,
+)
+def text_kwic(spark: SparkSession, d: str) -> DataFrame:
+    """KWIC (KeyWord In Context) concordance — every occurrence of a
+    probe token with {KWIC_WIDTH} tokens of context each side: the
+    corpus-linguistics tool annotation teams use to audit how a term
+    is actually used before writing filter rules (and the
+    window-extraction primitive under ``text_cooccurrence``'s
+    statistics, here surfaced per occurrence instead of aggregated).
+    Occurrence positions fan out IN-ROW (indexed filter over the
+    token list), context slices clamp at document edges — all HOF
+    algebra, value-exact in both engines including the reassembled
+    context strings.
+
+    Scale: narrow in-row transform, pushed filter, no shuffle; at
+    100 TB this is a scan-attached projection whose output is
+    bounded by probe frequency."""
+    t = (
+        load(spark, d, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+        )
+    )
+    hits = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.size("toks")),
+                lambda i: F.element_at(F.col("toks"), i) == KWIC_PROBE,
+            )
+        ).alias("i"),
+    )
+    i = F.col("i")
+    left = F.array_join(
+        F.slice(
+            F.col("toks"),
+            F.greatest(F.lit(1), i - KWIC_WIDTH),
+            i - F.greatest(F.lit(1), i - KWIC_WIDTH),
+        ),
+        " ",
+    )
+    right = F.array_join(
+        F.slice(
+            F.col("toks"),
+            i + 1,
+            F.least(F.size("toks"), i + KWIC_WIDTH) - i,
+        ),
+        " ",
+    )
+    return hits.select(
+        "doc_id",
+        i.cast("long").alias("pos"),
+        left.alias("left_ctx"),
+        right.alias("right_ctx"),
+    )

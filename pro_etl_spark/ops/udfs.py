@@ -386,3 +386,80 @@ def udf_arrow_scalar(spark: SparkSession, d: str) -> DataFrame:
     return load(spark, d, "orders").select(
         "o_orderkey", arrow_score("o_orderpriority").alias("arrow_score")
     )
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS k, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend
+      FROM orders GROUP BY o_custkey
+    ), l AS (
+      SELECT o_custkey AS k, COUNT(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(o.k, l.k) AS o_custkey,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines,
+           COALESCE(total_spend, 0.0) AS total_spend
+    FROM o FULL OUTER JOIN l ON o.k = l.k
+    """,
+)
+def udf_cogrouped_map(spark: SparkSession, d: str) -> DataFrame:
+    """X6: COGROUPED applyInPandas — the two-DataFrame Arrow UDF
+    surface (``df1.groupBy(k).cogroup(df2.groupBy(k)).applyInPandas``):
+    each key's rows from BOTH sides arrive as two pandas frames in one
+    Python call — the escape hatch for per-key logic that needs both
+    tables at once (custom as-of matching, per-key reconciliation,
+    sklearn-per-entity fits) without a pre-join blowup. Here each
+    customer's orders cogroup with their lineitems (routed via the
+    order join key) and the kernel emits one summary row per key —
+    deterministic integer counts plus a DECIMAL-summed spend, so the
+    full-outer cogroup semantics (keys present on one side only)
+    are value-checked against the declarative twin.
+
+    Scale: ONE co-partitioned shuffle keyed o_custkey on each side —
+    the same exchange a join would do — then Arrow-batched per-key
+    kernels; like every Python-path op this exists as the API surface
+    (the oracle's join+agg IS the production plan when expressible)."""
+    orders = load(spark, d, "orders").select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    lines = (
+        load(spark, d, "lineitem")
+        .join(
+            load(spark, d, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("k"), "l_linenumber")
+    )
+
+    def summarize(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        import decimal
+
+        spend = sum(
+            (decimal.Decimal(str(v)).quantize(decimal.Decimal("0.01"))
+             for v in odf["o_totalprice"]),
+            decimal.Decimal(0),
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": [key[0]],
+                "n_orders": [len(odf)],
+                "n_lines": [len(ldf)],
+                "total_spend": [float(spend)],
+            }
+        )
+
+    return (
+        orders.groupBy("k")
+        .cogroup(lines.groupBy("k"))
+        .applyInPandas(
+            summarize,
+            "o_custkey long, n_orders long, n_lines long, "
+            "total_spend double",
+        )
+    )
