@@ -1036,9 +1036,7 @@ def text_bigram_lm(spark: SparkSession, d: str) -> DataFrame:
     ).limit(LM_TOP_TOKENS)
 
 
-@register(
-    "text_lm_score",
-    oracle=r"""
+_LM_SCORE_SQL = r"""
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       FROM documents
@@ -1062,8 +1060,10 @@ def text_bigram_lm(spark: SparkSession, d: str) -> DataFrame:
            CAST(SUM(p_micro) AS BIGINT) AS sum_p_micro,
            CAST(SUM(p_micro) AS DOUBLE) / COUNT(*) AS avg_p_micro
     FROM scored GROUP BY doc_id
-    """,
-)
+"""
+
+
+@register("text_lm_score", oracle=_LM_SCORE_SQL)
 def text_lm_score(spark: SparkSession, d: str) -> DataFrame:
     """Per-document language-model familiarity score — the CCNet-style
     quality filter: score each document by the average add-1-smoothed
@@ -2836,4 +2836,64 @@ def text_kwic(spark: SparkSession, d: str) -> DataFrame:
         i.cast("long").alias("pos"),
         left.alias("left_ctx"),
         right.alias("right_ctx"),
+    )
+
+
+@register(
+    "corpus_ccnet_buckets",
+    oracle=f"""
+    WITH base AS ({_LM_SCORE_SQL}
+    ), langd AS (
+      SELECT base.doc_id, d.lang, base.avg_p_micro
+      FROM base JOIN documents d ON d.doc_id = base.doc_id
+    ), bucketed AS (
+      SELECT lang, avg_p_micro,
+             NTILE(3) OVER (PARTITION BY lang
+                            ORDER BY avg_p_micro DESC, doc_id) AS tert
+      FROM langd
+    )
+    SELECT lang,
+           CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(avg_p_micro) AS min_score,
+           MAX(avg_p_micro) AS max_score
+    FROM bucketed GROUP BY lang, tert
+    """,
+)
+def corpus_ccnet_buckets(spark: SparkSession, d: str) -> DataFrame:
+    """CCNet-style QUALITY BUCKETING — split each language's documents
+    into head/middle/tail terciles by LM familiarity
+    (``text_lm_score``'s add-1 bigram score standing in for KenLM
+    perplexity, exactly CCNet's recipe): 'head' trains as-is, 'middle'
+    gets sampled, 'tail' is reviewed or dropped — per LANGUAGE, so a
+    low-resource language's best third isn't crushed by a
+    high-resource language's distribution. Tercile assignment is
+    NTILE(3) over a deterministic total order (score desc, doc_id) —
+    both engines implement the standard remainder-to-leading-buckets
+    NTILE, so membership is exact. Output is the per-(lang, bucket)
+    census with score ranges — the cut table a sampler consumes.
+
+    Scale: scoring is the lm_score plan (corpus bigram join against
+    the LM state); ranking partitions by lang — a handful of hot
+    partitions at corpus scale, where the production form swaps in
+    the distributed-NTILE helper (`_global_ntile`, rfm_segmentation's
+    machinery) keyed (lang, range-pid). The census is |langs| x 3."""
+    scores = text_lm_score(spark, d).select("doc_id", "avg_p_micro")
+    langd = scores.join(
+        load(spark, d, "documents").select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_p_micro"), F.asc("doc_id")
+    )
+    bucketed = langd.withColumn("tert", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tert") == 1, "head")
+        .when(F.col("tert") == 2, "middle")
+        .otherwise("tail")
+    )
+    return bucketed.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("avg_p_micro").alias("min_score"),
+        F.max("avg_p_micro").alias("max_score"),
     )

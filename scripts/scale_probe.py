@@ -65,6 +65,21 @@ KEYS = [
     "bpe_encode",
     "corpus_lang_entropy",
     "sample_weighted_systematic",
+    # round-7 session 2: PPJoin exact similarity join (batch-gated),
+    # hyperplane SRP-LSH, intra-doc span removal, degree
+    # assortativity, exact-substring + two-method contamination,
+    # leakage-safe split (consumes the CC labeling), fragment stitch,
+    # dim-stats, cluster-size spectrum
+    "dedup_ppjoin_prefix",
+    "dedup_embedding_srp",
+    "text_dedup_intra_span",
+    "graph_assortativity",
+    "decontaminate_substring",
+    "corpus_contamination_report",
+    "split_leakage_safe",
+    "text_fragment_stitch",
+    "embed_dim_stats",
+    "dedup_cluster_size_histogram",
 ]
 
 
