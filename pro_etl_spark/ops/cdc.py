@@ -987,3 +987,90 @@ def interval_allen_census(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "interval_gaps",
+    oracle="""
+    WITH labeled AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_num
+      FROM (
+        SELECT event_id, user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      )
+    ), sessions AS (
+      SELECT user_id, session_num,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM labeled GROUP BY user_id, session_num
+    ), gaps AS (
+      SELECT user_id,
+             date_diff('second',
+                       LAG(s_end) OVER (PARTITION BY user_id
+                                        ORDER BY session_num),
+                       s_start) AS idle_sec
+      FROM sessions
+    )
+    SELECT user_id,
+           CAST(COUNT(idle_sec) AS BIGINT) AS n_gaps,
+           CAST(SUM(idle_sec) AS BIGINT) AS total_idle_sec,
+           CAST(MAX(idle_sec) AS BIGINT) AS max_idle_sec
+    FROM gaps WHERE idle_sec IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def interval_gaps(spark: SparkSession, d: str) -> DataFrame:
+    """INTERVAL COMPLEMENT (gaps) — the idle periods BETWEEN a user's
+    merged activity sessions: where ``interval_merge`` coalesces
+    overlapping spans and ``interval_concurrency`` sweeps their
+    overlap, this op measures what's left — per user, how many idle
+    gaps, their total and maximum length. The operational read:
+    max_idle is time-to-churn-risk, total_idle/(span) is engagement
+    density; in capacity terms gaps are reclaimable window. Sessions
+    are the standard 30-minute-timeout build (identical CTE to
+    ``interval_concurrency``), gaps a lag over each user's session
+    sequence — integer seconds, exact.
+
+    Scale: everything is keyed user_id — the sessionize window, the
+    session aggregate, the gap lag, the final rollup ride ONE
+    exchange."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, d, "events").withColumn(
+        "prev_ts", F.lag("ts").over(w)
+    )
+    labeled = ev.withColumn(
+        "session_num",
+        F.sum(
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts")
+                    > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")
+                ),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    sessions = labeled.groupBy("user_id", "session_num").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    wg = Window.partitionBy("user_id").orderBy("session_num")
+    gaps = sessions.select(
+        "user_id",
+        (
+            F.col("s_start").cast("long")
+            - F.lag(F.col("s_end").cast("long")).over(wg)
+        ).alias("idle_sec"),
+    ).where(F.col("idle_sec").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("idle_sec").cast("long").alias("n_gaps"),
+        F.sum("idle_sec").cast("long").alias("total_idle_sec"),
+        F.max("idle_sec").cast("long").alias("max_idle_sec"),
+    )

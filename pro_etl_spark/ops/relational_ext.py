@@ -21,8 +21,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pro_etl_spark.io import load
+from pro_etl_spark.ops.hashing import DUCK_HASH60, hash60
 from pro_etl_spark.ops.relational import DEC, DEC6, _dsum
 from pro_etl_spark.registry import register
+
+DECV = "decimal(18,6)"
 
 
 @register(
@@ -2374,4 +2377,230 @@ def agg_trimmed_mean(spark: SparkSession, d: str) -> DataFrame:
                 "trimmed_mean"
             ),
         )
+    )
+
+
+#: consistent-hash ring: nodes, virtual nodes per node, ring modulus
+CH_NODES = ["node_a", "node_b", "node_c"]
+CH_NEW_NODE = "node_d"
+CH_VNODES = 8
+CH_RING = 1_000_003
+
+
+def _ring_sql(nodes: list) -> str:
+    """DuckDB VALUES list of (node, ring position) vnode entries."""
+    rows = ", ".join(
+        f"('{n}', {DUCK_HASH60.format(x=repr(f'{n}#vn{v}'))} % {CH_RING})"
+        for n in nodes
+        for v in range(CH_VNODES)
+    )
+    return f"(VALUES {rows}) AS ring(node, pos)"
+
+
+@register(
+    "shard_consistent_hash",
+    oracle=f"""
+    WITH keys AS (
+      SELECT o_orderkey AS k,
+             {DUCK_HASH60.format(x="CAST(o_orderkey AS VARCHAR)")}
+               % {CH_RING} AS kpos
+      FROM orders
+    ), a3 AS (
+      SELECT k, kpos,
+             COALESCE(
+               MIN(CASE WHEN pos >= kpos THEN pos END),
+               MIN(pos)) AS owner_pos
+      FROM keys CROSS JOIN {_ring_sql(CH_NODES)}
+      GROUP BY k, kpos
+    ), own3 AS (
+      SELECT k, node AS owner3
+      FROM a3 JOIN {_ring_sql(CH_NODES)}
+        ON pos = owner_pos
+    ), a4 AS (
+      SELECT k, kpos,
+             COALESCE(
+               MIN(CASE WHEN pos >= kpos THEN pos END),
+               MIN(pos)) AS owner_pos
+      FROM keys CROSS JOIN {_ring_sql(CH_NODES + [CH_NEW_NODE])}
+      GROUP BY k, kpos
+    ), own4 AS (
+      SELECT k, node AS owner4
+      FROM a4 JOIN {_ring_sql(CH_NODES + [CH_NEW_NODE])}
+        ON pos = owner_pos
+    )
+    SELECT owner4 AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COUNT(CASE WHEN owner3 <> owner4 THEN 1 END) AS BIGINT)
+             AS n_moved_in,
+           ROUND(CAST(COUNT(CASE WHEN owner3 <> owner4 THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS moved_share
+    FROM own3 JOIN own4 USING (k)
+    GROUP BY owner4
+    """,
+)
+def shard_consistent_hash(spark: SparkSession, d: str) -> DataFrame:
+    """CONSISTENT-HASH ring assignment + the minimal-movement audit —
+    the data-placement discipline under every distributed KV/cache
+    tier (and the right mental model for shard-stable incremental
+    pipelines): {CH_VNODES} virtual nodes per physical node hash onto
+    a {CH_RING}-point ring; a key belongs to the first vnode clockwise
+    from its own hash. The op assigns every order key under the
+    3-node ring AND under the ring with `{CH_NEW_NODE}` added, then
+    reports per-node key counts and how many keys MOVED — the
+    consistent-hashing guarantee says ~1/4 relocate (vs ~3/4 under
+    mod-N rehash), and the audit makes that number exact. All
+    positions are md5-derived integers (hash60 % ring), so both
+    engines compute the identical ring.
+
+    Scale: the ring is O(nodes x vnodes) and BROADCAST; assignment is
+    one pass over the keys (argmin over 24/32 broadcast rows in-row);
+    the movement join is keyed by the key itself."""
+    def ring_df(nodes):
+        rows = [
+            (n, f"{n}#vn{v}") for n in nodes for v in range(CH_VNODES)
+        ]
+        df = spark.createDataFrame(rows, "node string, vn string")
+        return df.select(
+            "node", (hash60(F.col("vn")) % CH_RING).alias("pos")
+        )
+
+    def assign(keys, ring):
+        carr = ring.agg(
+            F.array_sort(F.collect_list(F.struct("pos", "node"))).alias(
+                "ring"
+            )
+        )
+        # first vnode clockwise: min pos >= kpos, else wrap to ring min
+        clockwise = F.filter(
+            F.col("ring"), lambda s: s.pos >= F.col("kpos")
+        )
+        owner = F.when(
+            F.size(clockwise) > 0, F.element_at(clockwise, 1).node
+        ).otherwise(F.element_at(F.col("ring"), 1).node)
+        return keys.crossJoin(F.broadcast(carr)).select(
+            "k", owner.alias("owner")
+        )
+
+    keys = load(spark, d, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (hash60(F.col("o_orderkey").cast("string")) % CH_RING).alias(
+            "kpos"
+        ),
+    )
+    own3 = assign(keys, ring_df(CH_NODES)).withColumnRenamed(
+        "owner", "owner3"
+    )
+    own4 = assign(keys, ring_df(CH_NODES + [CH_NEW_NODE])).withColumnRenamed(
+        "owner", "owner4"
+    )
+    j = own3.join(own4, "k")
+    return j.groupBy(F.col("owner4").alias("node")).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.count_if(F.col("owner3") != F.col("owner4"))
+        .cast("long")
+        .alias("n_moved_in"),
+        F.round(
+            F.count_if(F.col("owner3") != F.col("owner4")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("moved_share"),
+    )
+
+
+#: measure columns for the one-pass correlation matrix, with the
+#: per-column DECIMAL scale that keeps every pairwise product inside
+#: int64 unscaled range in DuckDB (width-18 decimals multiply in
+#: int64: a scale-6 price squares past 2^63 — measured overflow)
+_CORR_COLS = [
+    ("l_quantity", "decimal(18,2)"),
+    ("l_extendedprice", "decimal(18,2)"),
+    ("l_discount", "decimal(18,6)"),
+    ("l_tax", "decimal(18,6)"),
+]
+
+
+def _corr_matrix_oracle() -> str:
+    cols = _CORR_COLS
+    sums = []
+    for c, t in cols:
+        sums.append(
+            f"CAST(CAST(SUM(CAST({c} AS {t})) AS VARCHAR)"
+            f" AS DOUBLE) AS s_{c}"
+        )
+        sums.append(
+            f"CAST(CAST(SUM(CAST({c} AS {t})"
+            f" * CAST({c} AS {t})) AS VARCHAR)"
+            f" AS DOUBLE) AS ss_{c}"
+        )
+    for i, (a, ta) in enumerate(cols):
+        for b, tb in cols[i + 1:]:
+            sums.append(
+                f"CAST(CAST(SUM(CAST({a} AS {ta})"
+                f" * CAST({b} AS {tb})) AS VARCHAR)"
+                f" AS DOUBLE) AS sp_{a}_{b}"
+            )
+    pair_rows = []
+    for i, (a, _) in enumerate(cols):
+        for b, _ in cols[i + 1:]:
+            pair_rows.append(f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           ROUND((n * sp_{a}_{b} - s_{a} * s_{b})
+                 / (sqrt(n * ss_{a} - s_{a} * s_{a})
+                    * sqrt(n * ss_{b} - s_{b} * s_{b})), 6) AS corr
+    FROM m""")
+    return (
+        "WITH m AS (SELECT COUNT(*) AS n, "
+        + ", ".join(sums)
+        + " FROM lineitem)"
+        + "\nUNION ALL".join(pair_rows)
+    )
+
+
+@register("agg_corr_matrix", oracle=_corr_matrix_oracle())
+def agg_corr_matrix(spark: SparkSession, d: str) -> DataFrame:
+    """ONE-PASS pairwise CORRELATION MATRIX — all C(4,2)=6
+    correlations between the lineitem measures from a SINGLE
+    aggregate (4 sums + 4 sum-of-squares + 6 cross-products as exact
+    DECIMAL moment partials), then the closed forms evaluate per
+    pair: the feature-engineering screen ("which measures are
+    redundant?") done the way a 100 TB table demands — one scan, not
+    C(k,2) scans, and mergeable partials so shards/days roll up.
+    Emitted long (col_a, col_b, corr) via an in-plan stack — the
+    matrix's upper triangle.
+
+    Scale: ONE fact pass, one 1-row moment state, the pair expansion
+    is over that single row."""
+    li = load(spark, d, "lineitem")
+    cols = _CORR_COLS
+    types = dict(cols)
+    aggs = [F.count("*").alias("n")]
+    for c, t in cols:
+        dec = F.col(c).cast(t)
+        aggs.append(F.sum(dec).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(dec * dec).cast("double").alias(f"ss_{c}"))
+    for i, (a, ta) in enumerate(cols):
+        for b, tb in cols[i + 1:]:
+            aggs.append(
+                F.sum(F.col(a).cast(ta) * F.col(b).cast(tb))
+                .cast("double")
+                .alias(f"sp_{a}_{b}")
+            )
+    m = li.agg(*aggs)
+    n = F.col("n")
+    pairs = []
+    for i, (a, _) in enumerate(cols):
+        for b, _ in cols[i + 1:]:
+            corr = (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")) / (
+                F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * F.sqrt(n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(corr, 6).alias("corr"),
+                )
+            )
+    return m.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr"
     )
