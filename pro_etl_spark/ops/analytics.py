@@ -4916,3 +4916,134 @@ def dq_primary_key(spark: SparkSession, d: str) -> DataFrame:
     return shape(o, "orders(o_orderkey)").unionAll(
         shape(li, "lineitem(l_orderkey,l_linenumber)")
     )
+
+
+@register(
+    "features_target_encoding",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           CAST(value AS DOUBLE) AS value,
+           CASE WHEN n > 1
+                THEN ROUND(CAST(CAST(s - CAST(value AS DECIMAL(18,6))
+                                  AS VARCHAR) AS DOUBLE) / (n - 1), 6)
+           END AS te_loo
+    FROM events e JOIN g USING (event_type)
+    """,
+)
+def features_target_encoding(spark: SparkSession, d: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — replace a categorical with the
+    mean target of its OTHER members, (Sigma_group - y_self)/(n-1): the
+    high-cardinality-categorical workhorse (CatBoost-style) computed
+    with the leakage discipline that makes it valid — a row never
+    sees its own target, so the encoding can feed a model trained on
+    the same rows. Implemented as one grouped moment pass + a
+    broadcast-able join back (never a per-row window over the full
+    partition): group sums ride DECIMAL so the subtraction of self is
+    exact, then one double division. Singleton groups encode NULL
+    (no peers — the honest answer; production blends toward the
+    global prior).
+
+    Scale: one aggregate to |categories| rows + one map-side join —
+    the fact table is scanned once and never shuffled (the group
+    table broadcasts)."""
+    ev = load(spark, d, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(DECV)).alias("s"),
+    )
+    j = ev.join(F.broadcast(g), "event_type")
+    loo = (
+        (F.col("s") - F.col("value").cast(DECV)).cast("double")
+        / (F.col("n") - 1)
+    )
+    return j.select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.when(F.col("n") > 1, F.round(loo, 6)).alias("te_loo"),
+    )
+
+
+#: hash-uniformity audit: buckets and the 5% KS critical constant
+HASH_AUDIT_BUCKETS = 1000
+KS_CRIT_5PCT = 1.3581015157406195
+
+
+@register(
+    "dq_hash_uniformity",
+    oracle=f"""
+    WITH h AS (
+      SELECT {DUCK_HASH60.format(
+          x="(CAST(doc_id AS VARCHAR) || ':split')")}
+             % {HASH_AUDIT_BUCKETS} AS b
+      FROM documents
+    ), cdf AS (
+      SELECT b, COUNT(*) AS c,
+             SUM(COUNT(*)) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h GROUP BY b
+    ), m AS (
+      SELECT MAX(abs(CAST(cum AS DOUBLE)
+                     / (SELECT COUNT(*) FROM h)
+                     - CAST(b + 1 AS DOUBLE) / {HASH_AUDIT_BUCKETS}))
+               AS d_stat,
+             (SELECT COUNT(*) FROM h) AS n
+      FROM cdf
+    )
+    SELECT CAST(n AS BIGINT) AS n_keys,
+           ROUND(d_stat, 6) AS ks_d,
+           ROUND({KS_CRIT_5PCT} / sqrt(CAST(n AS DOUBLE)), 6)
+             AS ks_crit_5pct,
+           d_stat < {KS_CRIT_5PCT} / sqrt(CAST(n AS DOUBLE)) AS is_uniform
+    FROM m
+    """,
+)
+def dq_hash_uniformity(spark: SparkSession, d: str) -> DataFrame:
+    """HASH-UNIFORMITY audit — a one-sample Kolmogorov-Smirnov test
+    that the salted split hash (the one ``split_train_test`` and
+    every sampler key on) actually distributes uniformly over its
+    buckets: D = max |empirical CDF - uniform CDF| vs the 5% critical
+    value 1.358/sqrt(n). This is the statistical guarantee under every
+    'deterministic 80/10/10' claim in the engine — a biased hash
+    silently skews every split, sample, and shard; the audit makes
+    'we checked' a query. Bucket counts and cumulative sums are
+    integers (exact); two divisions and the IEEE sqrt finish.
+
+    Scale: one narrow hash pass, a {HASH_AUDIT_BUCKETS}-row bucket
+    census, and a running sum over that census (model-state
+    single-partition, pareto_abc's posture)."""
+    docs = load(spark, d, "documents")
+    b = (
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
+        % HASH_AUDIT_BUCKETS
+    ).alias("b")
+    h = docs.select(b)
+    n_total = h.count()
+    wcum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = (
+        h.groupBy("b")
+        .agg(F.count("*").alias("c"))
+        .withColumn("cum", F.sum("c").over(wcum))
+    )
+    d_stat = F.max(
+        F.abs(
+            F.col("cum").cast("double") / n_total
+            - (F.col("b") + 1).cast("double") / HASH_AUDIT_BUCKETS
+        )
+    )
+    m = cdf.agg(d_stat.alias("d_stat"))
+    crit = KS_CRIT_5PCT / (n_total ** 0.5)
+    return m.select(
+        F.lit(n_total).cast("long").alias("n_keys"),
+        F.round(F.col("d_stat"), 6).alias("ks_d"),
+        F.round(F.lit(crit), 6).alias("ks_crit_5pct"),
+        (F.col("d_stat") < crit).alias("is_uniform"),
+    )
