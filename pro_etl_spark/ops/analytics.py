@@ -5047,3 +5047,86 @@ def dq_hash_uniformity(spark: SparkSession, d: str) -> DataFrame:
         F.round(F.lit(crit), 6).alias("ks_crit_5pct"),
         (F.col("d_stat") < crit).alias("is_uniform"),
     )
+
+
+#: recency decay: half-life in days; weights are 2^(-age/half_life)
+#: precomputed in Python to 9 dp and inlined as DECIMAL literals in
+#: BOTH plans — pow() is not bit-portable across engines, a table of
+#: shared constants is
+DECAY_HALF_LIFE_D = 7
+DECAY_MAX_AGE_D = 45
+_DECAY_W = {
+    age: round(2.0 ** (-age / DECAY_HALF_LIFE_D), 9)
+    for age in range(DECAY_MAX_AGE_D + 1)
+}
+
+
+def _decay_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {a} THEN CAST({w} AS DECIMAL(12,9))"
+        for a, w in _DECAY_W.items()
+    )
+    return f"CASE age {whens} ELSE CAST(0 AS DECIMAL(12,9)) END"
+
+
+@register(
+    "features_decay_score",
+    oracle=f"""
+    WITH hw AS (SELECT CAST(MAX(ts) AS DATE) AS mx FROM events),
+    daily AS (
+      SELECT user_id,
+             date_diff('day', CAST(ts AS DATE), mx) AS age,
+             COUNT(*) AS c
+      FROM events CROSS JOIN hw
+      GROUP BY user_id, date_diff('day', CAST(ts AS DATE), mx)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_days_active,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           ROUND(CAST(CAST(SUM(c * ({_decay_case_sql()})) AS VARCHAR)
+                      AS DOUBLE), 6) AS decay_score
+    FROM daily GROUP BY user_id
+    """,
+)
+def features_decay_score(spark: SparkSession, d: str) -> DataFrame:
+    """RECENCY-DECAYED engagement score — Sigma over active days of
+    count x 2^(-age/{DECAY_HALF_LIFE_D}d): yesterday's click counts
+    ~2x one from a week ago, the standard recency feature for
+    ranking/churn models and the batch equivalent of a decayed
+    counter service. The decay table is PRECOMPUTED in Python to 9 dp
+    and inlined as DECIMAL literals in both plans — pow() differs in
+    the last ulp across engines, a shared constant table cannot — so
+    the weighted sum is order-independent exact (integer counts x
+    decimal weights). Ages beyond {DECAY_MAX_AGE_D} days weight zero
+    (below 1% contribution at this half-life).
+
+    Scale: one grouped pass to (user, age) cells — bounded by users x
+    {DECAY_MAX_AGE_D} — then a user-keyed rollup; the anchor is a
+    broadcast scalar. Backfills shift the anchor, nothing else."""
+    ev = load(spark, d, "events")
+    hw = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    daily = (
+        ev.crossJoin(F.broadcast(hw))
+        .groupBy(
+            "user_id",
+            F.datediff(F.col("mx"), F.col("ts").cast("date")).alias("age"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    w = F.lit(0).cast("decimal(12,9)")
+    expr = None
+    for a, wt in _DECAY_W.items():
+        cond = F.when(
+            F.col("age") == a, F.lit(str(wt)).cast("decimal(12,9)")
+        )
+        expr = cond if expr is None else expr.when(
+            F.col("age") == a, F.lit(str(wt)).cast("decimal(12,9)")
+        )
+    weight = expr.otherwise(w)
+    return daily.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_days_active"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("c") * weight).cast("double"), 6
+        ).alias("decay_score"),
+    )

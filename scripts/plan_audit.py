@@ -53,6 +53,10 @@ ALLOWED = {
         "SinglePartition": "running max over the date-grain daily-max "
         "table (<=|days| rows)",
     },
+    "dq_hash_uniformity": {
+        "SinglePartition": "CDF running sum over the 1000-row bucket "
+        "census (model state)",
+    },
     "events_peaks": {
         "SinglePartition": "global stddev scalar broadcast back",
     },
