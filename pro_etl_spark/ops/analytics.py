@@ -5130,3 +5130,70 @@ def features_decay_score(spark: SparkSession, d: str) -> DataFrame:
             F.sum(F.col("c") * weight).cast("double"), 6
         ).alias("decay_score"),
     )
+
+
+@register(
+    "events_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 3)
+                  AS DECIMAL(15,3)) AS y
+      FROM events GROUP BY 1
+    ), slopes AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+      FROM daily a JOIN daily b ON b.x > a.x
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_disc(slope, 0.5), 6) AS theil_sen_slope,
+           ROUND(MIN(slope), 6) AS min_slope,
+           ROUND(MAX(slope), 6) AS max_slope
+    FROM slopes
+    """,
+)
+def events_theil_sen(spark: SparkSession, d: str) -> DataFrame:
+    """THEIL-SEN robust trend — the median of all pairwise
+    day-over-day slopes of daily total value: one wild outlier day
+    drags OLS (``agg_linear_fit``) arbitrarily but moves this
+    estimator by at most one rank — the trend number to quote when
+    the series has incidents in it. The pairwise expansion runs on
+    the DAILY grain (|days| choose 2 — a few hundred pairs for a
+    month, ~66k for a year), never on raw events, so the O(n^2) that
+    makes Theil-Sen 'impractical' vanishes under pre-aggregation;
+    slopes are DECIMAL-difference / integer-gap doubles and the
+    median is the discrete (no-interpolation) order statistic, exact
+    in both engines.
+
+    Scale: one grouped pass to the daily grain, a broadcast self-join
+    of that tiny table, one exact percentile over it."""
+    daily = (
+        load(spark, d, "events")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(
+            F.round(F.sum(F.col("value").cast(DECV)), 3)
+            .cast("decimal(15,3)")
+            .alias("y")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        F.broadcast(b), F.col("b.x") > F.col("a.x")
+    ).select(
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope")
+    )
+    return slopes.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)"),
+            6,
+        ).alias("theil_sen_slope"),
+        F.round(F.min("slope"), 6).alias("min_slope"),
+        F.round(F.max("slope"), 6).alias("max_slope"),
+    )
