@@ -1377,33 +1377,44 @@ SUBSTR_PROBE_LEN = 60
       FROM documents
       WHERE doc_id % {DECON_EVAL_MOD} = 0
         AND length(text) >= {SUBSTR_PROBE_START + SUBSTR_PROBE_LEN - 1}
+    ), wins AS (
+      SELECT DISTINCT doc_id,
+             substr(text, CAST(i AS INTEGER), {SUBSTR_PROBE_LEN}) AS w
+      FROM documents,
+           UNNEST(range(1, length(text) - {SUBSTR_PROBE_LEN - 2})) AS u(i)
+      WHERE doc_id % {DECON_EVAL_MOD} != 0
+        AND length(text) >= {SUBSTR_PROBE_LEN}
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_probe_hits
-    FROM documents JOIN ev ON strpos(text, probe) > 0
-    WHERE doc_id % {DECON_EVAL_MOD} != 0
+    FROM wins JOIN ev ON w = probe
     GROUP BY doc_id
     """,
 )
 def decontaminate_substring(spark: SparkSession, d: str) -> DataFrame:
     """Exact-substring benchmark decontamination — the verbatim-leak
-    twin of ``decontaminate_ngrams``: instead of token shingles, each
-    held-out eval document contributes one fixed-offset
-    SUBSTR_PROBE_LEN-character probe, and any training document whose
-    raw text CONTAINS a probe verbatim is flagged with its hit count.
-    This is the high-precision pass real decontamination stacks run
-    alongside n-gram overlap (n-grams catch paraphrases/whitespace
-    drift; exact substrings catch wholesale copy-paste of answer keys
-    — both GPT-3 and Llama report the pair): a doc can clear the
-    4-gram Jaccard gate yet embed a verbatim eval answer, and vice
-    versa.
+    twin of ``decontaminate_ngrams``: each held-out eval document
+    contributes one fixed-offset {SUBSTR_PROBE_LEN}-character probe,
+    and any training document containing a probe VERBATIM is flagged
+    with its distinct-probe hit count. This is the high-precision
+    pass real decontamination stacks run alongside n-gram overlap
+    (n-grams catch paraphrases/whitespace drift; exact substrings
+    catch wholesale copy-paste of answer keys — GPT-3 and Llama both
+    report the pair).
 
-    Scale: the probe set is benchmark-sized (MBs) and BROADCAST; the
-    corpus streams past it in one BroadcastNestedLoopJoin with a
-    contains() predicate — no shuffle of the corpus, no tokenization
-    pass; the only shuffle is the final per-doc hit count keyed by
-    doc_id. For probe sets beyond broadcast size the same plan shards
-    probes into an Aho-Corasick automaton per executor (mapInPandas),
-    but at benchmark scale the declarative form wins."""
+    SCALE REWRITE (round-7 probe): the first cut broadcast the probes
+    and streamed the corpus past a contains() predicate — a
+    BroadcastNestedLoopJoin that is O(docs x probes) and measured
+    118 s at the 10x layout (both sides grow in the synthetic setup).
+    Containment of a FIXED-LENGTH probe is equality against some
+    {SUBSTR_PROBE_LEN}-char window, so the op now explodes each
+    training doc to its character windows IN-ROW (deduped per doc)
+    and EQUI-joins them against the probe set: O(corpus chars +
+    probes) with an ordinary hash shuffle — the rolling-hash /
+    Rabin-Karp shape, stated declaratively. Window fan-out is
+    ~len(text) rows per doc, the price of exactness; at 100 TB the
+    window table shuffles hashes, not text (Spark hashes the join key
+    automatically), and a real benchmark-sized probe set would also
+    pre-filter windows through a broadcast Bloom of probe hashes."""
     min_len = SUBSTR_PROBE_START + SUBSTR_PROBE_LEN - 1
     docs = load(spark, d, "documents")
     probes = (
@@ -1418,12 +1429,32 @@ def decontaminate_substring(spark: SparkSession, d: str) -> DataFrame:
         )
         .distinct()
     )
+    train = docs.where(
+        (F.col("doc_id") % DECON_EVAL_MOD != 0)
+        & (F.length("text") >= SUBSTR_PROBE_LEN)
+    )
+    wins = train.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.length("text") - (SUBSTR_PROBE_LEN - 1),
+                    ),
+                    lambda i: F.substring(
+                        F.col("text"), i, SUBSTR_PROBE_LEN
+                    ),
+                )
+            )
+        ).alias("w"),
+    )
     return (
-        docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
-        .join(F.broadcast(probes), F.instr(F.col("text"), F.col("probe")) > 0)
+        wins.join(probes.withColumnRenamed("probe", "w"), "w")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_probe_hits"))
     )
+
 
 
 #: Neyman allocation: total sampling budget to split across strata

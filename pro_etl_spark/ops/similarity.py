@@ -1934,7 +1934,15 @@ def dedup_semantic_keep(spark: SparkSession, d: str) -> DataFrame:
     pair-graph nodes only (near-dup nodes, a small fraction of the
     corpus), and the survivor bit is a projection of the converged
     labeling. The oracle replays cells + pairs + a recursive-CTE
-    fixpoint, so the check stays value-exact."""
+    fixpoint, so the check stays value-exact.
+
+    SCALE PIN (round-7 probe): inherits ``dedup_embedding_kmeans``'s
+    stress-layout quadratic — the probe layout is 10 IDENTICAL copies
+    of every embedding, so each k-means cell gets 10x denser and the
+    per-cell pair product grows 100x (~280 s vs ~8 s at sf0.1). Same
+    verdict as the kmeans op: the IVF dedup shape, not a plan bug —
+    production grows nlist with the corpus (sqrt(N)), keeping cell
+    populations bounded."""
     pairs = dedup_embedding_kmeans(spark, d).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
@@ -2409,7 +2417,15 @@ def dedup_embedding_srp(spark: SparkSession, d: str) -> DataFrame:
     keyed (band, 4-bit value), never an all-pairs product; the exact
     verify touches only surviving candidate pairs. Degenerate buckets
     (all-zero vectors projecting identically) are the MAX_BUCKET salt
-    case of the text-LSH family and would get the same cap."""
+    case of the text-LSH family and would get the same cap.
+
+    SCALE PIN (round-7 probe): on the 10x-identical-copies stress
+    layout every copy lands in every band bucket together, so bucket
+    populations grow 10x and candidate pairs ~100x (~68 s vs ~4 s at
+    sf0.1) — the same inherent trade pinned on
+    ``dedup_embedding_kmeans``; the production lever here is MORE
+    BANDS of MORE BITS (collision probability per band falls
+    geometrically in bits) rather than k-means retraining."""
     signs = F.array(*[F.array(*[F.lit(v) for v in row]) for row in _SRP])
     e = corpus_table(spark, d)
     projs = F.transform(
