@@ -4,12 +4,14 @@ would-it-survive-10x check above the sf0.1 sweep. Only keys that read
 documents/embeddings are probed (the amplified layout carries no
 TPC-H tables).
 
-Round-7 result (SCALEPROBE_r7.json): 27/27 keys, zero errors at 10×
-the bench scale; everything linear-ish except dedup_embedding_kmeans,
-whose per-cell self-join is O(cell²) by design — the identical-copies
-amplification makes every cell 10× denser (100× candidates), the
-documented IVF trade whose production mitigation is growing the cell
-count with the corpus (nlist ≈ √N).
+Round-7 result (SCALEPROBE_r7.json): 43/43 keys, zero errors at 10×
+the bench scale; linear-ish except the pinned identical-copies
+stress quadratics (dedup_embedding_kmeans ~269 s, dedup_semantic_keep
+~279 s, dedup_embedding_srp ~68 s — every cell/bucket gets 10× denser
+so candidates grow 100×; production mitigation: nlist ≈ √N for IVF,
+more/wider bands for SRP). The probe also caught and fixed
+decontaminate_substring's O(docs × probes) BroadcastNestedLoopJoin
+(118 s → 48 s after the windowed equi-join rewrite, now linear).
 
 Usage: python scripts/scale_probe.py [SF_DIR] [OUT_JSON] [KEY ...]
 Defaults: /tmp/testdata_sf1, SCALEPROBE.json (repo root); with KEY
