@@ -5197,3 +5197,68 @@ def events_theil_sen(spark: SparkSession, d: str) -> DataFrame:
         F.round(F.min("slope"), 6).alias("min_slope"),
         F.round(F.max("slope"), 6).alias("max_slope"),
     )
+
+
+#: 4-4-5 fiscal calendar anchor: a Monday predating all order dates
+FISCAL_ANCHOR = "1994-01-31"
+
+
+@register(
+    "fiscal_445_rollup",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS rev,
+             CAST(floor(date_diff('day', DATE '{FISCAL_ANCHOR}',
+                                  CAST(o_orderdate AS DATE)) / 7.0)
+                  AS BIGINT) AS wk
+      FROM orders
+    ), p AS (
+      SELECT rev,
+             wk // 52 AS fy,
+             (wk % 52) // 13 AS fq,
+             CASE WHEN (wk % 52) % 13 < 4 THEN 1
+                  WHEN (wk % 52) % 13 < 8 THEN 2
+                  ELSE 3 END AS fp
+      FROM f
+    )
+    SELECT CAST(fy AS BIGINT) AS fiscal_year,
+           CAST(fq + 1 AS BIGINT) AS fiscal_quarter,
+           CAST(fp AS BIGINT) AS fiscal_period,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM p GROUP BY fy, fq, fp
+    """,
+)
+def fiscal_445_rollup(spark: SparkSession, d: str) -> DataFrame:
+    """4-4-5 FISCAL CALENDAR rollup — revenue by retail fiscal period
+    (quarters of 4+4+5 whole weeks anchored on a fixed Monday): the
+    calendar retail/CPG finance actually closes books on, where every
+    period has a whole number of weeks so period-over-period compares
+    like-for-like weekday mixes — something calendar months
+    structurally cannot do (a 31-day month has 5 of some weekday).
+    The mapping is pure integer arithmetic on the day offset from the
+    anchor (week = days//7, year = week//52, quarter = week%52//13,
+    period by the 4/4/5 split) — no calendar library, no timezone
+    edge, exact in both engines; the rollup sums DECIMAL.
+
+    Scale: a narrow derived-column pass + one grouped aggregate —
+    fiscal mapping adds zero shuffles over a plain monthly rollup."""
+    o = load(spark, d, "orders")
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit(FISCAL_ANCHOR).cast("date")
+    )
+    wk = F.floor(days / 7.0).cast("long")
+    wiy = wk % 52
+    fp = (
+        F.when(wiy % 13 < 4, 1).when(wiy % 13 < 8, 2).otherwise(3)
+    )
+    p = o.select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+        F.floor(wk / 52).cast("long").alias("fiscal_year"),
+        (F.floor(wiy / 13) + 1).cast("long").alias("fiscal_quarter"),
+        fp.cast("long").alias("fiscal_period"),
+    )
+    return p.groupBy("fiscal_year", "fiscal_quarter", "fiscal_period").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )

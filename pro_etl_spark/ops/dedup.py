@@ -1625,3 +1625,84 @@ def dedup_cluster_size_histogram(spark: SparkSession, d: str) -> DataFrame:
         "n_docs",
         "n_droppable",
     )
+
+
+@register(
+    "dedup_cascade_census",
+    oracle=f"""
+    WITH ex AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM documents a JOIN documents b
+        ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ), sh AS (
+      SELECT doc_a, doc_b FROM ({_SIMHASH_LSH_SQL})
+    ), mh AS (
+      SELECT doc_a, doc_b
+      FROM ({_LSH_PAIRS_CTE} SELECT doc_a, doc_b FROM pairs)
+    )
+    SELECT
+      (SELECT COUNT(*) FROM ex) AS n_exact_pairs,
+      (SELECT COUNT(*) FROM sh) AS n_simhash_pairs,
+      (SELECT COUNT(*) FROM mh) AS n_minhash_pairs,
+      (SELECT COUNT(*) FROM sh
+       WHERE NOT EXISTS (SELECT 1 FROM ex
+                         WHERE ex.doc_a = sh.doc_a
+                           AND ex.doc_b = sh.doc_b))
+        AS simhash_beyond_exact,
+      (SELECT COUNT(*) FROM mh
+       WHERE NOT EXISTS (SELECT 1 FROM ex
+                         WHERE ex.doc_a = mh.doc_a
+                           AND ex.doc_b = mh.doc_b)
+         AND NOT EXISTS (SELECT 1 FROM sh
+                         WHERE sh.doc_a = mh.doc_a
+                           AND sh.doc_b = mh.doc_b))
+        AS minhash_beyond_both
+    """,
+)
+def dedup_cascade_census(spark: SparkSession, d: str) -> DataFrame:
+    """DEDUP CASCADE census — what each stage of the production
+    cascade actually catches, incrementally: exact content-hash pairs
+    first (byte-identical copies, cheapest), then SimHash Hamming-LSH
+    (small edits), then MinHash-LSH (token-set overlap) — each count
+    reported alongside its NET-NEW pairs beyond the cheaper stages.
+    This is the table that justifies a cascade's ordering and
+    thresholds: if minhash_beyond_both is near zero, the expensive
+    stage is waste; if simhash_beyond_exact dwarfs exact pairs, the
+    corpus drifts by small edits rather than republishes. Pair sets
+    come from the SAME registered operators the pipeline ships
+    (memoized within the session), so the census audits production
+    behavior, not a parallel reimplementation.
+
+    Scale: exact pairs expand per content-hash group (dup groups are
+    small — the md5 groupBy bounds them); both LSH pair tables are
+    the bucket-join outputs; the net-new counts are two anti-joins
+    on the pair key. Everything is pair-table-sized, corpus touched
+    only by the stages themselves."""
+    docs = load(spark, d, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    ex = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    sh = dedup_simhash_lsh(spark, d).select("doc_a", "doc_b")
+    mh = dedup_minhash_lsh(spark, d).select("doc_a", "doc_b")
+    sh_new = sh.join(ex, ["doc_a", "doc_b"], "left_anti")
+    mh_new = mh.join(ex, ["doc_a", "doc_b"], "left_anti").join(
+        sh, ["doc_a", "doc_b"], "left_anti"
+    )
+    counts = [
+        ex.agg(F.count("*").cast("long").alias("n_exact_pairs")),
+        sh.agg(F.count("*").cast("long").alias("n_simhash_pairs")),
+        mh.agg(F.count("*").cast("long").alias("n_minhash_pairs")),
+        sh_new.agg(F.count("*").cast("long").alias("simhash_beyond_exact")),
+        mh_new.agg(F.count("*").cast("long").alias("minhash_beyond_both")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
