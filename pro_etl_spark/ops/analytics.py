@@ -5262,3 +5262,187 @@ def fiscal_445_rollup(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.sum("rev").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "events_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 3)
+                  AS DECIMAL(15,3)) AS x
+      FROM events GROUP BY 1, 2
+    ), mr AS (
+      SELECT event_type, d, x,
+             abs(x - lag(x) OVER (PARTITION BY event_type ORDER BY d))
+               AS mrange
+      FROM daily
+    ), lim AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) / COUNT(*) AS center,
+             CAST(CAST(SUM(mrange) AS VARCHAR) AS DOUBLE)
+               / COUNT(mrange) AS mr_bar
+      FROM mr GROUP BY event_type
+    )
+    SELECT mr.event_type,
+           CAST(MAX(n_days) AS BIGINT) AS n_days,
+           ROUND(MAX(center), 6) AS center,
+           ROUND(MAX(center) + 2.66 * MAX(mr_bar), 6) AS ucl,
+           ROUND(MAX(center) - 2.66 * MAX(mr_bar), 6) AS lcl,
+           CAST(COUNT(CASE WHEN CAST(x AS DOUBLE)
+                                 > center + 2.66 * mr_bar
+                             OR CAST(x AS DOUBLE)
+                                 < center - 2.66 * mr_bar
+                           THEN 1 END) AS BIGINT) AS n_violations
+    FROM mr JOIN lim ON lim.event_type = mr.event_type
+    GROUP BY mr.event_type
+    """,
+)
+def events_control_chart(spark: SparkSession, d: str) -> DataFrame:
+    """SHEWHART I-MR CONTROL CHART — statistical process control for
+    the daily value stream: center line = mean of daily totals,
+    control limits = center +- 2.66 x mean moving range (the
+    individuals-chart constant 3/d2, d2=1.128), violations = days
+    outside the limits. SPC is the operational complement of
+    ``anomaly_cusum`` (CUSUM finds sustained shifts; control limits
+    flag single excursions) and the chart ops teams actually pin on
+    dashboards. Daily totals and moving ranges are DECIMAL (the
+    |x_t - x_{t-1}| of decimals is exact), the limits are two double
+    operations from exact sums, and 2.66 is a plan literal.
+
+    Scale: one grouped pass to the daily grain, a lag window and two
+    aggregates per event type — all keyed by event_type."""
+    daily = (
+        load(spark, d, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.round(F.sum(F.col("value").cast(DECV)), 3)
+            .cast("decimal(15,3)")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    mr = daily.withColumn(
+        "mrange", F.abs(F.col("x") - F.lag("x").over(w))
+    )
+    lim = mr.groupBy(F.col("event_type").alias("lt")).agg(
+        F.count("*").alias("n_days"),
+        (F.sum("x").cast("double") / F.count("*")).alias("center"),
+        (F.sum("mrange").cast("double") / F.count("mrange")).alias(
+            "mr_bar"
+        ),
+    )
+    j = mr.join(F.broadcast(lim), F.col("event_type") == F.col("lt"))
+    ucl = F.col("center") + 2.66 * F.col("mr_bar")
+    lcl = F.col("center") - 2.66 * F.col("mr_bar")
+    viol = F.when(
+        (F.col("x").cast("double") > ucl)
+        | (F.col("x").cast("double") < lcl),
+        1,
+    )
+    return j.groupBy("event_type").agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.round(F.max("center"), 6).alias("center"),
+        F.round(F.max(ucl), 6).alias("ucl"),
+        F.round(F.max(lcl), 6).alias("lcl"),
+        F.count(viol).cast("long").alias("n_violations"),
+    )
+
+
+@register(
+    "ab_effect_size",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,6)) END), 0) AS y
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT arm, COUNT(*) AS n,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM per_user GROUP BY arm
+    ), w AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        MAX(CASE WHEN arm = 0 THEN sy / n END) AS m0,
+        MAX(CASE WHEN arm = 1 THEN sy / n END) AS m1,
+        MAX(CASE WHEN arm = 0
+                 THEN (n * syy - sy * sy) / (CAST(n AS DOUBLE) * (n - 1))
+            END) AS v0,
+        MAX(CASE WHEN arm = 1
+                 THEN (n * syy - sy * sy) / (CAST(n AS DOUBLE) * (n - 1))
+            END) AS v1
+      FROM m
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(n1 AS BIGINT) AS n_treatment,
+           ROUND(m1 - m0, 6) AS mean_diff,
+           ROUND((m1 - m0)
+                 / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1)
+                        / (n0 + n1 - 2)), 6) AS cohens_d,
+           ROUND((m1 - m0)
+                 / sqrt(((n0 - 1) * v0 + (n1 - 1) * v1)
+                        / (n0 + n1 - 2))
+                 * (1 - 3.0 / (4 * (n0 + n1) - 9)), 6) AS hedges_g
+    FROM w
+    """,
+)
+def ab_effect_size(spark: SparkSession, d: str) -> DataFrame:
+    """STANDARDIZED EFFECT SIZE for the A/B pair — Cohen's d (mean
+    difference over pooled standard deviation) and its
+    small-sample-corrected Hedges' g (the (1 - 3/(4N-9)) factor): the
+    number that travels ACROSS experiments and metrics, where
+    ``ab_ttest``'s p-value only answers "is it nonzero on this n".
+    The experimentation trinity ships together: significance
+    (ab_ttest), sensitivity (ab_power_mde), magnitude (this).
+    Variances come from the same exact DECIMAL moment partials as the
+    siblings; the pooled form and correction factor are single double
+    evaluations of literals and exact sums.
+
+    Scale: one grouped pass to per-user metrics, a 2-row arm
+    aggregate, a 1-row pivot — fact table touched once."""
+    ev = load(spark, d, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("arm"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast(DECV),
+                )
+            ),
+            F.lit(0).cast(DECV),
+        ).alias("y"),
+    )
+    m = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
+    var = (n * syy - sy * sy) / (n.cast("double") * (n - 1))
+    w = m.agg(
+        F.max(F.when(F.col("arm") == 0, n)).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, n)).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, sy / n)).alias("m0"),
+        F.max(F.when(F.col("arm") == 1, sy / n)).alias("m1"),
+        F.max(F.when(F.col("arm") == 0, var)).alias("v0"),
+        F.max(F.when(F.col("arm") == 1, var)).alias("v1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    pooled_sd = F.sqrt(
+        ((n0 - 1) * F.col("v0") + (n1 - 1) * F.col("v1")) / (n0 + n1 - 2)
+    )
+    dd = (F.col("m1") - F.col("m0")) / pooled_sd
+    return w.select(
+        n0.cast("long").alias("n_control"),
+        n1.cast("long").alias("n_treatment"),
+        F.round(F.col("m1") - F.col("m0"), 6).alias("mean_diff"),
+        F.round(dd, 6).alias("cohens_d"),
+        F.round(dd * (1 - 3.0 / (4 * (n0 + n1) - 9)), 6).alias(
+            "hedges_g"
+        ),
+    )
