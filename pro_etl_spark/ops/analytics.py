@@ -5446,3 +5446,116 @@ def ab_effect_size(spark: SparkSession, d: str) -> DataFrame:
             "hedges_g"
         ),
     )
+
+
+@register(
+    "ab_ratio_delta_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS x,
+             COUNT(CASE WHEN event_type IN ('view', 'click')
+                   THEN 1 END) AS y
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT arm, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM per_user WHERE y > 0 GROUP BY arm
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(n AS BIGINT) AS n_users,
+           ROUND(sx / sy, 6) AS ratio,
+           ROUND(sqrt(greatest(
+             ((sx / n) / (sy / n)) * ((sx / n) / (sy / n)) * (
+               ((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)))
+                 / ((sx / n) * (sx / n))
+               - 2 * ((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * (n - 1)))
+                   / ((sx / n) * (sy / n))
+               + ((n * syy - sy * sy) / (CAST(n AS DOUBLE) * (n - 1)))
+                   / ((sy / n) * (sy / n))
+             ) / n, 0.0)), 6) AS se_delta,
+           ROUND(sx / sy - 1.959963984540054 * sqrt(greatest(
+             ((sx / n) / (sy / n)) * ((sx / n) / (sy / n)) * (
+               ((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)))
+                 / ((sx / n) * (sx / n))
+               - 2 * ((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * (n - 1)))
+                   / ((sx / n) * (sy / n))
+               + ((n * syy - sy * sy) / (CAST(n AS DOUBLE) * (n - 1)))
+                   / ((sy / n) * (sy / n))
+             ) / n, 0.0)), 6) AS ci_lo,
+           ROUND(sx / sy + 1.959963984540054 * sqrt(greatest(
+             ((sx / n) / (sy / n)) * ((sx / n) / (sy / n)) * (
+               ((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)))
+                 / ((sx / n) * (sx / n))
+               - 2 * ((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * (n - 1)))
+                   / ((sx / n) * (sy / n))
+               + ((n * syy - sy * sy) / (CAST(n AS DOUBLE) * (n - 1)))
+                   / ((sy / n) * (sy / n))
+             ) / n, 0.0)), 6) AS ci_hi
+    FROM m
+    """,
+)
+def ab_ratio_delta_ci(spark: SparkSession, d: str) -> DataFrame:
+    """DELTA-METHOD confidence interval for a RATIO metric — per arm,
+    purchases-per-engagement (Sigmax/Sigmay over users) with its standard
+    error from the first-order Taylor expansion: var(X/Y) ~
+    (mx/my)^2 (vx/mx^2 - 2cov/(mx my) + vy/my^2)/n. Ratio metrics (CTR,
+    CVR, revenue-per-session) violate the per-user-independence
+    assumption a naive t-test makes — the delta method is how
+    experimentation platforms actually bound them. Counts are
+    integers so every moment is exact; the closed form evaluates once
+    per arm; the negative-variance guard (greatest(...,0)) covers
+    degenerate arms.
+
+    Scale: one grouped pass to per-user numerator/denominator pairs,
+    one 2-row arm aggregate — same cost envelope as ab_ttest."""
+    ev = load(spark, d, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            (F.col("user_id") % 2).alias("arm"),
+            F.count_if(F.col("event_type") == "purchase").alias("x"),
+            F.count_if(
+                F.col("event_type").isin("view", "click")
+            ).alias("y"),
+        )
+        .where(F.col("y") > 0)
+    )
+    x, y = F.col("x"), F.col("y")
+    m = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    nd = n.cast("double")
+    mx, my = sx / n, sy / n
+    vx = (n * sxx - sx * sx) / (nd * (n - 1))
+    vy = (n * syy - sy * sy) / (nd * (n - 1))
+    cov = (n * sxy - sx * sy) / (nd * (n - 1))
+    se = F.sqrt(
+        F.greatest(
+            (mx / my)
+            * (mx / my)
+            * (vx / (mx * mx) - 2 * cov / (mx * my) + vy / (my * my))
+            / n,
+            F.lit(0.0),
+        )
+    )
+    z = 1.959963984540054
+    return m.select(
+        F.col("arm").cast("long").alias("arm"),
+        n.cast("long").alias("n_users"),
+        F.round(sx / sy, 6).alias("ratio"),
+        F.round(se, 6).alias("se_delta"),
+        F.round(sx / sy - z * se, 6).alias("ci_lo"),
+        F.round(sx / sy + z * se, 6).alias("ci_hi"),
+    )

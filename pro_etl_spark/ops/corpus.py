@@ -1695,3 +1695,109 @@ def split_leakage_safe(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.countDistinct("unit").cast("long").alias("n_units"),
     )
+
+
+@register(
+    "sample_neyman_apply",
+    oracle=f"""
+    WITH m AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS DOUBLE) AS sx,
+             CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx
+      FROM documents GROUP BY source
+    ), s AS (
+      SELECT source, n,
+             sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)))
+               AS sd
+      FROM m WHERE n > 1
+    ), t AS (
+      SELECT source, n,
+             CAST(ROUND(n * sd, 6) AS DECIMAL(28,6)) AS term
+      FROM s
+    ), tot AS (
+      SELECT SUM(term) AS total FROM t
+    ), quota AS (
+      SELECT source,
+             least(CAST(n AS BIGINT),
+                   CAST(ROUND({NEYMAN_BUDGET} * CAST(term AS DOUBLE)
+                              / CAST(total AS DOUBLE) / 20, 0) AS BIGINT))
+               AS k
+      FROM t CROSS JOIN tot
+    ), ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':neyman'),
+                        d.doc_id) AS rn
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quota q ON q.source = r.source
+    WHERE r.rn <= q.k
+    """,
+)
+def sample_neyman_apply(spark: SparkSession, d: str) -> DataFrame:
+    """Neyman allocation APPLIED — the end-to-end stratified sampler:
+    ``sample_neyman_alloc``'s optimal per-source quotas (scaled to a
+    tractable demo budget, capped at stratum size) drive a
+    deterministic salted-hash rank-<=k draw per source — the
+    ``sample_per_group`` mechanism under data-driven quotas instead
+    of a constant K. This is the composition a real eval-set build
+    runs: allocate by N_h*S_h, then draw reproducibly (same hash ->
+    same sample across reruns, engines, and partitionings; adding
+    documents later never evicts earlier draws below the quota
+    boundary).
+
+    Scale: the quota table is |sources| rows broadcast; the draw is
+    one rank window per source partition with WindowGroupLimit
+    pruning to k before any sort spill."""
+    m = (
+        load(spark, d, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("double").alias("sx"),
+            F.sum(F.col("n_chars") * F.col("n_chars"))
+            .cast("double")
+            .alias("sxx"),
+        )
+        .where(F.col("n") > 1)
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    t = m.select(
+        "source",
+        "n",
+        F.round(
+            n * F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1))),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("term"),
+    )
+    tot = t.agg(F.sum("term").alias("total"))
+    quota = t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            n.cast("long"),
+            F.round(
+                F.lit(NEYMAN_BUDGET)
+                * F.col("term").cast("double")
+                / F.col("total").cast("double")
+                / 20,
+                0,
+            ).cast("long"),
+        ).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":neyman"))),
+        "doc_id",
+    )
+    ranked = (
+        load(spark, d, "documents")
+        .select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("rn") <= F.col("k"))
+        .select("doc_id", "source")
+    )
