@@ -1171,3 +1171,48 @@ def fn_make_datetime(spark: SparkSession, d: str) -> DataFrame:
             (F.col("o_orderkey") % 30).cast("int"),
         ).alias("jitter_day"),
     )
+
+
+@register(
+    "fn_uuid5",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey,
+             md5('pro-etl:order:' || CAST(o_orderkey AS VARCHAR)) AS hx
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+             || '5' || substr(hx, 14, 3) || '-'
+             || '8' || substr(hx, 18, 3) || '-'
+             || substr(hx, 21, 12) AS stable_uuid
+    FROM h
+    """,
+)
+def fn_uuid5(spark: SparkSession, d: str) -> DataFrame:
+    """DETERMINISTIC namespaced UUID (v5-style, md5 variant) — the
+    production surrogate key ``fn_uuid`` (random v4, rows-only by
+    necessity) cannot be: hash a namespace-qualified natural key and
+    format the digest as 8-4-4-4-12 with the version nibble pinned to
+    5 and the variant nibble to 8. The same input yields the same id
+    on every run, engine, and partition — what CDC pipelines,
+    idempotent sinks, and cross-system entity resolution actually
+    need from an id column (a random UUID regenerates on retry and
+    double-writes). Fully oracle-paired because there is no
+    randomness left to hide.
+
+    Scale: one codegen md5 + string slicing per row, no shuffle."""
+    o = load(spark, d, "orders").where(F.col("o_orderkey") % 101 == 0)
+    hx = F.md5(
+        F.concat(F.lit("pro-etl:order:"), F.col("o_orderkey").cast("string"))
+    )
+    h = o.select("o_orderkey", hx.alias("hx"))
+    s = lambda a, b: F.substring(F.col("hx"), a, b)  # noqa: E731
+    return h.select(
+        "o_orderkey",
+        F.concat(
+            s(1, 8), F.lit("-"), s(9, 4), F.lit("-"),
+            F.lit("5"), s(14, 3), F.lit("-"),
+            F.lit("8"), s(18, 3), F.lit("-"), s(21, 12),
+        ).alias("stable_uuid"),
+    )
