@@ -5559,3 +5559,121 @@ def ab_ratio_delta_ci(spark: SparkSession, d: str) -> DataFrame:
         F.round(sx / sy - z * se, 6).alias("ci_lo"),
         F.round(sx / sy + z * se, 6).alias("ci_hi"),
     )
+
+
+#: MACD spans (daily): fast/slow/signal EMAs, alpha = 2/(span+1)
+MACD_FAST, MACD_SLOW, MACD_SIGNAL = 12, 26, 9
+
+
+def _macd_ema_sql(alpha: str, vals: str) -> str:
+    """Sequential EMA fold over a day-ordered DuckDB list."""
+    return f"""list_reduce(list_prepend(CAST({vals}[1] AS DOUBLE),
+                 list_slice({vals}, 2, len({vals}))),
+                 (acc, v) -> acc + {alpha} * (CAST(v AS DOUBLE) - acc))"""
+
+
+@register(
+    "events_macd",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 3)
+                  AS DECIMAL(15,3)) AS x
+      FROM events GROUP BY 1
+    ), packed AS (
+      SELECT list(d ORDER BY d) AS ds, list(x ORDER BY d) AS xs
+      FROM daily
+    ), curves AS (
+      SELECT ds[i] AS day,
+             {_macd_ema_sql(f"(2.0 / {MACD_FAST + 1})",
+                            "list_slice(xs, 1, i)")} AS ema_fast,
+             {_macd_ema_sql(f"(2.0 / {MACD_SLOW + 1})",
+                            "list_slice(xs, 1, i)")} AS ema_slow
+      FROM packed, LATERAL (SELECT unnest(range(1, len(xs) + 1)) AS i)
+    ), macd AS (
+      SELECT day, ema_fast - ema_slow AS macd_line FROM curves
+    ), packed2 AS (
+      SELECT list(day ORDER BY day) AS ds,
+             list(macd_line ORDER BY day) AS ms
+      FROM macd
+    )
+    SELECT ds[i] AS day,
+           ROUND(ms[i], 6) AS macd_line,
+           ROUND({_macd_ema_sql(f"(2.0 / {MACD_SIGNAL + 1})",
+                                "list_slice(ms, 1, i)")}, 6) AS signal_line,
+           ROUND(ms[i] - {_macd_ema_sql(f"(2.0 / {MACD_SIGNAL + 1})",
+                                        "list_slice(ms, 1, i)")}, 6)
+             AS histogram
+    FROM packed2, LATERAL (SELECT unnest(range(1, len(ms) + 1)) AS i)
+    """,
+)
+def events_macd(spark: SparkSession, d: str) -> DataFrame:
+    """MACD (moving-average convergence/divergence) over the daily
+    value series — fast EMA({MACD_FAST}) minus slow EMA({MACD_SLOW}),
+    with the EMA({MACD_SIGNAL}) signal line and the histogram that
+    traders (and capacity planners reading demand trends) key off.
+    Completes the technical-analysis window family (VWAP, Bollinger,
+    drawdown, OHLC): three RECURSIVE smoothings, each evaluated as a
+    sequential in-row fold over the day-ordered series (the
+    survival_km / window_holt recipe) — bit-exact in both engines,
+    never a partition-order-dependent float window.
+
+    Scale: one grouped pass to the daily grain; every fold runs on
+    the packed curve-sized row (|days| elements), not the corpus."""
+    daily = (
+        load(spark, d, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.round(F.sum(F.col("value").cast(DECV)), 3)
+            .cast("decimal(15,3)")
+            .alias("x")
+        )
+    )
+    packed = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("curve")
+    )
+
+    def ema(vals, alpha):
+        return F.aggregate(
+            F.slice(vals, 2, F.size(vals) - 1),
+            F.element_at(vals, 1).cast("double"),
+            lambda acc, v: acc + F.lit(alpha) * (v.cast("double") - acc),
+        )
+
+    af, asl, asg = (
+        2.0 / (MACD_FAST + 1),
+        2.0 / (MACD_SLOW + 1),
+        2.0 / (MACD_SIGNAL + 1),
+    )
+    xs = F.transform(F.col("curve"), lambda s: s.x)
+    macd_arr = F.transform(
+        F.sequence(F.lit(1), F.size("curve")),
+        lambda i: F.struct(
+            F.element_at(F.col("curve"), i).d.alias("day"),
+            (
+                ema(F.slice(xs, 1, i), af) - ema(F.slice(xs, 1, i), asl)
+            ).alias("macd_line"),
+        ),
+    )
+    m2 = packed.select(macd_arr.alias("ms"))
+    mvals = F.transform(F.col("ms"), lambda s: s.macd_line)
+    out = F.transform(
+        F.sequence(F.lit(1), F.size("ms")),
+        lambda i: F.struct(
+            F.element_at(F.col("ms"), i).day.alias("day"),
+            F.round(F.element_at(F.col("ms"), i).macd_line, 6).alias(
+                "macd_line"
+            ),
+            F.round(ema(F.slice(mvals, 1, i), asg), 6).alias(
+                "signal_line"
+            ),
+            F.round(
+                F.element_at(F.col("ms"), i).macd_line
+                - ema(F.slice(mvals, 1, i), asg),
+                6,
+            ).alias("histogram"),
+        ),
+    )
+    return m2.select(F.explode(out).alias("p")).select(
+        "p.day", "p.macd_line", "p.signal_line", "p.histogram"
+    )

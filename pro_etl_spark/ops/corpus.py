@@ -1801,3 +1801,73 @@ def sample_neyman_apply(spark: SparkSession, d: str) -> DataFrame:
         .where(F.col("rn") <= F.col("k"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "corpus_quality_dup_crosstab",
+    oracle=_LSH_PAIRS_CTE
+    + """
+    , dup_ids AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      )
+    ), q AS (
+      SELECT doc_id,
+             NTILE(3) OVER (ORDER BY n_chars DESC, doc_id) AS tert
+      FROM documents
+    )
+    SELECT CASE tert WHEN 1 THEN 'long' WHEN 2 THEN 'mid'
+                     ELSE 'short' END AS length_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(dup_ids.doc_id) AS BIGINT) AS n_dup_docs,
+           ROUND(CAST(COUNT(dup_ids.doc_id) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM q LEFT JOIN dup_ids USING (doc_id)
+    GROUP BY tert
+    """,
+)
+def corpus_quality_dup_crosstab(spark: SparkSession, d: str) -> DataFrame:
+    """DUPLICATION x QUALITY crosstab — does near-duplication
+    concentrate in a quality stratum? Docs are split into
+    length terciles (deterministic NTILE over n_chars, the cheapest
+    quality proxy; swap in ``corpus_ccnet_buckets``' LM terciles for
+    the production cut) and each stratum reports its verified-LSH
+    dup-membership rate. The decision this feeds: if dups concentrate
+    in the short/boilerplate tercile, a length gate BEFORE the LSH
+    stage removes most of the pair volume at token-filter cost —
+    pipeline ordering driven by measurement instead of folklore.
+
+    Scale: dup membership is the pair table's distinct endpoints
+    (pair-table-sized); the tercile window is a global rank on the
+    doc-grain — at corpus scale it re-keys through the distributed
+    NTILE helper like ``rfm_segmentation``; the census is 3 rows."""
+    pairs = dedup_minhash_lsh(spark, d).select("doc_a", "doc_b")
+    dup_ids = (
+        pairs.selectExpr("doc_a AS doc_id")
+        .unionAll(pairs.selectExpr("doc_b AS doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    q = (
+        load(spark, d, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("tert", F.ntile(3).over(w))
+    )
+    bucket = (
+        F.when(F.col("tert") == 1, "long")
+        .when(F.col("tert") == 2, "mid")
+        .otherwise("short")
+    )
+    return (
+        q.join(dup_ids, "doc_id", "left")
+        .groupBy(bucket.alias("length_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("is_dup").cast("long").alias("n_dup_docs"),
+            F.round(
+                F.count("is_dup").cast("double") / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+    )

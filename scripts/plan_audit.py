@@ -57,6 +57,11 @@ ALLOWED = {
         "SinglePartition": "CDF running sum over the 1000-row bucket "
         "census (model state)",
     },
+    "corpus_quality_dup_crosstab": {
+        "SinglePartition": "doc-grain tercile NTILE (demo cut; "
+        "production re-keys via the distributed-NTILE helper, see "
+        "docstring)",
+    },
     "events_peaks": {
         "SinglePartition": "global stddev scalar broadcast back",
     },
