@@ -5677,3 +5677,61 @@ def events_macd(spark: SparkSession, d: str) -> DataFrame:
     return m2.select(F.explode(out).alias("p")).select(
         "p.day", "p.macd_line", "p.signal_line", "p.histogram"
     )
+
+
+@register(
+    "basket_reorder_rate",
+    oracle="""
+    WITH cp AS (
+      SELECT l_partkey, o_custkey,
+             COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_partkey, o_custkey
+    )
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(CASE WHEN n_orders >= 2 THEN 1 END) AS BIGINT)
+             AS n_repeat_customers,
+           ROUND(CAST(COUNT(CASE WHEN n_orders >= 2 THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS reorder_rate
+    FROM cp GROUP BY l_partkey
+    HAVING COUNT(*) >= 3
+    """,
+)
+def basket_reorder_rate(spark: SparkSession, d: str) -> DataFrame:
+    """REORDER RATE per product — the Instacart-style repeat-purchase
+    signal: of the customers who ever bought a part, what share
+    bought it in two or more DISTINCT orders. High reorder = staple
+    (stock deep, surface in replenishment UX); low reorder on high
+    volume = one-shot or disappointment — the complement of
+    ``basket_affinity``'s cross-product view. Thin-support parts
+    (<3 buyers) are suppressed as noise. Two cascaded grouped
+    passes, all integer counts, one final division.
+
+    Scale: the (part, customer) grain shuffle dominates and is
+    map-side combinable; the fact join is key-local when lineitem is
+    bucketed by orderkey."""
+    cp = (
+        load(spark, d, "lineitem")
+        .join(
+            load(spark, d, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_partkey", "o_custkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+    return (
+        cp.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.count_if(F.col("n_orders") >= 2)
+            .cast("long")
+            .alias("n_repeat_customers"),
+            F.round(
+                F.count_if(F.col("n_orders") >= 2).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("reorder_rate"),
+        )
+        .where(F.col("n_customers") >= 3)
+    )

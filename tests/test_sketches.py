@@ -223,3 +223,80 @@ def test_ppjoin_contains_every_blocked_baseline_pair(spark):
     assert not missing, f"false negatives: {sorted(missing)[:5]}"
     for k, v in base.items():
         assert pp[k] == v, (k, v, pp[k])
+
+
+def test_leakage_safe_split_never_straddles_a_dup_pair(spark):
+    """split_leakage_safe's structural invariant: both endpoints of
+    every verified LSH near-dup pair land in the SAME split."""
+    import pyspark.sql.functions as F
+
+    qs = pro_etl_spark.get_queries()  # load_all first: fixed import order
+    from pro_etl_spark.ops.dedup import dedup_clusters
+    from pro_etl_spark.ops.hashing import hash60
+    pairs = qs["dedup_minhash_lsh"](spark, SF).select("doc_a", "doc_b")
+    labels = dedup_clusters(spark, SF).select("doc_id", "cluster_id")
+
+    def split_of(col):
+        unit = F.coalesce(F.col("cluster_id"), F.col(col))
+        return F.when(
+            hash60(F.concat(unit.cast("string"), F.lit(":leak"))) % 100
+            < 90,
+            "train",
+        ).otherwise("test")
+
+    a = pairs.join(
+        labels, pairs.doc_a == labels.doc_id, "left"
+    ).select("doc_a", "doc_b", split_of("doc_a").alias("sa"))
+    b = a.join(
+        labels.withColumnRenamed("doc_id", "doc_b2"),
+        a.doc_b == F.col("doc_b2"),
+        "left",
+    ).select("doc_a", "doc_b", "sa", split_of("doc_b").alias("sb"))
+    straddles = b.where(F.col("sa") != F.col("sb")).count()
+    assert straddles == 0
+
+
+def test_srp_lsh_recall_vs_brute_force(spark):
+    """dedup_embedding_srp recall against the exact all-pairs cosine
+    ground truth at test scale: the banded hyperplane math predicts
+    ~45% recall at the threshold boundary and higher above it — pin a
+    conservative floor so a hyperplane/banding regression (e.g. a
+    broken sign fold) fails loudly, and require perfect precision
+    (every emitted pair must be a true pair — the exact verify
+    guarantees it)."""
+    import duckdb
+
+    from pro_etl_spark.ops.similarity import IVF_COSINE_THRESHOLD
+
+    qs = pro_etl_spark.get_queries()
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in qs["dedup_embedding_srp"](spark, SF).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    dot = """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, 65),
+          i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+        (acc, v) -> acc + v)"""
+    truth = {
+        (r[0], r[1])
+        for r in con.execute(f"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt({dot.format(a='embedding', b='embedding')}) AS nrm
+          FROM embeddings
+        )
+        SELECT a.vec_id, b.vec_id
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {dot.format(a='a.embedding', b='b.embedding')}
+              / (a.nrm * b.nrm) >= {IVF_COSINE_THRESHOLD}
+        """).fetchall()
+    }
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    if truth:
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.25, (recall, len(truth))
