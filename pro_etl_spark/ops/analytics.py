@@ -5735,3 +5735,184 @@ def basket_reorder_rate(spark: SparkSession, d: str) -> DataFrame:
         )
         .where(F.col("n_customers") >= 3)
     )
+
+
+@register(
+    "orders_ship_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o_orderpriority,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(MIN(l_shipdate) AS DATE)) AS first_ship_d,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(MAX(l_shipdate) AS DATE)) AS last_ship_d
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(first_ship_d) AS DOUBLE) / COUNT(*), 6)
+             AS avg_first_ship_days,
+           ROUND(CAST(SUM(last_ship_d) AS DOUBLE) / COUNT(*), 6)
+             AS avg_complete_days,
+           CAST(quantile_disc(last_ship_d, 0.95) AS BIGINT)
+             AS p95_complete_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def orders_ship_latency(spark: SparkSession, d: str) -> DataFrame:
+    """ORDER-TO-SHIP latency by priority — the fulfillment SLA view:
+    per order, days from order date to FIRST shipment (responsiveness)
+    and to LAST shipment (completion), rolled up per priority with
+    the p95 completion tail (the number an SLA is written against —
+    means hide the tail). The per-order grain joins the fact pair
+    once; day gaps are integers so every statistic is exact, and the
+    p95 is the discrete order statistic.
+
+    Scale: one orderkey-keyed join+aggregate (co-located when both
+    tables are bucketed by orderkey — the join_bucketed layout), then
+    a |priorities|-key rollup."""
+    lat = (
+        load(spark, d, "orders")
+        .join(
+            load(spark, d, "lineitem").select("l_orderkey", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.datediff(
+                F.min(F.col("l_shipdate").cast("date")),
+                F.col("o_orderdate").cast("date"),
+            ).alias("first_ship_d"),
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.col("o_orderdate").cast("date"),
+            ).alias("last_ship_d"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(
+            F.sum("first_ship_d").cast("double") / F.count("*"), 6
+        ).alias("avg_first_ship_days"),
+        F.round(
+            F.sum("last_ship_d").cast("double") / F.count("*"), 6
+        ).alias("avg_complete_days"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY last_ship_d)"
+        )
+        .cast("long")
+        .alias("p95_complete_days"),
+    )
+
+
+#: interrupted-time-series intervention date (mid-corpus)
+ITS_PIVOT_DAY = "2024-01-16"
+
+
+@register(
+    "events_interrupted_ts",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+             CAST(ts AS DATE) >= DATE '{ITS_PIVOT_DAY}' AS post,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 3)
+                  AS DECIMAL(15,3)) AS y
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT post, COUNT(*) AS n,
+             CAST(SUM(t) AS DOUBLE) AS st,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(SUM(t * t) AS DOUBLE) AS stt,
+             CAST(CAST(SUM(t * y) AS VARCHAR) AS DOUBLE) AS sty
+      FROM daily GROUP BY post
+    ), fits AS (
+      SELECT post,
+             (n * sty - st * sy) / (n * stt - st * st) AS slope,
+             (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n
+               AS intercept,
+             n
+      FROM m
+    )
+    SELECT
+      CAST(MAX(CASE WHEN NOT post THEN n END) AS BIGINT) AS n_pre,
+      CAST(MAX(CASE WHEN post THEN n END) AS BIGINT) AS n_post,
+      ROUND(MAX(CASE WHEN NOT post THEN slope END), 6) AS slope_pre,
+      ROUND(MAX(CASE WHEN post THEN slope END), 6) AS slope_post,
+      ROUND(MAX(CASE WHEN post THEN slope END)
+            - MAX(CASE WHEN NOT post THEN slope END), 6) AS slope_change,
+      ROUND((MAX(CASE WHEN post THEN intercept END)
+             + MAX(CASE WHEN post THEN slope END)
+               * date_diff('day', DATE '2024-01-01',
+                           DATE '{ITS_PIVOT_DAY}'))
+            - (MAX(CASE WHEN NOT post THEN intercept END)
+               + MAX(CASE WHEN NOT post THEN slope END)
+                 * date_diff('day', DATE '2024-01-01',
+                             DATE '{ITS_PIVOT_DAY}')), 6)
+        AS level_change_at_pivot
+    FROM fits
+    """,
+)
+def events_interrupted_ts(spark: SparkSession, d: str) -> DataFrame:
+    """INTERRUPTED TIME SERIES — the workhorse quasi-experimental
+    design when you can't randomize (a pricing change, an incident, a
+    policy rollout on {ITS_PIVOT_DAY}): fit the daily series with
+    separate OLS lines pre and post the intervention and report the
+    LEVEL jump at the pivot and the SLOPE change — did the line shift,
+    did its trajectory bend, or both. Fits come from the exact
+    DECIMAL/integer moment partials (the agg_linear_fit closed form,
+    evaluated per segment), the comparison is two double evaluations
+    at the pivot — no residual sums, nothing order-dependent.
+
+    Scale: one grouped pass to the daily grain, a 2-row segment
+    aggregate, a 1-row pivot — same envelope as the A/B family."""
+    pivot_t = F.datediff(
+        F.lit(ITS_PIVOT_DAY).cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = (
+        load(spark, d, "events")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("t"),
+            (
+                F.col("ts").cast("date") >= F.lit(ITS_PIVOT_DAY).cast("date")
+            ).alias("post"),
+        )
+        .agg(
+            F.round(F.sum(F.col("value").cast(DECV)), 3)
+            .cast("decimal(15,3)")
+            .alias("y")
+        )
+    )
+    t, y = F.col("t"), F.col("y")
+    m = daily.groupBy("post").agg(
+        F.count("*").alias("n"),
+        F.sum(t).cast("double").alias("st"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(t * t).cast("double").alias("stt"),
+        F.sum(t.cast("decimal(15,3)") * y).cast("double").alias("sty"),
+    )
+    n, st, sy = F.col("n"), F.col("st"), F.col("sy")
+    stt, sty = F.col("stt"), F.col("sty")
+    slope = (n * sty - st * sy) / (n * stt - st * st)
+    intercept = (sy - slope * st) / n
+    fits = m.select("post", "n", slope.alias("slope"), intercept.alias("b0"))
+    pre = F.max(F.when(~F.col("post"), F.col("slope")))
+    post = F.max(F.when(F.col("post"), F.col("slope")))
+    pre_b = F.max(F.when(~F.col("post"), F.col("b0")))
+    post_b = F.max(F.when(F.col("post"), F.col("b0")))
+    return fits.agg(
+        F.max(F.when(~F.col("post"), F.col("n")))
+        .cast("long")
+        .alias("n_pre"),
+        F.max(F.when(F.col("post"), F.col("n")))
+        .cast("long")
+        .alias("n_post"),
+        F.round(pre, 6).alias("slope_pre"),
+        F.round(post, 6).alias("slope_post"),
+        F.round(post - pre, 6).alias("slope_change"),
+        F.round(
+            (post_b + post * pivot_t) - (pre_b + pre * pivot_t), 6
+        ).alias("level_change_at_pivot"),
+    )
