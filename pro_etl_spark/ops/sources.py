@@ -1665,3 +1665,40 @@ def scan_nested_pruning(spark: SparkSession, d: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "sink_parquet_zstd",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey % 19 = 0
+    """,
+)
+def sink_parquet_zstd(spark: SparkSession, d: str) -> DataFrame:
+    """ZSTD parquet sink round-trip — the codec a 100 TB lake should
+    default to (vs snappy: ~30% smaller at comparable decode speed;
+    vs the gzip CSV export: splittable, columnar, predicate-pushable
+    — compression INSIDE the column chunks, so row-group pruning and
+    column projection survive). Codec choice is a writer option, the
+    reader sniffs the footer; the oracle is the source projection, so
+    the hash match certifies bit-exact round-trip of doubles through
+    the codec.
+
+    Scale: narrow projection write; zstd costs ~1.3x snappy encode
+    CPU for materially fewer scan bytes — the right trade whenever
+    data is read more than once."""
+    path = _tmp(f"parquet_zstd_{dataset_suffix(d)}")
+    proj = (
+        load(spark, d, "lineitem")
+        .where(F.col("l_orderkey") % 19 == 0)
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+    )
+    _write_once(
+        path,
+        lambda: proj.write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(path),
+    )
+    return spark.read.parquet(path)
