@@ -1344,3 +1344,41 @@ def sql_named_window(spark: SparkSession, d: str) -> DataFrame:
     DECIMAL so partition order can't leak into the last ulp."""
     _views(spark, d)
     return spark.sql(SQL_NAMED_WINDOW)
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, d: str) -> DataFrame:
+    """PARAMETERIZED SQL — named parameter markers bound via
+    ``spark.sql(query, args={...})`` plus the ``IDENTIFIER()`` clause
+    for the table name: the injection-safe surface every SQL-emitting
+    service should use instead of f-string splicing (parameters are
+    bound as typed literals by the analyzer — a quote in the value
+    cannot change the query's shape, and IDENTIFIER() confines the
+    dynamic name to identifier position). Catalyst folds the bound
+    literals exactly like inline ones, so pushdown/pruning are
+    unaffected — the oracle states the equivalent inlined query and
+    the hash match proves it."""
+    _views(spark, d)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders", "status": "F", "min_price": 50000.0},
+    )
