@@ -2604,3 +2604,50 @@ def agg_corr_matrix(spark: SparkSession, d: str) -> DataFrame:
     return m.select(F.explode(F.array(*pairs)).alias("p")).select(
         "p.col_a", "p.col_b", "p.corr"
     )
+
+
+@register(
+    "set_union_by_name",
+    oracle="""
+    SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS amount,
+           o_orderpriority AS priority, NULL AS ship_mode
+    FROM orders WHERE o_orderkey % 41 = 0
+    UNION ALL BY NAME
+    SELECT l_orderkey AS k,
+           CAST(l_extendedprice AS DOUBLE) AS amount,
+           NULL AS priority, l_linestatus AS ship_mode
+    FROM lineitem WHERE l_orderkey % 53 = 0
+    """,
+)
+def set_union_by_name(spark: SparkSession, d: str) -> DataFrame:
+    """UNION BY NAME with missing-column tolerance — the
+    schema-evolution union: two feeds sharing a core schema but each
+    carrying columns the other lacks combine by COLUMN NAME (never
+    by position — positional UNION silently pairs mismatched columns
+    the moment one side reorders), absent columns null-filling.
+    This is how multi-source ingestion actually unions daily drops
+    whose schemas drift at different speeds;
+    ``unionByName(allowMissingColumns=True)`` is the DataFrame
+    spelling, DuckDB's UNION ALL BY NAME the SQL twin.
+
+    Scale: a zero-shuffle concatenation — each side keeps its own
+    partitioning; the name resolution is analysis-time only."""
+    a = (
+        load(spark, d, "orders")
+        .where(F.col("o_orderkey") % 41 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("double").alias("amount"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    b = (
+        load(spark, d, "lineitem")
+        .where(F.col("l_orderkey") % 53 == 0)
+        .select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_extendedprice").cast("double").alias("amount"),
+            F.col("l_linestatus").alias("ship_mode"),
+        )
+    )
+    return a.unionByName(b, allowMissingColumns=True)
