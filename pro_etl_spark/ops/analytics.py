@@ -5916,3 +5916,111 @@ def events_interrupted_ts(spark: SparkSession, d: str) -> DataFrame:
             (post_b + post * pivot_t) - (pre_b + pre * pivot_t), 6
         ).alias("level_change_at_pivot"),
     )
+
+
+@register(
+    "events_cooks_distance",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 3)
+                  AS DECIMAL(15,3)) AS y
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(t) AS DOUBLE) AS st,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(SUM(t * t) AS DOUBLE) AS stt,
+             CAST(CAST(SUM(t * y) AS VARCHAR) AS DOUBLE) AS sty,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM daily
+    ), fit AS (
+      SELECT n, st, stt,
+             (n * sty - st * sy) / (n * stt - st * st) AS b,
+             (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n
+               AS a,
+             (syy - sy * sy / n
+              - (n * sty - st * sy) / (n * stt - st * st)
+                * (sty - st * sy / n)) / (n - 2) AS mse
+      FROM m
+    )
+    SELECT CAST(t AS BIGINT) AS t,
+           ROUND(CAST(y AS DOUBLE) - (a + b * t), 6) AS residual,
+           ROUND(1.0 / n + (t - st / n) * (t - st / n)
+                 / (stt - st * st / n), 6) AS leverage,
+           ROUND(
+             ((CAST(y AS DOUBLE) - (a + b * t))
+              * (CAST(y AS DOUBLE) - (a + b * t)) / (2 * mse))
+             * ((1.0 / n + (t - st / n) * (t - st / n)
+                 / (stt - st * st / n))
+                / ((1 - (1.0 / n + (t - st / n) * (t - st / n)
+                         / (stt - st * st / n)))
+                   * (1 - (1.0 / n + (t - st / n) * (t - st / n)
+                           / (stt - st * st / n))))), 6) AS cooks_d
+    FROM daily CROSS JOIN fit
+    """,
+)
+def events_cooks_distance(spark: SparkSession, d: str) -> DataFrame:
+    """COOK'S DISTANCE per day for the daily-trend OLS — which single
+    days, if deleted, would most move the fitted line: the influence
+    diagnostic that separates "high residual but harmless" from
+    "quietly steering the slope" (high leverage x high residual). The
+    triage companion to the trend family — ``events_theil_sen``
+    resists influence, this MEASURES it, ``events_interrupted_ts``
+    then tests what the influential day changed. Everything derives
+    from the same six exact moment partials as agg_linear_fit:
+    residuals, leverage h_t = 1/n + (t - tbar)^2/S_tt, and
+    D = r^2 h / (p * MSE * (1-h)^2) with p=2 — closed doubles, no
+    per-row matrix algebra.
+
+    Scale: one grouped pass to the daily grain, a 1-row fit
+    broadcast back over it — O(days) output."""
+    daily = (
+        load(spark, d, "events")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("t")
+        )
+        .agg(
+            F.round(F.sum(F.col("value").cast(DECV)), 3)
+            .cast("decimal(15,3)")
+            .alias("y")
+        )
+    )
+    t, y = F.col("t"), F.col("y")
+    m = daily.agg(
+        F.count("*").alias("n"),
+        F.sum(t).cast("double").alias("st"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(t * t).cast("double").alias("stt"),
+        F.sum(t.cast("decimal(15,3)") * y).cast("double").alias("sty"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, st, sy = F.col("n"), F.col("st"), F.col("sy")
+    stt, sty, syy = F.col("stt"), F.col("sty"), F.col("syy")
+    b = (n * sty - st * sy) / (n * stt - st * st)
+    fit = m.select(
+        "n",
+        "st",
+        "stt",
+        b.alias("b"),
+        ((sy - b * st) / n).alias("a"),
+        (
+            (syy - sy * sy / n - b * (sty - st * sy / n)) / (n - 2)
+        ).alias("mse"),
+    )
+    j = daily.crossJoin(F.broadcast(fit))
+    resid = y.cast("double") - (F.col("a") + F.col("b") * t)
+    lev = 1.0 / F.col("n") + (t - st / F.col("n")) * (
+        t - st / F.col("n")
+    ) / (stt - st * st / F.col("n"))
+    cooks = (resid * resid / (2 * F.col("mse"))) * (
+        lev / ((1 - lev) * (1 - lev))
+    )
+    return j.select(
+        t.cast("long").alias("t"),
+        F.round(resid, 6).alias("residual"),
+        F.round(lev, 6).alias("leverage"),
+        F.round(cooks, 6).alias("cooks_d"),
+    )
