@@ -6024,3 +6024,107 @@ def events_cooks_distance(spark: SparkSession, d: str) -> DataFrame:
         F.round(lev, 6).alias("leverage"),
         F.round(cooks, 6).alias("cooks_d"),
     )
+
+
+@register(
+    "events_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 3)
+                  AS DECIMAL(15,3)) AS y
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT SUM(CASE WHEN b.y > a.y THEN 1
+                      WHEN b.y < a.y THEN -1 ELSE 0 END) AS s_stat,
+             COUNT(*) AS n_pairs
+      FROM daily a JOIN daily b ON b.t > a.t
+    ), n AS (SELECT COUNT(*) AS n FROM daily),
+    ties AS (
+      SELECT COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0) AS tie_term
+      FROM (SELECT COUNT(*) AS c FROM daily GROUP BY y HAVING COUNT(*) > 1)
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           ROUND((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0, 6)
+             AS var_s,
+           ROUND(CASE
+             WHEN s_stat > 0 THEN (s_stat - 1)
+               / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+             WHEN s_stat < 0 THEN (s_stat + 1)
+               / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+             ELSE 0.0 END, 6) AS z_stat,
+           abs(CASE
+             WHEN s_stat > 0 THEN (s_stat - 1)
+               / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+             WHEN s_stat < 0 THEN (s_stat + 1)
+               / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+             ELSE 0.0 END) > 1.959963984540054 AS significant_5pct
+    FROM s CROSS JOIN n CROSS JOIN ties
+    """,
+)
+def events_mann_kendall(spark: SparkSession, d: str) -> DataFrame:
+    """MANN-KENDALL trend test — the nonparametric "is there a
+    monotonic trend at all" significance test that completes the
+    trend trio: ``events_theil_sen`` estimates the robust slope, this
+    says whether it's distinguishable from noise (S = Sigma sign(y_j -
+    y_i) over ordered pairs, variance with the exact tie correction,
+    continuity-corrected z vs the 5% normal quantile), and
+    ``events_interrupted_ts`` attributes a break. Distribution-free:
+    no normality assumption on the daily totals, immune to monotone
+    transforms. S and the tie term are pure integers; one sqrt + one
+    division finish.
+
+    Scale: the pair expansion runs on the DAILY grain (|days| choose
+    2, broadcast self-join) exactly like theil_sen — never on raw
+    events; everything else is 1-row model state."""
+    daily = (
+        load(spark, d, "events")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("t")
+        )
+        .agg(
+            F.round(F.sum(F.col("value").cast(DECV)), 3)
+            .cast("decimal(15,3)")
+            .alias("y")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(F.broadcast(b), F.col("b.t") > F.col("a.t")).agg(
+        F.sum(
+            F.when(F.col("b.y") > F.col("a.y"), 1)
+            .when(F.col("b.y") < F.col("a.y"), -1)
+            .otherwise(0)
+        ).alias("s_stat")
+    )
+    n_df = daily.agg(F.count("*").alias("n"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(n_df)).crossJoin(F.broadcast(ties))
+    n, ss = F.col("n"), F.col("s_stat")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / 18.0
+    z = (
+        F.when(ss > 0, (ss - 1) / F.sqrt(var_s))
+        .when(ss < 0, (ss + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        n.cast("long").alias("n_days"),
+        ss.cast("long").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.959963984540054).alias("significant_5pct"),
+    )
