@@ -2897,3 +2897,93 @@ def corpus_ccnet_buckets(spark: SparkSession, d: str) -> DataFrame:
         F.min("avg_p_micro").alias("min_score"),
         F.max("avg_p_micro").alias("max_score"),
     )
+
+
+#: blocklist categories (stand-in terms drawn from the corpus vocab;
+#: a real deployment loads curated lists — the machinery is the op)
+BLOCKLIST = {
+    "infra_leak": ["spark", "hash"],
+    "ops_noise": ["error", "retry"],
+}
+#: docs with flagged-token density above this fail the gate
+BLOCK_DENSITY = 0.08
+
+
+def _blocklist_sql() -> str:
+    cats = []
+    for cat, words in BLOCKLIST.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        cats.append(
+            f"len(list_filter(toks, x -> list_contains({lst}, x)))"
+            f" AS n_{cat}"
+        )
+    return ", ".join(cats)
+
+
+@register(
+    "text_blocklist_gate",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, len(toks) AS n_tokens, {_blocklist_sql()}
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_infra_leak AS BIGINT) AS n_infra_leak,
+           CAST(n_ops_noise AS BIGINT) AS n_ops_noise,
+           ROUND(CAST(n_infra_leak + n_ops_noise AS DOUBLE)
+                 / greatest(n_tokens, 1), 6) AS flagged_density,
+           CAST(n_infra_leak + n_ops_noise AS DOUBLE)
+             / greatest(n_tokens, 1) <= {BLOCK_DENSITY} AS keep
+    FROM c
+    """,
+)
+def text_blocklist_gate(spark: SparkSession, d: str) -> DataFrame:
+    """WORDLIST safety gate with CATEGORY ATTRIBUTION — the
+    blocklist-density filter every corpus pipeline runs before the
+    statistical gates (and the transparent complement of
+    ``text_quality_classifier``'s learned score): per document, hit
+    counts PER CATEGORY, total flagged density, and the keep verdict
+    at the {BLOCK_DENSITY} threshold. Per-category counts matter
+    operationally — a "drop" with no attribution can't be appealed or
+    audited, and category mixes tune differently (one slur vs dense
+    profanity vs medical terms). Lists here are corpus-vocab
+    stand-ins; production swaps curated lists into the same literal
+    arrays without touching the plan shape.
+
+    Scale: category counting is an in-row list_filter against
+    broadcast-literal arrays — narrow, no shuffle, no UDF; realistic
+    multi-thousand-term lists move from literal arrays into a
+    broadcast join on exploded tokens (same answer, same shape as
+    ``decontaminate_ngrams``)."""
+    t = load(spark, d, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    cat_cols = [
+        F.size(
+            F.filter(
+                F.col("toks"),
+                lambda x: x.isin(*words),
+            )
+        ).alias(f"n_{cat}")
+        for cat, words in BLOCKLIST.items()
+    ]
+    c = t.select("doc_id", F.size("toks").alias("n_tokens"), *cat_cols)
+    total = sum(F.col(f"n_{cat}") for cat in BLOCKLIST)
+    density = total.cast("double") / F.greatest(
+        F.col("n_tokens"), F.lit(1)
+    )
+    return c.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        *[
+            F.col(f"n_{cat}").cast("long").alias(f"n_{cat}")
+            for cat in BLOCKLIST
+        ],
+        F.round(density, 6).alias("flagged_density"),
+        (density <= BLOCK_DENSITY).alias("keep"),
+    )
