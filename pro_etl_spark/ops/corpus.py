@@ -1871,3 +1871,86 @@ def corpus_quality_dup_crosstab(spark: SparkSession, d: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@register(
+    "corpus_vocab_overlap",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT DISTINCT source, unnest({_DUCK_TOKS}) AS t
+      FROM documents
+    ), sizes AS (
+      SELECT source, COUNT(*) AS v FROM tok GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS both_v
+      FROM tok a JOIN tok b ON a.t = b.t AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           CAST(sa.v AS BIGINT) AS vocab_a,
+           CAST(sb.v AS BIGINT) AS vocab_b,
+           CAST(both_v AS BIGINT) AS vocab_shared,
+           ROUND(CAST(both_v AS DOUBLE)
+                 / (sa.v + sb.v - both_v), 6) AS vocab_jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def corpus_vocab_overlap(spark: SparkSession, d: str) -> DataFrame:
+    """Pairwise VOCABULARY OVERLAP between sources — type-level
+    Jaccard of each source pair's distinct-token sets: the
+    domain-similarity read that complements
+    ``corpus_js_divergence``'s frequency-weighted drift (two sources
+    can share every TYPE yet differ wildly in MASS, and vice versa —
+    tokenizer coverage cares about types, mixing weights about mass).
+    Low vocab overlap between a new source and everything else =
+    out-of-domain data that will stress the tokenizer
+    (``corpus_oov_rate`` quantifies how much).
+
+    Scale: the (source, token) grain is vocab-sized per source
+    (bounded by the global vocab, not the corpus); the pair join is
+    keyed by token with |sources|^2 output — trivially small; no
+    corpus-sized shuffle anywhere past the initial distinct."""
+    tok = (
+        load(spark, d, "documents")
+        .select("source", F.explode(_toks()).alias("t"))
+        .distinct()
+    )
+    sizes = tok.groupBy("source").agg(F.count("*").alias("v"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("both_v"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("v").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("v").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            F.col("both_v").cast("long").alias("vocab_shared"),
+            F.round(
+                F.col("both_v").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("both_v")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
