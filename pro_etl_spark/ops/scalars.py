@@ -1140,8 +1140,9 @@ def fn_char_codes(spark: SparkSession, d: str) -> DataFrame:
                           CAST(month(o_orderdate) AS INTEGER),
                           CAST(day(o_orderdate) AS INTEGER),
                           12, 0, 0.0) AS noon_that_day,
-           CAST(o_orderdate AS DATE)
-             + to_days(CAST(o_orderkey % 30 AS INTEGER)) AS jitter_day
+           CAST(CAST(o_orderdate AS DATE)
+                + to_days(CAST(o_orderkey % 30 AS INTEGER)) AS DATE)
+             AS jitter_day
     FROM orders WHERE o_orderkey % 113 = 0
     """,
 )
