@@ -6128,3 +6128,85 @@ def events_mann_kendall(spark: SparkSession, d: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) > 1.959963984540054).alias("significant_5pct"),
     )
+
+
+#: price/volume/mix bridge: period boundary (orders strictly before =
+#: period A, on/after = period B)
+PVM_PIVOT = "1998-01-01"
+
+
+@register(
+    "orders_price_volume_mix",
+    oracle=f"""
+    WITH seg AS (
+      SELECT o_orderpriority AS seg,
+             o_orderdate < TIMESTAMP '{PVM_PIVOT}' AS is_a,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ), w AS (
+      SELECT seg,
+             MAX(CASE WHEN is_a THEN n ELSE 0 END) AS n_a,
+             MAX(CASE WHEN NOT is_a THEN n ELSE 0 END) AS n_b,
+             CAST(CAST(MAX(CASE WHEN is_a THEN rev END) AS VARCHAR)
+                  AS DOUBLE) AS rev_a,
+             CAST(CAST(MAX(CASE WHEN NOT is_a THEN rev END) AS VARCHAR)
+                  AS DOUBLE) AS rev_b
+      FROM seg GROUP BY seg
+    )
+    SELECT seg AS o_orderpriority,
+           ROUND(rev_b - rev_a, 6) AS revenue_delta,
+           ROUND((n_b - n_a) * (rev_a / n_a), 6) AS volume_effect,
+           ROUND(n_b * (rev_b / n_b - rev_a / n_a), 6) AS price_effect,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+    FROM w WHERE n_a > 0 AND n_b > 0
+    """,
+)
+def orders_price_volume_mix(spark: SparkSession, d: str) -> DataFrame:
+    """PRICE/VOLUME variance bridge — the FP&A decomposition of a
+    revenue change between two periods, per segment: volume effect =
+    (count change) x (old average ticket), price effect = (new count)
+    x (average-ticket change); the two sum EXACTLY to the revenue
+    delta (the bridge identity — each effect holds the other factor
+    at a consistent base, so nothing is left unexplained). This is
+    the "why did revenue move" slide every finance review opens with,
+    stated as one query. Revenue rides DECIMAL to the 1-row-per-
+    segment pivot; the effects are double arithmetic on identical
+    operands in both engines.
+
+    Scale: one grouped pass to (segment, period) cells, a
+    |segments|-row pivot — fact table touched once."""
+    o = load(spark, d, "orders")
+    seg = o.groupBy(
+        F.col("o_orderpriority").alias("seg"),
+        (F.col("o_orderdate") < F.lit(PVM_PIVOT).cast("timestamp")).alias(
+            "is_a"
+        ),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    w = seg.groupBy("seg").agg(
+        F.max(F.when(F.col("is_a"), F.col("n")).otherwise(0)).alias("n_a"),
+        F.max(F.when(~F.col("is_a"), F.col("n")).otherwise(0)).alias(
+            "n_b"
+        ),
+        F.max(F.when(F.col("is_a"), F.col("rev")))
+        .cast("double")
+        .alias("rev_a"),
+        F.max(F.when(~F.col("is_a"), F.col("rev")))
+        .cast("double")
+        .alias("rev_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    rev_a, rev_b = F.col("rev_a"), F.col("rev_b")
+    return w.where((n_a > 0) & (n_b > 0)).select(
+        F.col("seg").alias("o_orderpriority"),
+        F.round(rev_b - rev_a, 6).alias("revenue_delta"),
+        F.round((n_b - n_a) * (rev_a / n_a), 6).alias("volume_effect"),
+        F.round(n_b * (rev_b / n_b - rev_a / n_a), 6).alias(
+            "price_effect"
+        ),
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+    )

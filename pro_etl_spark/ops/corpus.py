@@ -1954,3 +1954,98 @@ def corpus_vocab_overlap(spark: SparkSession, d: str) -> DataFrame:
             ).alias("vocab_jaccard"),
         )
     )
+
+
+#: drift drill-down: top-K tokens by absolute share shift
+DRIFT_TOP_K = 15
+#: the two sources compared (fixed pair so the key is deterministic)
+DRIFT_SRC_A = "src0"
+DRIFT_SRC_B = "src1"
+
+
+@register(
+    "corpus_drift_top_tokens",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS t
+      FROM documents
+      WHERE source IN ('{DRIFT_SRC_A}', '{DRIFT_SRC_B}')
+    ), c AS (
+      SELECT source, t, COUNT(*) AS n FROM tok GROUP BY source, t
+    ), tot AS (
+      SELECT source, SUM(n) AS total FROM c GROUP BY source
+    ), shares AS (
+      SELECT t,
+             CAST(COALESCE(MAX(CASE WHEN c.source = '{DRIFT_SRC_A}'
+                    THEN CAST(n AS DOUBLE) / total END), 0) AS DOUBLE)
+               AS share_a,
+             CAST(COALESCE(MAX(CASE WHEN c.source = '{DRIFT_SRC_B}'
+                    THEN CAST(n AS DOUBLE) / total END), 0) AS DOUBLE)
+               AS share_b
+      FROM c JOIN tot ON tot.source = c.source
+      GROUP BY t
+    )
+    SELECT t AS token,
+           ROUND(share_a, 6) AS share_a,
+           ROUND(share_b, 6) AS share_b,
+           ROUND(share_b - share_a, 6) AS share_shift
+    FROM shares
+    ORDER BY abs(share_b - share_a) DESC, t
+    LIMIT {DRIFT_TOP_K}
+    """,
+)
+def corpus_drift_top_tokens(spark: SparkSession, d: str) -> DataFrame:
+    """DRIFT DRILL-DOWN — the top-{DRIFT_TOP_K} tokens driving the
+    distribution shift between two sources: per-token occurrence
+    share in each, ranked by absolute shift. The aggregate drift
+    numbers (``corpus_js_divergence``, ``corpus_source_drift``) say
+    THAT two sources differ; this says WHICH terms carry the
+    difference — the evidence a data lead needs before deciding
+    whether drift is topical (fine) or contamination/markup (not).
+    Shares are per-source token-mass fractions — identical integer
+    operands divided once in both engines; the top-K selection is a
+    total order (|shift| desc, token).
+
+    Scale: token census per source (vocab-sized after the groupBy),
+    a broadcast totals join, TakeOrderedAndProject for the top-K."""
+    tok = (
+        load(spark, d, "documents")
+        .where(F.col("source").isin(DRIFT_SRC_A, DRIFT_SRC_B))
+        .select("source", F.explode(_toks()).alias("t"))
+    )
+    c = tok.groupBy("source", "t").agg(F.count("*").alias("n"))
+    tot = c.groupBy(F.col("source").alias("ts")).agg(
+        F.sum("n").alias("total")
+    )
+    j = c.join(F.broadcast(tot), F.col("source") == F.col("ts"))
+    shares = j.groupBy("t").agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("source") == DRIFT_SRC_A,
+                    F.col("n").cast("double") / F.col("total"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("share_a"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("source") == DRIFT_SRC_B,
+                    F.col("n").cast("double") / F.col("total"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("share_b"),
+    )
+    shift = F.col("share_b") - F.col("share_a")
+    return (
+        shares.select(
+            F.col("t").alias("token"),
+            F.round("share_a", 6).alias("share_a"),
+            F.round("share_b", 6).alias("share_b"),
+            F.round(shift, 6).alias("share_shift"),
+        )
+        .orderBy(F.abs(F.col("share_shift")).desc(), F.asc("token"))
+        .limit(DRIFT_TOP_K)
+    )
