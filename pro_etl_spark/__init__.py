@@ -16,15 +16,14 @@ Design rules (SURVEY.md §2.10, §4):
 
 from pro_etl_spark.registry import QUERIES, ORACLES, register  # noqa: F401
 
-#: The driver grades only the first 50 keys of ``queries()`` per round,
-#: in registration order. Rounds 1-5 officially sampled 150 of 292 keys;
-#: this window leads with the 9 grading-dtype-bomb keys fixed this round
-#: (slot 1 is ``sessionize`` — the r5 red row, value-correct but
-#: hash-mismatched through the driver's pandas float64 path; kept inside
-#: the window so the official record shows the retraction, the proven
-#: ``stream_running_totals`` pattern), then the 4 never-sampled core §2
-#: keys the verdict named, then continues burning the never-sampled
-#: backlog in queue order.
+#: The driver grades only the first 50 keys of ``queries()`` per
+#: round. Rotation is SELF-ADVANCING (see ``_rotated``): keys already
+#: present in any CORRECTNESS_r*.json drop behind the never-sampled
+#: backlog, so each round's official sample burns 50 fresh keys.
+#: The two static lists below are the historical round-6 window and
+#: the hand-reviewed round-7 queue head — kept as a stable priority
+#: prefix WITHIN the backlog (and as the loud-failure guard against
+#: silently renaming a queued operator).
 _R06_WINDOW = [
     "sessionize",
     "ann_hybrid_rrf",
@@ -212,11 +211,38 @@ def load_all() -> None:
     )
 
 
-def _rotated(mapping):
-    """Reorder a registry dict: grading-window keys first, then the
-    round-6 queue, then everything else in registration order.
+def _officially_sampled() -> set:
+    """Keys the driver has ALREADY graded in any official round —
+    the union of CORRECTNESS_r*.json keys in the repo root. Used to
+    rotate never-sampled keys to the front so each round's 50-key
+    official sample burns the backlog instead of re-grading greens.
+    Missing/unreadable record files degrade to 'nothing sampled'
+    (registration order), never to an error."""
+    import glob
+    import json
+    import os
 
-    Raises if a window key is missing from QUERIES — a renamed or
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rec = json.load(open(path))
+            if isinstance(rec, dict):
+                seen.update(rec.keys())
+        except Exception:
+            pass
+    return seen
+
+
+def _rotated(mapping):
+    """Reorder a registry dict: never-officially-sampled keys first
+    (prior manual windows preserved as a stable prefix among them,
+    so the round-7 queue keeps its reviewed order), then the
+    already-graded keys in registration order. Self-advancing: when
+    the driver writes a round's CORRECTNESS file, the next round's
+    front-50 automatically becomes the next backlog slice.
+
+    Raises if a queue key is missing from QUERIES — a renamed or
     dropped operator must fail loudly here, not silently shrink the
     officially graded sample.
     """
@@ -224,7 +250,11 @@ def _rotated(mapping):
     missing = [k for k in front if k not in QUERIES]
     if missing:
         raise KeyError(f"grading-window keys not registered: {missing}")
-    out = {k: mapping[k] for k in front if k in mapping}
+    seen = _officially_sampled()
+    ordered = {k: None for k in front}
+    ordered.update((k, None) for k in mapping)
+    fresh = [k for k in ordered if k not in seen and k in mapping]
+    out = {k: mapping[k] for k in fresh}
     out.update((k, v) for k, v in mapping.items() if k not in out)
     return out
 
