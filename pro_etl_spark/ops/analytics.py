@@ -6210,3 +6210,82 @@ def orders_price_volume_mix(spark: SparkSession, d: str) -> DataFrame:
         n_a.cast("long").alias("n_a"),
         n_b.cast("long").alias("n_b"),
     )
+
+
+@register(
+    "ab_wilson_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT arm, COUNT(*) AS n, SUM(converted) AS x
+      FROM per_user GROUP BY arm
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(x AS BIGINT) AS n_converted,
+           ROUND(CAST(x AS DOUBLE) / n, 6) AS p_hat,
+           ROUND((CAST(x AS DOUBLE) / n
+                  + 1.959963984540054 * 1.959963984540054 / (2 * n)
+                  - 1.959963984540054
+                    * sqrt((CAST(x AS DOUBLE) / n)
+                           * (1 - CAST(x AS DOUBLE) / n) / n
+                           + 1.959963984540054 * 1.959963984540054
+                             / (4.0 * n * n)))
+                 / (1 + 1.959963984540054 * 1.959963984540054 / n), 6)
+             AS wilson_lo,
+           ROUND((CAST(x AS DOUBLE) / n
+                  + 1.959963984540054 * 1.959963984540054 / (2 * n)
+                  + 1.959963984540054
+                    * sqrt((CAST(x AS DOUBLE) / n)
+                           * (1 - CAST(x AS DOUBLE) / n) / n
+                           + 1.959963984540054 * 1.959963984540054
+                             / (4.0 * n * n)))
+                 / (1 + 1.959963984540054 * 1.959963984540054 / n), 6)
+             AS wilson_hi
+    FROM m
+    """,
+)
+def ab_wilson_ci(spark: SparkSession, d: str) -> DataFrame:
+    """WILSON SCORE interval for the per-arm conversion rate — the
+    proportion CI that behaves at the edges where the naive Wald
+    interval fails (p near 0/1, small n: Wald collapses to zero width
+    or exits [0,1]; Wilson stays calibrated — the standard
+    recommendation since Brown/Cai/DasGupta). Conversion = did the
+    user purchase at all (per-user dedup first, the correct unit —
+    event-level proportions overweight heavy users). Counts are
+    integers; the closed form evaluates once per arm with the z
+    literal shared across the A/B family.
+
+    Scale: one grouped pass to per-user flags, a 2-row arm
+    aggregate."""
+    per_user = (
+        load(spark, d, "events")
+        .groupBy("user_id")
+        .agg(
+            (F.col("user_id") % 2).alias("arm"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    m = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("x")
+    )
+    z = 1.959963984540054
+    n, x = F.col("n"), F.col("x")
+    p = x.cast("double") / n
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return m.select(
+        F.col("arm").cast("long").alias("arm"),
+        n.cast("long").alias("n_users"),
+        x.cast("long").alias("n_converted"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

@@ -2566,3 +2566,98 @@ def embed_dim_stats(spark: SparkSession, d: str) -> DataFrame:
         F.round(F.col("vmax"), 6).alias("max_val"),
         (var < DIM_DEAD_VAR).alias("is_dead"),
     )
+
+
+@register(
+    "embed_centroid_drift",
+    oracle="""
+    WITH flat AS (
+      SELECT label, vec_id % 2 AS half,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), cent AS (
+      SELECT label, half, dim,
+             CAST(CAST(SUM(CAST(val AS DECIMAL(27,12))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*) AS c
+      FROM flat GROUP BY label, half, dim
+    ), paired AS (
+      SELECT a.label, a.dim, a.c AS ca, b.c AS cb
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.dim = b.dim
+       AND a.half = 0 AND b.half = 1
+    ), dots AS (
+      SELECT label,
+             CAST(CAST(SUM(CAST(ca * cb AS DECIMAL(30,18))) AS VARCHAR)
+                  AS DOUBLE) AS dab,
+             CAST(CAST(SUM(CAST(ca * ca AS DECIMAL(30,18))) AS VARCHAR)
+                  AS DOUBLE) AS daa,
+             CAST(CAST(SUM(CAST(cb * cb AS DECIMAL(30,18))) AS VARCHAR)
+                  AS DOUBLE) AS dbb,
+             COUNT(*) AS n_dims
+      FROM paired GROUP BY label
+    )
+    SELECT label, CAST(n_dims AS BIGINT) AS n_dims,
+           ROUND(dab / (sqrt(daa) * sqrt(dbb)), 6) AS centroid_cosine,
+           dab / (sqrt(daa) * sqrt(dbb)) < 0.999 AS drifted
+    FROM dots
+    """,
+)
+def embed_centroid_drift(spark: SparkSession, d: str) -> DataFrame:
+    """EMBEDDING DRIFT monitor — per label, the cosine between the
+    centroids of two cohort halves (vec_id parity standing in for
+    yesterday-vs-today batches): a re-embedded corpus, a silently
+    updated encoder, or an upstream text change moves the centroids
+    apart long before retrieval metrics degrade. Centroid means come
+    from exact DECIMAL coordinate sums (the ``embed_centroid``
+    discipline); the 64-dim centroid dot products route through
+    DECIMAL(30,18) so the aggregate is order-independent — the same
+    exactness story, one level up the pipeline. The 0.999 alert
+    threshold is a plan literal.
+
+    Scale: one flat pass to (label, half, dim) cells — model-state
+    grain — and every later join is over that tiny table."""
+    flat = load(spark, d, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim0", "val"),
+    )
+    cent = flat.groupBy(
+        "label", "half", (F.col("dim0") + 1).alias("dim")
+    ).agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(27,12)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    a = cent.where(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.where(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("dim").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    paired = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("dim") == F.col("db"))
+    )
+    d30 = "decimal(30,18)"
+    dots = paired.groupBy("label").agg(
+        F.sum((F.col("ca") * F.col("cb")).cast(d30))
+        .cast("double")
+        .alias("dab"),
+        F.sum((F.col("ca") * F.col("ca")).cast(d30))
+        .cast("double")
+        .alias("daa"),
+        F.sum((F.col("cb") * F.col("cb")).cast(d30))
+        .cast("double")
+        .alias("dbb"),
+        F.count("*").alias("n_dims"),
+    )
+    cos = F.col("dab") / (F.sqrt(F.col("daa")) * F.sqrt(F.col("dbb")))
+    return dots.select(
+        "label",
+        F.col("n_dims").cast("long").alias("n_dims"),
+        F.round(cos, 6).alias("centroid_cosine"),
+        (cos < 0.999).alias("drifted"),
+    )
