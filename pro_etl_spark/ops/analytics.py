@@ -6289,3 +6289,160 @@ def ab_wilson_ci(spark: SparkSession, d: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@register(
+    "features_behavior_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ), t AS (
+      SELECT user_id, SUM(cnt) AS n, COUNT(*) AS n_types
+      FROM c GROUP BY user_id
+    )
+    SELECT c.user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MAX(n_types) AS BIGINT) AS n_types,
+           CAST(SUM(CAST(floor(cnt * log2(CAST(n AS DOUBLE) / cnt) / n
+                               * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS entropy_micros
+    FROM c JOIN t ON t.user_id = c.user_id
+    GROUP BY c.user_id
+    """,
+)
+def features_behavior_entropy(spark: SparkSession, d: str) -> DataFrame:
+    """BEHAVIORAL ENTROPY per user — Shannon entropy (micro-bit
+    fixed-point) of the user's event-type mix: near zero = monotone
+    automation (the ``events_bot_score`` 'monotone behavior' gate,
+    here as a continuous feature), high = diverse organic usage; a
+    standard churn/abuse model feature and the per-user twin of
+    ``corpus_lang_entropy``. Exactness recipe inherited from that op:
+    each -p*log2(p) term is floor-quantized to integer MICROS before
+    the sum, so the one transcendental (log2 — not bit-portable in
+    the last ulp across engines) is truncated below any divergence
+    and the aggregate is an exact integer.
+
+    Scale: two cascaded grouped passes keyed user_id — the same
+    single exchange the feature family shares."""
+    c = (
+        load(spark, d, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    t = c.groupBy(F.col("user_id").alias("tu")).agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("n_types")
+    )
+    term = F.floor(
+        F.col("cnt")
+        * F.log2(F.col("n").cast("double") / F.col("cnt"))
+        / F.col("n")
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        c.join(F.broadcast(t), F.col("user_id") == F.col("tu"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.max("n_types").cast("long").alias("n_types"),
+            F.sum(term).cast("long").alias("entropy_micros"),
+        )
+    )
+
+
+@register(
+    "agg_bayes_smoothed_rate",
+    oracle="""
+    WITH cp AS (
+      SELECT l_partkey, o_custkey,
+             COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_partkey, o_custkey
+    ), rates AS (
+      SELECT l_partkey,
+             COUNT(*) AS n,
+             CAST(COUNT(CASE WHEN n_orders >= 2 THEN 1 END) AS DOUBLE)
+               AS x
+      FROM cp GROUP BY l_partkey
+    ), rq AS (
+      SELECT l_partkey, n, x,
+             CAST(ROUND(x / n, 9) AS DECIMAL(18,9)) AS rd
+      FROM rates
+    ), mom AS (
+      SELECT CAST(CAST(SUM(rd) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m,
+             CAST(CAST(SUM(rd * rd) AS VARCHAR) AS DOUBLE) / COUNT(*)
+               - (CAST(CAST(SUM(rd) AS VARCHAR) AS DOUBLE) / COUNT(*))
+                 * (CAST(CAST(SUM(rd) AS VARCHAR) AS DOUBLE) / COUNT(*))
+               AS v
+      FROM rq
+    ), prior AS (
+      SELECT m,
+             greatest(m * (1 - m) / greatest(v, 1e-9) - 1, 1.0) AS k
+      FROM mom
+    )
+    SELECT l_partkey,
+           CAST(n AS BIGINT) AS n_customers,
+           ROUND(x / n, 6) AS raw_rate,
+           ROUND((x + k * m) / (n + k), 6) AS smoothed_rate
+    FROM rates CROSS JOIN prior
+    """,
+)
+def agg_bayes_smoothed_rate(spark: SparkSession, d: str) -> DataFrame:
+    """EMPIRICAL-BAYES smoothed rates — per-part reorder rate shrunk
+    toward the global prior with a method-of-moments Beta strength
+    (k = m(1-m)/v - 1): the fix for every leaderboard where a
+    2-customer part with rate 1.0 outranks a 500-customer staple at
+    0.62. Raw and smoothed ship together so the shrinkage is
+    auditable; thin-support rows move a lot, well-supported ones
+    barely. The moment fit quantizes each rate to DECIMAL(18,9)
+    BEFORE the global sums — raw double sums over |parts| rows would
+    be partition-order-dependent in the last ulp (the guard also
+    floors pathological v). The ranking-
+    stability counterpart of ``basket_reorder_rate``'s raw census.
+
+    Scale: the (part, customer) grain dominates exactly as in the
+    raw op; the prior is a 1-row broadcast back."""
+    cp = (
+        load(spark, d, "lineitem")
+        .join(
+            load(spark, d, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_partkey", "o_custkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+    rates = cp.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("n_orders") >= 2).cast("double").alias("x"),
+    )
+    r = F.col("x") / F.col("n")
+    rd = F.round(r, 9).cast("decimal(18,9)")
+    rq = rates.withColumn("rd", rd)
+    mom = rq.agg(
+        (F.sum("rd").cast("double") / F.count("*")).alias("m"),
+        (
+            F.sum(F.col("rd") * F.col("rd")).cast("double") / F.count("*")
+            - (F.sum("rd").cast("double") / F.count("*"))
+            * (F.sum("rd").cast("double") / F.count("*"))
+        ).alias("v"),
+    )
+    prior = mom.select(
+        "m",
+        F.greatest(
+            F.col("m") * (1 - F.col("m"))
+            / F.greatest(F.col("v"), F.lit(1e-9))
+            - 1,
+            F.lit(1.0),
+        ).alias("k"),
+    )
+    j = rates.crossJoin(F.broadcast(prior))
+    return j.select(
+        "l_partkey",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(r, 6).alias("raw_rate"),
+        F.round(
+            (F.col("x") + F.col("k") * F.col("m"))
+            / (F.col("n") + F.col("k")),
+            6,
+        ).alias("smoothed_rate"),
+    )
