@@ -6446,3 +6446,92 @@ def agg_bayes_smoothed_rate(spark: SparkSession, d: str) -> DataFrame:
             6,
         ).alias("smoothed_rate"),
     )
+
+
+@register(
+    "funnel_attribution_shapley",
+    oracle=f"""
+    WITH touches AS (
+      SELECT DISTINCT p.event_id AS p_id, t.event_type AS channel,
+             CAST(p.value AS DOUBLE) AS revenue
+      FROM events p
+      JOIN events t
+        ON t.user_id = p.user_id
+       AND t.event_type IN ('click', 'view')
+       AND t.ts < p.ts
+       AND t.ts >= p.ts - INTERVAL '{ATTR_WINDOW_MIN} minutes'
+      WHERE p.event_type = 'purchase'
+    ), sized AS (
+      SELECT p_id, channel, revenue,
+             COUNT(*) OVER (PARTITION BY p_id) AS n_channels
+      FROM touches
+    ), credited AS (
+      SELECT channel,
+             CAST(ROUND(revenue / n_channels, 9) AS DECIMAL(18,9))
+               AS credit
+      FROM sized
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_contributions,
+           CAST(CAST(SUM(credit) AS VARCHAR) AS DOUBLE)
+             AS shapley_revenue
+    FROM credited GROUP BY channel
+    """,
+)
+def funnel_attribution_shapley(spark: SparkSession, d: str) -> DataFrame:
+    """SHAPLEY-VALUE attribution — the game-theoretic credit rule
+    (average marginal contribution over all channel orderings), which
+    for a BINARY reach value function (the conversion happens iff at
+    least one present channel touched) collapses to the closed form:
+    equal split among the channels PRESENT in each conversion's
+    window. That closed form is stated honestly — the exponential
+    orderings sum is exact here, not sampled — and differs materially
+    from both ``funnel_attribution`` (last-touch: order decides) and
+    ``funnel_attribution_position`` (40/20/40: position decides):
+    Shapley is symmetric, so two channels that both reached get equal
+    credit regardless of order. Presence is per (conversion, channel)
+    DISTINCT — five clicks before one purchase count once. Credits
+    round to DECIMAL before the channel rollup, order-independent.
+
+    Scale: one per-user interval join (the attribution family's
+    shared shape), a per-conversion presence window, a |channels|-row
+    rollup."""
+    ev = load(spark, d, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("double").alias("revenue"),
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    present = (
+        purchases.join(
+            touches,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("t_ts") < F.col("p_ts"))
+            & (
+                F.col("t_ts")
+                >= F.col("p_ts")
+                - F.expr(f"INTERVAL {ATTR_WINDOW_MIN} MINUTES")
+            ),
+        )
+        .select("p_id", "channel", "revenue")
+        .distinct()
+    )
+    sized = present.withColumn(
+        "n_channels", F.count("*").over(Window.partitionBy("p_id"))
+    )
+    credited = sized.select(
+        "channel",
+        F.round(F.col("revenue") / F.col("n_channels"), 9)
+        .cast("decimal(18,9)")
+        .alias("credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_contributions"),
+        F.sum("credit").cast("double").alias("shapley_revenue"),
+    )
