@@ -5040,7 +5040,7 @@ def dq_hash_uniformity(spark: SparkSession, d: str) -> DataFrame:
         )
     )
     m = cdf.agg(d_stat.alias("d_stat"))
-    crit = KS_CRIT_5PCT / (n_total ** 0.5)
+    crit = KS_CRIT_5PCT / (max(n_total, 1) ** 0.5)
     return m.select(
         F.lit(n_total).cast("long").alias("n_keys"),
         F.round(F.col("d_stat"), 6).alias("ks_d"),
@@ -5647,7 +5647,8 @@ def events_macd(spark: SparkSession, d: str) -> DataFrame:
     )
     xs = F.transform(F.col("curve"), lambda s: s.x)
     macd_arr = F.transform(
-        F.sequence(F.lit(1), F.size("curve")),
+        F.when(F.size("curve") > 0, F.sequence(F.lit(1), F.size("curve")))
+        .otherwise(F.array().cast("array<int>")),
         lambda i: F.struct(
             F.element_at(F.col("curve"), i).d.alias("day"),
             (
@@ -5658,7 +5659,8 @@ def events_macd(spark: SparkSession, d: str) -> DataFrame:
     m2 = packed.select(macd_arr.alias("ms"))
     mvals = F.transform(F.col("ms"), lambda s: s.macd_line)
     out = F.transform(
-        F.sequence(F.lit(1), F.size("ms")),
+        F.when(F.size("ms") > 0, F.sequence(F.lit(1), F.size("ms")))
+        .otherwise(F.array().cast("array<int>")),
         lambda i: F.struct(
             F.element_at(F.col("ms"), i).day.alias("day"),
             F.round(F.element_at(F.col("ms"), i).macd_line, 6).alias(

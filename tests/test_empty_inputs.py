@@ -210,6 +210,86 @@ REPRESENTATIVES = [
     "events_top_movers",
     "corpus_template_prefix",
     "sql_scalar_subquery_select",
+    # round-7 session 2: every operator added this session
+    "ab_cuped",
+    "graph_assortativity",
+    "decontaminate_substring",
+    "sql_star_except",
+    "dedup_embedding_srp",
+    "events_stickiness",
+    "funnel_attribution_position",
+    "survival_nelson_aalen",
+    "skyline_pareto_front",
+    "events_rate_limit",
+    "dedup_ppjoin_prefix",
+    "merge_scd3",
+    "sample_neyman_alloc",
+    "events_path_trigrams",
+    "events_twap",
+    "fn_pad_split",
+    "text_dedup_intra_span",
+    "sql_named_window",
+    "fn_char_codes",
+    "events_bot_score",
+    "sink_csv_quoted",
+    "agg_percentile_cont",
+    "agg_bitmap_rollup",
+    "window_ignore_nulls",
+    "interval_allen_census",
+    "dq_freshness",
+    "sink_text_roundtrip",
+    "fn_make_datetime",
+    "join_range_binned",
+    "agg_herfindahl",
+    "arr_ops_family",
+    "text_fragment_stitch",
+    "scan_nested_pruning",
+    "ab_power_mde",
+    "mm_header_parse",
+    "features_user_velocity",
+    "agg_trimmed_mean",
+    "corpus_contamination_report",
+    "dedup_cluster_size_histogram",
+    "embed_dim_stats",
+    "udf_cogrouped_map",
+    "split_leakage_safe",
+    "text_kwic",
+    "corpus_ccnet_buckets",
+    "features_future_label",
+    "dq_primary_key",
+    "interval_gaps",
+    "shard_consistent_hash",
+    "agg_corr_matrix",
+    "features_target_encoding",
+    "dq_hash_uniformity",
+    "features_decay_score",
+    "events_theil_sen",
+    "fiscal_445_rollup",
+    "dedup_cascade_census",
+    "events_control_chart",
+    "ab_effect_size",
+    "sample_neyman_apply",
+    "ab_ratio_delta_ci",
+    "fn_uuid5",
+    "corpus_quality_dup_crosstab",
+    "events_macd",
+    "basket_reorder_rate",
+    "orders_ship_latency",
+    "events_interrupted_ts",
+    "sink_parquet_zstd",
+    "sql_parameterized",
+    "set_union_by_name",
+    "events_cooks_distance",
+    "events_mann_kendall",
+    "text_blocklist_gate",
+    "corpus_vocab_overlap",
+    "orders_price_volume_mix",
+    "corpus_drift_top_tokens",
+    "embed_centroid_drift",
+    "ab_wilson_ci",
+    "features_behavior_entropy",
+    "agg_bayes_smoothed_rate",
+    "funnel_attribution_shapley",
 ]
 
 
