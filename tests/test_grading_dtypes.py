@@ -129,32 +129,23 @@ def test_running_totals_oracle_stays_integer(duck):
 
 
 def test_grading_window_order_is_pinned():
-    """The driver grades the FIRST 50 keys of queries() registration
-    order. Round 6 leads with the 9 fixed grading-dtype-bomb keys
-    (slot 1 = sessionize, the r5 red row, kept in-window so the
-    official record shows the retraction) + the 4 never-sampled core
-    §2 keys, then burns the never-sampled backlog — pin the ordering
-    so a registry refactor cannot silently rotate them back out."""
-    from pro_etl_spark import _R06_WINDOW, _R07_QUEUE
+    """The driver grades the FIRST 50 keys of queries(). The rotation
+    is self-advancing (pro_etl_spark._rotated): every key already
+    present in any CORRECTNESS_r*.json record drops BEHIND the
+    never-sampled backlog, so each round's official sample burns 50
+    fresh keys — pin that invariant, plus the hand-reviewed round-7
+    queue keeping priority among the fresh keys."""
+    from pro_etl_spark import _R07_QUEUE, _officially_sampled
 
     keys = list(pro_etl_spark.get_queries())
-    assert keys[: len(_R06_WINDOW)] == _R06_WINDOW
-    assert keys[0] == "sessionize"
-    assert len(_R06_WINDOW) == 50
-    for k in (
-        "ann_hybrid_rrf",
-        "fn_try_cast",
-        "funnel_attribution",
-        "join_null_safe",
-        "mm_scene_cuts",
-        "stream_stream_left_outer",
-        "window_cumulative_distinct",
-        "window_first_last",
-        "join_asof_tolerance",
-        "join_fuzzy",
-        "fn_datetime_parts",
-        "fn_levenshtein",
-    ):
-        assert k in _R06_WINDOW[:13]
-    # the round-7 window head queues immediately after
-    assert keys[len(_R06_WINDOW) : len(_R06_WINDOW) + len(_R07_QUEUE)] == _R07_QUEUE
+    seen = _officially_sampled()
+    if seen:  # repo has official records: first 50 must all be fresh
+        assert not [k for k in keys[:50] if k in seen], (
+            "already-graded keys leaked into the official window"
+        )
+        # the reviewed r7 queue heads the backlog, in order
+        fresh_queue = [k for k in _R07_QUEUE if k not in seen]
+        assert keys[: len(fresh_queue)] == fresh_queue
+    # every queue key must still exist (loud-failure rename guard)
+    missing = [k for k in _R07_QUEUE if k not in keys]
+    assert not missing
