@@ -6537,3 +6537,138 @@ def funnel_attribution_shapley(spark: SparkSession, d: str) -> DataFrame:
         F.count("*").cast("long").alias("n_contributions"),
         F.sum("credit").cast("double").alias("shapley_revenue"),
     )
+
+
+@register(
+    "growth_accounting",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  // 7 AS BIGINT) AS w
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(w) AS first_w FROM wk GROUP BY user_id
+    ), lab AS (
+      SELECT wk.user_id, wk.w, first_w,
+             lag(wk.w) OVER (PARTITION BY wk.user_id ORDER BY wk.w)
+               AS prev_w
+      FROM wk JOIN firsts ON firsts.user_id = wk.user_id
+    ), states AS (
+      SELECT w,
+             COUNT(CASE WHEN w = first_w THEN 1 END) AS new_users,
+             COUNT(CASE WHEN prev_w = w - 1 THEN 1 END) AS retained,
+             COUNT(CASE WHEN w > first_w
+                         AND (prev_w IS NULL OR prev_w < w - 1)
+                   THEN 1 END) AS resurrected
+      FROM lab GROUP BY w
+    ), churn AS (
+      SELECT a.w + 1 AS w, COUNT(*) AS churned
+      FROM lab a
+      WHERE NOT EXISTS (SELECT 1 FROM wk b
+                        WHERE b.user_id = a.user_id AND b.w = a.w + 1)
+        AND a.w + 1 <= (SELECT MAX(w) FROM wk)
+      GROUP BY a.w + 1
+    )
+    SELECT s.w AS week,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(retained AS BIGINT) AS retained,
+           CAST(resurrected AS BIGINT) AS resurrected,
+           CAST(COALESCE(churned, 0) AS BIGINT) AS churned,
+           CASE WHEN COALESCE(churned, 0) > 0
+                THEN ROUND(CAST(new_users + resurrected AS DOUBLE)
+                           / churned, 6) END AS quick_ratio
+    FROM states s LEFT JOIN churn c ON c.w = s.w
+    """,
+)
+def growth_accounting(spark: SparkSession, d: str) -> DataFrame:
+    """GROWTH ACCOUNTING — the weekly active-user ledger every growth
+    team runs (the Social Capital framework): actives decompose
+    EXACTLY into new (first-ever week), retained (active last week
+    too), and resurrected (returning after a gap); churned counts
+    last week's actives who didn't return; quick ratio =
+    (new + resurrected) / churned tells whether growth is refilling
+    faster than the bucket leaks (>1 grows). Each user contributes to
+    exactly one inflow state per active week by construction — the
+    ledger identity ``retention_cohorts`` (fixed cohort view) and
+    ``events_stickiness`` (intensity) don't give you. Pure integer
+    set logic: per-user week lags, a first-week join, an anti-join
+    for churn, one rational at the end.
+
+    Scale: the deduped (user, week) grain bounds everything; lag and
+    both aggregates ride user- then week-keyed shuffles."""
+    wk = (
+        load(spark, d, "events")
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(
+                    F.col("ts").cast("date"),
+                    F.lit("2024-01-01").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .distinct()
+    )
+    firsts = wk.groupBy(F.col("user_id").alias("fu")).agg(
+        F.min("w").alias("first_w")
+    )
+    lw = Window.partitionBy("user_id").orderBy("w")
+    lab = wk.join(firsts, F.col("user_id") == F.col("fu")).select(
+        "user_id", "w", "first_w", F.lag("w").over(lw).alias("prev_w")
+    )
+    states = lab.groupBy("w").agg(
+        F.count(F.when(F.col("w") == F.col("first_w"), 1)).alias(
+            "new_users"
+        ),
+        F.count(F.when(F.col("prev_w") == F.col("w") - 1, 1)).alias(
+            "retained"
+        ),
+        F.count(
+            F.when(
+                (F.col("w") > F.col("first_w"))
+                & (
+                    F.col("prev_w").isNull()
+                    | (F.col("prev_w") < F.col("w") - 1)
+                ),
+                1,
+            )
+        ).alias("resurrected"),
+    )
+    max_w = wk.agg(F.max("w").alias("mw"))
+    nxt = wk.select(F.col("user_id").alias("nu"), F.col("w").alias("nw"))
+    churn = (
+        lab.join(
+            nxt,
+            (F.col("user_id") == F.col("nu"))
+            & (F.col("nw") == F.col("w") + 1),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_w))
+        .where(F.col("w") + 1 <= F.col("mw"))
+        .groupBy((F.col("w") + 1).alias("cw"))
+        .agg(F.count("*").alias("churned"))
+    )
+    j = states.join(churn, F.col("w") == F.col("cw"), "left").select(
+        F.col("w").alias("week"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.col("retained").cast("long").alias("retained"),
+        F.col("resurrected").cast("long").alias("resurrected"),
+        F.coalesce(F.col("churned"), F.lit(0))
+        .cast("long")
+        .alias("churned"),
+    )
+    return j.withColumn(
+        "quick_ratio",
+        F.when(
+            F.col("churned") > 0,
+            F.round(
+                (F.col("new_users") + F.col("resurrected")).cast("double")
+                / F.col("churned"),
+                6,
+            ),
+        ),
+    )
