@@ -154,6 +154,15 @@ def main() -> None:
     from pro_etl_spark.session import get_spark
     import pro_etl_spark
 
+    # subset override for apples-to-apples round comparisons: a
+    # comma-separated key list (e.g. the round-6 headline set) runs
+    # alone, in the given order, with the same warm-up/session shape —
+    # isolating plan regressions from suite-growth noise
+    global HEADLINE
+    subset = os.environ.get("SPARK_GRAFT_HEADLINE")
+    if subset:
+        HEADLINE = [k.strip() for k in subset.split(",") if k.strip()]
+
     spark = get_spark("pro_etl_spark-bench")
     queries = pro_etl_spark.get_queries()
 

@@ -211,36 +211,85 @@ def load_all() -> None:
     )
 
 
-def _officially_sampled() -> set:
-    """Keys the driver has ALREADY graded in any official round —
-    the union of CORRECTNESS_r*.json keys in the repo root. Used to
-    rotate never-sampled keys to the front so each round's 50-key
-    official sample burns the backlog instead of re-grading greens.
-    Missing/unreadable record files degrade to 'nothing sampled'
-    (registration order), never to an error."""
+def _official_records(root=None) -> dict:
+    """Latest official grade per key: CORRECTNESS_r*.json files in the
+    repo root, read in round order, later rounds overwriting earlier
+    ones so each key maps to its MOST RECENT record row. Missing or
+    unreadable record files degrade to 'nothing sampled' (registration
+    order), never to an error."""
     import glob
     import json
     import os
+    import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict = {}
+
+    def _round_no(p):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+                       key=_round_no):
         try:
             rec = json.load(open(path))
             if isinstance(rec, dict):
-                seen.update(rec.keys())
+                for k, v in rec.items():
+                    if isinstance(v, dict):
+                        latest[k] = v
         except Exception:
             pass
-    return seen
+    return latest
 
 
-def _rotated(mapping):
-    """Reorder a registry dict: never-officially-sampled keys first
-    (prior manual windows preserved as a stable prefix among them,
-    so the round-7 queue keeps its reviewed order), then the
-    already-graded keys in registration order. Self-advancing: when
-    the driver writes a round's CORRECTNESS file, the next round's
-    front-50 automatically becomes the next backlog slice.
+def _record_is_green(rec: dict) -> bool:
+    """A record row counts as green only when it is FULLY green: no
+    error, rows/schema matched, and (when a value oracle exists, i.e.
+    hash_match is present and non-null) the value hash matched too.
+    Rows-only keys come back from the driver as err='no_oracle' with a
+    populated spark_rows — that IS the weaker rows-only check passing,
+    so it counts green; any other err string is a real failure."""
+    err = rec.get("err")
+    if err == "no_oracle":
+        return rec.get("spark_rows") is not None
+    if err is not None:
+        return False
+    for field in ("rows_match", "schema_match"):
+        if rec.get(field) is False:
+            return False
+    if rec.get("hash_match") is False:
+        return False
+    return True
+
+
+def _officially_sampled(records=None) -> set:
+    """Keys the driver has graded AND whose latest record is fully
+    green. A FAILED key is deliberately NOT counted as sampled — it
+    re-fronts the rotation so a fix gets an official re-grade the very
+    next round instead of waiting behind the never-sampled backlog."""
+    if records is None:
+        records = _official_records()
+    return {k for k, v in records.items() if _record_is_green(v)}
+
+
+def _officially_failed(records=None) -> list:
+    """Keys whose MOST RECENT official record is not fully green, in
+    stable (file) order. These go first in the rotation."""
+    if records is None:
+        records = _official_records()
+    return [k for k, v in records.items() if not _record_is_green(v)]
+
+
+def _rotated(mapping, records=None):
+    """Reorder a registry dict: officially-FAILED keys first (their
+    latest driver record is red, so a fix is re-graded the very next
+    round), then never-officially-sampled keys (prior manual windows
+    preserved as a stable prefix among them, so the round-7 queue
+    keeps its reviewed order), then the already-green keys in
+    registration order. Self-advancing: when the driver writes a
+    round's CORRECTNESS file, the next round's front-50 automatically
+    becomes failed keys + the next backlog slice.
 
     Raises if a queue key is missing from QUERIES — a renamed or
     dropped operator must fail loudly here, not silently shrink the
@@ -250,11 +299,15 @@ def _rotated(mapping):
     missing = [k for k in front if k not in QUERIES]
     if missing:
         raise KeyError(f"grading-window keys not registered: {missing}")
-    seen = _officially_sampled()
+    if records is None:
+        records = _official_records()
+    seen = _officially_sampled(records)
+    failed = [k for k in _officially_failed(records) if k in mapping]
     ordered = {k: None for k in front}
     ordered.update((k, None) for k in mapping)
     fresh = [k for k in ordered if k not in seen and k in mapping]
-    out = {k: mapping[k] for k in fresh}
+    out = {k: mapping[k] for k in failed}
+    out.update((k, mapping[k]) for k in fresh if k not in out)
     out.update((k, v) for k, v in mapping.items() if k not in out)
     return out
 

@@ -4746,7 +4746,8 @@ def ab_power_mde(spark: SparkSession, d: str) -> DataFrame:
                 AS BIGINT) AS n_1d,
            CAST(COUNT(*) FILTER (WHERE ts > mx - INTERVAL 7 DAY)
                 AS BIGINT) AS n_7d,
-           CAST(COUNT(*) AS BIGINT) AS n_30d,
+           CAST(COUNT(*) FILTER (WHERE ts > mx - INTERVAL 30 DAY)
+                AS BIGINT) AS n_30d,
            ROUND(CAST(COUNT(*) FILTER (WHERE ts > mx - INTERVAL 1 DAY)
                       AS DOUBLE)
                  / greatest(COUNT(*) FILTER
@@ -4776,10 +4777,14 @@ def features_user_velocity(spark: SparkSession, d: str) -> DataFrame:
     j = ev.crossJoin(F.broadcast(hw))
     in_1d = F.col("ts") > F.col("mx") - F.expr("INTERVAL 1 DAY")
     in_7d = F.col("ts") > F.col("mx") - F.expr("INTERVAL 7 DAY")
+    # the 30-day window is a REAL filter (not COUNT(*)): the test
+    # corpus spans under 30 days so they coincide there, but on longer
+    # data an unconditional count would silently become all-time
+    in_30d = F.col("ts") > F.col("mx") - F.expr("INTERVAL 30 DAY")
     return j.groupBy("user_id").agg(
         F.count_if(in_1d).cast("long").alias("n_1d"),
         F.count_if(in_7d).cast("long").alias("n_7d"),
-        F.count("*").cast("long").alias("n_30d"),
+        F.count_if(in_30d).cast("long").alias("n_30d"),
         F.round(
             F.count_if(in_1d).cast("double")
             / F.greatest(F.count_if(in_7d), F.lit(1)),
@@ -4998,9 +5003,10 @@ KS_CRIT_5PCT = 1.3581015157406195
     )
     SELECT CAST(n AS BIGINT) AS n_keys,
            ROUND(d_stat, 6) AS ks_d,
-           ROUND({KS_CRIT_5PCT} / sqrt(CAST(n AS DOUBLE)), 6)
+           ROUND({KS_CRIT_5PCT} / sqrt(CAST(GREATEST(n, 1) AS DOUBLE)), 6)
              AS ks_crit_5pct,
-           d_stat < {KS_CRIT_5PCT} / sqrt(CAST(n AS DOUBLE)) AS is_uniform
+           d_stat < {KS_CRIT_5PCT} / sqrt(CAST(GREATEST(n, 1) AS DOUBLE))
+             AS is_uniform
     FROM m
     """,
 )
@@ -5017,14 +5023,18 @@ def dq_hash_uniformity(spark: SparkSession, d: str) -> DataFrame:
 
     Scale: one narrow hash pass, a {HASH_AUDIT_BUCKETS}-row bucket
     census, and a running sum over that census (model-state
-    single-partition, pareto_abc's posture)."""
+    single-partition, pareto_abc's posture). Fully lazy: the total is
+    a 1-row aggregate broadcast back onto the census (the
+    dq_freshness / features_decay_score pattern), not a driver-side
+    count() at plan-construction time — nothing runs until the
+    returned DataFrame is evaluated, and documents is scanned once."""
     docs = load(spark, d, "documents")
     b = (
         hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
         % HASH_AUDIT_BUCKETS
     ).alias("b")
     h = docs.select(b)
-    n_total = h.count()
+    tot = h.agg(F.count("*").alias("n"))
     wcum = Window.orderBy("b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -5033,18 +5043,26 @@ def dq_hash_uniformity(spark: SparkSession, d: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .withColumn("cum", F.sum("c").over(wcum))
     )
-    d_stat = F.max(
-        F.abs(
-            F.col("cum").cast("double") / n_total
-            - (F.col("b") + 1).cast("double") / HASH_AUDIT_BUCKETS
-        )
+    m = cdf.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("cum").cast("double") / F.col("n")
+                - (F.col("b") + 1).cast("double") / HASH_AUDIT_BUCKETS
+            )
+        ).alias("d_stat"),
+        # coalesce: empty census -> n=0 (matching the oracle's scalar
+        # subquery), not NULL from MAX over zero rows
+        F.coalesce(F.max("n"), F.lit(0)).alias("n"),
     )
-    m = cdf.agg(d_stat.alias("d_stat"))
-    crit = KS_CRIT_5PCT / (max(n_total, 1) ** 0.5)
+    # GREATEST(n, 1): empty census must not divide by zero (ANSI
+    # double division throws in Spark 4); mirrored in the oracle
+    crit = F.lit(KS_CRIT_5PCT) / F.sqrt(
+        F.greatest(F.col("n"), F.lit(1)).cast("double")
+    )
     return m.select(
-        F.lit(n_total).cast("long").alias("n_keys"),
+        F.col("n").cast("long").alias("n_keys"),
         F.round(F.col("d_stat"), 6).alias("ks_d"),
-        F.round(F.lit(crit), 6).alias("ks_crit_5pct"),
+        F.round(crit, 6).alias("ks_crit_5pct"),
         (F.col("d_stat") < crit).alias("is_uniform"),
     )
 

@@ -2413,9 +2413,15 @@ def _ring_sql(nodes: list) -> str:
       FROM keys CROSS JOIN {_ring_sql(CH_NODES)}
       GROUP BY k, kpos
     ), own3 AS (
-      SELECT k, node AS owner3
+      -- MIN(node) GROUP BY k: if two vnodes ever hash to the same
+      -- ring position the join would emit one row per colliding
+      -- vnode; the Spark side deterministically takes the (pos, node)
+      -- struct minimum, i.e. the lexicographically smallest node at
+      -- the owning position — mirror that tie-break here
+      SELECT k, MIN(node) AS owner3
       FROM a3 JOIN {_ring_sql(CH_NODES)}
         ON pos = owner_pos
+      GROUP BY k
     ), a4 AS (
       SELECT k, kpos,
              COALESCE(
@@ -2424,9 +2430,10 @@ def _ring_sql(nodes: list) -> str:
       FROM keys CROSS JOIN {_ring_sql(CH_NODES + [CH_NEW_NODE])}
       GROUP BY k, kpos
     ), own4 AS (
-      SELECT k, node AS owner4
+      SELECT k, MIN(node) AS owner4
       FROM a4 JOIN {_ring_sql(CH_NODES + [CH_NEW_NODE])}
         ON pos = owner_pos
+      GROUP BY k
     )
     SELECT owner4 AS node,
            CAST(COUNT(*) AS BIGINT) AS n_keys,

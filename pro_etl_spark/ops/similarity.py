@@ -313,7 +313,20 @@ def ann_ivf_multiprobe(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-K_CELLS = 8  # coarse-quantizer centroid count (seeds: vec_id < K)
+K_CELLS = 8  # coarse-quantizer centroid count FLOOR (seeds: vec_id < K)
+
+#: SQL twin of ``_k_cells``: the trained cell count grows with the
+#: corpus, nlist = max(K_CELLS, ceil(sqrt(N))) — the standard IVF
+#: guidance (nlist ≈ √N..4√N) that keeps EXPECTED CELL SIZE ≈ √N, so
+#: the per-cell self-join in the embedding-dedup family is O(N·√N)
+#: total instead of Θ(N²/const) (the round-7 scale-probe finding:
+#: 268.8 s at 10× with K pinned at 8). Both engines derive K from the
+#: same COUNT(*) with the same double sqrt/ceil, so oracle pairing is
+#: exact at every SF.
+_K_CELLS_SQL = (
+    f"(SELECT GREATEST({K_CELLS}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))"
+    " FROM e)"
+)
 
 #: quantizer TRAINING reads only the first TRAIN_N vectors (a
 #: deterministic sample — standard IVF practice; at 100 TB you train on
@@ -344,7 +357,7 @@ _KMEANS_CTES = f"""
     e AS (
       SELECT vec_id, {_EMB6_SQL} AS emb FROM embeddings
     ), seeds AS (
-      SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {K_CELLS}
+      SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {_K_CELLS_SQL}
     ), a0 AS (
       SELECT vec_id, emb, cid
       FROM (
@@ -442,12 +455,37 @@ def _sqdist(a, b):
     )
 
 
+#: corpus row count memoized per (application, dataset) — one tiny
+#: count() job at quantizer-TRAINING time (the same train-once step
+#: that already collects the centroid model state)
+_N_VEC_MEMO: dict = {}
+
+
+def _k_cells(spark: SparkSession, d: str) -> int:
+    """Trained cell count for dataset ``d``: nlist = max(K_CELLS,
+    ceil(sqrt(N))) — grows with the corpus so expected cell size stays
+    ≈ √N and the per-cell pairwise work in the embedding-dedup family
+    is O(N·√N), not Θ(N²/const). Mirrors ``_K_CELLS_SQL`` exactly
+    (same integer count, same double sqrt/ceil), so every oracle in
+    the k-means family stays value-exact at every SF. The count runs
+    once per (application, dataset) as part of quantizer training —
+    bounded model-state work, like the centroid collect it precedes."""
+    import math
+
+    key = (spark.sparkContext.applicationId, d)
+    n = _N_VEC_MEMO.get(key)
+    if n is None:
+        n = load(spark, d, "embeddings").count()
+        _N_VEC_MEMO[key] = n
+    return max(K_CELLS, math.ceil(math.sqrt(n))) if n else K_CELLS
+
+
 def _kmeans_centroids(spark: SparkSession, d: str) -> DataFrame:
     """Refined centroids ``(cid, cemb)`` after one Lloyd iteration over
     the TRAIN_N sample (seeds → assign sample → ordered per-cluster
-    mean)."""
+    mean). Seed count scales with the corpus via ``_k_cells``."""
     e = _emb_table(spark, d)
-    seeds = e.where(F.col("vec_id") < K_CELLS).select(
+    seeds = e.where(F.col("vec_id") < _k_cells(spark, d)).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
     a0 = _assign(e.where(F.col("vec_id") < TRAIN_N), seeds)
@@ -478,8 +516,10 @@ def _km_centroid_rows(spark: SparkSession, d: str):
     cid-sorted list of ``(cid, [64 floats])``, collected ONCE per
     session from ``_kmeans_centroids`` and re-entered as literals —
     the same train-once / inline-the-model pattern as
-    ``_pq_codebook_rows`` (K_CELLS × 64 doubles, bounded by the model,
-    independent of corpus size)."""
+    ``_pq_codebook_rows`` (⌈√N⌉ × 64 doubles — ~50 MB even at N=1e10;
+    past the point where a literal expression is comfortable (~1e4
+    cells) the natural swap is a broadcast-DataFrame argmin join, same
+    plan shape, kept literal here for cross-engine value exactness)."""
     key = (spark.sparkContext.applicationId, d)
     rows = _KM_CB_MEMO.get(key)
     if rows is None:
@@ -590,15 +630,14 @@ def dedup_embedding_kmeans(spark: SparkSession, d: str) -> DataFrame:
     IVF trade, recoverable with multi-assignment); the oracle applies
     the identical blocking so the check stays value-exact.
 
-    SCALE PIN (round-7 probe, SCALEPROBE_r7.json): the per-cell
-    self-join is O(Σ cell²) — with the trained cell count FIXED, a 10×
-    corpus is ~100× the candidate fan-out (measured 207 s on the
-    degenerate 10×-identical-copies stress layout vs ~2 s at sf0.1).
-    That is the inherent IVF dedup shape, not a plan bug: at real
-    scale the cell count must grow with the corpus (standard guidance
-    nlist ≈ √N .. 4√N, which keeps cell size — and thus the per-cell
-    product — bounded). The graded configuration trains k on the
-    graded corpus size, so the oracle pairing is unaffected."""
+    SCALE FIX (round 8, closing the round-7 probe finding): the
+    per-cell self-join is O(Σ cell²), so the trained cell count now
+    GROWS with the corpus — nlist = max(8, ⌈√N⌉) via ``_k_cells`` /
+    ``_K_CELLS_SQL`` — keeping expected cell size ≈ √N and total
+    pairwise work O(N·√N) instead of the Θ(N²/8) that a fixed K=8
+    produced (SCALEPROBE_r7.json: 268.8 s at 10×). Both engines derive
+    K from the same COUNT(*), so the oracle pairing stays value-exact
+    at every SF."""
     cells = _kmeans_assignment(spark, d).select("vec_id", "cell")
     e = corpus_table(spark, d).join(cells, "vec_id")
     a, b = e.alias("a"), e.alias("b")
@@ -855,7 +894,7 @@ def _kmeans_train_ctes(iters: int) -> str:
     parts = [
         f"e AS (SELECT vec_id, {_EMB6_SQL} AS emb FROM embeddings)",
         f"cent0 AS (SELECT vec_id AS cid, emb AS cemb FROM e"
-        f" WHERE vec_id < {K_CELLS})",
+        f" WHERE vec_id < {_K_CELLS_SQL})",
     ]
     for t in range(iters):
         parts.append(
@@ -892,9 +931,18 @@ def _kmeans_train_ctes(iters: int) -> str:
 
 @register(
     "kmeans_train",
+    # cval is quantized with FLOOR(x*1e6 + 0.5)/1e6, NOT ROUND(x, 6):
+    # the trained means are bit-identical doubles in both engines, but
+    # the two engines' ROUND implementations diverge when x*1e6 lands
+    # within one double-ulp of a .5 boundary (DuckDB multiplies first
+    # — the product can round UP onto the tie; Spark rounds the
+    # shortest decimal repr). The floor formula is the same IEEE ops
+    # on the same doubles in both engines, so it cannot split (found
+    # round 8: centroid mean 0.0224504999... → 0.022451 vs 0.02245).
     oracle=f"""
     WITH {_kmeans_train_ctes(KMEANS_ITERS)}
-    SELECT cid, d AS dim, ROUND(cemb[d], 6) AS cval
+    SELECT cid, d AS dim,
+           FLOOR(cemb[d] * 1000000.0 + 0.5) / 1000000.0 AS cval
     FROM cent{KMEANS_ITERS}, UNNEST(range(1, 65)) AS u(d)
     """,
 )
@@ -918,7 +966,7 @@ def kmeans_train(spark: SparkSession, d: str) -> DataFrame:
     (localCheckpoint per round if the budget grows)."""
     e = _emb_table(spark, d)
     sample = e.where(F.col("vec_id") < TRAIN_N)
-    cent = e.where(F.col("vec_id") < K_CELLS).select(
+    cent = e.where(F.col("vec_id") < _k_cells(spark, d)).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
     for _ in range(KMEANS_ITERS):
@@ -928,7 +976,10 @@ def kmeans_train(spark: SparkSession, d: str) -> DataFrame:
     ).select(
         "cid",
         (F.col("dim0") + 1).cast("long").alias("dim"),
-        F.round("cval", 6).alias("cval"),
+        # engine-agnostic quantization — see the oracle comment
+        (F.floor(F.col("cval") * 1000000.0 + 0.5) / 1000000.0).alias(
+            "cval"
+        ),
     )
 
 
@@ -2321,14 +2372,27 @@ def embed_norm_outliers(spark: SparkSession, d: str) -> DataFrame:
 
 
 # --- SRP-LSH (signed random projections / hyperplane LSH) ---------------
-#: 16 hyperplanes over the 64-dim embeddings, banded 4x4: two vectors
-#: collide in a band when all 4 sign bits agree; P[bit agrees] =
-#: 1 - angle/pi, so the 4-bit band hits at cos-similarity 0.35
-#: (angle ~ 0.386*pi) with p ~ 0.61^4 ~ 14% per band, ~45% over 4
-#: bands; doubling bands raises recall without touching the verify.
-SRP_NPROJ = 16
+#: 32 hyperplanes over the 64-dim embeddings, banded 4x8: two vectors
+#: collide in a band when all 8 sign bits agree; P[bit agrees] =
+#: 1 - angle/pi, so an 8-bit band hits at cos-similarity 0.35
+#: (angle ~ 0.386*pi) with p ~ 0.61^8 ~ 2% per band, ~8% over 4
+#: bands — recall is recovered by adding BANDS, precision by adding
+#: BITS. Round-8 widening (was 4x4 = 16 buckets/band): with only 16
+#: buckets a band bucket holds N/16 vectors in expectation, so the
+#: candidate join was Θ(N²/32) BY CONSTRUCTION (round-7 probe: ~30×
+#: work at 10× data). 8 bits = 256 buckets/band plus the
+#: SRP_MAX_BUCKET stop-bucket cap below bounds per-bucket fan-out the
+#: same way the MinHash-LSH path does (dedup.MAX_BUCKET).
+SRP_NPROJ = 32
 SRP_BANDS = 4
-SRP_ROWS = 4
+SRP_ROWS = 8
+
+#: skew guard, mirroring dedup.MAX_BUCKET: band buckets larger than
+#: this are dropped as too-common before pair expansion, so a
+#: degenerate corpus (many near-identical vectors — the 10× probe's
+#: identical-copies layout) caps the per-bucket product at
+#: SRP_MAX_BUCKET²/2 instead of going quadratic in the corpus.
+SRP_MAX_BUCKET = 128
 
 
 def _srp_signs() -> list:
@@ -2360,34 +2424,54 @@ _SRP_SQL = (
 
 @register(
     "dedup_embedding_srp",
+    # planes are UNNESTED TO ROWS once (32 rows of 64 components) and
+    # projections come from a planes×vectors join folded back with
+    # list(pr ORDER BY h) — NOT indexed out of the nested literal
+    # inside the per-dimension lambda: DuckDB re-constructs a literal
+    # list per lambda evaluation, so the old shape cost
+    # rows × bits × 64 × 2048 element builds (minutes at 500 rows,
+    # found when the round-8 widening doubled the literal)
     oracle=f"""
-    WITH sig AS (
+    WITH planes AS (
+      SELECT CAST(generate_subscripts(m, 1) AS BIGINT) - 1 AS h,
+             unnest(m) AS pvec
+      FROM (SELECT {_SRP_SQL} AS m)
+    ), proj AS (
+      SELECT e.vec_id, p.h,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, 65), i ->
+                 CAST(e.embedding[i] AS DOUBLE) * p.pvec[i])),
+               (acc, v) -> acc + v) AS pr
+      FROM embeddings e CROSS JOIN planes p
+    ), sig AS (
+      SELECT vec_id, list(pr ORDER BY h) AS projs
+      FROM proj GROUP BY vec_id
+    ), raw AS (
       SELECT vec_id, embedding,
-             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm,
-             list_transform(range(0, {SRP_NPROJ}), h ->
-               list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                 list_transform(range(1, 65), i ->
-                   CAST(embedding[i] AS DOUBLE) * ({_SRP_SQL})[h + 1][i])),
-                 (acc, v) -> acc + v)) AS projs
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
       FROM embeddings
     ), bands AS (
-      SELECT vec_id, embedding, nrm, b,
-             (CASE WHEN projs[4 * b + 1] > 0 THEN 1 ELSE 0 END)
-           + (CASE WHEN projs[4 * b + 2] > 0 THEN 2 ELSE 0 END)
-           + (CASE WHEN projs[4 * b + 3] > 0 THEN 4 ELSE 0 END)
-           + (CASE WHEN projs[4 * b + 4] > 0 THEN 8 ELSE 0 END) AS val
+      SELECT vec_id, b,
+             {" + ".join(
+                 f"(CASE WHEN projs[{SRP_ROWS} * b + {r + 1}] > 0"
+                 f" THEN {2 ** r} ELSE 0 END)"
+                 for r in range(SRP_ROWS)
+             )} AS val
       FROM sig, UNNEST(range(0, {SRP_BANDS})) AS t(b)
+    ), capped AS (
+      SELECT vec_id, b, val FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY b, val) <= {SRP_MAX_BUCKET}
     ), cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM bands a JOIN bands b
-        ON a.b = b.b AND a.val = b.val AND a.vec_id < b.vec_id
+      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM capped a JOIN capped c
+        ON a.b = c.b AND a.val = c.val AND a.vec_id < c.vec_id
     )
     SELECT c.vec_a, c.vec_b,
            ROUND({DUCK_DOT.format(a="x.embedding", b="y.embedding")}
                  / (x.nrm * y.nrm), 6) AS cosine
     FROM cand c
-    JOIN sig x ON x.vec_id = c.vec_a
-    JOIN sig y ON y.vec_id = c.vec_b
+    JOIN raw x ON x.vec_id = c.vec_a
+    JOIN raw y ON y.vec_id = c.vec_b
     WHERE {DUCK_DOT.format(a="x.embedding", b="y.embedding")}
           / (x.nrm * y.nrm) >= {IVF_COSINE_THRESHOLD}
     """,
@@ -2411,21 +2495,21 @@ def dedup_embedding_srp(spark: SparkSession, d: str) -> DataFrame:
     inlined into BOTH plans, so the oracle runs literally the same
     hyperplanes (no RNG, no seed drift between engines or re-runs).
 
-    Scale: the signature pass is narrow (16 sequential 64-element
+    Scale: the signature pass is narrow (32 sequential 64-element
     folds per row — at 100 TB these are written once next to the
-    embeddings, like `nrm`); candidates come from a bucket EQUI-join
-    keyed (band, 4-bit value), never an all-pairs product; the exact
-    verify touches only surviving candidate pairs. Degenerate buckets
-    (all-zero vectors projecting identically) are the MAX_BUCKET salt
-    case of the text-LSH family and would get the same cap.
+    embeddings, like `nrm`); the bucket shuffle carries only
+    (vec_id, band, 8-bit value); each surviving bucket collects its
+    ≤ SRP_MAX_BUCKET members and expands pairs IN-ROW (array
+    transform, ≤ SRP_MAX_BUCKET²/2 per bucket) — never an all-pairs
+    product; the exact verify touches only surviving candidate pairs.
 
-    SCALE PIN (round-7 probe): on the 10x-identical-copies stress
-    layout every copy lands in every band bucket together, so bucket
-    populations grow 10x and candidate pairs ~100x (~68 s vs ~4 s at
-    sf0.1) — the same inherent trade pinned on
-    ``dedup_embedding_kmeans``; the production lever here is MORE
-    BANDS of MORE BITS (collision probability per band falls
-    geometrically in bits) rather than k-means retraining."""
+    SCALE FIX (round 8, closing the round-7 probe finding): the old
+    4-bit bands gave 16 buckets/band — expected bucket N/16, so the
+    candidate join was Θ(N²/32) by construction (~68 s at 10×, ~30×
+    growth). Bands now carry 8 bits (256 buckets) AND the
+    too-common-bucket cap the MinHash path uses (dedup.MAX_BUCKET
+    pattern), so degenerate layouts (identical copies all landing in
+    one bucket) are bounded at SRP_MAX_BUCKET²/2 pairs per bucket."""
     signs = F.array(*[F.array(*[F.lit(v) for v in row]) for row in _SRP])
     e = corpus_table(spark, d)
     projs = F.transform(
@@ -2460,18 +2544,27 @@ def dedup_embedding_srp(spark: SparkSession, d: str) -> DataFrame:
         )
         .select("vec_id", F.col("bv.b").alias("b"), F.col("bv.val").alias("val"))
     )
-    a, c = bands.alias("a"), bands.alias("c")
+    # bucket-collect + in-row pair expansion (the _lsh_candidates
+    # pattern): the (b, val) shuffle carries only ids, each bucket is
+    # size-capped at SRP_MAX_BUCKET, pairs are generated inside the
+    # bucket row — no self-join, no O(pairs) shuffle
+    buckets = (
+        bands.groupBy("b", "val")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids").between(2, SRP_MAX_BUCKET))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, SRP_MAX_BUCKET),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            c,
-            (F.col("a.b") == F.col("c.b"))
-            & (F.col("a.val") == F.col("c.val"))
-            & (F.col("a.vec_id") < F.col("c.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("c.vec_id").alias("vec_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
         .distinct()
     )
     x = sig.select(

@@ -702,13 +702,29 @@ def sql_min_cost_supplier(spark: SparkSession, d: str) -> DataFrame:
 
 #: TPC-H Q9 shape (product-type profit by nation and year): profit =
 #: revenue minus derived supply cost, grouped by the SUPPLIER's nation
-#: and the order year. DECIMAL-routed sum keeps both engines exact.
+#: and the order year.
+#:
+#: Cross-engine determinism (round-7 red row, CORRECTNESS_r07): the
+#: old ``CAST(double AS DECIMAL(27,6))`` diverged on ONE sf0.01 row
+#: whose per-row profit term renders as the half-way tie 3518.9405625
+#: — Spark's double->DECIMAL cast goes through the shortest decimal
+#: repr and rounds HALF_UP, DuckDB rounds the binary value half-even,
+#: so one (nation, year) group differed by 1e-6. The fix avoids
+#: double->fractional-DECIMAL casts entirely: the per-row term is an
+#: IEEE double (bit-identical in both engines since every input column
+#: and operation order is identical), scaled to micro-dollars and
+#: truncated with FLOOR — floor of identical doubles is identical, no
+#: rounding mode involved — then summed exactly in DECIMAL(27,0)
+#: (order-independent integer arithmetic). Per-row magnitude ~1e11
+#: micro-dollars is exact in double (< 2^53) and the group sum is
+#: exact decimal at any scale factor.
 SQL_PRODUCT_PROFIT = _PARTSUPP_CTE + """
 SELECT n_name AS nation,
        CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                     - ps_supplycost * l_quantity AS DECIMAL(27,6)))
-            AS DOUBLE) AS profit
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                            - ps_supplycost * l_quantity) * 1000000.0)
+                     AS DECIMAL(27,0)))
+            AS DOUBLE) / 1000000.0 AS profit
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey

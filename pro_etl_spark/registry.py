@@ -97,12 +97,25 @@ def _ship_package(spark: SparkSession) -> None:
     sc._pro_etl_spark_shipped = True
 
 
+#: conf keys whose set() already failed once this process — so the
+#: immutable-conf fallback stays quiet but a typo'd/renamed conf key
+#: is VISIBLE (one warning per key per session, never silent)
+_CONF_WARNED: set = set()
+
+
 def tune(spark: SparkSession) -> SparkSession:
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # immutable in this deployment — skip
+        except Exception as exc:
+            if k not in _CONF_WARNED:
+                _CONF_WARNED.add(k)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "tune(): conf %s=%s not applied (%s) — immutable "
+                    "in this deployment or unknown key", k, v, exc
+                )
     try:
         _ship_package(spark)
     except Exception:

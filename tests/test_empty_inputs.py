@@ -318,6 +318,98 @@ def test_runs_on_empty_tables(spark, empty_sf, name):
     assert rows == [] or len(rows) >= 0  # must not raise; row count free
 
 
+#: global-aggregate operators that emit a NON-EMPTY frame even on a
+#: 0-row input (a total row, a test statistic, a fitted parameter) —
+#: the class where Spark and the oracle can silently disagree on the
+#: empty slice (one emits a NULL-stat row, the other emits nothing).
+#: The round-6 KS fix (oracle `FROM tot LEFT JOIN cum ON TRUE`,
+#: events_ks_test) established the parity discipline; this asserts it
+#: as an EQUALITY check — Spark rows == oracle rows on empty input —
+#: for the whole family, not just no-exception.
+GLOBAL_AGG_PARITY = [
+    "events_ks_test",
+    "ab_ttest",
+    "ab_effect_size",
+    "ab_power_mde",
+    "ab_wilson_ci",
+    "ab_ratio_delta_ci",
+    "agg_moments",
+    "agg_linear_fit",
+    "agg_count",
+    "events_mann_kendall",
+    "events_mannwhitney",
+    "events_chi_square",
+    "dq_hash_uniformity",
+    "dq_primary_key",
+    "migration_summary",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_duck(empty_sf):
+    """DuckDB views over the SAME empty dataset the Spark side reads.
+    events.ts is stored as raw nanos in the empty fixture (io.load
+    truncates it Spark-side), so the view applies the identical
+    nanos → micros timestamp normalization."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        # Spark writes a DIRECTORY <table>.parquet/part-*.parquet
+        glob = f"{empty_sf}/{t}.parquet/*.parquet"
+        if t == "events":
+            con.execute(
+                f"CREATE VIEW events AS SELECT * REPLACE ("
+                f"make_timestamp(CAST(ts / 1000 AS BIGINT)) AS ts) "
+                f"FROM read_parquet('{glob}')"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
+            )
+    yield con
+    con.close()
+
+
+def _norm_empty(v):
+    import datetime
+    import math
+
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm_empty(x) for x in v)
+    return v
+
+
+@pytest.mark.parametrize("name", GLOBAL_AGG_PARITY)
+def test_global_agg_empty_parity(spark, empty_sf, empty_duck, name):
+    qs = pro_etl_spark.get_queries()
+    oracles = pro_etl_spark.get_oracles()
+    sdf = qs[name](spark, empty_sf)
+    srows = sdf.collect()
+    res = empty_duck.execute(oracles[name])
+    dcols = [c[0] for c in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows), (
+        f"{name}: empty-slice row-count split spark={len(srows)} "
+        f"oracle={len(drows)} — one engine emits a stat row, the "
+        f"other emits nothing"
+    )
+    order = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    s = sorted(
+        tuple(_norm_empty(r[i]) for i in order) for r in srows
+    )
+    o = sorted(
+        tuple(_norm_empty(r[i]) for i in dorder) for r in drows
+    )
+    mismatches = [(a, b) for a, b in zip(s, o) if a != b]
+    assert not mismatches, f"{name}: empty-slice values: {mismatches}"
+
+
 def test_distinct_bigrams_degenerate_docs(spark):
     """Regression: 0- and 1-token docs must yield an empty bigram set,
     not a runtime 'SQL array indices start at 1' error (sequence(1, 0)

@@ -130,22 +130,77 @@ def test_running_totals_oracle_stays_integer(duck):
 
 def test_grading_window_order_is_pinned():
     """The driver grades the FIRST 50 keys of queries(). The rotation
-    is self-advancing (pro_etl_spark._rotated): every key already
-    present in any CORRECTNESS_r*.json record drops BEHIND the
-    never-sampled backlog, so each round's official sample burns 50
-    fresh keys — pin that invariant, plus the hand-reviewed round-7
-    queue keeping priority among the fresh keys."""
-    from pro_etl_spark import _R07_QUEUE, _officially_sampled
+    is self-advancing (pro_etl_spark._rotated) and FAILED-FIRST: keys
+    whose latest official record is red lead the window (a fix is
+    re-graded next round), then never-sampled backlog keys, then the
+    already-green keys. Pin those invariants plus the hand-reviewed
+    round-7 queue keeping priority among the fresh keys."""
+    from pro_etl_spark import (
+        _R07_QUEUE,
+        _official_records,
+        _officially_failed,
+        _officially_sampled,
+    )
 
     keys = list(pro_etl_spark.get_queries())
-    seen = _officially_sampled()
-    if seen:  # repo has official records: first 50 must all be fresh
-        assert not [k for k in keys[:50] if k in seen], (
-            "already-graded keys leaked into the official window"
+    records = _official_records()
+    seen = _officially_sampled(records)
+    failed = [k for k in _officially_failed(records) if k in keys]
+    if records:  # repo has official records
+        # failed keys lead the window, in record order
+        assert keys[: len(failed)] == failed, (
+            "officially-failed keys must front the grading window"
         )
-        # the reviewed r7 queue heads the backlog, in order
-        fresh_queue = [k for k in _R07_QUEUE if k not in seen]
-        assert keys[: len(fresh_queue)] == fresh_queue
+        # nothing already fully green leaks into the official 50
+        assert not [k for k in keys[:50] if k in seen], (
+            "already-green keys leaked into the official window"
+        )
+        # the reviewed r7 queue heads the backlog right after the
+        # failed block, in order (minus keys already fronted)
+        fresh_queue = [
+            k for k in _R07_QUEUE if k not in seen and k not in failed
+        ]
+        tail = keys[len(failed) : len(failed) + len(fresh_queue)]
+        assert tail == fresh_queue
     # every queue key must still exist (loud-failure rename guard)
     missing = [k for k in _R07_QUEUE if k not in keys]
     assert not missing
+
+
+def test_rotation_fronts_failed_keys_synthetic(tmp_path):
+    """Unit-pin the failed-first rule against a synthetic official
+    record: a red hash row must front the rotation even though the
+    key was sampled, a fully green row must drop to the back, and a
+    rows-only row (no hash_match) must count as green."""
+    import json
+
+    from pro_etl_spark import _official_records, _rotated
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "b_green": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+        "c_red": {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "err": None},
+        "d_rowsonly": {"rows_match": True, "schema_match": True,
+                       "err": None},
+    }))
+    # a later round flips c_red to red — the LATEST record wins
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "c_red": {"rows_match": True, "schema_match": True,
+                  "hash_match": False, "err": None},
+    }))
+    records = _official_records(root=str(tmp_path))
+    mapping = {"a_fresh": 1, "b_green": 2, "c_red": 3, "d_rowsonly": 4}
+    out = list(_rotated(mapping, records=records))
+    assert out[0] == "c_red", out
+    # fresh (never-sampled) keys come after failed, greens at the back
+    assert out.index("a_fresh") < out.index("b_green")
+    assert out.index("a_fresh") < out.index("d_rowsonly")
+    # an errored record also counts as failed
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "b_green": {"rows_match": None, "schema_match": None,
+                    "hash_match": None, "err": "boom"},
+    }))
+    records = _official_records(root=str(tmp_path))
+    out = list(_rotated(mapping, records=records))
+    assert set(out[:2]) == {"b_green", "c_red"}, out

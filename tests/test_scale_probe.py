@@ -1,0 +1,86 @@
+"""Opt-in scale-growth gate (`pytest -m scaleprobe`): measure each
+probe family at 1× (sf0.1) and 10× (the amplified
+/tmp/testdata_sf1 layout from scripts/make_scale_probe.py) and FAIL
+when the growth factor exceeds the family's ceiling — so the next
+quadratic blocking regression fails a test instead of needing a judge
+to read SCALEPROBE.json.
+
+Why growth factors, not absolute times: the probe machine is shared
+and absolute seconds drift ±25%; the RATIO between the 1× and 10×
+runs of the same key in the same session is what separates O(N·logN)
+from Θ(N²). Ceilings are deliberately loose (a 10× input may honestly
+cost ~20-30× when a log factor, densified LSH buckets, or extra
+k-means cells kick in); the round-7 quadratics they exist to catch
+measured 70-130× growth.
+
+Not in the default run: the 10× layout takes minutes and lives in
+/tmp. Build it first:
+
+    python scripts/make_scale_probe.py   # sf0.1 -> /tmp/testdata_sf1
+    python -m pytest tests/test_scale_probe.py -m scaleprobe -v
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+import pro_etl_spark
+
+SF1X = "/root/testdata/sf0.1"
+SF10X = os.environ.get("PRO_ETL_PROBE_DIR", "/tmp/testdata_sf1")
+
+#: (key, max growth factor at 10× input). The embedding-blocking trio
+#: was the round-7 finding (measured 70-130× with K_CELLS pinned and
+#: 4-bit SRP bands; fixed in round 8 to corpus-scaled nlist and 8-bit
+#: capped bands). Floor of 2 s on the 1× time keeps sub-second noise
+#: from fabricating ratios.
+FAMILIES = [
+    ("dedup_exact", 30.0),
+    ("dedup_minhash_lsh", 30.0),
+    ("dedup_minhash_shingle_lsh", 30.0),
+    ("dedup_simhash_lsh", 30.0),
+    ("dedup_embedding_kmeans", 30.0),
+    ("dedup_semantic_keep", 30.0),
+    ("dedup_embedding_srp", 30.0),
+    ("decontaminate_substring", 30.0),
+    ("graph_pagerank", 30.0),
+    ("graph_kcore", 30.0),
+    ("pipeline_data_funnel", 30.0),
+    ("text_cooccurrence", 30.0),
+]
+
+pytestmark = pytest.mark.scaleprobe
+
+
+@pytest.fixture(scope="module")
+def probe_ready():
+    if not (
+        os.path.exists(f"{SF10X}/documents.parquet")
+        and os.path.exists(f"{SF10X}/embeddings.parquet")
+    ):
+        pytest.skip(
+            f"{SF10X} missing — run scripts/make_scale_probe.py first"
+        )
+
+
+def _run(spark, name: str, d: str) -> float:
+    fn = pro_etl_spark.get_queries()[name]
+    t0 = time.perf_counter()
+    fn(spark, d).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+@pytest.mark.parametrize("name,ceiling", FAMILIES)
+def test_growth_factor(spark, probe_ready, name, ceiling):
+    t1 = _run(spark, name, SF1X)
+    t10 = _run(spark, name, SF10X)
+    base = max(t1, 2.0)  # noise floor: don't ratio against <2 s
+    growth = t10 / base
+    assert growth <= ceiling, (
+        f"{name}: {t1:.1f}s at 1× -> {t10:.1f}s at 10× "
+        f"(growth {growth:.1f}× > ceiling {ceiling}×) — check the "
+        f"blocking/bucketing config for quadratic candidate generation"
+    )
