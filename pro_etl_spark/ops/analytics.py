@@ -6690,3 +6690,463 @@ def growth_accounting(spark: SparkSession, d: str) -> DataFrame:
             ),
         ),
     )
+
+
+# --- rolling active users ---------------------------------------------
+
+ROLLING_ACTIVE_DAYS = 7  # trailing window, inclusive of the day itself
+
+
+@register(
+    "retention_rolling_actives",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM du
+    ), joined AS (
+      SELECT d.day, u.user_id, u.day AS uday
+      FROM days d
+      JOIN du u
+        ON u.day BETWEEN d.day - INTERVAL {ROLLING_ACTIVE_DAYS - 1} DAY
+                     AND d.day
+    )
+    SELECT day,
+           CAST(COUNT(DISTINCT CASE WHEN uday = day THEN user_id END)
+                AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_{ROLLING_ACTIVE_DAYS}d,
+           ROUND(CAST(COUNT(DISTINCT CASE WHEN uday = day
+                                          THEN user_id END) AS DOUBLE)
+                 / COUNT(DISTINCT user_id), 6) AS stickiness
+    FROM joined GROUP BY day
+    """,
+)
+def retention_rolling_actives(spark: SparkSession, d: str) -> DataFrame:
+    """ROLLING ACTIVE USERS — per calendar day, the daily actives
+    (DAU), the trailing-{ROLLING_ACTIVE_DAYS}-day distinct actives
+    (rolling WAU — the industry-standard smoothing of weekday
+    seasonality), and the DAU/WAU stickiness for THAT day. Where
+    ``events_stickiness`` reports one corpus-level ratio, this is the
+    daily time series a growth dashboard actually plots.
+
+    Distinct-over-a-sliding-range isn't a window frame Spark (or SQL)
+    supports directly — rolling distinct is NOT sum-decomposable — so
+    the plan reduces events to the (day, user) grain first (one
+    dedup shuffle), then range-joins that grain to the DAY dimension.
+    Days are bounded (≤ corpus span, a few thousand rows at any data
+    size), so the join broadcasts the day table and the fan-out is at
+    most ×{ROLLING_ACTIVE_DAYS} per (day, user) row — at 100 TB the
+    heavy reduction happens BEFORE any fan-out, and the final distinct
+    count shuffles on the low-cardinality day key.
+
+    Stickiness divides two exact integers once; ROUND(x, 6) of a
+    ratio of counts is the same double in both engines."""
+    ev = load(spark, d, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    du = ev.distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "d0")
+    joined = du.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("d0"))
+        & (
+            F.col("day")
+            >= F.date_sub(F.col("d0"), ROLLING_ACTIVE_DAYS - 1)
+        ),
+    )
+    dau = F.count_distinct(
+        F.when(F.col("day") == F.col("d0"), F.col("user_id"))
+    )
+    wau = F.count_distinct("user_id")
+    return joined.groupBy(F.col("d0").alias("day")).agg(
+        dau.cast("long").alias("dau"),
+        wau.cast("long").alias(f"wau_{ROLLING_ACTIVE_DAYS}d"),
+        F.round(dau.cast("double") / wau, 6).alias("stickiness"),
+    )
+
+
+# --- weight of evidence / information value ---------------------------
+
+
+@register(
+    "features_woe_iv",
+    oracle="""
+    WITH lab AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS is_good
+      FROM events GROUP BY user_id
+    ), feat AS (
+      SELECT user_id, event_type AS cat FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT f.cat,
+             SUM(l.is_good) AS gc,
+             SUM(1 - l.is_good) AS bc
+      FROM feat f JOIN lab l USING (user_id)
+      GROUP BY f.cat
+    ), tot AS (
+      SELECT SUM(gc) AS g, SUM(bc) AS b,
+             CAST(COUNT(*) AS DOUBLE) AS ncat
+      FROM cells
+    ), rates AS (
+      SELECT c.cat, c.gc, c.bc,
+             (CAST(c.gc AS DOUBLE) + 0.5) / (t.g + 0.5 * t.ncat) AS pg,
+             (CAST(c.bc AS DOUBLE) + 0.5) / (t.b + 0.5 * t.ncat) AS pb
+      FROM cells c CROSS JOIN tot t
+    ), woe AS (
+      SELECT cat, gc, bc, pg, pb,
+             CAST(FLOOR(LN(pg / pb) * 1000000000.0 + 0.5) AS BIGINT)
+               AS woe_nanos
+      FROM rates
+    )
+    SELECT cat AS first_event_type,
+           CAST(gc AS BIGINT) AS n_good,
+           CAST(bc AS BIGINT) AS n_bad,
+           CAST(woe_nanos AS DOUBLE) / 1000000000.0 AS woe,
+           CAST(FLOOR((pg - pb) * (CAST(woe_nanos AS DOUBLE)
+                                   / 1000000000.0)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS iv_term_nanos
+    FROM woe
+    """,
+)
+def features_woe_iv(spark: SparkSession, d: str) -> DataFrame:
+    """WEIGHT OF EVIDENCE / INFORMATION VALUE screening — the credit-
+    scoring-born feature audit every tabular-ML pipeline still runs:
+    per category of a feature (here: the user's FIRST event type,
+    deterministic by (ts, event_id)), how strongly does it separate
+    converters from non-converters (label: user ever purchases)?
+    WOE = ln(P(cat|good)/P(cat|bad)) with 0.5 Laplace smoothing per
+    cell; the per-category IV term (pg−pb)·WOE sums to the feature's
+    information value (rule of thumb: IV > 0.3 strong, < 0.02 drop
+    the feature).
+
+    Determinism: counts are exact integers, the smoothed rates are
+    single IEEE divisions, WOE floor-quantizes to integer nanos
+    BEFORE the IV multiplication (which then floor-quantizes too) —
+    the corpus_lang_entropy recipe, so no float sum ever reorders and
+    ln's last-ulp wobble is fenced by the quantization grid.
+
+    Scale: one user-grain label aggregate, one first-event window
+    (both user-keyed shuffles over the fact table), then a
+    category-grain rollup whose cardinality is the feature's — tiny;
+    totals broadcast back."""
+    ev = load(spark, d, "events")
+    lab = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("is_good")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feat = (
+        ev.select(
+            "user_id", F.col("event_type").alias("cat"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "cat")
+    )
+    cells = (
+        feat.join(lab, "user_id")
+        .groupBy("cat")
+        .agg(
+            F.sum("is_good").alias("gc"),
+            F.sum(1 - F.col("is_good")).alias("bc"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("gc").alias("g"),
+        F.sum("bc").alias("b"),
+        F.count("*").cast("double").alias("ncat"),
+    )
+    r = cells.crossJoin(F.broadcast(tot))
+    pg = (F.col("gc").cast("double") + 0.5) / (
+        F.col("g") + 0.5 * F.col("ncat")
+    )
+    pb = (F.col("bc").cast("double") + 0.5) / (
+        F.col("b") + 0.5 * F.col("ncat")
+    )
+    woe_nanos = F.floor(F.log(pg / pb) * 1_000_000_000.0 + 0.5).cast(
+        "long"
+    )
+    woe = woe_nanos.cast("double") / 1_000_000_000.0
+    return r.select(
+        F.col("cat").alias("first_event_type"),
+        F.col("gc").cast("long").alias("n_good"),
+        F.col("bc").cast("long").alias("n_bad"),
+        woe.alias("woe"),
+        F.floor((pg - pb) * woe * 1_000_000_000.0 + 0.5)
+        .cast("long")
+        .alias("iv_term_nanos"),
+    )
+
+
+# --- change-point detection (binary segmentation, one split) ----------
+
+
+@register(
+    "events_changepoint_binseg",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT day, c,
+             ROW_NUMBER() OVER (ORDER BY day) AS i,
+             SUM(c) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS s
+      FROM daily
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(c) AS sn FROM daily
+    ), scored AS (
+      SELECT day, i, s, t.n, t.sn,
+             abs(t.n * s - i * t.sn) AS score
+      FROM idx CROSS JOIN tot t
+      WHERE i < t.n
+    )
+    SELECT day AS split_day,
+           CAST(i AS BIGINT) AS split_i,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(score AS BIGINT) AS score,
+           ROUND(CAST(s AS DOUBLE) / i, 6) AS mean_before,
+           ROUND(CAST(sn - s AS DOUBLE) / (n - i), 6) AS mean_after
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, i) = 1
+    """,
+)
+def events_changepoint_binseg(spark: SparkSession, d: str) -> DataFrame:
+    """CHANGE-POINT detection on the daily event-count series — one
+    binary-segmentation split: the day boundary maximizing the
+    cumulative-sum deviation |n·S_i − i·S_n| (the integer-exact
+    equivalent of maximizing the two-segment mean-shift likelihood
+    for fixed variance). Where ``anomaly_cusum`` flags WHEN a drift
+    started against a fixed reference, this finds the single best
+    structural break with no parameters at all — the first question
+    ("did the pipeline change on some day?") a data-volume regression
+    review asks.
+
+    Exactness by construction: daily counts, prefix sums, and the
+    score are ALL integers (no float appears until the two reported
+    segment means), and the argmax tie-breaks on the earlier index —
+    both engines pick the identical row.
+
+    Scale: one day-grain rollup of the fact table (map-side
+    combinable), then a running sum over the DAY dimension (bounded —
+    thousands of rows at any corpus size; single-partition window on
+    model-state-sized data, pareto_abc's posture)."""
+    daily = (
+        load(spark, d, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "c",
+        F.row_number().over(w).alias("i"),
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("s"),
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("c").alias("sn")
+    )
+    scored = (
+        idx.crossJoin(F.broadcast(tot))
+        .where(F.col("i") < F.col("n"))
+        .select(
+            "day",
+            "i",
+            "s",
+            "n",
+            "sn",
+            F.abs(F.col("n") * F.col("s") - F.col("i") * F.col("sn")).alias(
+                "score"
+            ),
+        )
+    )
+    pick = Window.orderBy(F.desc("score"), F.asc("i"))
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("i").cast("long").alias("split_i"),
+            F.col("n").cast("long").alias("n_days"),
+            F.col("score").cast("long").alias("score"),
+            F.round(F.col("s").cast("double") / F.col("i"), 6).alias(
+                "mean_before"
+            ),
+            F.round(
+                (F.col("sn") - F.col("s")).cast("double")
+                / (F.col("n") - F.col("i")),
+                6,
+            ).alias("mean_after"),
+        )
+    )
+
+
+# --- Holt-Winters additive seasonal smoothing --------------------------
+
+HW_ALPHA = 0.25    # level gain  — exact binary fractions, so 1-α etc.
+HW_BETA = 0.0625   # trend gain    are exact and the fold is bit-stable
+HW_GAMMA = 0.25    # seasonal gain
+HW_PERIOD = 7      # weekly seasonality on the daily series
+
+
+def _hw_step_sql() -> str:
+    """One Holt-Winters update as a DuckDB list_reduce lambda step.
+    Accumulator layout (the window_holt list-not-struct workaround):
+    [level, trend, s_next, s_next+1, ..., s_next+6] — seasonals in
+    consumption order, rotated each step. The folded element is a
+    9-list whose first slot carries the observation (e[1])."""
+    a, b, g = HW_ALPHA, HW_BETA, HW_GAMMA
+    lvl = (
+        f"(CAST({a} AS DOUBLE) * (e[1] - acc[3])"
+        f" + CAST({1 - a} AS DOUBLE) * (acc[1] + acc[2]))"
+    )
+    return f"""(acc, e) -> [
+      {lvl},
+      CAST({b} AS DOUBLE) * ({lvl} - acc[1])
+        + CAST({1 - b} AS DOUBLE) * acc[2],
+      acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+      CAST({g} AS DOUBLE) * (e[1] - {lvl})
+        + CAST({1 - g} AS DOUBLE) * acc[3]
+    ]"""
+
+
+@register(
+    "events_holt_winters",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT list(c ORDER BY day) AS vals FROM daily
+    ), init AS (
+      SELECT vals, len(vals) AS n,
+             (vals[1] + vals[2] + vals[3] + vals[4] + vals[5]
+              + vals[6] + vals[7]) / 7.0 AS l0
+      FROM s WHERE len(vals) >= {HW_PERIOD + 1}
+    ), folded AS (
+      SELECT n,
+             list_reduce(
+               list_prepend(
+                 [l0, CAST(0.0 AS DOUBLE),
+                  vals[1] - l0, vals[2] - l0, vals[3] - l0, vals[4] - l0,
+                  vals[5] - l0, vals[6] - l0, vals[7] - l0],
+                 list_transform(vals[{HW_PERIOD + 1}:len(vals)],
+                                x -> [x, CAST(NULL AS DOUBLE), NULL,
+                                      NULL, NULL, NULL, NULL, NULL, NULL])),
+               {_hw_step_sql()}
+             ) AS st
+      FROM init
+    )
+    SELECT CAST(r.range AS BIGINT) AS horizon_d,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[2 + r.range], 6) AS seasonal,
+           ROUND(st[1] + r.range * st[2] + st[2 + r.range], 6)
+             AS forecast
+    FROM folded, range(1, {HW_PERIOD + 1}) r
+    """,
+)
+def events_holt_winters(spark: SparkSession, d: str) -> DataFrame:
+    """HOLT-WINTERS additive seasonal smoothing of the daily event
+    count — the weekly-seasonality-aware member of the fold family
+    (EWMA → Holt → here): level, trend, and a rotating 7-slot
+    seasonal state updated through the whole ordered series, emitting
+    a 7-day-horizon forecast (level + h·trend + seasonal). The first
+    {HW_PERIOD} days initialize (l₀ = their mean, seasonals = the
+    deviations, trend 0 — documented simplified init); series shorter
+    than {HW_PERIOD + 1} days emit nothing in both engines.
+
+    Exactness: the gains are exact binary fractions (0.25, 0.0625),
+    the accumulator is a 9-element double list folded in the identical
+    order by both engines (the window_holt list-not-struct recipe), so
+    every state is bit-identical before the final rounding.
+
+    Scale: the series is the DAY-grain rollup — bounded at thousands
+    of rows regardless of corpus size — so the collect-and-fold row is
+    model state, and the only corpus-sized work is the map-side-
+    combinable daily count."""
+    daily = (
+        load(spark, d, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    s = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda r: r.c,
+        ).alias("vals")
+    ).where(F.size("vals") >= HW_PERIOD + 1)
+    l0 = sum(
+        (F.element_at(F.col("vals"), i) for i in range(2, HW_PERIOD + 1)),
+        F.element_at(F.col("vals"), 1),
+    ) / float(HW_PERIOD)
+    init = s.select(
+        "vals", F.size("vals").alias("n"), l0.alias("l0")
+    )
+    a, b, g = HW_ALPHA, HW_BETA, HW_GAMMA
+
+    def step(acc, x):
+        lvl = F.lit(a) * (x - F.element_at(acc, 3)) + F.lit(1 - a) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        return F.array(
+            lvl,
+            F.lit(b) * (lvl - F.element_at(acc, 1))
+            + F.lit(1 - b) * F.element_at(acc, 2),
+            F.element_at(acc, 4),
+            F.element_at(acc, 5),
+            F.element_at(acc, 6),
+            F.element_at(acc, 7),
+            F.element_at(acc, 8),
+            F.element_at(acc, 9),
+            F.lit(g) * (x - lvl) + F.lit(1 - g) * F.element_at(acc, 3),
+        )
+
+    acc0 = F.array(
+        F.col("l0"),
+        F.lit(0.0),
+        *[
+            F.element_at(F.col("vals"), i) - F.col("l0")
+            for i in range(1, HW_PERIOD + 1)
+        ],
+    )
+    fold = F.aggregate(
+        F.slice(
+            F.col("vals"),
+            HW_PERIOD + 1,
+            F.greatest(F.size("vals") - HW_PERIOD, F.lit(0)),
+        ),
+        acc0,
+        step,
+    )
+    folded = init.select("n", fold.alias("st"))
+    return folded.select(
+        F.explode(F.sequence(F.lit(1), F.lit(HW_PERIOD))).alias("h"),
+        "n",
+        "st",
+    ).select(
+        F.col("h").cast("long").alias("horizon_d"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.element_at(F.col("st"), 1), 6).alias("level"),
+        F.round(F.element_at(F.col("st"), 2), 6).alias("trend"),
+        F.round(
+            F.element_at(F.col("st"), F.col("h") + 2), 6
+        ).alias("seasonal"),
+        F.round(
+            F.element_at(F.col("st"), 1)
+            + F.col("h") * F.element_at(F.col("st"), 2)
+            + F.element_at(F.col("st"), F.col("h") + 2),
+            6,
+        ).alias("forecast"),
+    )

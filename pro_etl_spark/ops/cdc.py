@@ -1074,3 +1074,147 @@ def interval_gaps(spark: SparkSession, d: str) -> DataFrame:
         F.sum("idle_sec").cast("long").alias("total_idle_sec"),
         F.max("idle_sec").cast("long").alias("max_idle_sec"),
     )
+
+
+# --- interval difference (subtract blackout windows) -------------------
+
+BLACKOUT_START_H = 2  # daily maintenance window [02:00, 04:00)
+BLACKOUT_END_H = 4
+
+
+def _interval_difference_oracle() -> str:
+    from pro_etl_spark.registry import ORACLES
+
+    return f"""
+    WITH islands AS ({ORACLES["interval_merge"]}),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    blk AS (
+      SELECT CAST(day AS TIMESTAMP) + INTERVAL {BLACKOUT_START_H} HOUR AS bs,
+             CAST(day AS TIMESTAMP) + INTERVAL {BLACKOUT_END_H} HOUR AS be
+      FROM days
+    ), ov AS (
+      SELECT i.user_id, i.island_id, i.island_start, i.island_end,
+             GREATEST(b.bs, i.island_start) AS cs,
+             LEAST(b.be, i.island_end) AS ce
+      FROM islands i JOIN blk b
+        ON b.bs < i.island_end AND i.island_start < b.be
+    ), mids AS (
+      SELECT user_id, island_id,
+             COALESCE(LAG(ce) OVER (PARTITION BY user_id, island_id
+                                    ORDER BY cs),
+                      island_start) AS seg_start,
+             cs AS seg_end
+      FROM ov
+    ), tails AS (
+      SELECT i.user_id, i.island_id,
+             COALESCE(MAX(o.ce), i.island_start) AS seg_start,
+             i.island_end AS seg_end
+      FROM islands i LEFT JOIN ov o
+        ON o.user_id = i.user_id AND o.island_id = i.island_id
+      GROUP BY i.user_id, i.island_id, i.island_start, i.island_end
+    ), segs AS (
+      SELECT * FROM mids UNION ALL SELECT * FROM tails
+    )
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+           seg_start, seg_end,
+           CAST((epoch_us(seg_end) - epoch_us(seg_start)) // 60000000
+                AS BIGINT) AS seg_minutes
+    FROM segs WHERE seg_start < seg_end
+    """
+
+
+@register("interval_difference", oracle=_interval_difference_oracle())
+def interval_difference(spark: SparkSession, d: str) -> DataFrame:
+    """INTERVAL DIFFERENCE — subtract a set of blackout windows (daily
+    [0{BLACKOUT_START_H}:00, 0{BLACKOUT_END_H}:00) maintenance) from
+    each user's merged activity islands, emitting the surviving
+    sub-intervals. The set-algebra completion of the interval family:
+    merge (union), concurrency (sweep count), gaps (complement within
+    bounds), Allen census (pair relations) — and now A \\ B, the shape
+    behind SLA carve-outs, billing-hour exclusions, and
+    maintenance-aware uptime.
+
+    Plan: islands come from ``interval_merge`` (shared machinery);
+    blackouts are a DAY-dimension scaffold (bounded, broadcast). Each
+    island's overlapping blackouts are clipped to it, sorted, and the
+    survivors fall out of one LAG pass ([prev_end, next_blackout_start)
+    per blackout, plus the [last_blackout_end, island_end) tail per
+    island via a grouped MAX — islands with no overlap pass through
+    whole in the same branch). Every boundary is a timestamp
+    comparison — no floats anywhere.
+
+    Scale: islands are user-keyed; the blackout join broadcasts the
+    day-sized table; the LAG window partitions on (user, island) —
+    per-partition rows = overlapping blackouts, bounded by island
+    span in days."""
+    islands = interval_merge(spark, d).select(
+        "user_id", "island_id", "island_start", "island_end"
+    )
+    days = (
+        load(spark, d, "events")
+        .select(F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    blk = days.select(
+        (
+            F.col("day").cast("timestamp")
+            + F.expr(f"INTERVAL {BLACKOUT_START_H} HOURS")
+        ).alias("bs"),
+        (
+            F.col("day").cast("timestamp")
+            + F.expr(f"INTERVAL {BLACKOUT_END_H} HOURS")
+        ).alias("be"),
+    )
+    ov = islands.join(
+        F.broadcast(blk),
+        (F.col("bs") < F.col("island_end"))
+        & (F.col("island_start") < F.col("be")),
+    ).select(
+        "user_id",
+        "island_id",
+        "island_start",
+        "island_end",
+        F.greatest("bs", "island_start").alias("cs"),
+        F.least("be", "island_end").alias("ce"),
+    )
+    w = Window.partitionBy("user_id", "island_id").orderBy("cs")
+    mids = ov.select(
+        "user_id",
+        "island_id",
+        F.coalesce(F.lag("ce").over(w), F.col("island_start")).alias(
+            "seg_start"
+        ),
+        F.col("cs").alias("seg_end"),
+    )
+    tails = (
+        islands.join(
+            ov.select(
+                F.col("user_id").alias("ou"),
+                F.col("island_id").alias("oi"),
+                "ce",
+            ),
+            (F.col("user_id") == F.col("ou"))
+            & (F.col("island_id") == F.col("oi")),
+            "left",
+        )
+        .groupBy("user_id", "island_id", "island_start", "island_end")
+        .agg(F.max("ce").alias("mce"))
+        .select(
+            "user_id",
+            "island_id",
+            F.coalesce(F.col("mce"), F.col("island_start")).alias(
+                "seg_start"
+            ),
+            F.col("island_end").alias("seg_end"),
+        )
+    )
+    segs = mids.unionByName(tails)
+    return segs.where(F.col("seg_start") < F.col("seg_end")).select(
+        "user_id",
+        F.col("island_id").cast("long").alias("island_id"),
+        "seg_start",
+        "seg_end",
+        F.expr(
+            "(unix_micros(seg_end) - unix_micros(seg_start)) div 60000000"
+        ).alias("seg_minutes"),
+    )

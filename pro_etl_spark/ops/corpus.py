@@ -2049,3 +2049,118 @@ def corpus_drift_top_tokens(spark: SparkSession, d: str) -> DataFrame:
         .orderBy(F.abs(F.col("share_shift")).desc(), F.asc("token"))
         .limit(DRIFT_TOP_K)
     )
+
+
+# --- population stability index --------------------------------------
+
+PSI_BUCKETS = 16      # equi-width n_chars buckets of PSI_WIDTH chars
+PSI_WIDTH = 256       # bucket = min(n_chars // 256, 15) — pure integers
+
+
+@register(
+    "corpus_psi",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, LEAST(n_chars // {PSI_WIDTH}, {PSI_BUCKETS - 1}) AS bkt
+      FROM documents
+    ), per AS (
+      SELECT source, bkt, COUNT(*) AS c FROM b GROUP BY 1, 2
+    ), scaffold AS (
+      SELECT s.source, r.range AS bkt
+      FROM (SELECT DISTINCT source FROM documents) s
+      CROSS JOIN range({PSI_BUCKETS}) r
+    ), filled AS (
+      SELECT sc.source, sc.bkt, COALESCE(p.c, 0) AS c
+      FROM scaffold sc LEFT JOIN per p
+        ON p.source = sc.source AND p.bkt = sc.bkt
+    ), tot AS (
+      SELECT source, SUM(c) AS n FROM filled GROUP BY source
+    ), gl AS (
+      SELECT bkt, SUM(c) AS g FROM filled GROUP BY bkt
+    ), gt AS (SELECT SUM(c) AS ng FROM filled),
+    terms AS (
+      SELECT f.source,
+             CAST(FLOOR(
+               ((CAST(f.c AS DOUBLE) + 0.5)
+                  / (t.n + {PSI_BUCKETS * 0.5})
+                - (CAST(g.g - f.c AS DOUBLE) + 0.5)
+                  / (gt.ng - t.n + {PSI_BUCKETS * 0.5}))
+               * LN(((CAST(f.c AS DOUBLE) + 0.5)
+                       / (t.n + {PSI_BUCKETS * 0.5}))
+                    / ((CAST(g.g - f.c AS DOUBLE) + 0.5)
+                       / (gt.ng - t.n + {PSI_BUCKETS * 0.5})))
+               * 1000000000.0 + 0.5) AS BIGINT) AS t_nanos
+      FROM filled f
+      JOIN tot t USING (source)
+      JOIN gl g USING (bkt)
+      CROSS JOIN gt
+    )
+    SELECT source,
+           CAST(SUM(t_nanos) AS BIGINT) AS psi_nanos,
+           CAST(SUM(t_nanos) AS DOUBLE) / 1000000000.0 AS psi
+    FROM terms GROUP BY source
+    """,
+)
+def corpus_psi(spark: SparkSession, d: str) -> DataFrame:
+    """POPULATION STABILITY INDEX of each source's document-length
+    distribution against the REST of the corpus — the standard
+    model-monitoring drift score (PSI < 0.1 stable, 0.1–0.25 moderate,
+    > 0.25 action), here answering "did this source's shape change
+    relative to everything else" before its documents enter a training
+    mix. Complements ``corpus_source_drift`` (TV on unigrams): PSI is
+    log-weighted, so tail-bucket mass shifts that TV averages away
+    light up.
+
+    Determinism: buckets are pure integer arithmetic (min(n_chars//256,
+    15) — no log2-of-boundary float hazard); every (source, bucket)
+    cell exists via an explicit scaffold so Laplace smoothing (+0.5 per
+    cell) applies to EMPTY buckets identically in both engines; each
+    (p−q)·ln(p/q) term is floor-quantized to integer nanos before an
+    exact integer sum (the corpus_lang_entropy recipe — float adds
+    never reorder).
+
+    Scale: one narrow pass for buckets, a (sources × 16)-row scaffold,
+    broadcast totals; the corpus shuffles once on (source, bucket)."""
+    docs = load(spark, d, "documents").select(
+        "source",
+        F.least(
+            F.floor(F.col("n_chars") / PSI_WIDTH),
+            F.lit(PSI_BUCKETS - 1),
+        ).alias("bkt"),
+    )
+    per = docs.groupBy("source", "bkt").agg(F.count("*").alias("c"))
+    scaffold = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(PSI_BUCKETS - 1))).alias(
+                "bkt"
+            ),
+        )
+        .select("source", F.col("bkt").cast("long").alias("bkt"))
+    )
+    filled = scaffold.join(per, ["source", "bkt"], "left").select(
+        "source", "bkt", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    tot = filled.groupBy("source").agg(F.sum("c").alias("n"))
+    gl = filled.groupBy("bkt").agg(F.sum("c").alias("g"))
+    gt = filled.agg(F.sum("c").alias("ng"))
+    half_b = PSI_BUCKETS * 0.5
+    p = (F.col("c").cast("double") + 0.5) / (F.col("n") + F.lit(half_b))
+    q = ((F.col("g") - F.col("c")).cast("double") + 0.5) / (
+        F.col("ng") - F.col("n") + F.lit(half_b)
+    )
+    term = F.floor((p - q) * F.log(p / q) * 1_000_000_000.0 + 0.5).cast(
+        "long"
+    )
+    terms = (
+        filled.join(F.broadcast(tot), "source")
+        .join(F.broadcast(gl), "bkt")
+        .crossJoin(F.broadcast(gt))
+        .select("source", term.alias("t_nanos"))
+    )
+    return terms.groupBy("source").agg(
+        F.sum("t_nanos").cast("long").alias("psi_nanos"),
+        (F.sum("t_nanos").cast("double") / 1_000_000_000.0).alias("psi"),
+    )

@@ -884,3 +884,124 @@ def graph_assortativity(spark: SparkSession, d: str) -> DataFrame:
         n.cast("long").alias("n_directed_edges"),
         F.round(r, 6).alias("assortativity"),
     )
+
+
+HITS_ROUNDS = 3
+_DEC30H = "decimal(38,30)"
+
+
+def _hits_oracle() -> str:
+    """Unroll HITS_ROUNDS hub/authority updates as chained CTEs over
+    the id-oriented LSH pair digraph (doc_a < doc_b by construction,
+    so orientation is deterministic)."""
+    sql = _LSH_PAIRS_CTE + """
+    , e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
+    nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), h0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes
+    )"""
+    # L1 normalizers are WINDOW sums (SUM(s) OVER ()), not scalar
+    # subqueries: a scalar subquery is a second reference to the
+    # round's CTE, and DuckDB inlines CTEs — two references per round
+    # re-expand the whole chain below it (4^rounds recomputations of
+    # the MinHash pair derivation). The window keeps every CTE
+    # referenced exactly once, so the unrolled chain stays linear.
+    prev = "h0"
+    for i in range(1, HITS_ROUNDS + 1):
+        sql += f""", a{i}d AS (
+      SELECT e.dst AS node, SUM(CAST(p.h AS DECIMAL(38,30))) AS s
+      FROM e JOIN {prev} p ON p.node = e.src GROUP BY e.dst
+    ), a{i} AS (
+      SELECT node, CAST(s AS DOUBLE)
+                   / CAST(SUM(s) OVER () AS DOUBLE) AS a
+      FROM a{i}d
+    ), h{i}d AS (
+      SELECT e.src AS node, SUM(CAST(a.a AS DECIMAL(38,30))) AS s
+      FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+    ), h{i} AS (
+      SELECT node, CAST(s AS DOUBLE)
+                   / CAST(SUM(s) OVER () AS DOUBLE) AS h
+      FROM h{i}d
+    )"""
+        prev = f"h{i}"
+    sql += f"""
+    SELECT n.node AS doc_id,
+           ROUND(COALESCE(h.h, 0.0), 6) AS hub,
+           ROUND(COALESCE(a.a, 0.0), 6) AS authority
+    FROM nodes n
+    LEFT JOIN h{HITS_ROUNDS} h ON h.node = n.node
+    LEFT JOIN a{HITS_ROUNDS} a ON a.node = n.node
+    """
+    return sql
+
+
+@register("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, d: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the id-oriented LSH
+    near-dup digraph — the fourth Pregel-style iterative family (after
+    pagerank, k-core, LPA): a canonical-selection signal that
+    SEPARATES the two duplication roles PageRank mixes — a high
+    AUTHORITY is the widely-copied original, a high HUB is an
+    aggregator page stitched from many originals. Orientation is
+    deterministic (doc_a < doc_b from the pair table), so both engines
+    iterate the identical digraph.
+
+    Exactness: each round's neighbor sums ride DECIMAL(38,30)
+    (order-independent addition, the pagerank recipe), and the L1
+    normalizer divides the SAME decimal total cast to double — no
+    order-dependent double sums, no sqrt; the oracle unrolls the
+    identical {HITS_ROUNDS} rounds as chained CTEs.
+
+    Scale: per round two node-keyed shuffles (src->dst then dst->src)
+    over the persisted LSH pair table plus a 1-row total — bucketing
+    the pair table by both endpoints makes each a co-located join; no
+    driver-side state beyond the loop counter."""
+    pairs = dedup_minhash_lsh(spark, d).select("doc_a", "doc_b")
+    e = pairs.selectExpr("doc_a AS src", "doc_b AS dst").localCheckpoint(
+        eager=False
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(HITS_ROUNDS):
+        ad = (
+            e.join(h, e.src == h.node)
+            .groupBy(F.col("dst").alias("anode"))
+            .agg(F.sum(F.col("h").cast(_DEC30H)).alias("s"))
+        )
+        at = ad.agg(F.sum("s").alias("t"))
+        a = ad.crossJoin(F.broadcast(at)).select(
+            F.col("anode").alias("node"),
+            (F.col("s").cast("double") / F.col("t").cast("double")).alias(
+                "a"
+            ),
+        )
+        hd = (
+            e.join(a, e.dst == a.node)
+            .groupBy(F.col("src").alias("hnode"))
+            .agg(F.sum(F.col("a").cast(_DEC30H)).alias("s"))
+        )
+        ht = hd.agg(F.sum("s").alias("t"))
+        h = hd.crossJoin(F.broadcast(ht)).select(
+            F.col("hnode").alias("node"),
+            (F.col("s").cast("double") / F.col("t").cast("double")).alias(
+                "h"
+            ),
+        )
+    return (
+        nodes.join(h.withColumnRenamed("node", "hn"), nodes.node == F.col("hn"), "left")
+        .join(a.withColumnRenamed("node", "an"), nodes.node == F.col("an"), "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.round(F.coalesce(F.col("h"), F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce(F.col("a"), F.lit(0.0)), 6).alias(
+                "authority"
+            ),
+        )
+    )

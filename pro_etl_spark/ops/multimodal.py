@@ -16,7 +16,7 @@ from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pro_etl_spark.io import load
 from pro_etl_spark.ops.hashing import DUCK_HASH60, hash60
@@ -689,4 +689,171 @@ def mm_header_parse(spark: SparkSession, d: str) -> DataFrame:
         .cast("long")
         .alias("height"),
         (F.octet_length("frame") - 10).cast("long").alias("payload_bytes"),
+    )
+
+
+# --- perceptual hash (DCT pHash) ---------------------------------------
+
+#: 8x8 DCT-II basis C[u][x] = norm(u) * cos(pi * (2x+1) * u / 16),
+#: precomputed in Python to 12 dp and inlined as shared literals in
+#: BOTH plans — cos() is not bit-portable across engines, a table of
+#: shared constants is (the _DECAY_W / nDCG-discount discipline).
+_PHASH_BASIS = [
+    (
+        u,
+        x,
+        round(
+            (
+                (1.0 / 8.0) ** 0.5
+                if u == 0
+                else (2.0 / 8.0) ** 0.5
+            )
+            * __import__("math").cos(
+                __import__("math").pi * (2 * x + 1) * u / 16.0
+            ),
+            12,
+        ),
+    )
+    for u in range(8)
+    for x in range(8)
+]
+
+_PHASH_BASIS_SQL = "(VALUES " + ",".join(
+    f"({u}, {x}, CAST({c!r} AS DOUBLE))" for u, x, c in _PHASH_BASIS
+) + ")"
+
+
+@register(
+    "mm_phash",
+    oracle=f"""
+    WITH ks AS (
+      SELECT doc_id, text, CAST(r.range AS BIGINT) AS k
+      FROM documents, range(64) r
+    ), cells AS (
+      SELECT doc_id, k // 8 AS x, k % 8 AS y,
+             CAST({DUCK_HASH60.format(
+                 x="(text || ':ph:' || CAST(k AS VARCHAR))")} % 256
+               AS DOUBLE) AS val
+      FROM ks
+    ), cb AS (
+      SELECT * FROM {_PHASH_BASIS_SQL} AS t(u, xx, c)
+    ), f AS (
+      SELECT cells.doc_id, bu.u AS u, bv.u AS v,
+             SUM(CAST(FLOOR(cells.val * bu.c * bv.c * 1000000000.0 + 0.5)
+                      AS BIGINT)) AS f_nanos
+      FROM cells
+      JOIN cb bu ON bu.xx = cells.x
+      JOIN cb bv ON bv.xx = cells.y
+      GROUP BY cells.doc_id, bu.u, bv.u
+    ), ranked AS (
+      SELECT doc_id, u, v, f_nanos,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY f_nanos, u, v) AS rn
+      FROM f WHERE NOT (u = 0 AND v = 0)
+    ), med AS (
+      SELECT doc_id, f_nanos AS m FROM ranked WHERE rn = 32
+    )
+    SELECT r.doc_id,
+           CAST(SUM(CASE WHEN r.f_nanos > med.m
+                         THEN CAST(1 AS BIGINT) << (8 * r.u + r.v - 1)
+                         ELSE 0 END) AS BIGINT) AS phash,
+           CAST(SUM(CASE WHEN r.f_nanos > med.m THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bits_set
+    FROM ranked r JOIN med ON med.doc_id = r.doc_id
+    GROUP BY r.doc_id
+    """,
+)
+def mm_phash(spark: SparkSession, d: str) -> DataFrame:
+    """PERCEPTUAL HASH (DCT pHash) of each binary payload — the
+    near-dup fingerprint for IMAGES, where exact hashes break on
+    re-encodes: luma grid → 2D DCT-II → keep the 8×8 low-frequency
+    block → bit = coefficient above the median → 63-bit signature
+    (DC excluded, as the classic algorithm does). Signatures then
+    feed the SAME Hamming-LSH machinery the text SimHash path uses
+    (``dedup_simhash_lsh``) — this op is the image-side on-ramp.
+
+    The DECODE step is the documented deterministic stand-in (this
+    container ships no image codec — mm_decode_features:38 pattern):
+    the 8×8 luma grid derives from the payload via the public md5
+    recipe, so both engines see identical "pixels" and the REAL part
+    — the Spark-side DCT/median/packing plumbing a production pHash
+    needs — is fully exercised. Swap ``_grid`` for a Pandas-UDF PIL
+    resize when a codec exists; nothing downstream changes.
+
+    Exactness: DCT basis constants are Python-precomputed shared
+    literals (cos is not bit-portable); every DCT term floor-quantizes
+    to integer nanos BEFORE the sum (order-independent); the median is
+    a deterministic rank-32 pick with (value, u, v) tie-break; the
+    packed hash is an exact integer sum of distinct powers of two.
+
+    Scale: the DCT is a join against a 64-row broadcast basis —
+    64 cells × 64 (u,v) terms per doc, generated IN-ROW by explode,
+    grouped per (doc, u, v); everything is keyed by doc_id, no
+    all-pairs stage. At 100 TB the grid column is written once beside
+    the payload and the DCT rides the same narrow pass."""
+    docs = load(spark, d, "documents").select("doc_id", "text")
+    ks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("k"),
+    )
+    cells = ks.select(
+        "doc_id",
+        (F.col("k") / 8).cast("long").alias("x"),
+        (F.col("k") % 8).alias("y"),
+        (
+            hash60(
+                F.concat(
+                    F.col("text"), F.lit(":ph:"), F.col("k").cast("string")
+                )
+            )
+            % 256
+        )
+        .cast("double")
+        .alias("val"),
+    )
+    basis = spark.createDataFrame(
+        _PHASH_BASIS, "u long, xx long, c double"
+    )
+    bu = basis.select(
+        F.col("u").alias("u"), F.col("xx").alias("bx"), F.col("c").alias("cu")
+    )
+    bv = basis.select(
+        F.col("u").alias("v"), F.col("xx").alias("by"), F.col("c").alias("cv")
+    )
+    f = (
+        cells.join(F.broadcast(bu), F.col("x") == F.col("bx"))
+        .join(F.broadcast(bv), F.col("y") == F.col("by"))
+        .groupBy("doc_id", "u", "v")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("val") * F.col("cu") * F.col("cv")
+                    * 1_000_000_000.0
+                    + 0.5
+                ).cast("long")
+            ).alias("f_nanos")
+        )
+    )
+    ac = f.where(~((F.col("u") == 0) & (F.col("v") == 0)))
+    w = Window.partitionBy("doc_id").orderBy("f_nanos", "u", "v")
+    ranked = ac.withColumn("rn", F.row_number().over(w))
+    med = ranked.where(F.col("rn") == 32).select(
+        F.col("doc_id").alias("md"), F.col("f_nanos").alias("m")
+    )
+    bit = F.when(
+        F.col("f_nanos") > F.col("m"),
+        F.expr("shiftleft(cast(1 as bigint), cast(8 * u + v - 1 as int))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        ranked.join(med, F.col("doc_id") == F.col("md"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(bit).cast("long").alias("phash"),
+            F.sum(
+                F.when(F.col("f_nanos") > F.col("m"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_bits_set"),
+        )
     )

@@ -2658,3 +2658,55 @@ def set_union_by_name(spark: SparkSession, d: str) -> DataFrame:
         )
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+# --- balanced range-partition split points -----------------------------
+
+RANGE_SPLITS = 8  # target shard count for the writer layout
+
+
+@register(
+    "shard_range_splits",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey,
+             NTILE({RANGE_SPLITS}) OVER (ORDER BY o_orderkey) AS shard
+      FROM orders
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS lower_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS upper_key
+    FROM t GROUP BY shard
+    """,
+)
+def shard_range_splits(spark: SparkSession, d: str) -> DataFrame:
+    """BALANCED RANGE-SPLIT computation — the split points a writer
+    needs to lay a table out as {RANGE_SPLITS} equal-row key ranges
+    (the planning step behind range-bucketed tables, HFile/SST region
+    splits, and `repartitionByRange` with explicit boundaries): each
+    shard's row count and inclusive [lower, upper] key bounds, exact,
+    not sampled. Sampling-based splitters (what Spark's
+    RangePartitioner does internally) drift on skewed keys; this is
+    the exact-NTILE version a layout audit can assert against.
+
+    Distributed exactness: the global NTILE comes from
+    ``_global_ntile`` (range-shuffle → per-partition row_number →
+    literal offsets; no single-partition sort anywhere), bit-identical
+    to the oracle's NTILE({RANGE_SPLITS}) OVER (ORDER BY key) because
+    o_orderkey is unique — a total order.
+
+    Scale: one range exchange over the key column plus an
+    O(#partitions) driver collect of partition counts — the same
+    envelope as rfm_segmentation's distributed ranking."""
+    from pro_etl_spark.ops.analytics import _global_ntile
+
+    orders = load(spark, d, "orders").select("o_orderkey")
+    tiled = _global_ntile(
+        orders, RANGE_SPLITS, [F.col("o_orderkey")], key="o_orderkey"
+    )
+    return tiled.groupBy(F.col("_ntile").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("lower_key"),
+        F.max("o_orderkey").cast("long").alias("upper_key"),
+    )

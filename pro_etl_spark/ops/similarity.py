@@ -2754,3 +2754,113 @@ def embed_centroid_drift(spark: SparkSession, d: str) -> DataFrame:
         F.round(cos, 6).alias("centroid_cosine"),
         (cos < 0.999).alias("drifted"),
     )
+
+
+#: nDCG discount table 1/log2(1+r) for r = 1..TOP_K, precomputed in
+#: Python to 12 dp and inlined as literals in BOTH plans — log2 is
+#: not bit-portable across engines (the _DECAY_W discipline); with the
+#: discounts shared constants, every DCG is a sum of exact-grid values
+_NDCG_DISC = {
+    r: round(1.0 / __import__("math").log2(1 + r), 12)
+    for r in range(1, TOP_K + 1)
+}
+_NDCG_CASE_SQL = (
+    "CASE {col} "
+    + " ".join(
+        f"WHEN {r} THEN CAST({w!r} AS DOUBLE)"
+        for r, w in _NDCG_DISC.items()
+    )
+    + " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+@register(
+    "ann_ndcg_eval",
+    oracle=f"""
+    WITH exact AS ({{exact}}),
+         approx AS ({{approx}}),
+    hits AS (
+      SELECT a.query_id, a.rank AS arank,
+             {_NDCG_CASE_SQL.format(col="a.rank")}
+               AS gain
+      FROM approx a
+      JOIN exact e
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    ), dcg AS (
+      SELECT query_id,
+             CAST(SUM(CAST(FLOOR(gain * 1000000000000.0 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS dcg_picos
+      FROM hits GROUP BY query_id
+    ), ideal AS (
+      SELECT CAST(SUM(CAST(FLOOR(
+               {_NDCG_CASE_SQL.format(col="r.range")}
+               * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS idcg_picos
+      FROM range(1, {TOP_K} + 1) r
+    ), qs AS (
+      SELECT DISTINCT query_id FROM exact
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(d.dcg_picos, 0) AS BIGINT) AS dcg_picos,
+           CAST(COALESCE(d.dcg_picos, 0) AS DOUBLE)
+             / CAST((SELECT idcg_picos FROM ideal) AS DOUBLE) AS ndcg_at_k
+    FROM qs q LEFT JOIN dcg d ON d.query_id = q.query_id
+    """.format(
+        exact=ORACLES["ann_cosine_topk"], approx=ORACLES["ann_ivf_kmeans_topk"]
+    ),
+)
+def ann_ndcg_eval(spark: SparkSession, d: str) -> DataFrame:
+    """nDCG@k of the trained-IVF index against brute-force ground
+    truth — the rank-position-weighted third leg of the eval loop
+    (recall@k counts hits, MRR tracks only the top-1, nDCG credits
+    every hit by WHERE the index put it: gain 1/log2(1+rank), summed
+    and normalized by the ideal DCG of a perfect top-k). Binary
+    relevance = membership in the exact top-k.
+
+    Exactness: the discount table is precomputed in Python and inlined
+    as shared literals in both plans (log2 is not bit-portable across
+    engines), each gain floor-quantizes to integer picos, and DCG is
+    an exact integer sum — the one closing division is IEEE-identical.
+
+    Scale: identical envelope to ``ann_recall_eval`` — two index
+    searches plus a queries×k broadcast join; evaluating an index over
+    100 TB costs exactly the two searches."""
+    disc = F.create_map(
+        *[F.lit(x) for rw in _NDCG_DISC.items() for x in rw]
+    )
+    exact = ann_cosine_topk(spark, d).select(
+        F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
+    )
+    approx = ann_ivf_kmeans_topk(spark, d).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    hits = approx.join(
+        F.broadcast(exact),
+        (F.col("query_id") == F.col("eq"))
+        & (F.col("neighbor_id") == F.col("en")),
+    ).select(
+        "query_id",
+        F.floor(
+            F.coalesce(disc[F.col("rank")], F.lit(0.0))
+            * 1_000_000_000_000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("gain_picos"),
+    )
+    dcg = hits.groupBy("query_id").agg(
+        F.sum("gain_picos").cast("long").alias("dcg_picos")
+    )
+    idcg = sum(
+        int(w * 1_000_000_000_000.0 + 0.5) for w in _NDCG_DISC.values()
+    )
+    qs = exact.select(F.col("eq").alias("query_id")).distinct()
+    return qs.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("dcg_picos"), F.lit(0)).cast("long").alias(
+            "dcg_picos"
+        ),
+        (
+            F.coalesce(F.col("dcg_picos"), F.lit(0)).cast("double")
+            / F.lit(float(idcg))
+        ).alias("ndcg_at_k"),
+    )

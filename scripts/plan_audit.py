@@ -57,6 +57,10 @@ ALLOWED = {
         "SinglePartition": "CDF running sum over the 1000-row bucket "
         "census (model state)",
     },
+    "events_changepoint_binseg": {
+        "SinglePartition": "prefix sums + argmax over the DAY-grain "
+        "count series (<=|days| rows, model state)",
+    },
     "corpus_quality_dup_crosstab": {
         "SinglePartition": "doc-grain tercile NTILE (demo cut; "
         "production re-keys via the distributed-NTILE helper, see "

@@ -290,6 +290,17 @@ REPRESENTATIVES = [
     "features_behavior_entropy",
     "agg_bayes_smoothed_rate",
     "funnel_attribution_shapley",
+    # round-8 additions
+    "graph_hits",
+    "corpus_psi",
+    "ann_ndcg_eval",
+    "retention_rolling_actives",
+    "features_woe_iv",
+    "events_changepoint_binseg",
+    "events_holt_winters",
+    "shard_range_splits",
+    "interval_difference",
+    "mm_phash",
 ]
 
 
