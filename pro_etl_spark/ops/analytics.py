@@ -7150,3 +7150,402 @@ def events_holt_winters(spark: SparkSession, d: str) -> DataFrame:
             6,
         ).alias("forecast"),
     )
+
+
+# --- cohort lifetime-value curves --------------------------------------
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first_o AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', MIN(o_orderdate)) AS DATE)
+               AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ), rev AS (
+      SELECT f.cohort_month,
+             (EXTRACT(YEAR FROM o.o_orderdate)
+              - EXTRACT(YEAR FROM f.cohort_month)) * 12
+             + (EXTRACT(MONTH FROM o.o_orderdate)
+                - EXTRACT(MONTH FROM f.cohort_month)) AS month_offset,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS m_rev,
+             COUNT(DISTINCT o.o_custkey) AS m_buyers
+      FROM orders o JOIN first_o f USING (o_custkey)
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT cohort_month, COUNT(*) AS cohort_users
+      FROM first_o GROUP BY 1
+    )
+    SELECT r.cohort_month,
+           CAST(r.month_offset AS BIGINT) AS month_offset,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           CAST(r.m_buyers AS BIGINT) AS active_buyers,
+           CAST(SUM(r.m_rev) OVER (PARTITION BY r.cohort_month
+                                   ORDER BY r.month_offset
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue,
+           ROUND(CAST(SUM(r.m_rev) OVER (PARTITION BY r.cohort_month
+                                         ORDER BY r.month_offset
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW)
+                      AS DOUBLE) / s.cohort_users, 6) AS ltv_per_user
+    FROM rev r JOIN sized s USING (cohort_month)
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, d: str) -> DataFrame:
+    """COHORT LIFETIME-VALUE curves — the finance-grade companion to
+    ``retention_cohorts``: customers grouped by first-order month,
+    revenue accumulated by month offset, normalized per cohort user —
+    the curve whose plateau IS the LTV input to CAC math, and the
+    cohort-vs-cohort comparison that tells you whether newer vintages
+    monetize faster. Revenue rides DECIMAL end-to-end (exact,
+    order-independent) and converts to double once per output row via
+    the running window over the tiny (cohort × offset) grid.
+
+    Scale: one customer-grain first-order pass, one fact pass keyed
+    (cohort, offset) with map-side combine; the cumulative window
+    partitions by cohort over ≤ months rows — model-state."""
+    o = load(spark, d, "orders")
+    first_o = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate"))
+        .cast("date")
+        .alias("cohort_month")
+    )
+    rev = (
+        o.join(first_o, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (
+                (F.year("o_orderdate") - F.year("cohort_month")) * 12
+                + (F.month("o_orderdate") - F.month("cohort_month"))
+            ).alias("month_offset"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "m_rev"
+            ),
+            F.count_distinct("o_custkey").alias("m_buyers"),
+        )
+    )
+    sized = first_o.groupBy("cohort_month").agg(
+        F.count("*").alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = rev.join(F.broadcast(sized), "cohort_month")
+    cum = F.sum("m_rev").over(w).cast("double")
+    return j.select(
+        "cohort_month",
+        F.col("month_offset").cast("long").alias("month_offset"),
+        F.col("cohort_users").cast("long").alias("cohort_users"),
+        F.col("m_buyers").cast("long").alias("active_buyers"),
+        cum.alias("cum_revenue"),
+        F.round(cum / F.col("cohort_users"), 6).alias("ltv_per_user"),
+    )
+
+
+# --- open-order backlog aging ------------------------------------------
+
+AGING_BUCKETS_D = (30, 60, 90)  # aging fences in days
+
+
+@register(
+    "orders_backlog_aging",
+    oracle=f"""
+    WITH hw AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+    open_o AS (
+      SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+             date_diff('day', o.o_orderdate, a.d0) AS age_d
+      FROM orders o CROSS JOIN hw a
+      WHERE o.o_orderstatus <> 'F'
+    ), bucketed AS (
+      SELECT o_orderpriority,
+             CASE WHEN age_d < {AGING_BUCKETS_D[0]} THEN '0-29d'
+                  WHEN age_d < {AGING_BUCKETS_D[1]} THEN '30-59d'
+                  WHEN age_d < {AGING_BUCKETS_D[2]} THEN '60-89d'
+                  ELSE '90d+' END AS age_bucket,
+             o_totalprice
+      FROM open_o
+    )
+    SELECT o_orderpriority, age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS backlog_value
+    FROM bucketed GROUP BY 1, 2
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, d: str) -> DataFrame:
+    """OPEN-ORDER BACKLOG AGING — the operations WIP report: every
+    not-yet-finalized order (status ≠ 'F') bucketed by age at the
+    corpus high-water date (0-29 / 30-59 / 60-89 / 90+ days), with
+    counts and DECIMAL-exact backlog value per priority class. The
+    90d+ bucket per priority is the escalation queue; its value is
+    the revenue-at-risk number. Deterministic replay anchors at
+    MAX(o_orderdate); production swaps in the run date.
+
+    Scale: one fact pass with a broadcast 1-row anchor; integer day
+    arithmetic; group keys are (priority × 4 buckets) — fully
+    map-side combinable."""
+    o = load(spark, d, "orders")
+    asof = o.agg(F.max("o_orderdate").alias("d0"))
+    open_o = o.where(F.col("o_orderstatus") != "F").crossJoin(
+        F.broadcast(asof)
+    )
+    age = F.datediff(F.col("d0"), F.col("o_orderdate"))
+    b0, b1, b2 = AGING_BUCKETS_D
+    bucket = (
+        F.when(age < b0, "0-29d")
+        .when(age < b1, "30-59d")
+        .when(age < b2, "60-89d")
+        .otherwise("90d+")
+    )
+    return open_o.groupBy(
+        "o_orderpriority", bucket.alias("age_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("backlog_value"),
+    )
+
+
+# --- time-constrained funnel -------------------------------------------
+
+FUNNEL_STEP1_WINDOW_H = 1    # click within 1 h of first view
+FUNNEL_STEP2_WINDOW_H = 24   # purchase within 24 h of that click
+
+
+@register(
+    "funnel_time_constrained",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS ct
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts >= v.vt
+        AND e.ts <= v.vt + INTERVAL {FUNNEL_STEP1_WINDOW_H} HOUR
+      GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS pt
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.ct
+        AND e.ts <= c.ct + INTERVAL {FUNNEL_STEP2_WINDOW_H} HOUR
+      GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_no,
+             CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 'click_1h', 2, COUNT(*) FROM c
+      UNION ALL
+      SELECT 'purchase_24h', 3, COUNT(*) FROM p
+    )
+    """,
+)
+def funnel_time_constrained(spark: SparkSession, d: str) -> DataFrame:
+    """TIME-CONSTRAINED ordered funnel — the production variant of
+    ``funnel_conversion``: a step only counts within its window
+    (click ≤ {FUNNEL_STEP1_WINDOW_H} h after the first view, purchase
+    ≤ {FUNNEL_STEP2_WINDOW_H} h after that click). Unbounded funnels
+    credit conversions weeks later to the original touch, inflating
+    every step-through rate; windowed funnels are what growth teams
+    actually report. Timestamp comparisons only — no floats.
+
+    Scale: three user-keyed min-aggregations, each consuming the
+    previous step's (user, ts) table as a broadcast-able join — the
+    fact table is scanned per step but never self-joined row×row."""
+    ev = load(spark, d, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") >= F.col("vt"))
+            & (
+                F.col("ts")
+                <= F.col("vt")
+                + F.expr(f"INTERVAL {FUNNEL_STEP1_WINDOW_H} HOURS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") >= F.col("ct"))
+            & (
+                F.col("ts")
+                <= F.col("ct")
+                + F.expr(f"INTERVAL {FUNNEL_STEP2_WINDOW_H} HOURS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+
+    def census(df, step, no):
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(no).cast("long").alias("step_no"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+
+    return (
+        census(v, "view", 1)
+        .unionByName(census(c, "click_1h", 2))
+        .unionByName(census(p, "purchase_24h", 3))
+    )
+
+
+# --- ABC / XYZ inventory segmentation ----------------------------------
+
+ABC_A, ABC_B = 0.5, 0.8        # cumulative revenue-share fences
+XYZ_X, XYZ_Y = 0.5, 1.0        # coefficient-of-variation fences
+
+
+@register(
+    "orders_abc_xyz",
+    oracle=f"""
+    WITH part_rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+             SUM(rev) OVER () AS tot
+      FROM part_rev
+    ), abc AS (
+      SELECT l_partkey, rev,
+             CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                       <= {ABC_A} THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                       <= {ABC_B} THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    ), monthly AS (
+      SELECT l.l_partkey,
+             date_trunc('month', o.o_orderdate) AS m,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS q
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ), xyz AS (
+      SELECT l_partkey,
+             COUNT(*) AS n,
+             CAST(SUM(q) AS DOUBLE) AS sx,
+             CAST(SUM(q * q) AS DOUBLE) AS sxx
+      FROM monthly GROUP BY l_partkey
+    ), xyz_cls AS (
+      SELECT l_partkey,
+             CASE WHEN n < 2 OR sx = 0 THEN 'Z'
+                  WHEN sqrt((n * sxx - sx * sx)
+                            / (CAST(n AS DOUBLE) * (n - 1)))
+                       / (sx / n) <= {XYZ_X} THEN 'X'
+                  WHEN sqrt((n * sxx - sx * sx)
+                            / (CAST(n AS DOUBLE) * (n - 1)))
+                       / (sx / n) <= {XYZ_Y} THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM xyz
+    )
+    SELECT a.abc_class, x.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(a.rev) AS DOUBLE) AS revenue
+    FROM abc a JOIN xyz_cls x USING (l_partkey)
+    GROUP BY 1, 2
+    """,
+)
+def orders_abc_xyz(spark: SparkSession, d: str) -> DataFrame:
+    """ABC/XYZ inventory segmentation — the planner's 3×3 grid:
+    revenue importance (A = top {ABC_A:.0%} of cumulative revenue,
+    B = next, C = tail — ``pareto_abc``'s fences) CROSSED with demand
+    variability (X = monthly-quantity CV ≤ {XYZ_X}, Y ≤ {XYZ_Y},
+    Z = erratic or thin history). AX cells get automated reorder
+    policies; CZ cells get manual review — the matrix IS the policy
+    map, and this op computes it end-to-end from facts.
+
+    Exactness: revenues ride DECIMAL; the cumulative share uses a
+    deterministic (rev DESC, partkey) order; CV comes from exact
+    integer quantity moments with one closed form in double (the
+    agg_corr/sqrt discipline); thin histories (n < 2) and zero-demand
+    parts class as Z, identically in both engines.
+
+    Scale: two part-keyed fact rollups (map-side combinable), a
+    running sum over the PART-grain table (range-shuffled at real
+    scale; the part dimension is 1e-4 of lineitem), and a part-keyed
+    class join — no fact-table window anywhere."""
+    li = load(spark, d, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    wcum = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = part_rev.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+    share = F.col("cum").cast("double") / F.col("tot").cast("double")
+    abc = ranked.select(
+        "l_partkey",
+        "rev",
+        F.when(share <= ABC_A, "A")
+        .when(share <= ABC_B, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    o = load(spark, d, "orders").select("o_orderkey", "o_orderdate")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_partkey", F.date_trunc("month", "o_orderdate").alias("m")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    xyz = monthly.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.sum("q").cast("double").alias("sx"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    cv = F.sqrt(
+        (n * sxx - sx * sx) / (n.cast("double") * (n - 1))
+    ) / (sx / n)
+    xyz_cls = xyz.select(
+        "l_partkey",
+        F.when((n < 2) | (sx == 0), "Z")
+        .when(cv <= XYZ_X, "X")
+        .when(cv <= XYZ_Y, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz_cls, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )

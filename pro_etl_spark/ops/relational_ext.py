@@ -2710,3 +2710,180 @@ def shard_range_splits(spark: SparkSession, d: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("lower_key"),
         F.max("o_orderkey").cast("long").alias("upper_key"),
     )
+
+
+# --- count-min sketch ---------------------------------------------------
+
+CMS_DEPTH = 4   # independent hash rows
+CMS_WIDTH = 64  # buckets per row — tiny on purpose so collisions are
+                # visible and the overcount column actually exercises
+                # the min-over-rows estimator at test scale
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH cells AS (
+      SELECT r.range AS cms_row,
+             {DUCK_HASH60.format(
+                 x="(event_type || ':cms:' || CAST(r.range AS VARCHAR))")}
+               % {CMS_WIDTH} AS b,
+             COUNT(*) AS c
+      FROM events, range({CMS_DEPTH}) r
+      GROUP BY 1, 2
+    ), types AS (
+      SELECT event_type, COUNT(*) AS true_cnt FROM events GROUP BY 1
+    )
+    SELECT t.event_type,
+           CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.c) - t.true_cnt AS BIGINT) AS overcount
+    FROM types t
+    JOIN cells c
+      ON c.b = {DUCK_HASH60.format(
+          x="(t.event_type || ':cms:' || CAST(c.cms_row AS VARCHAR))")}
+             % {CMS_WIDTH}
+    GROUP BY t.event_type, t.true_cnt
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, d: str) -> DataFrame:
+    """COUNT-MIN SKETCH frequency estimation — the streaming-sketch
+    family's fourth member (HLL: distinct, bitmap: exact distinct,
+    Bloom: membership; CMS: FREQUENCY): {CMS_DEPTH} hash rows ×
+    {CMS_WIDTH} buckets of exact integer counts, point estimate =
+    min over rows of the key's bucket count, never an undercount.
+    The op builds the sketch AND audits it against the true counts
+    (the `overcount` column is the collision error a production
+    width/depth choice is sized by).
+
+    The sketch build is ONE map-side-combinable groupBy of
+    {CMS_DEPTH}×{CMS_WIDTH} cells — mergeable across partitions,
+    shards, and days by cell-wise addition, which is the whole point
+    of a CMS at 100 TB (the cells table IS the mergeable state).
+    Hashes are the portable md5-60bit recipe, so the sketch is
+    bit-identical in both engines.
+
+    Scale: fact pass → 256-row cell table (broadcast); the estimate
+    join touches only the distinct-key table."""
+    ev = load(spark, d, "events")
+    rows = ev.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias(
+            "cms_row"
+        ),
+    )
+    bucket = (
+        hash60(
+            F.concat(
+                F.col("event_type"),
+                F.lit(":cms:"),
+                F.col("cms_row").cast("string"),
+            )
+        )
+        % CMS_WIDTH
+    )
+    cells = rows.groupBy("cms_row", bucket.alias("b")).agg(
+        F.count("*").alias("c")
+    )
+    types = ev.groupBy("event_type").agg(F.count("*").alias("true_cnt"))
+    tb = (
+        hash60(
+            F.concat(
+                F.col("event_type"),
+                F.lit(":cms:"),
+                F.col("cms_row").cast("string"),
+            )
+        )
+        % CMS_WIDTH
+    )
+    est = types.join(
+        F.broadcast(cells), tb == F.col("b")
+    )
+    return est.groupBy("event_type", "true_cnt").agg(
+        F.min("c").cast("long").alias("cms_estimate"),
+        (F.min("c") - F.col("true_cnt")).cast("long").alias("overcount"),
+    ).select(
+        "event_type",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        "cms_estimate",
+        "overcount",
+    )
+
+
+# --- rolling z-score ----------------------------------------------------
+
+ZSCORE_LOOKBACK = 6  # trailing frame: 6 preceding rows, current excluded
+
+
+@register(
+    "window_rolling_zscore",
+    oracle=f"""
+    WITH fr AS (
+      SELECT event_id, user_id, value,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) OVER w AS sx,
+             SUM(CAST(value AS DECIMAL(18,6))
+                 * CAST(value AS DECIMAL(18,6))) OVER w AS sxx
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING
+                            AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CAST(n AS BIGINT) AS n_window,
+           CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN ROUND(
+                  (value - CAST(sx AS DOUBLE) / n)
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * (n - 1))), 6)
+           END AS zscore
+    FROM fr
+    """,
+)
+def window_rolling_zscore(spark: SparkSession, d: str) -> DataFrame:
+    """ROLLING Z-SCORE — each event's value standardized against the
+    user's own trailing {ZSCORE_LOOKBACK}-row window (current row
+    EXCLUDED, so the point never dilutes its own baseline): the
+    mean-based complement to ``window_hampel``'s median filter and
+    the windowed version of ``agg_zscore_outliers``' global score —
+    the per-point anomaly feature fraud models consume. NULL until
+    two baseline points exist or when the window is constant.
+
+    Exactness: Σx and Σx² ride DECIMAL inside the frame (exact,
+    order-independent); the sample-variance closed form
+    (n·Σx² − (Σx)²)/(n(n−1)) is evaluated once in double; sqrt is
+    IEEE correctly-rounded hence portable (agg_corr discipline).
+
+    Scale: one user-keyed shuffle, bounded 7-row frame state."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    vdec = F.col("value").cast("decimal(18,6)")
+    fr = load(spark, d, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("*").over(w).alias("n"),
+        F.sum(vdec).over(w).alias("sx"),
+        F.sum(vdec * vdec).over(w).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    disc = n * sxx - sx * sx
+    z = F.round(
+        (F.col("value") - sx / F.col("n"))
+        / F.sqrt(disc / (n * (F.col("n") - 1))),
+        6,
+    )
+    return fr.select(
+        "event_id",
+        "user_id",
+        F.col("n").cast("long").alias("n_window"),
+        F.when((F.col("n") >= 2) & (disc > 0), z).alias("zscore"),
+    )

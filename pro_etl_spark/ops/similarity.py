@@ -2864,3 +2864,79 @@ def ann_ndcg_eval(spark: SparkSession, d: str) -> DataFrame:
             / F.lit(float(idcg))
         ).alias("ndcg_at_k"),
     )
+
+
+@register(
+    "embed_standardize",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), m AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(val AS DECIMAL(18,9))
+                         * CAST(val AS DECIMAL(18,9))) AS VARCHAR)
+                  AS DOUBLE) AS sxx
+      FROM flat GROUP BY dim
+    )
+    SELECT f.vec_id, f.dim,
+           CASE WHEN m.n * m.sxx - m.sx * m.sx > 0
+                THEN ROUND((f.val - m.sx / m.n)
+                           / sqrt((m.n * m.sxx - m.sx * m.sx)
+                                  / (CAST(m.n AS DOUBLE) * m.n)), 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS zval
+    FROM flat f JOIN m USING (dim)
+    WHERE f.vec_id < {N_QUERIES * 4}
+    """,
+)
+def embed_standardize(spark: SparkSession, d: str) -> DataFrame:
+    """PER-DIMENSION STANDARDIZATION (whitening-lite) of the embedding
+    space: z = (x − μ_dim)/σ_dim from corpus-wide per-dim moments —
+    the preprocessing that equalizes dimension scales before cosine /
+    k-means when an encoder leaves dominant dimensions
+    (``embed_dim_stats`` DIAGNOSES them; this op FIXES them). Dead
+    dimensions (zero variance) map to 0, not NaN. Output is limited
+    to a deterministic head of vectors ({N_QUERIES * 4}) — the
+    transform is row-local, so the head certifies the whole.
+
+    Exactness: per-dim Σx and Σx² ride DECIMAL(18,9) and come back to
+    double through the VARCHAR route (the embed_dim_stats recipe —
+    a direct decimal→double cast rounds differently per engine);
+    population σ is one closed form in double; sqrt is portable.
+
+    Scale: one unnest pass → 64-row moment table (broadcast) → one
+    narrow map over the corpus. At 100 TB the moment table is the
+    model state a standardizing scan broadcasts."""
+    flat = load(spark, d, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "val"
+        ),
+    ).select(
+        "vec_id", (F.col("dim0") + 1).cast("long").alias("dim"), "val"
+    )
+    vdec = F.col("val").cast("decimal(18,9)")
+    m = flat.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).cast("string").cast("double").alias("sx"),
+        F.sum(vdec * vdec).cast("string").cast("double").alias("sxx"),
+    )
+    disc = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    z = F.round(
+        (F.col("val") - F.col("sx") / F.col("n"))
+        / F.sqrt(disc / (F.col("n").cast("double") * F.col("n"))),
+        6,
+    )
+    return (
+        flat.where(F.col("vec_id") < N_QUERIES * 4)
+        .join(F.broadcast(m), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.when(disc > 0, z).otherwise(F.lit(0.0)).alias("zval"),
+        )
+    )

@@ -1702,3 +1702,96 @@ def sink_parquet_zstd(spark: SparkSession, d: str) -> DataFrame:
         .parquet(path),
     )
     return spark.read.parquet(path)
+
+
+# --- fixed-width records -------------------------------------------------
+
+#: COBOL-style layout: orderkey 12 | status 1 | totalprice 14 (2 dp,
+#: zero-padded) | orderdate 10 | priority 15 (space-padded)
+FW_LAYOUT = (
+    ("o_orderkey", 1, 12),
+    ("o_orderstatus", 13, 1),
+    ("o_totalprice", 14, 14),
+    ("o_orderdate", 28, 10),
+    ("o_orderpriority", 38, 15),
+)
+
+
+def _fixed_width_file(spark: SparkSession, d: str) -> str:
+    """Stage a fixed-width text export of orders (written once per
+    dataset): every field padded to its layout slot, one record per
+    line — the mainframe interchange format ETL tools still meet."""
+    path = _tmp(f"fixed_width_{dataset_suffix(d)}")
+    o = load(spark, d, "orders")
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.col("o_orderstatus"),
+        F.lpad(
+            F.format_number(F.col("o_totalprice").cast("decimal(18,2)"), 2),
+            14,
+            "0",
+        ),
+        F.col("o_orderdate").cast("string"),
+        F.rpad(F.col("o_orderpriority"), 15, " "),
+    )
+    _write_once(
+        path,
+        lambda: o.select(line.alias("value"))
+        .write.mode("overwrite")
+        .text(path),
+    )
+    return path
+
+
+@register(
+    "scan_fixed_width",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(MIN(o_orderdate) AS DATE) AS first_date,
+           CAST(MAX(o_orderdate) AS DATE) AS last_date
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_fixed_width(spark: SparkSession, d: str) -> DataFrame:
+    """FIXED-WIDTH record scan — the mainframe/COBOL copybook format
+    every migration toolkit eventually meets (the reference's world of
+    CSV-keyed exports sits one generation later): records are sliced
+    by OFFSET, not delimiter, so parsing is pure ``substring`` + trim
+    + cast column expressions over ``spark.read.text`` — fully
+    codegen, no UDF, splittable files, column pruning drops unused
+    slots at the parse layer.
+
+    The staged file is written once from orders via the inverse
+    layout (lpad/rpad), and the oracle aggregates the ORIGINAL table —
+    so a value-exact match certifies the whole encode→decode loop,
+    including the zero-padded decimal round-trip (format_number's
+    thousands separators stripped on parse).
+
+    Scale: text scan parallelizes by line splits; the parse is narrow;
+    the demo aggregate shuffles (status)-keyed — the point is the
+    parse layer, the aggregate just forces every field."""
+    path = _fixed_width_file(spark, d)
+    raw = spark.read.text(path)
+
+    def slot(name: str):
+        _, start, width = next(f for f in FW_LAYOUT if f[0] == name)
+        return F.substring("value", start, width)
+
+    parsed = raw.select(
+        slot("o_orderkey").cast("long").alias("o_orderkey"),
+        slot("o_orderstatus").alias("status"),
+        F.regexp_replace(slot("o_totalprice"), "[,]", "")
+        .cast("decimal(18,2)")
+        .alias("o_totalprice"),
+        slot("o_orderdate").cast("date").alias("o_orderdate"),
+        F.rtrim(slot("o_orderpriority")).alias("o_orderpriority"),
+    )
+    return parsed.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("o_totalprice").cast("double").alias("total_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )

@@ -61,6 +61,12 @@ ALLOWED = {
         "SinglePartition": "prefix sums + argmax over the DAY-grain "
         "count series (<=|days| rows, model state)",
     },
+    "orders_abc_xyz": {
+        "SinglePartition": "cumulative revenue share over the "
+        "PART-grain rollup (1e-4 of lineitem; range-shuffle it via "
+        "_global_running_sums if the part dimension ever stops "
+        "fitting one task)",
+    },
     "corpus_quality_dup_crosstab": {
         "SinglePartition": "doc-grain tercile NTILE (demo cut; "
         "production re-keys via the distributed-NTILE helper, see "

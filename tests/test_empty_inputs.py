@@ -301,6 +301,14 @@ REPRESENTATIVES = [
     "shard_range_splits",
     "interval_difference",
     "mm_phash",
+    "agg_count_min_sketch",
+    "orders_cohort_ltv",
+    "orders_backlog_aging",
+    "funnel_time_constrained",
+    "window_rolling_zscore",
+    "embed_standardize",
+    "scan_fixed_width",
+    "orders_abc_xyz",
 ]
 
 
