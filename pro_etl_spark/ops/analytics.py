@@ -7549,3 +7549,136 @@ def orders_abc_xyz(spark: SparkSession, d: str) -> DataFrame:
             F.sum("rev").cast("double").alias("revenue"),
         )
     )
+
+
+# --- supplier scorecard --------------------------------------------------
+
+
+@register(
+    "supplier_scorecard",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           ROUND(CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS return_rate,
+           CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(date_diff('day', o.o_orderdate, l.l_shipdate))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_ship_days,
+           CAST(MAX(date_diff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS worst_ship_days
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY s.s_suppkey, s.s_name, n.n_name
+    """,
+)
+def supplier_scorecard(spark: SparkSession, d: str) -> DataFrame:
+    """SUPPLIER SCORECARD — the procurement-review rollup: per
+    supplier, net revenue (DECIMAL-exact), return rate (share of 'R'
+    lines — the quality signal), part breadth, and order→ship latency
+    (mean and worst case — the reliability signal). One row per
+    supplier is what the quarterly business review sorts by; the
+    columns are the negotiation agenda.
+
+    Exactness: revenue rides DECIMAL; rates and means divide exact
+    integer counts/day-sums once; day gaps are integer datediffs.
+
+    Scale: lineitem joins supplier/nation broadcast and orders on the
+    order key (the fact-to-fact join AQE plans shuffle-local when both
+    are bucketed by orderkey); one supplier-keyed aggregate with
+    map-side combine."""
+    li = load(spark, d, "lineitem")
+    s = load(spark, d, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load(spark, d, "nation").select("n_nationkey", "n_name")
+    o = load(spark, d, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    ship_days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("s_suppkey", "s_name", F.col("n_name").alias("nation")).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(rev.cast("decimal(18,6)")).cast("double").alias("revenue"),
+        F.round(
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("return_rate"),
+        F.count_distinct("l_partkey").cast("long").alias("n_parts"),
+        F.round(
+            F.sum(ship_days).cast("double") / F.count("*"), 6
+        ).alias("avg_ship_days"),
+        F.max(ship_days).cast("long").alias("worst_ship_days"),
+    )
+
+
+# --- Poisson rate confidence intervals ----------------------------------
+
+POISSON_Z = 1.959963984540054  # 97.5th normal quantile, shared literal
+
+
+@register(
+    "events_poisson_rate_ci",
+    oracle=f"""
+    WITH span AS (
+      SELECT CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                            MAX(CAST(ts AS DATE))) + 1 AS BIGINT) AS days
+      FROM events
+    ), c AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(c.n AS BIGINT) AS n_events,
+           CAST(s.days AS BIGINT) AS span_days,
+           ROUND(CAST(c.n AS DOUBLE) / s.days, 6) AS rate_per_day,
+           ROUND((c.n - {POISSON_Z} * sqrt(CAST(c.n AS DOUBLE)))
+                 / s.days, 6) AS rate_lo,
+           ROUND((c.n + {POISSON_Z} * sqrt(CAST(c.n AS DOUBLE)))
+                 / s.days, 6) AS rate_hi
+    FROM c CROSS JOIN span s
+    """,
+)
+def events_poisson_rate_ci(spark: SparkSession, d: str) -> DataFrame:
+    """POISSON RATE with 95% CI per event type — the ops-monitoring
+    primitive behind "is this event stream's rate abnormal": events
+    per day over the corpus span, with the normal-approximation
+    interval (n ± z·√n)/days that a volume-drop alert compares
+    yesterday's count against. The z constant is a shared literal and
+    sqrt is IEEE-portable (agg_corr discipline), so both engines emit
+    identical bounds.
+
+    Scale: one map-side-combinable type census + a broadcast 1-row
+    span; nothing else."""
+    ev = load(spark, d, "events")
+    span = ev.agg(
+        (
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("days")
+    )
+    c = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    j = c.crossJoin(F.broadcast(span))
+    n = F.col("n").cast("double")
+    days = F.col("days")
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("days").cast("long").alias("span_days"),
+        F.round(n / days, 6).alias("rate_per_day"),
+        F.round((n - POISSON_Z * F.sqrt(n)) / days, 6).alias("rate_lo"),
+        F.round((n + POISSON_Z * F.sqrt(n)) / days, 6).alias("rate_hi"),
+    )

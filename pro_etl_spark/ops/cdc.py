@@ -1218,3 +1218,81 @@ def interval_difference(spark: SparkSession, d: str) -> DataFrame:
             "(unix_micros(seg_end) - unix_micros(seg_start)) div 60000000"
         ).alias("seg_minutes"),
     )
+
+
+# --- per-session feature profile -----------------------------------------
+
+
+def _session_profile_oracle() -> str:
+    from pro_etl_spark.registry import ORACLES
+
+    return f"""
+    WITH labeled AS ({ORACLES["sessionize"]}),
+    ev AS (
+      SELECT l.user_id, l.session_num, l.ts, e.event_type, e.value
+      FROM labeled l JOIN events e ON e.event_id = l.event_id
+    )
+    SELECT user_id,
+           CAST(session_num AS BIGINT) AS session_num,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_s,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS n_purchases,
+           COUNT(*) = 1 AS is_bounce,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
+    FROM ev GROUP BY user_id, session_num
+    """
+
+
+@register("features_session_profile", oracle=_session_profile_oracle())
+def features_session_profile(spark: SparkSession, d: str) -> DataFrame:
+    """PER-SESSION FEATURE PROFILE — the session-grain feature table a
+    personalization / churn model trains on, composed directly on
+    ``sessionize``'s event labeling: duration, event count and
+    diversity, purchase count, the bounce flag (single-event
+    sessions — THE engagement metric), and the DECIMAL-exact value
+    sum. Completes the grain ladder: event-grain (sessionize) →
+    session-grain (this) → user-grain (features_user_velocity).
+
+    Scale: sessionize's one user-keyed shuffle already colocates each
+    session's events, so this rollup adds only a map-side-combinable
+    aggregate on (user, session) — no new exchange of the fact
+    table."""
+    labeled = sessionize(spark, d).select(
+        "event_id", "user_id", "session_num"
+    )
+    ev = load(spark, d, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    j = labeled.join(ev, "event_id")
+    return j.groupBy("user_id", "session_num").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").cast("long").alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        )
+        .cast("long")
+        .alias("duration_s"),
+        F.count_distinct("event_type").cast("long").alias("n_event_types"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("n_purchases"),
+        (F.count("*") == 1).alias("is_bounce"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    ).select(
+        "user_id",
+        F.col("session_num").cast("long").alias("session_num"),
+        "session_start",
+        "n_events",
+        "duration_s",
+        "n_event_types",
+        "n_purchases",
+        "is_bounce",
+        "total_value",
+    )

@@ -1706,3 +1706,114 @@ def dedup_cascade_census(spark: SparkSession, d: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(F.broadcast(c))
     return out
+
+
+# --- LSH parameter tuning curves -----------------------------------------
+
+#: (bands, rows) configs that spend the same MINHASH_PERMS budget
+LSH_TUNING_GRID = ((2, 8), (4, 4), (8, 2), (16, 1))
+
+
+def _pow_sql(base: str, n: int) -> str:
+    """x^n as an explicit left-associated multiplication chain — the
+    same IEEE double sequence in both engines (POWER() is libm-backed
+    and not bit-portable)."""
+    return "(" + " * ".join([base] * n) + ")"
+
+
+def _lsh_tuning_oracle() -> str:
+    parts = []
+    for b, r in LSH_TUNING_GRID:
+        sr = _pow_sql("s_mid", r)
+        qb = _pow_sql(f"(1.0 - {sr})", b)
+        parts.append(f"""
+    SELECT {b} AS bands, {r} AS rows_per_band, bucket, s_mid, n_pairs,
+           1.0 - {qb} AS p_collide
+    FROM hist""")
+    union = "\n    UNION ALL".join(parts)
+    return (
+        _LSH_PAIRS_CTE
+        + """
+    , hist AS (
+      SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bucket,
+             CAST(floor(jaccard * 20) AS BIGINT) * CAST(0.05 AS DOUBLE)
+               + CAST(0.025 AS DOUBLE) AS s_mid,
+             COUNT(*) AS n_pairs
+      FROM pairs GROUP BY 1, 2
+    ), curves AS ("""
+        + union
+        + """
+    )
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           bucket,
+           ROUND(s_mid, 6) AS s_mid,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(p_collide, 6) AS p_collide,
+           CAST(FLOOR(n_pairs * p_collide * 1000000.0 + 0.5) AS BIGINT)
+             AS expected_caught_micros
+    FROM curves
+    """
+    )
+
+
+@register("dedup_lsh_tuning_curves", oracle=_lsh_tuning_oracle())
+def dedup_lsh_tuning_curves(spark: SparkSession, d: str) -> DataFrame:
+    """LSH PARAMETER TUNING — the analytic s-curve P(candidate) =
+    1 − (1 − s^r)^b evaluated for every (bands, rows) split of the
+    {MINHASH_PERMS}-permutation budget against the MEASURED Jaccard
+    distribution of this corpus's verified pair table: per config and
+    similarity bucket, the collision probability and the expected
+    number of caught pairs. This is the table that answers "should we
+    re-band?" with THIS corpus's numbers instead of the textbook
+    curve — more rows/band sharpens the knee (fewer sub-threshold
+    candidates), more bands lifts recall; the config whose expected
+    catch at τ matches the exact count wins.
+
+    Exactness: the bucket midpoint and both powers are explicit
+    left-associated multiplication chains (POWER() is not
+    bit-portable; a fixed chain of IEEE multiplies is), and expected
+    catches floor-quantize to integer micros.
+
+    Scale: pure composition — consumes the cached verified pair table
+    (already bucket-bounded) reduced to a ≤20-row histogram, then a
+    constant 4-config fan-out. Free at any corpus size once the LSH
+    stage ran."""
+    pairs = dedup_minhash_lsh(spark, d)
+    hist = pairs.groupBy(
+        F.floor(F.col("jaccard") * 20).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("n_pairs"))
+    hist = hist.withColumn(
+        "s_mid", F.col("bucket") * F.lit(0.05) + F.lit(0.025)
+    )
+    curves = None
+    for b, r in LSH_TUNING_GRID:
+        sr = F.col("s_mid")
+        for _ in range(r - 1):
+            sr = sr * F.col("s_mid")
+        q = F.lit(1.0) - sr
+        qb = q
+        for _ in range(b - 1):
+            qb = qb * q
+        cfg = hist.select(
+            F.lit(b).cast("long").alias("bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            "bucket",
+            "s_mid",
+            "n_pairs",
+            (F.lit(1.0) - qb).alias("p_collide"),
+        )
+        curves = cfg if curves is None else curves.unionByName(cfg)
+    return curves.select(
+        "bands",
+        "rows_per_band",
+        "bucket",
+        F.round("s_mid", 6).alias("s_mid"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("p_collide", 6).alias("p_collide"),
+        F.floor(
+            F.col("n_pairs") * F.col("p_collide") * 1_000_000.0 + 0.5
+        )
+        .cast("long")
+        .alias("expected_caught_micros"),
+    )

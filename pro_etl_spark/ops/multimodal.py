@@ -857,3 +857,108 @@ def mm_phash(spark: SparkSession, d: str) -> DataFrame:
             .alias("n_bits_set"),
         )
     )
+
+
+# --- voice-activity segments ---------------------------------------------
+
+
+def _vad_oracle() -> str:
+    from pro_etl_spark.registry import ORACLES
+
+    return f"""
+    WITH fr AS ({ORACLES["mm_audio_energy"]}),
+    tot AS (
+      SELECT doc_id, SUM(energy) AS te, COUNT(*) AS nf
+      FROM fr GROUP BY doc_id
+    ), voiced AS (
+      -- integer cross-multiply: energy >= mean(energy) without a
+      -- division (energy * nf >= total_energy), exact in both engines
+      SELECT f.doc_id, f.frame_idx, f.energy
+      FROM fr f JOIN tot t USING (doc_id)
+      WHERE f.energy * t.nf >= t.te
+    ), flagged AS (
+      SELECT doc_id, frame_idx, energy,
+             CASE WHEN LAG(frame_idx) OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx) IS NULL
+                       OR frame_idx - LAG(frame_idx)
+                            OVER (PARTITION BY doc_id
+                                  ORDER BY frame_idx) > 1
+                  THEN 1 ELSE 0 END AS new_seg
+      FROM voiced
+    ), segs AS (
+      SELECT doc_id, frame_idx, energy,
+             SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS seg_id
+      FROM flagged
+    )
+    SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM segs GROUP BY doc_id, seg_id
+    """
+
+
+@register("mm_audio_vad_segments", oracle=_vad_oracle())
+def mm_audio_vad_segments(spark: SparkSession, d: str) -> DataFrame:
+    """VOICE-ACTIVITY segments — the VAD stage an audio-training
+    pipeline runs after framing (``mm_audio_energy``'s front-end):
+    frames at-or-above the document's mean energy are "voiced", and
+    consecutive voiced frames merge into segments (gaps-and-islands on
+    frame index — the ``sessionize`` machinery applied to media
+    frames). Emits per segment the frame span, length, and integer
+    energy — what a speech pipeline cuts clips by.
+
+    Exactness: the threshold is an integer CROSS-MULTIPLY
+    (energy·n_frames ≥ total_energy — mean comparison without
+    division), and everything downstream is integer window logic.
+
+    Scale: frames are doc-keyed (the energy pass is map-only); the
+    island windows partition by doc_id — per-partition state is one
+    document's frames. No shuffle beyond the doc-keyed aggregate."""
+    fr = mm_audio_energy(spark, d).select("doc_id", "frame_idx", "energy")
+    tot = fr.groupBy("doc_id").agg(
+        F.sum("energy").alias("te"), F.count("*").alias("nf")
+    )
+    voiced = fr.join(tot, "doc_id").where(
+        F.col("energy") * F.col("nf") >= F.col("te")
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = voiced.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        F.when(
+            F.lag("frame_idx").over(wlag).isNull()
+            | (F.col("frame_idx") - F.lag("frame_idx").over(wlag) > 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_seg"),
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    segs = flagged.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        F.sum("new_seg").over(wrun).alias("seg_id"),
+    )
+    return segs.groupBy("doc_id", "seg_id").agg(
+        F.min("frame_idx").cast("long").alias("start_frame"),
+        F.max("frame_idx").cast("long").alias("end_frame"),
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("seg_energy"),
+    ).select(
+        "doc_id",
+        F.col("seg_id").cast("long").alias("seg_id"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "seg_energy",
+    )

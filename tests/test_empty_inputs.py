@@ -309,6 +309,11 @@ REPRESENTATIVES = [
     "embed_standardize",
     "scan_fixed_width",
     "orders_abc_xyz",
+    "dedup_lsh_tuning_curves",
+    "features_session_profile",
+    "mm_audio_vad_segments",
+    "supplier_scorecard",
+    "events_poisson_rate_ci",
 ]
 
 
