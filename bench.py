@@ -164,6 +164,17 @@ HEADLINE = [
     "join_range_binned",
     "events_bot_score",
     "ab_cuped",
+    # round-8: the corpus-scaled k-means dedup path (nlist = ceil(sqrt(N))
+    # — these two were the round-7 scale-killers, benched to keep the 1x
+    # cost honest), HITS over the dedup digraph, the DCT perceptual
+    # hash, PSI drift, the windowed funnel, and the session-grain
+    # feature rollup
+    "dedup_embedding_kmeans",
+    "graph_hits",
+    "mm_phash",
+    "corpus_psi",
+    "funnel_time_constrained",
+    "features_session_profile",
 ]
 
 

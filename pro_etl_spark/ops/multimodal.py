@@ -725,26 +725,38 @@ _PHASH_BASIS_SQL = "(VALUES " + ",".join(
 
 @register(
     "mm_phash",
+    # two sweep-driven plan choices (round 8, 40.8 s -> ~3 s at sf0.1):
+    # (1) the fan-out carries a 32-char CONTENT KEY (md5 of the text),
+    #     never the payload itself — hashing the full text once per
+    #     (doc × 64 cells × basis fan-out) dominated the first cut;
+    # (2) the 2D DCT is SEPARABLE: a column pass (Σ_y C[v,y]·val,
+    #     micro-quantized) then a row pass (Σ_x C[u,x]·G) — 1024 join
+    #     rows per doc instead of the naive 4096 outer-product terms.
     oracle=f"""
-    WITH ks AS (
-      SELECT doc_id, text, CAST(r.range AS BIGINT) AS k
-      FROM documents, range(64) r
+    WITH ck AS (
+      SELECT doc_id, md5(text) AS key FROM documents
     ), cells AS (
-      SELECT doc_id, k // 8 AS x, k % 8 AS y,
+      SELECT doc_id,
+             CAST(r.range AS BIGINT) // 8 AS x,
+             CAST(r.range AS BIGINT) % 8 AS y,
              CAST({DUCK_HASH60.format(
-                 x="(text || ':ph:' || CAST(k AS VARCHAR))")} % 256
+                 x="(key || ':ph:' || CAST(r.range AS VARCHAR))")} % 256
                AS DOUBLE) AS val
-      FROM ks
+      FROM ck, range(64) r
     ), cb AS (
       SELECT * FROM {_PHASH_BASIS_SQL} AS t(u, xx, c)
+    ), g AS (
+      SELECT cells.doc_id, cells.x, bv.u AS v,
+             SUM(CAST(FLOOR(cells.val * bv.c * 1000000.0 + 0.5)
+                      AS BIGINT)) AS g_micros
+      FROM cells JOIN cb bv ON bv.xx = cells.y
+      GROUP BY cells.doc_id, cells.x, bv.u
     ), f AS (
-      SELECT cells.doc_id, bu.u AS u, bv.u AS v,
-             SUM(CAST(FLOOR(cells.val * bu.c * bv.c * 1000000000.0 + 0.5)
+      SELECT g.doc_id, bu.u AS u, g.v,
+             SUM(CAST(FLOOR(g.g_micros * bu.c * 1000.0 + 0.5)
                       AS BIGINT)) AS f_nanos
-      FROM cells
-      JOIN cb bu ON bu.xx = cells.x
-      JOIN cb bv ON bv.xx = cells.y
-      GROUP BY cells.doc_id, bu.u, bv.u
+      FROM g JOIN cb bu ON bu.xx = g.x
+      GROUP BY g.doc_id, bu.u, g.v
     ), ranked AS (
       SELECT doc_id, u, v, f_nanos,
              ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -781,20 +793,27 @@ def mm_phash(spark: SparkSession, d: str) -> DataFrame:
     resize when a codec exists; nothing downstream changes.
 
     Exactness: DCT basis constants are Python-precomputed shared
-    literals (cos is not bit-portable); every DCT term floor-quantizes
-    to integer nanos BEFORE the sum (order-independent); the median is
-    a deterministic rank-32 pick with (value, u, v) tie-break; the
-    packed hash is an exact integer sum of distinct powers of two.
+    literals (cos is not bit-portable); each separable-pass term
+    floor-quantizes to an integer grid BEFORE its sum (micros for the
+    column pass, nanos total — order-independent both passes); the
+    median is a deterministic rank-32 pick with (value, u, v)
+    tie-break; the packed hash is an exact integer sum of distinct
+    powers of two.
 
-    Scale: the DCT is a join against a 64-row broadcast basis —
-    64 cells × 64 (u,v) terms per doc, generated IN-ROW by explode,
-    grouped per (doc, u, v); everything is keyed by doc_id, no
-    all-pairs stage. At 100 TB the grid column is written once beside
-    the payload and the DCT rides the same narrow pass."""
-    docs = load(spark, d, "documents").select("doc_id", "text")
+    Scale (sweep-driven, round 8): the fan-out carries a 32-char
+    md5 CONTENT KEY, never the payload (hashing the full text per
+    cell × basis row dominated the first cut: 40.8 s → ~3 s at
+    sf0.1), and the DCT is SEPARABLE — a column pass then a row pass
+    against the 64-row broadcast basis, 1024 join rows per doc
+    instead of the naive 4096 outer-product terms. Everything is
+    keyed by doc_id; at 100 TB the grid column is written once
+    beside the payload and the DCT rides the same narrow pass."""
+    docs = load(spark, d, "documents").select(
+        "doc_id", F.md5("text").alias("key")
+    )
     ks = docs.select(
         "doc_id",
-        "text",
+        "key",
         F.explode(F.sequence(F.lit(0), F.lit(63))).alias("k"),
     )
     cells = ks.select(
@@ -804,7 +823,7 @@ def mm_phash(spark: SparkSession, d: str) -> DataFrame:
         (
             hash60(
                 F.concat(
-                    F.col("text"), F.lit(":ph:"), F.col("k").cast("string")
+                    F.col("key"), F.lit(":ph:"), F.col("k").cast("string")
                 )
             )
             % 256
@@ -821,16 +840,24 @@ def mm_phash(spark: SparkSession, d: str) -> DataFrame:
     bv = basis.select(
         F.col("u").alias("v"), F.col("xx").alias("by"), F.col("c").alias("cv")
     )
+    g = (
+        cells.join(F.broadcast(bv), F.col("y") == F.col("by"))
+        .groupBy("doc_id", "x", "v")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("val") * F.col("cv") * 1_000_000.0 + 0.5
+                ).cast("long")
+            ).alias("g_micros")
+        )
+    )
     f = (
-        cells.join(F.broadcast(bu), F.col("x") == F.col("bx"))
-        .join(F.broadcast(bv), F.col("y") == F.col("by"))
+        g.join(F.broadcast(bu), F.col("x") == F.col("bx"))
         .groupBy("doc_id", "u", "v")
         .agg(
             F.sum(
                 F.floor(
-                    F.col("val") * F.col("cu") * F.col("cv")
-                    * 1_000_000_000.0
-                    + 0.5
+                    F.col("g_micros") * F.col("cu") * 1_000.0 + 0.5
                 ).cast("long")
             ).alias("f_nanos")
         )
