@@ -7682,3 +7682,482 @@ def events_poisson_rate_ci(spark: SparkSession, d: str) -> DataFrame:
         F.round((n - POISSON_Z * F.sqrt(n)) / days, 6).alias("rate_lo"),
         F.round((n + POISSON_Z * F.sqrt(n)) / days, 6).alias("rate_hi"),
     )
+
+
+@register(
+    "events_roc_auc",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             user_id % 8 AS cohort,
+             SUM(CASE WHEN event_type <> 'purchase'
+                      THEN CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS score_micros,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+      FROM events GROUP BY user_id
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cohort
+                                   ORDER BY score_micros, user_id) AS rn
+      FROM u
+    ), mr AS (
+      SELECT *, AVG(rn) OVER (PARTITION BY cohort, score_micros) AS midrank
+      FROM r
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg,
+           CASE WHEN SUM(label) = 0 OR SUM(label) = COUNT(*) THEN NULL
+                ELSE ROUND((SUM(CASE WHEN label = 1 THEN midrank ELSE 0 END)
+                            - SUM(label) * (SUM(label) + 1) / 2.0)
+                           / (SUM(label) * (COUNT(*) - SUM(label))), 6)
+           END AS auc
+    FROM mr GROUP BY cohort
+    """,
+)
+def events_roc_auc(spark: SparkSession, d: str) -> DataFrame:
+    """Distributed ROC-AUC per cohort via the rank-sum identity
+    (AUC = (Σ midranks of positives − n⁺(n⁺+1)/2) / (n⁺·n⁻), the
+    Mann-Whitney U normalization) — the standard offline-eval metric
+    for any churn/propensity model, computed WITHOUT materializing the
+    curve. Label: user ever purchased; score: the user's non-purchase
+    engagement value. Ties take proper MIDRANKS (average rank over the
+    tied score), so the result equals the trapezoidal ROC integral
+    exactly.
+
+    Exactness: the score is an integer-micros SUM (order-independent),
+    ranks are integers, midranks are k/2 multiples — every engine-side
+    double is exact far below 2^53, and the one closing division is a
+    single IEEE op, rounded at 1e-6.
+
+    Scale: ranking windows are PARTITIONED BY COHORT (the eval grain),
+    never global — each cohort's sort is a keyed range-shuffle. With
+    billions of rows per cohort, swap the in-cohort window for the
+    ``_global_ntile`` offset recipe (same file) or a score-bucketed
+    histogram AUC; the rank-sum identity itself is unchanged."""
+    ev = load(spark, d, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("score_micros"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    ).withColumn("cohort", F.col("user_id") % 8)
+    w_rn = Window.partitionBy("cohort").orderBy("score_micros", "user_id")
+    w_mid = Window.partitionBy("cohort", "score_micros")
+    mr = u.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "midrank", F.avg("rn").over(w_mid)
+    )
+    npos = F.sum("label")
+    nneg = F.count("*") - npos
+    ranksum = F.sum(F.when(F.col("label") == 1, F.col("midrank")).otherwise(0.0))
+    auc = F.when(
+        (npos == 0) | (nneg == 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.round((ranksum - npos * (npos + 1) / 2.0) / (npos * nneg), 6)
+    )
+    return mr.groupBy(F.col("cohort").cast("long").alias("cohort")).agg(
+        npos.cast("long").alias("n_pos"),
+        nneg.cast("long").alias("n_neg"),
+        auc.alias("auc"),
+    )
+
+
+@register(
+    "events_calibration_bins",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+      FROM events GROUP BY user_id
+    ), p AS (
+      SELECT user_id, label,
+             CAST(FLOOR(1000000.0 * clicks / (clicks + views)) AS BIGINT)
+               AS p_micros
+      FROM u WHERE clicks + views > 0
+    )
+    SELECT CAST(LEAST(9, p_micros // 100000) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(SUM(p_micros) / COUNT(*) / 1000000.0, 6) AS avg_predicted,
+           ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS frac_positive,
+           ROUND(ABS(SUM(p_micros) / COUNT(*) / 1000000.0
+                     - CAST(SUM(label) AS DOUBLE) / COUNT(*)), 6)
+             AS abs_gap
+    FROM p GROUP BY 1
+    """,
+)
+def events_calibration_bins(spark: SparkSession, d: str) -> DataFrame:
+    """CALIBRATION / reliability-diagram bins — the companion eval to
+    ``events_roc_auc``: bucket a predicted probability (here the
+    user's click share, clicks/(clicks+views)) into ten fixed-width
+    bins and compare mean prediction vs realized positive rate per
+    bin; the per-bin |gap| column is the ECE contribution before
+    weighting. A model can have high AUC and still be badly
+    calibrated — production eval needs both.
+
+    Exactness: the prediction is floor-quantized to integer micros at
+    the USER level, so every aggregate is an integer sum; the two
+    closing divisions are single IEEE ops rounded at 1e-6.
+
+    Scale: one user-keyed grouped pass, then a 10-group aggregate —
+    map-side combinable end to end."""
+    ev = load(spark, d, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").alias("clicks"),
+        F.count_if(F.col("event_type") == "view").alias("views"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    p = u.where(F.col("clicks") + F.col("views") > 0).select(
+        "label",
+        F.floor(
+            1000000.0 * F.col("clicks") / (F.col("clicks") + F.col("views"))
+        )
+        .cast("long")
+        .alias("p_micros"),
+    )
+    avg_pred = F.sum("p_micros") / F.count("*") / 1000000.0
+    frac_pos = F.sum("label").cast("double") / F.count("*")
+    return p.groupBy(
+        F.least(F.lit(9), F.floor(F.col("p_micros") / 100000))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(avg_pred, 6).alias("avg_predicted"),
+        F.round(frac_pos, 6).alias("frac_positive"),
+        F.round(F.abs(avg_pred - frac_pos), 6).alias("abs_gap"),
+    )
+
+
+@register(
+    "events_entropy_rate",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), t AS (
+      SELECT event_type AS src, nxt AS dst, COUNT(*) AS n_ij
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), m AS (
+      SELECT src, SUM(n_ij) AS n_i FROM t GROUP BY src
+    ), tot AS (
+      SELECT SUM(n_ij) AS n FROM t
+    )
+    SELECT t.src AS state,
+           CAST(MAX(m.n_i) AS BIGINT) AS n_out,
+           ROUND(MAX(m.n_i) / MAX(tot.n), 6) AS pi,
+           CAST(SUM(CAST(FLOOR(CAST(t.n_ij AS DOUBLE) / m.n_i
+                                * log2(CAST(m.n_i AS DOUBLE) / t.n_ij)
+                                * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS h_cond_micros
+    FROM t JOIN m USING (src) CROSS JOIN tot
+    GROUP BY t.src
+    """,
+)
+def events_entropy_rate(spark: SparkSession, d: str) -> DataFrame:
+    """MARKOV ENTROPY RATE decomposition of the event stream — per
+    source state: the empirical occupancy π_i and the conditional
+    next-step entropy H(X_{t+1}|X_t = i) = Σ_j p_ij·log2(1/p_ij) in
+    micro-bits; Σ_i π_i·H_i is the chain's entropy rate, the
+    standard predictability measure for behavioral sequences (a bot
+    replaying one loop scores ≈ 0; organic browsing is high). Builds
+    on the same transition table as ``events_markov_stationary`` but
+    answers the information-theoretic question instead of the
+    steady-state one.
+
+    Exactness: every -p·log2(p) term floor-quantizes to integer
+    MICROS before its sum (the ``features_behavior_entropy``
+    discipline — log2 is not bit-portable in the last ulp); π is one
+    IEEE division rounded at 1e-6.
+
+    Scale: the lead() window is keyed per user (bounded per-user
+    history), the transition census is |types|² rows — model-state
+    scale — and everything after is broadcast arithmetic."""
+    ev = load(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    t = s.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").alias("n_ij"))
+    m = t.groupBy(F.col("src").alias("msrc")).agg(F.sum("n_ij").alias("n_i"))
+    tot = t.agg(F.sum("n_ij").alias("n"))
+    term = F.floor(
+        F.col("n_ij").cast("double")
+        / F.col("n_i")
+        * F.log2(F.col("n_i").cast("double") / F.col("n_ij"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        t.join(m, F.col("src") == F.col("msrc"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("src").alias("state"))
+        .agg(
+            F.max("n_i").cast("long").alias("n_out"),
+            F.round(F.max("n_i") / F.max("n"), 6).alias("pi"),
+            F.sum(term).cast("long").alias("h_cond_micros"),
+        )
+    )
+
+
+@register(
+    "events_lorenz_deciles",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS v_micros
+      FROM events GROUP BY user_id
+    ), t AS (
+      SELECT *, NTILE(10) OVER (ORDER BY v_micros, user_id) AS dec
+      FROM u
+    ), g AS (
+      SELECT dec, COUNT(*) AS n_users, SUM(v_micros) AS v
+      FROM t GROUP BY dec
+    ), tot AS (SELECT SUM(v) AS tv FROM g)
+    SELECT CAST(g.dec AS BIGINT) AS decile,
+           CAST(g.n_users AS BIGINT) AS n_users,
+           ROUND(CAST(g.v AS DOUBLE) / tot.tv, 6) AS value_share,
+           ROUND(CAST(c.cum AS DOUBLE) / tot.tv, 6) AS cum_share
+    FROM g
+    JOIN (SELECT a.dec, SUM(b.v) AS cum
+          FROM g a JOIN g b ON b.dec <= a.dec GROUP BY a.dec) c
+      ON c.dec = g.dec
+    CROSS JOIN tot
+    """,
+)
+def events_lorenz_deciles(spark: SparkSession, d: str) -> DataFrame:
+    """LORENZ CURVE by user-value decile — the distributional view
+    behind ``agg_gini``: rank users by total event value, cut into
+    exact deciles, and report each decile's share and cumulative
+    share of total value ("the top decile carries X% of revenue").
+    The curve points are what a concentration dashboard plots; the
+    Gini is 1−2·Σ(cum_share)/10 off the same rows.
+
+    Exactness: per-user value is an integer-micros sum; the decile cut
+    is the distributed ``_global_ntile`` (range-shuffle + literal
+    offsets — NO single-partition sort), bit-identical to the oracle's
+    NTILE(10) because (v_micros, user_id) is a total order; shares are
+    single IEEE divisions rounded at 1e-6.
+
+    Scale: one user-keyed aggregate, one range exchange for the
+    ranking, then 10-row arithmetic (the cumulative sum is a 10×10
+    broadcast triangle join, not a window — nothing single-partition
+    anywhere)."""
+    ev = load(spark, d, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long"))
+        .alias("v_micros")
+    )
+    tiled = _global_ntile(
+        u, 10, [F.col("v_micros"), F.col("user_id")], key="user_id"
+    )
+    g = (
+        u.join(tiled, "user_id")
+        .groupBy(F.col("_ntile").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("v_micros").alias("v"),
+        )
+    )
+    tot = g.agg(F.sum("v").alias("tv"))
+    cum = (
+        g.alias("a")
+        .join(F.broadcast(g.alias("b")), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(F.col("a.decile").alias("cdec"))
+        .agg(F.sum("b.v").alias("cum"))
+    )
+    return (
+        g.join(F.broadcast(cum), F.col("decile") == F.col("cdec"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_users",
+            F.round(F.col("v").cast("double") / F.col("tv"), 6).alias(
+                "value_share"
+            ),
+            F.round(F.col("cum").cast("double") / F.col("tv"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+@register(
+    "ab_ucb_allocation",
+    oracle="""
+    WITH a AS (
+      SELECT event_type AS arm, COUNT(*) AS n,
+             SUM(CAST(FLOOR(LEAST(GREATEST(value, 0.0), 100.0) * 10000.0
+                            + 0.5) AS BIGINT)) AS r_micros
+      FROM events GROUP BY event_type
+    ), tot AS (
+      SELECT SUM(n) AS big_n,
+             CAST(FLOOR(LN(CAST(SUM(n) AS DOUBLE)) * 1000000000.0)
+               AS BIGINT) AS ln_nanos
+      FROM a
+    ), s AS (
+      SELECT arm, n, r_micros,
+             CAST(r_micros AS DOUBLE) / n / 1000000.0 AS mean_r,
+             CAST(FLOOR(SQRT(2.0 * (ln_nanos / 1000000000.0) / n)
+                        * 1000000.0) AS BIGINT) AS bonus_micros
+      FROM a CROSS JOIN tot
+    ), best AS (
+      SELECT MAX(CAST(FLOOR(mean_r * 1000000.0) AS BIGINT) + bonus_micros)
+               AS best_u
+      FROM s
+    )
+    SELECT s.arm, CAST(s.n AS BIGINT) AS n_plays,
+           ROUND(s.mean_r, 6) AS mean_reward,
+           ROUND(s.bonus_micros / 1000000.0, 6) AS bonus,
+           ROUND((CAST(FLOOR(s.mean_r * 1000000.0) AS BIGINT)
+                  + s.bonus_micros) / 1000000.0, 6) AS ucb,
+           CAST(FLOOR(s.mean_r * 1000000.0) AS BIGINT) + s.bonus_micros
+             = best.best_u AS is_chosen
+    FROM s CROSS JOIN best
+    """,
+)
+def ab_ucb_allocation(spark: SparkSession, d: str) -> DataFrame:
+    """UCB1 bandit allocation over the event arms — mean reward plus
+    the √(2·ln N / nᵢ) exploration bonus per arm, flagging the arm a
+    UCB1 policy plays next. The deterministic counterpart to Thompson
+    sampling (which needs RNG and can't be oracle-paired): this is the
+    standard batch re-allocation step an experimentation platform runs
+    nightly on logged data.
+
+    Exactness: rewards clamp to [0,100] and floor-quantize to 1e-4
+    grains BEFORE the sum (integer arithmetic); ln N (the one
+    non-bit-portable transcendental) floor-quantizes to integer nanos
+    and both engines feed the SAME quantized value through the
+    IEEE-portable sqrt; the argmax compares integer micro-UCBs, so
+    the winner flag can't flip on a last-ulp tie.
+
+    Scale: one map-side-combinable census to |arms| rows, then
+    broadcast scalar arithmetic — corpus-size-independent after the
+    first exchange."""
+    ev = load(spark, d, "events")
+    a = ev.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.floor(
+                F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(100.0))
+                * 10000.0
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("r_micros"),
+    )
+    tot = a.agg(
+        F.sum("n").alias("big_n"),
+        F.floor(F.log(F.sum("n").cast("double")) * 1000000000.0)
+        .cast("long")
+        .alias("ln_nanos"),
+    )
+    s = a.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        (F.col("r_micros").cast("double") / F.col("n") / 1000000.0).alias(
+            "mean_r"
+        ),
+        F.floor(
+            F.sqrt(2.0 * (F.col("ln_nanos") / 1000000000.0) / F.col("n"))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("bonus_micros"),
+    )
+    u_micros = F.floor(F.col("mean_r") * 1000000.0).cast("long") + F.col(
+        "bonus_micros"
+    )
+    s = s.withColumn("u_micros", u_micros)
+    best = s.agg(F.max("u_micros").alias("best_u"))
+    return s.crossJoin(F.broadcast(best)).select(
+        "arm",
+        F.col("n").cast("long").alias("n_plays"),
+        F.round(F.col("mean_r"), 6).alias("mean_reward"),
+        F.round(F.col("bonus_micros") / 1000000.0, 6).alias("bonus"),
+        F.round(F.col("u_micros") / 1000000.0, 6).alias("ucb"),
+        (F.col("u_micros") == F.col("best_u")).alias("is_chosen"),
+    )
+
+
+@register(
+    "events_gap_distribution",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), g AS (
+      SELECT event_type,
+             date_diff('second', prev_ts, ts) AS gap_s
+      FROM s WHERE prev_ts IS NOT NULL
+    ), b AS (
+      SELECT event_type,
+             CASE WHEN gap_s < 60 THEN 'lt_1m'
+                  WHEN gap_s < 3600 THEN 'lt_1h'
+                  WHEN gap_s < 86400 THEN 'lt_1d'
+                  ELSE 'ge_1d' END AS bucket
+      FROM g
+    ), c AS (
+      SELECT event_type, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, SUM(n) AS tn FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, c.bucket, CAST(c.n AS BIGINT) AS n_gaps,
+           ROUND(CAST(c.n AS DOUBLE) / t.tn, 6) AS pct
+    FROM c JOIN t USING (event_type)
+    """,
+)
+def events_gap_distribution(spark: SparkSession, d: str) -> DataFrame:
+    """INTER-ARRIVAL GAP histogram per event type — the distribution
+    of the wait between a user's consecutive events of the same type,
+    bucketed at the minute/hour/day breakpoints. The shape is the
+    standard input to retention cadence analysis and to choosing the
+    ``sessionize`` timeout (the knee between lt_1h and lt_1d mass),
+    and a spike at tiny gaps is the ``events_rate_limit`` signal in
+    distribution form.
+
+    Exactness: gaps are integer epoch-second differences; the one
+    division per output row is a single IEEE op rounded at 1e-6.
+
+    Scale: the lag window is keyed (user, type) — bounded per-user
+    history per partition — and the two census aggregates after it
+    are |types|×4 rows."""
+    ev = load(spark, d, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    b = s.select(
+        "event_type",
+        F.when(F.col("gap_s") < 60, "lt_1m")
+        .when(F.col("gap_s") < 3600, "lt_1h")
+        .when(F.col("gap_s") < 86400, "lt_1d")
+        .otherwise("ge_1d")
+        .alias("bucket"),
+    )
+    c = b.groupBy("event_type", "bucket").agg(F.count("*").alias("n"))
+    t = c.groupBy(F.col("event_type").alias("te")).agg(F.sum("n").alias("tn"))
+    return (
+        c.join(F.broadcast(t), F.col("event_type") == F.col("te"))
+        .select(
+            "event_type",
+            "bucket",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.round(F.col("n").cast("double") / F.col("tn"), 6).alias("pct"),
+        )
+    )

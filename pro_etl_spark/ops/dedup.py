@@ -815,14 +815,25 @@ def corpus_table(spark: SparkSession, d: str) -> DataFrame:
     computing it once per session per dataset instead of once per
     query is the same win ``_token_table`` gives the hash family. At
     100 TB this is the persisted `nrm` column stored next to the
-    embeddings."""
+    embeddings.
+
+    Repartitioned by vec_id to the session's core count before the
+    cache (same rationale as ``similarity._emb_table``): vector work
+    is compute-dense, and the few-MB corpus otherwise inherits 1-2
+    parquet splits, serializing every blocked cosine self-join onto
+    2 of 32 cores."""
+    par = spark.sparkContext.defaultParallelism
     e = load(spark, d, "embeddings")
-    return e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    ).cache()
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .repartition(par, "vec_id")
+        .cache()
+    )
 
 
 @register(

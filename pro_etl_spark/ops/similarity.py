@@ -432,7 +432,17 @@ def _emb_table(spark: SparkSession, d: str) -> DataFrame:
     materialization barrier for the k-means family (same reason as
     ``dedup._token_table``): without it CollapseProject inlines the
     rounding transform into the per-centroid argmin lambda and
-    re-rounds the 64-dim vector once per centroid."""
+    re-rounds the 64-dim vector once per centroid.
+
+    Repartitioned by vec_id to the session's core count before the
+    cache: embedding work is COMPUTE-dense, not byte-dense — a few MB
+    of vectors inherit the source's 1-2 parquet splits, and every
+    downstream N×K assignment pass and per-cell self-join would run on
+    2 of 32 cores (measured: 28 s of the round-8 10× probe's 67 s was
+    exactly this). At 100 TB the corpus arrives with thousands of
+    splits and this reshape is a no-op by comparison; partition by
+    compute cost, not bytes, for vector work."""
+    par = spark.sparkContext.defaultParallelism
     return (
         load(spark, d, "embeddings")
         .select(
@@ -441,6 +451,7 @@ def _emb_table(spark: SparkSession, d: str) -> DataFrame:
                 F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
             ).alias("emb"),
         )
+        .repartition(par, "vec_id")
         .cache()
     )
 
@@ -2939,4 +2950,245 @@ def embed_standardize(spark: SparkSession, d: str) -> DataFrame:
             "dim",
             F.when(disc > 0, z).otherwise(F.lit(0.0)).alias("zval"),
         )
+    )
+
+
+# --- binary quantization (1-bit) + Hamming pre-filter --------------------
+
+BQ_CAND = 50  # Hamming-stage candidates kept per query before rerank
+
+_BQ_LO_SQL = """CAST(list_sum(list_transform(range(1, 33),
+    i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0
+              THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)) AS BIGINT)"""
+_BQ_HI_SQL = """CAST(list_sum(list_transform(range(33, 65),
+    i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0
+              THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END)) AS BIGINT)"""
+
+
+def _bq_pack(e, lo_dim: int, hi_dim: int):
+    """Pack sign bits of dims [lo_dim, hi_dim) into one BIGINT —
+    exact integer sum of distinct powers of two, identical to the
+    oracle's list_sum fold."""
+    acc = F.lit(0).cast("long")
+    for i in range(lo_dim, hi_dim):
+        acc = acc + F.when(
+            F.element_at(e, i + 1).cast("double") >= 0,
+            F.lit(1 << (i - lo_dim)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+@register(
+    "ann_binary_quant",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm,
+             {_BQ_LO_SQL} AS lo, {_BQ_HI_SQL} AS hi
+      FROM embeddings
+    ), cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+               AS hamming,
+             {DUCK_DOT.format(a="q.embedding", b="c.embedding")}
+               / (q.nrm * c.nrm) AS cos
+      FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ), kept AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id) AS rh
+        FROM cand
+      ) WHERE rh <= {BQ_CAND}
+    )
+    SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+           ROUND(cos, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM kept
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def ann_binary_quant(spark: SparkSession, d: str) -> DataFrame:
+    """BINARY-QUANTIZED ANN — the 1-bit rung under ``pq_encode``
+    (64×) and ``embed_quantize_sq8`` (8×): each vector compresses to
+    its 64 SIGN BITS packed into two BIGINTs (512× smaller than the
+    float payload), candidates are the 50 nearest by HAMMING
+    distance (two XOR+popcount instructions per comparison — the
+    reason binary codes are the standard first-stage filter in
+    billion-vector search), and only the survivors pay the exact
+    cosine rerank. Recall is approximate by design; the oracle
+    applies the identical two-stage rule so the check is value-exact.
+
+    Exactness: the packed codes are integer sums of distinct powers
+    of two; Hamming is integer; both ranking stages carry explicit
+    neighbor-id tie-breaks; the rerank cosine is the shared
+    sequential-fold ``dot`` over rounded doubles.
+
+    Scale: codes are 16 bytes/vector — at 100 TB of floats the code
+    table is ~200 GB, scanned linearly against broadcast query codes
+    (or bucketed by code prefix for sublinear probes, the
+    ``dedup_simhash_lsh`` trick); the float embeddings are touched
+    only for top-k·|queries| rerank rows."""
+    e = corpus_table(spark, d).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        _bq_pack(F.col("embedding"), 0, 32).alias("lo"),
+        _bq_pack(F.col("embedding"), 32, 64).alias("hi"),
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    cand = e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.bit_count(F.col("q_lo").bitwiseXOR(F.col("lo")))
+            + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("hi")))
+        ).alias("hamming"),
+        "q_emb",
+        "embedding",
+        "q_nrm",
+        "nrm",
+    )
+    w_h = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    kept = (
+        cand.withColumn("rh", F.row_number().over(w_h))
+        .where(F.col("rh") <= BQ_CAND)
+        # the expensive fold runs AFTER the Hamming gate — 50 rows per
+        # query, never the full corpus
+        .withColumn(
+            "cos",
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm")),
+        )
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w_c).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("hamming").cast("long").alias("hamming"),
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+# --- Johnson-Lindenstrauss random projection ------------------------------
+
+RP_DIM = 16  # target dimensionality (64 → 16, 4× compression)
+
+#: Deterministic ±1 projection matrix, precomputed in Python and
+#: inlined as a shared literal into BOTH engines (the mm_phash basis
+#: pattern): sign = parity of the first md5 byte of "rp:<i>:<j>".
+#: Data-independent model state — 64×16 ints.
+import hashlib as _hashlib
+
+_RP_SIGNS = [
+    (i, j, 1 if _hashlib.md5(f"rp:{i}:{j}".encode()).digest()[0] % 2 == 0 else -1)
+    for i in range(64)
+    for j in range(RP_DIM)
+]
+_RP_SIGNS_SQL = "(VALUES " + ",".join(
+    f"({i}, {j}, {s})" for i, j, s in _RP_SIGNS
+) + ")"
+
+
+@register(
+    "embed_random_projection",
+    oracle=f"""
+    WITH basis AS (
+      SELECT * FROM {_RP_SIGNS_SQL} AS t(i, j, s)
+    ), cell AS (
+      SELECT vec_id, CAST(r.range AS BIGINT) AS i,
+             CAST(embedding[r.range + 1] AS DOUBLE) AS val
+      FROM embeddings, range(64) r
+    ), proj AS (
+      SELECT c.vec_id, b.j,
+             SUM(CAST(FLOOR(c.val * b.s * 1000000.0) AS BIGINT))
+               AS p_micros
+      FROM cell c JOIN basis b ON b.i = c.i
+      GROUP BY c.vec_id, b.j
+    ), pn AS (
+      SELECT vec_id,
+             SUM(CAST(FLOOR(POW(p_micros / 1000000.0 / 4.0, 2)
+                            * 1000000000.0) AS BIGINT)) AS sq_nanos
+      FROM proj GROUP BY vec_id
+    ), onorm AS (
+      SELECT vec_id,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    )
+    SELECT pn.vec_id,
+           ROUND(sqrt(pn.sq_nanos / 1000000000.0), 6) AS proj_norm,
+           ROUND(onorm.nrm, 6) AS orig_norm,
+           ROUND(sqrt(pn.sq_nanos / 1000000000.0) / onorm.nrm, 6)
+             AS norm_ratio
+    FROM pn JOIN onorm USING (vec_id)
+    """,
+)
+def embed_random_projection(spark: SparkSession, d: str) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS random projection 64→16 dims with a
+    deterministic ±1 matrix (Achlioptas' database-friendly variant —
+    no Gaussians needed), scaled by 1/√16; the per-vector output
+    is the norm-preservation audit (projected norm, original norm,
+    ratio ≈ 1 ± ε) that certifies the projection before anything
+    downstream — coarse clustering, dedup blocking, sketch indexes —
+    switches to the 4×-smaller vectors.
+
+    Exactness: the signs are Python-precomputed shared literals in
+    both engines; each projection term floor-quantizes to integer
+    micros before its sum and each squared coordinate to integer nanos
+    before the norm sum (order-independent twice); sqrt is
+    IEEE-portable.
+
+    Scale: the matrix is a 1024-row broadcast; the corpus fans out
+    IN-ROW by explode (64 rows/vec), aggregates back to 16
+    rows/vec keyed by vec_id — one narrow pass + one keyed combine,
+    the exact shape the mm_phash DCT uses. At 100 TB the projected
+    vectors are written once beside the originals."""
+    basis = F.broadcast(
+        spark.createDataFrame(_RP_SIGNS, "i long, j long, s long")
+    )
+    cell = (
+        load(spark, d, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding")).alias("i", "valf"),
+        )
+        .select("vec_id", "i", F.col("valf").cast("double").alias("val"))
+    )
+    proj = (
+        cell.join(basis, "i")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum(
+                F.floor(F.col("val") * F.col("s") * 1000000.0).cast("long")
+            ).alias("p_micros")
+        )
+    )
+    pn = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.floor(
+                F.pow(F.col("p_micros") / 1000000.0 / 4.0, 2) * 1000000000.0
+            ).cast("long")
+        ).alias("sq_nanos")
+    )
+    onorm = corpus_table(spark, d).select("vec_id", "nrm")
+    pnorm = F.sqrt(F.col("sq_nanos") / 1000000000.0)
+    return pn.join(onorm, "vec_id").select(
+        "vec_id",
+        F.round(pnorm, 6).alias("proj_norm"),
+        F.round(F.col("nrm"), 6).alias("orig_norm"),
+        F.round(pnorm / F.col("nrm"), 6).alias("norm_ratio"),
     )

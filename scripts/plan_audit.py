@@ -61,6 +61,17 @@ ALLOWED = {
         "SinglePartition": "prefix sums + argmax over the DAY-grain "
         "count series (<=|days| rows, model state)",
     },
+    "events_entropy_rate": {
+        "SinglePartition": "1-row transition-total aggregate (the "
+        "heuristic sees the per-user lead window's Sort in the "
+        "adjacent plan text; the fact-table window itself is keyed "
+        "by user_id)",
+    },
+    "events_lorenz_deciles": {
+        "SinglePartition": "1-row grand-total over the 10-row decile "
+        "rollup; the user ranking itself is _global_ntile's "
+        "range-shuffle, never a global sort",
+    },
     "orders_abc_xyz": {
         "SinglePartition": "cumulative revenue share over the "
         "PART-grain rollup (1e-4 of lineitem; range-shuffle it via "
