@@ -8161,3 +8161,129 @@ def events_gap_distribution(spark: SparkSession, d: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("tn"), 6).alias("pct"),
         )
     )
+
+
+@register(
+    "dq_functional_dependency",
+    oracle="""
+    WITH fd1 AS (
+      SELECT 'p_brand->p_type' AS fd, p_brand AS lhs,
+             COUNT(DISTINCT p_type) AS n_rhs, COUNT(*) AS n_rows
+      FROM part GROUP BY p_brand
+    ), fd2 AS (
+      SELECT 'p_type->p_size' AS fd, p_type AS lhs,
+             COUNT(DISTINCT p_size) AS n_rhs, COUNT(*) AS n_rows
+      FROM part GROUP BY p_type
+    ), u AS (
+      SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+    )
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_lhs,
+           CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_lhs,
+           ROUND(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END)
+                 / CAST(SUM(n_rows) AS DOUBLE), 6) AS row_violation_share
+    FROM u GROUP BY fd
+    """,
+)
+def dq_functional_dependency(spark: SparkSession, d: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY audit — does X → Y actually hold in the
+    data? For each candidate FD, count the left-hand-side values that
+    map to MORE than one right-hand-side value and the share of rows
+    living under a violating key. The de-facto schema-discovery /
+    data-contract check (a column pair believed 1:1 silently drifting
+    to 1:N is a classic silent-join-fanout bug upstream of every
+    dimension merge); here auditing p_brand→p_type (expected broken —
+    brands span types) and p_type→p_size (expected broken too) so the
+    violation math is exercised, with the clean-FD zero row shape
+    covered by the test fixtures.
+
+    Exactness: all counts are integers; the one share division is a
+    single IEEE op rounded at 1e-6.
+
+    Scale: one grouped pass per FD keyed by its LHS (map-side
+    combinable count-distinct per key), then a |distinct LHS|-row
+    rollup — no joins, no windows; audit any number of FDs in one
+    pass each."""
+    part = load(spark, d, "part")
+
+    def fd(name: str, lhs: str, rhs: str) -> DataFrame:
+        return part.groupBy(F.col(lhs).alias("lhs")).agg(
+            F.countDistinct(rhs).alias("n_rhs"),
+            F.count("*").alias("n_rows"),
+        ).select(F.lit(name).alias("fd"), "lhs", "n_rhs", "n_rows")
+
+    u = fd("p_brand->p_type", "p_brand", "p_type").unionAll(
+        fd("p_type->p_size", "p_type", "p_size")
+    )
+    return u.groupBy("fd").agg(
+        F.count("*").cast("long").alias("n_lhs"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_lhs"),
+        F.max("n_rhs").cast("long").alias("max_rhs_per_lhs"),
+        F.round(
+            F.sum(F.when(F.col("n_rhs") > 1, F.col("n_rows")).otherwise(0))
+            / F.sum("n_rows").cast("double"),
+            6,
+        ).alias("row_violation_share"),
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS grp
+      FROM customer GROUP BY 1, 2
+    ), tot AS (SELECT SUM(grp) AS n FROM g)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN grp < k THEN grp ELSE 0 END) AS BIGINT)
+             AS rows_below_k,
+           ROUND(SUM(CASE WHEN grp < k THEN grp ELSE 0 END)
+                 / CAST(MAX(tot.n) AS DOUBLE), 6) AS share_below_k
+    FROM g CROSS JOIN tot CROSS JOIN (VALUES (2), (5), (10)) AS t(k)
+    GROUP BY k
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, d: str) -> DataFrame:
+    """K-ANONYMITY audit over quasi-identifiers — the privacy gate a
+    training-data pipeline runs before releasing derived tables: an
+    equivalence class is the set of rows sharing the quasi-identifier
+    tuple (here nation × market segment), and any class smaller than
+    k re-identifies its members. Reports, for the standard k ladder
+    (2/5/10), how many rows live in classes below k — the rows that
+    need suppression or generalization before release. Complements
+    ``text_pii_scrub`` (direct identifiers) with the LINKAGE-risk
+    half of the privacy review.
+
+    Exactness: class sizes and sums are integers; one division per
+    output row, rounded at 1e-6.
+
+    Scale: one grouped census keyed by the quasi-identifier tuple,
+    then a 3-row broadcast ladder over the |classes|-row rollup —
+    corpus-size-independent after the first exchange."""
+    g = (
+        load(spark, d, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("grp"))
+    )
+    tot = g.agg(F.sum("grp").alias("n"))
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k")
+    )
+    below = F.sum(F.when(F.col("grp") < F.col("k"), F.col("grp")).otherwise(0))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("long").alias("k"))
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            below.cast("long").alias("rows_below_k"),
+            F.round(below / F.max("n").cast("double"), 6).alias(
+                "share_below_k"
+            ),
+        )
+    )

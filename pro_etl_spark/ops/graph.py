@@ -1005,3 +1005,108 @@ def graph_hits(spark: SparkSession, d: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- landmark closeness centrality ---------------------------------------
+
+CLOSENESS_LANDMARKS = 4   # BFS sources (smallest node ids)
+CLOSENESS_ROUNDS = 3      # hop horizon (graph diameter at test scale)
+
+
+def _closeness_oracle() -> str:
+    """Per-landmark BFS unrolled as chained CTEs (the _bfs_oracle
+    pattern with a landmark column), then harmonic-sum per node with
+    1/d floor-quantized to integer micros."""
+    sql = _LSH_PAIRS_CTE + f"""
+    , edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), d0 AS (
+      SELECT node AS lm, node, 0 AS dist FROM (
+        SELECT DISTINCT src AS node FROM edges ORDER BY node
+        LIMIT {CLOSENESS_LANDMARKS}
+      )
+    )"""
+    for i in range(1, CLOSENESS_ROUNDS + 1):
+        sql += f""", d{i} AS (
+      SELECT lm, node, MIN(dist) AS dist FROM (
+        SELECT lm, node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT p.lm, e.dst AS node, p.dist + 1 AS dist
+        FROM edges e JOIN d{i - 1} p ON p.node = e.src
+      ) GROUP BY lm, node
+    )"""
+    return sql + f"""
+    SELECT node AS doc_id,
+           CAST(COUNT(*) FILTER (WHERE dist > 0) AS BIGINT) AS n_reached,
+           CAST(SUM(dist) AS BIGINT) AS sum_hops,
+           CAST(SUM(CASE WHEN dist > 0
+                         THEN CAST(FLOOR(1000000.0 / dist) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS harmonic_micros
+    FROM d{CLOSENESS_ROUNDS}
+    GROUP BY node
+    """
+
+
+@register("graph_closeness_landmarks", oracle=_closeness_oracle())
+def graph_closeness_landmarks(spark: SparkSession, d: str) -> DataFrame:
+    """LANDMARK CLOSENESS centrality over the near-dup graph — exact
+    closeness needs all-pairs distances (quadratic, off the table);
+    the standard approximation runs BFS from a small landmark set and
+    scores each node by harmonic proximity Σ 1/dist(lm, node) to the
+    landmarks (harmonic form so unreachable landmarks contribute 0
+    instead of poisoning the sum — the disconnected-graph fix). High
+    scorers are the hub documents closest to everything — template
+    ancestors and canonical sources worth inspecting first.
+
+    Exactness: distances are integer BFS rounds (per-landmark
+    frontier relaxation, the ``graph_bfs_distances`` recipe carrying
+    a landmark column); each 1/d term floor-quantizes to integer
+    micros before the sum, so the harmonic score is an exact integer
+    both engines.
+
+    Scale: the frontier table holds (landmark, node) pairs — at L
+    landmarks it is L× the BFS frontier, still linear in reached
+    nodes; each round is one keyed shuffle (frontier ⋈ edges +
+    per-(lm, node) MIN), lineage truncated per round. L and the hop
+    horizon are constants, so the whole job is O(rounds · |E| · L /
+    cluster)."""
+    pairs = dedup_minhash_lsh(spark, d)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(CLOSENESS_LANDMARKS)
+        .select(F.col("node").alias("lm"), "node", F.lit(0).alias("dist"))
+    )
+    for _ in range(CLOSENESS_ROUNDS):
+        relaxed = edges.join(
+            dist, edges["src"] == dist["node"], "inner"
+        ).select("lm", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("lm", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.groupBy(F.col("node").alias("doc_id")).agg(
+        F.count_if(F.col("dist") > 0).cast("long").alias("n_reached"),
+        F.sum("dist").cast("long").alias("sum_hops"),
+        F.sum(
+            F.when(
+                F.col("dist") > 0,
+                F.floor(1000000.0 / F.col("dist")).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("harmonic_micros"),
+    )

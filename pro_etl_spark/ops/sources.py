@@ -17,7 +17,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import StringType, StructField, StructType
 
 from pro_etl_spark.io import load
@@ -1795,3 +1795,74 @@ def scan_fixed_width(spark: SparkSession, d: str) -> DataFrame:
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
     )
+
+
+@register(
+    "run_backfill_planner",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+             CAST(MAX(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ), spine AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    ), have AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+    ), missing AS (
+      SELECT s.day FROM spine s LEFT JOIN have h ON h.day = s.day
+      WHERE h.day IS NULL
+    ), grp AS (
+      SELECT day,
+             day - CAST(ROW_NUMBER() OVER (ORDER BY day) AS INTEGER)
+               AS island
+      FROM missing
+    )
+    SELECT MIN(day) AS start_date, MAX(day) AS end_date,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM grp GROUP BY island
+    """,
+)
+def run_backfill_planner(spark: SparkSession, d: str) -> DataFrame:
+    """BACKFILL PLANNER — diff the expected daily-partition spine
+    (min..max order date) against the partitions that actually exist
+    and emit the missing ranges as contiguous islands (start, end,
+    n_days): exactly the job list an orchestrator replays after an
+    outage, and the complement of ``run_audit_columns``'s
+    date-partitioned layout (reference migrate.py:286-293 writes one
+    dated directory per run — this op answers "which dated
+    directories never got written"). Islands via the gaps-and-islands
+    date−row_number trick, all integer date arithmetic.
+
+    Scale: the spine is |days| rows (model state — years fit in KBs)
+    broadcast against the DISTINCT-date census of the fact table; the
+    islands window runs over the MISSING set only, which is tiny by
+    construction (it is the exception list — if most of the calendar
+    is missing you don't need a planner to tell you)."""
+    orders = load(spark, d, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    have = orders.select(
+        F.col("o_orderdate").cast("date").alias("hday")
+    ).distinct()
+    missing = spine.join(
+        have, spine["day"] == have["hday"], "left_anti"
+    )
+    w = Window.orderBy("day")
+    grp = missing.withColumn(
+        "island",
+        F.date_sub(F.col("day"), F.row_number().over(w)),
+    )
+    return grp.groupBy("island").agg(
+        F.min("day").alias("start_date"),
+        F.max("day").alias("end_date"),
+        F.count("*").cast("long").alias("n_days"),
+    ).drop("island")

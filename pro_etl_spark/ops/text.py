@@ -2987,3 +2987,126 @@ def text_blocklist_gate(spark: SparkSession, d: str) -> DataFrame:
         F.round(density, 6).alias("flagged_density"),
         (density <= BLOCK_DENSITY).alias("keep"),
     )
+
+
+@register(
+    "corpus_fertility_by_lang",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+'))
+               + len(regexp_extract_all(text, '[^a-z0-9\s]')) AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6)
+             AS fertility,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6)
+             AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def corpus_fertility_by_lang(spark: SparkSession, d: str) -> DataFrame:
+    """TOKENIZER FERTILITY by language — tokens-per-word and
+    chars-per-token under the BPE-ish lexer (word/number runs plus one
+    token per residual symbol), grouped by language. THE budgeting
+    metric for multilingual training mixes: a language whose fertility
+    is 2× pays 2× the context window for the same text, which skews
+    both the effective mix (``corpus_mix_weights`` operates on docs,
+    training cost operates on tokens) and per-language loss weighting.
+
+    Exactness: all counts are integers from identical regexes; the two
+    closing divisions are single IEEE ops rounded at 1e-6.
+
+    Scale: one narrow regex pass + one grouped rollup keyed by lang —
+    map-side combinable, no joins."""
+    t = load(spark, d, "documents").select(
+        "lang",
+        F.size(TOKENS()).alias("n_words"),
+        (
+            F.size(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit("[a-z]+|[0-9]+"), 0
+                )
+            )
+            + F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0)
+            )
+        ).alias("n_tokens"),
+        "n_chars",
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
+    "split_kfold",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             {DUCK_HASH60.format(x="(CAST(doc_id AS VARCHAR) || ':fold')")}
+               % 5 AS fold
+      FROM documents
+    ), g AS (
+      SELECT fold, lang, COUNT(*) AS n FROM f GROUP BY 1, 2
+    ), t AS (
+      SELECT fold, SUM(n) AS fn FROM g GROUP BY fold
+    )
+    SELECT CAST(g.fold AS BIGINT) AS fold, g.lang,
+           CAST(g.n AS BIGINT) AS n_docs,
+           ROUND(CAST(g.n AS DOUBLE) / t.fn, 6) AS lang_share
+    FROM g JOIN t USING (fold)
+    """,
+)
+def split_kfold(spark: SparkSession, d: str) -> DataFrame:
+    """K-FOLD assignment + balance audit — deterministic 5-fold split
+    by salted content-key hash (the ``split_train_test`` discipline:
+    never rand(), reproducible across engines/reruns/partitionings,
+    late-arriving docs never reshuffle existing folds) reported as the
+    per-fold language composition a cross-validation harness checks
+    before training: a fold whose lang_share deviates materially from
+    the corpus share means the folds aren't exchangeable and CV
+    variance estimates are biased. Pair with ``split_leakage_safe``
+    when near-dup clusters must not straddle folds.
+
+    Exactness: the fold id is the shared 60-bit md5 hash mod 5;
+    counts are integers; one division per output row at 1e-6.
+
+    Scale: narrow hash pass + two map-side-combinable rollups keyed
+    (fold, lang) then fold — no joins against the corpus."""
+    f = load(spark, d, "documents").select(
+        "lang",
+        (
+            hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":fold")))
+            % 5
+        ).alias("fold"),
+    )
+    g = f.groupBy("fold", "lang").agg(F.count("*").alias("n"))
+    t = g.groupBy(F.col("fold").alias("tf")).agg(F.sum("n").alias("fn"))
+    return (
+        g.join(F.broadcast(t), F.col("fold") == F.col("tf"))
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(F.col("n").cast("double") / F.col("fn"), 6).alias(
+                "lang_share"
+            ),
+        )
+    )

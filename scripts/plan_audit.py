@@ -72,6 +72,11 @@ ALLOWED = {
         "rollup; the user ranking itself is _global_ntile's "
         "range-shuffle, never a global sort",
     },
+    "run_backfill_planner": {
+        "SinglePartition": "gaps-islands row_number over the MISSING-"
+        "date exception list only (tiny by construction; the spine "
+        "and the distinct-date census stay distributed)",
+    },
     "orders_abc_xyz": {
         "SinglePartition": "cumulative revenue share over the "
         "PART-grain rollup (1e-4 of lineitem; range-shuffle it via "
