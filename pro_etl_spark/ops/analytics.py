@@ -8287,3 +8287,204 @@ def k_anonymity_audit(spark: SparkSession, d: str) -> DataFrame:
             ),
         )
     )
+
+
+HILL_K = 20  # top-order statistics per type used by the Hill estimator
+
+
+@register(
+    "events_hill_tail_index",
+    oracle=f"""
+    WITH u AS (
+      SELECT event_type, user_id,
+             SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY v DESC, user_id) AS rn
+      FROM u WHERE v > 0
+    ), thr AS (
+      SELECT event_type, v AS x_thr FROM r WHERE rn = {HILL_K} + 1
+    ), terms AS (
+      SELECT r.event_type,
+             CAST(FLOOR(LN(CAST(r.v AS DOUBLE) / thr.x_thr)
+                        * 1000000000.0) AS BIGINT) AS t_nanos
+      FROM r JOIN thr USING (event_type) WHERE r.rn <= {HILL_K}
+    )
+    SELECT terms.event_type,
+           CAST({HILL_K} AS BIGINT) AS k,
+           CAST(MAX(thr.x_thr) AS BIGINT) AS x_threshold_micros,
+           ROUND({HILL_K} / (SUM(t_nanos) / 1000000000.0), 6) AS hill_alpha
+    FROM terms JOIN thr USING (event_type)
+    GROUP BY terms.event_type
+    """,
+)
+def events_hill_tail_index(spark: SparkSession, d: str) -> DataFrame:
+    """HILL TAIL-INDEX estimator per event type — α̂ = k / Σ ln(x⁽ⁱ⁾/
+    x⁽ᵏ⁺¹⁾) over the top-k per-user value totals: the standard
+    heavy-tail diagnostic (α < 2 → infinite variance — means and
+    z-scores stop being meaningful; whale users / fraud bursts live
+    here). The power-law twin of ``text_zipf_fit``, on behavioral
+    value rather than token frequency.
+
+    Exactness: per-user totals are integer micros; the top-(k+1)
+    order statistics use an explicit (value, user) tie-break; each
+    ln ratio floor-quantizes to integer NANOS before the sum (the
+    transcendental discipline), leaving one IEEE division.
+
+    Scale: one user-keyed aggregate, then a per-type top-(k+1) —
+    a window over |users-per-type| here, a per-type TakeOrdered
+    (bounded heap, no global sort) when users stop fitting one
+    partition's sort."""
+    ev = load(spark, d, "events")
+    u = (
+        ev.groupBy("event_type", "user_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long")
+            ).alias("v")
+        )
+        .where(F.col("v") > 0)
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("v"), F.asc("user_id"))
+    r = u.withColumn("rn", F.row_number().over(w))
+    thr = r.where(F.col("rn") == HILL_K + 1).select(
+        F.col("event_type").alias("te"), F.col("v").alias("x_thr")
+    )
+    terms = (
+        r.where(F.col("rn") <= HILL_K)
+        .join(F.broadcast(thr), F.col("event_type") == F.col("te"))
+        .select(
+            "event_type",
+            "x_thr",
+            F.floor(
+                F.log(F.col("v").cast("double") / F.col("x_thr"))
+                * 1000000000.0
+            )
+            .cast("long")
+            .alias("t_nanos"),
+        )
+    )
+    return terms.groupBy("event_type").agg(
+        F.lit(HILL_K).cast("long").alias("k"),
+        F.max("x_thr").cast("long").alias("x_threshold_micros"),
+        F.round(
+            F.lit(HILL_K) / (F.sum("t_nanos") / 1000000000.0), 6
+        ).alias("hill_alpha"),
+    )
+
+
+#: fixed candidate periods and their Python-precomputed cos/sin basis
+#: (micro-quantized shared literals — transcendentals never cross the
+#: engine boundary, the mm_phash/DCT pattern)
+import math as _math
+
+_SPECTRUM_PERIODS = (7, 14, 30)
+_SPECTRUM_BASIS = [
+    (
+        p,
+        r,
+        int(_math.floor(_math.cos(2 * _math.pi * r / p) * 1e6 + 0.5)),
+        int(_math.floor(_math.sin(2 * _math.pi * r / p) * 1e6 + 0.5)),
+    )
+    for p in _SPECTRUM_PERIODS
+    for r in range(p)
+]
+_SPECTRUM_BASIS_SQL = "(VALUES " + ",".join(
+    f"({p}, {r}, {c}, {s})" for p, r, c, s in _SPECTRUM_BASIS
+) + ")"
+
+
+@register(
+    "events_seasonal_spectrum",
+    oracle=f"""
+    WITH basis AS (
+      SELECT * FROM {_SPECTRUM_BASIS_SQL} AS b(p, r, cosm, sinm)
+    ), lo AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events
+    ), daily AS (
+      SELECT date_diff('day', lo.d0, CAST(ts AS DATE)) AS t,
+             COUNT(*) AS n
+      FROM events, lo GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n) AS tn, COUNT(*) AS days FROM daily
+    ), c AS (
+      SELECT b.p,
+             SUM(CAST((daily.n * tot.days - tot.tn) * b.cosm
+                      AS DECIMAL(38,0))) AS sc,
+             SUM(CAST((daily.n * tot.days - tot.tn) * b.sinm
+                      AS DECIMAL(38,0))) AS ss,
+             MAX(tot.tn) AS tn, MAX(tot.days) AS days
+      FROM daily JOIN basis b ON b.r = daily.t % b.p
+      CROSS JOIN tot
+      GROUP BY b.p
+    )
+    SELECT CAST(p AS BIGINT) AS period,
+           CAST(days AS BIGINT) AS n_days,
+           ROUND(SQRT(POW(CAST(sc AS DOUBLE), 2)
+                      + POW(CAST(ss AS DOUBLE), 2))
+                 / (CAST(tn AS DOUBLE) * days * 1000000.0), 6)
+             AS amp_ratio
+    FROM c
+    """,
+)
+def events_seasonal_spectrum(spark: SparkSession, d: str) -> DataFrame:
+    """SEASONALITY SPECTRUM — single-frequency DFT power of the daily
+    event-count series at the candidate periods (7/14/30 days),
+    reported as the seasonal amplitude relative to the mean level:
+    the detector that says WHICH cadence a series actually has before
+    ``events_seasonal_dow`` (assumes weekly) or ``window_holt_winters``
+    (needs the period as input) run. Because cos(2πt/p) only takes p
+    distinct values, the basis is a 51-row literal table joined on
+    t mod p — no per-row transcendentals, no data-length-dependent
+    basis.
+
+    Exactness: counts are integers; mean-centering multiplies through
+    by |days| so (n_t·days − total) stays integer; basis values are
+    micro-quantized shared literals; the two spectral sums accumulate
+    as DECIMAL(38,0) (exact); the closing sqrt/div are IEEE on
+    identical doubles.
+
+    Scale: one date-grain census (|days| rows — model state), a
+    51-row broadcast join, and a 3-group aggregate; the fact table is
+    touched once."""
+    ev = load(spark, d, "events")
+    lo = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(lo))
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("t")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = daily.agg(F.sum("n").alias("tn"), F.count("*").alias("days"))
+    basis = F.broadcast(
+        spark.createDataFrame(
+            _SPECTRUM_BASIS, "p long, r long, cosm long, sinm long"
+        )
+    )
+    centered = F.col("n") * F.col("days") - F.col("tn")
+    c = (
+        daily.crossJoin(F.broadcast(tot))
+        .join(basis, F.col("r") == F.col("t") % F.col("p"))
+        .groupBy("p")
+        .agg(
+            F.sum((centered * F.col("cosm")).cast("decimal(38,0)")).alias(
+                "sc"
+            ),
+            F.sum((centered * F.col("sinm")).cast("decimal(38,0)")).alias(
+                "ss"
+            ),
+            F.max("tn").alias("tn"),
+            F.max("days").alias("days"),
+        )
+    )
+    amp = F.sqrt(
+        F.pow(F.col("sc").cast("double"), 2)
+        + F.pow(F.col("ss").cast("double"), 2)
+    ) / (F.col("tn").cast("double") * F.col("days") * 1000000.0)
+    return c.select(
+        F.col("p").cast("long").alias("period"),
+        F.col("days").cast("long").alias("n_days"),
+        F.round(amp, 6).alias("amp_ratio"),
+    )

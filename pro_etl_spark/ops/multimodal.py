@@ -989,3 +989,119 @@ def mm_audio_vad_segments(spark: SparkSession, d: str) -> DataFrame:
         "n_frames",
         "seg_energy",
     )
+
+
+PHASH_BANDS = 4          # 63-bit signature split into 4 × 16-bit bands
+PHASH_HAMMING_MAX = 12   # verify threshold for a perceptual near-dup
+
+
+def _phash_near_dup_oracle() -> str:
+    from pro_etl_spark.registry import ORACLES
+
+    return f"""
+    WITH ph AS ({ORACLES["mm_phash"]}),
+    bands AS (
+      SELECT doc_id, phash, CAST(b.range AS BIGINT) AS band,
+             (phash >> CAST(16 * b.range AS INTEGER)) & 65535 AS band_val
+      FROM ph, range({PHASH_BANDS}) b
+    ), buckets AS (
+      SELECT band, band_val, COUNT(*) AS sz
+      FROM bands GROUP BY 1, 2
+    ), cand AS (
+      SELECT a.band, a.doc_id AS doc_a, c.doc_id AS doc_b,
+             bit_count(xor(a.phash, c.phash)) AS hamming
+      FROM bands a JOIN bands c
+        ON a.band = c.band AND a.band_val = c.band_val
+       AND a.doc_id < c.doc_id
+    )
+    SELECT b.band,
+           CAST(COUNT(DISTINCT b.band_val) AS BIGINT) AS n_buckets,
+           CAST(MAX(b.sz) AS BIGINT) AS max_bucket,
+           CAST(COALESCE(MAX(c.n_cand), 0) AS BIGINT) AS n_candidate_pairs,
+           CAST(COALESCE(MAX(c.n_verified), 0) AS BIGINT) AS n_verified
+    FROM buckets b
+    LEFT JOIN (
+      SELECT band, COUNT(*) AS n_cand,
+             SUM(CASE WHEN hamming <= {PHASH_HAMMING_MAX} THEN 1 ELSE 0 END)
+               AS n_verified
+      FROM cand GROUP BY band
+    ) c ON c.band = b.band
+    GROUP BY b.band
+    """
+
+
+@register("mm_phash_near_dup", oracle=_phash_near_dup_oracle())
+def mm_phash_near_dup(spark: SparkSession, d: str) -> DataFrame:
+    """PERCEPTUAL NEAR-DUP census over the pHash signatures — the
+    image-side twin of ``dedup_simhash_lsh``: split each 63-bit pHash
+    into 4 × 16-bit bands, bucket by (band, value) so any pair agreeing
+    on a full band collides somewhere (Hamming-LSH guarantee), and
+    verify candidates by exact popcount distance ≤ 12. Reported as the
+    per-band census (buckets, max bucket, candidate pairs, verified
+    pairs) — the tuning table that says whether the band width holds
+    the candidate volume sub-quadratic on THIS corpus, exactly what
+    ``dedup_lsh_tuning_curves`` does for MinHash.
+
+    Exactness: the pHash is the integer signature from ``mm_phash``;
+    band extraction is shift/mask; Hamming is popcount of XOR —
+    all-integer end to end.
+
+    Scale: the bucket self-join is keyed by (band, band_val) — at
+    100 TB band the SIGNATURES (16 bytes/doc), never the payloads;
+    a hot bucket (solid-color images, template screenshots) gets the
+    MAX_BUCKET QUALIFY cap + per-bucket sampling the text LSH path
+    uses (dedup.py:259) before the pair expansion."""
+    ph = mm_phash(spark, d).select("doc_id", "phash")
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr("shiftright(phash, cast(band * 16 as int)) & 65535"),
+    )
+    buckets = bands.groupBy("band", "band_val").agg(
+        F.count("*").alias("sz")
+    )
+    a = bands.alias("a")
+    c = bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.band").alias("cband"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("c.phash"))
+            ).alias("hamming"),
+        )
+        .groupBy("cband")
+        .agg(
+            F.count("*").alias("n_cand"),
+            F.sum(
+                F.when(F.col("hamming") <= PHASH_HAMMING_MAX, 1).otherwise(0)
+            ).alias("n_verified"),
+        )
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.countDistinct("band_val").cast("long").alias("n_buckets"),
+            F.max("sz").cast("long").alias("max_bucket"),
+        )
+        .join(F.broadcast(cand), F.col("band") == F.col("cband"), "left")
+        .select(
+            F.col("band").cast("long").alias("band"),
+            "n_buckets",
+            "max_bucket",
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias(
+                "n_candidate_pairs"
+            ),
+            F.coalesce(F.col("n_verified"), F.lit(0)).cast("long").alias(
+                "n_verified"
+            ),
+        )
+    )

@@ -3192,3 +3192,156 @@ def embed_random_projection(spark: SparkSession, d: str) -> DataFrame:
         F.round(F.col("nrm"), 6).alias("orig_norm"),
         F.round(pnorm / F.col("nrm"), 6).alias("norm_ratio"),
     )
+
+
+# --- second principal component (deflated power iteration) ---------------
+
+#: alternating-sign start vector for the second component — anything
+#: not parallel to v1 works; the alternation makes it deterministic
+#: and (for smooth v1) nearly orthogonal already
+_PCA2_W0 = [0.125 if i % 2 == 0 else -0.125 for i in range(64)]
+
+
+def _pca2_oracle() -> str:
+    """Extends the ``pca_power_top1`` unrolled-CTE chain with
+    PCA_ITERS deflated rounds for the second component: per-row score
+    with w, per-dim DECIMAL sums, then GRAM-SCHMIDT against v1 as
+    dim-ordered list arithmetic (projection fold → subtract →
+    normalize), mirroring the Spark driver's float loop op for op."""
+    base = _pca_oracle()
+    head, tail = base.rsplit("SELECT vec_id,", 1)
+    v1 = f"v{PCA_ITERS}_t"
+    sql = head + f""", w0_t AS (
+      SELECT list_transform(range(1, 65),
+               i -> CASE WHEN (i - 1) % 2 = 0 THEN 0.125 ELSE -0.125 END)
+               AS w
+      FROM (SELECT 1)
+    )"""
+    prev = "w0_t"
+    for k in range(1, PCA_ITERS + 1):
+        sql += f""", u{k} AS (
+      SELECT vec_id, {_PCA_DOT_V.format(x="emb", v="w")} AS t
+      FROM e, mu_t, {prev}
+    ), z{k}_long AS (
+      SELECT dim,
+             CAST(SUM(CAST(FLOOR(t * (emb[dim] - mu[dim]) * 1000000000000
+                                 + 0.5) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1000000000000.0 AS s
+      FROM e JOIN u{k} USING (vec_id), mu_t, dims
+      GROUP BY dim
+    ), z{k}_t AS (SELECT list(s ORDER BY dim) AS sv FROM z{k}_long),
+    p{k}_t AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, 65), i -> v[i] * sv[i])),
+               (acc, x) -> acc + x) AS proj
+      FROM z{k}_t, {v1}
+    ), o{k}_t AS (
+      SELECT list_transform(range(1, 65), i -> sv[i] - proj * v[i]) AS ov
+      FROM z{k}_t, p{k}_t, {v1}
+    ), m{k}_t AS (
+      SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(ov, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+      FROM o{k}_t
+    ), w{k}_t AS (
+      SELECT list_transform(ov, x -> x / nrm) AS w FROM o{k}_t, m{k}_t
+    )"""
+        prev = f"w{k}_t"
+    sql += f"""
+    SELECT vec_id,
+           {_PCA_DOT_V.format(x="emb", v="v")} AS pc1,
+           {_PCA_DOT_V.format(x="emb", v="w")} AS pc2
+    FROM e, mu_t, {v1}, {prev}
+    """
+    return sql
+
+
+def _pca2_model(spark: SparkSession, d: str):
+    """(mu, v1, v2): reuse the top-1 model, then PCA_ITERS deflated
+    power rounds — identical distributed passes, plus an O(64) driver
+    Gram-Schmidt per round (projection fold, subtract, normalize) in
+    the SAME dim order as the oracle's list arithmetic."""
+    key = (spark.sparkContext.applicationId, d, "pca2")
+    model = _PCA_MODEL_MEMO.get(key)
+    if model is not None:
+        return model
+    mu, v1 = _pca_model(spark, d)
+    e = _pca_corpus(spark, d)
+    w = list(_PCA2_W0)
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    for _ in range(PCA_ITERS):
+        w_arr = F.array(*[F.lit(x) for x in w])
+        centered = F.zip_with(F.col("emb"), mu_arr, lambda x, m: x - m)
+        t = F.aggregate(
+            F.zip_with(centered, w_arr, lambda c, ww: c * ww),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        s_rows = (
+            e.select(t.alias("t"), F.posexplode(centered).alias("pos", "c"))
+            .groupBy("pos")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("t") * F.col("c") * F.lit(1_000_000_000_000)
+                            + F.lit(0.5)
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.lit(1_000_000_000_000.0)
+                ).alias("s")
+            )
+            .collect()
+        )
+        s = [0.0] * 64
+        for r in s_rows:
+            s[r["pos"]] = r["s"]
+        proj = 0.0
+        for i in range(64):  # dim-ordered fold, mirrors p{k}_t
+            proj += v1[i] * s[i]
+        o = [s[i] - proj * v1[i] for i in range(64)]
+        acc = 0.0
+        for x in o:  # dim-ordered fold, mirrors m{k}_t
+            acc += x * x
+        nrm = acc**0.5
+        w = [x / nrm for x in o]
+    model = (mu, v1, w)
+    _PCA_MODEL_MEMO[key] = model
+    return model
+
+
+@register("pca_power_top2", oracle=_pca2_oracle())
+def pca_power_top2(spark: SparkSession, d: str) -> DataFrame:
+    """TOP-2 principal-component scores — extends ``pca_power_top1``
+    with one DEFLATION round: the second direction power-iterates on
+    the same covariance while Gram-Schmidt-orthogonalizing against v1
+    after every update (orthogonal iteration), so it converges to the
+    second eigenvector without ever materializing the 64×64
+    covariance, let alone an eigensolver. Two components are what the
+    embedding-drift dashboards actually plot, and the (pc1, pc2)
+    plane is the standard first look at cluster structure before
+    committing to a k for ``kmeans_train``.
+
+    Exactness: identical quantized-sum recipe as top-1 for the
+    distributed passes; the per-round orthogonalization is O(64)
+    driver float arithmetic mirrored op-for-op (same fold order) by
+    the oracle's list arithmetic, so scores stay bit-exact.
+
+    Scale: 2× the top-1 envelope — per round one narrow pass + one
+    64-row shuffle; driver state is 192 doubles."""
+    mu, v1, v2 = _pca2_model(spark, d)
+    e = _pca_corpus(spark, d)
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    v1_arr = F.array(*[F.lit(x) for x in v1])
+    v2_arr = F.array(*[F.lit(x) for x in v2])
+    centered = F.zip_with(F.col("emb"), mu_arr, lambda x, m: x - m)
+
+    def score(v_arr):
+        return F.aggregate(
+            F.zip_with(centered, v_arr, lambda c, ww: c * ww),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return e.select(
+        "vec_id", score(v1_arr).alias("pc1"), score(v2_arr).alias("pc2")
+    )
