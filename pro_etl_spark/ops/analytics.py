@@ -8488,3 +8488,246 @@ def events_seasonal_spectrum(spark: SparkSession, d: str) -> DataFrame:
         F.col("days").cast("long").alias("n_days"),
         F.round(amp, 6).alias("amp_ratio"),
     )
+
+
+MARKOV_ATTR_ROUNDS = 8  # truncated absorbing-chain iterations
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_attr_oracle() -> str:
+    """Transition census from first-purchase-truncated journeys, then
+    MARKOV_ATTR_ROUNDS unrolled value-iteration CTEs over the
+    (variant, state) grid — variant = full chain or one channel
+    removed — every round floor-quantized to integer micros."""
+    removed_vals = ", ".join(
+        [f"('full', '')"] + [f"('-{c}', '{c}')" for c in _MARKOV_CHANNELS]
+    )
+    sql = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), pp AS (
+      SELECT user_id, MIN(rn) AS prn FROM seq
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), kept AS (
+      SELECT s.user_id, s.event_type, s.rn
+      FROM seq s LEFT JOIN pp ON pp.user_id = s.user_id
+      WHERE pp.prn IS NULL OR s.rn <= pp.prn
+    ), edges AS (
+      SELECT 'START' AS src, event_type AS dst
+      FROM kept WHERE rn = 1
+      UNION ALL
+      SELECT event_type AS src,
+             COALESCE(LEAD(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY rn),
+                      CASE WHEN event_type = 'purchase' THEN NULL
+                           ELSE 'END' END) AS dst
+      FROM kept
+    ), trans AS MATERIALIZED (
+      SELECT src, dst, COUNT(*) AS n_st FROM edges
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ), outdeg AS (
+      SELECT src, SUM(n_st) AS n_s FROM trans GROUP BY src
+    ), base AS (
+      SELECT o.src AS state, o.n_s,
+             COALESCE(CAST(FLOOR(CAST(MAX(CASE WHEN t.dst = 'purchase'
+                                              THEN t.n_st END) * 1000000
+                                      AS DOUBLE) / o.n_s) AS BIGINT), 0)
+               AS b
+      FROM outdeg o LEFT JOIN trans t
+        ON t.src = o.src AND t.dst = 'purchase'
+      GROUP BY o.src, o.n_s
+    ), variants AS (
+      SELECT * FROM (VALUES {removed_vals}) AS v(variant, removed)
+    ), r0 AS MATERIALIZED (
+      SELECT v.variant, v.removed, b.state, b.n_s, b.b, b.b AS r
+      FROM variants v CROSS JOIN base b
+    )"""
+    prev = "r0"
+    for k in range(1, MARKOV_ATTR_ROUNDS + 1):
+        sql += f""", r{k} AS MATERIALIZED (
+      SELECT p.variant, p.removed, p.state, p.n_s, p.b,
+             p.b + COALESCE(SUM(
+               CAST(FLOOR(CAST(t.n_st * q.r AS DOUBLE) / p.n_s)
+                 AS BIGINT)), 0) AS r
+      FROM {prev} p
+      LEFT JOIN trans t
+        ON t.src = p.state
+       AND t.dst NOT IN ('purchase', 'END')
+       AND t.dst <> p.removed
+      LEFT JOIN {prev} q
+        ON q.variant = p.variant AND q.state = t.dst
+      GROUP BY p.variant, p.removed, p.state, p.n_s, p.b
+    )"""
+        prev = f"r{k}"
+    return sql + f"""
+    , starts AS (
+      SELECT variant, removed, r FROM {prev} WHERE state = 'START'
+    ), eff AS (
+      SELECT s.removed AS channel,
+             f.r AS r_full,
+             1.0 - CAST(s.r AS DOUBLE) / f.r AS removal
+      FROM starts s CROSS JOIN (SELECT r FROM starts
+                                WHERE variant = 'full') f
+      WHERE s.variant <> 'full'
+    ), tot AS (SELECT SUM(removal) AS t FROM eff)
+    SELECT channel,
+           ROUND(r_full / 1000000.0, 6) AS p_convert,
+           ROUND(removal, 6) AS removal_effect,
+           ROUND(removal / tot.t, 6) AS attribution_share
+    FROM eff CROSS JOIN tot
+    """
+
+
+@register("funnel_attribution_markov", oracle=_markov_attr_oracle())
+def funnel_attribution_markov(spark: SparkSession, d: str) -> DataFrame:
+    """MARKOV REMOVAL-EFFECT attribution — the data-driven member of
+    the attribution family (last-touch ``funnel_attribution``,
+    position ``funnel_attribution_position``, Shapley
+    ``funnel_attribution_shapley``): fit a first-order chain to
+    first-purchase-truncated journeys (START → channels → purchase |
+    END), compute the conversion probability from START by truncated
+    value iteration, then each channel's credit is its REMOVAL EFFECT
+    — how much conversion drops when every edge into that channel is
+    redirected to loss. The industry-standard answer to "which step
+    actually CARRIES conversions" rather than "which step happened to
+    be adjacent".
+
+    Exactness: transition counts are integers; every value-iteration
+    round floor-quantizes to integer micros (both engines run the
+    SAME truncated recursion, so exactness never depends on
+    convergence); the three closing divisions are IEEE, rounded 1e-6.
+
+    Scale: the only corpus-sized work is the journey census (one
+    user-keyed window pass + a grouped count to ≤|states|² rows);
+    the chain algebra runs on the (5 variants × |states|) grid —
+    model state — as 8 broadcast-joined rounds."""
+    ev = load(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    pp = (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("pu"))
+        .agg(F.min("rn").alias("prn"))
+    )
+    kept = (
+        seq.join(pp, seq["user_id"] == pp["pu"], "left")
+        .where(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .select("user_id", "event_type", "rn")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    starts_e = kept.where(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("event_type").alias("dst")
+    )
+    follows = kept.select(
+        F.col("event_type").alias("src"),
+        F.coalesce(
+            F.lead("event_type").over(w2),
+            F.when(F.col("event_type") == "purchase", F.lit(None)).otherwise(
+                F.lit("END")
+            ),
+        ).alias("dst"),
+    )
+    trans = (
+        starts_e.unionAll(follows)
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_st"))
+        .localCheckpoint(eager=False)
+    )
+    outdeg = trans.groupBy(F.col("src").alias("osrc")).agg(
+        F.sum("n_st").alias("n_s")
+    )
+    conv = trans.where(F.col("dst") == "purchase").select(
+        F.col("src").alias("csrc"), F.col("n_st").alias("n_conv")
+    )
+    base = (
+        outdeg.join(conv, F.col("osrc") == F.col("csrc"), "left")
+        .select(
+            F.col("osrc").alias("state"),
+            "n_s",
+            F.coalesce(
+                F.floor(
+                    (F.col("n_conv") * 1000000).cast("double") / F.col("n_s")
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("b"),
+        )
+    )
+    variants = spark.createDataFrame(
+        [("full", "")] + [(f"-{c}", c) for c in _MARKOV_CHANNELS],
+        "variant string, removed string",
+    )
+    r = (
+        F.broadcast(variants)
+        .crossJoin(base)
+        .select(
+            "variant", "removed", "state", "n_s", "b", F.col("b").alias("r")
+        )
+        # pin the frame before the per-round SELF-join (the q side) —
+        # same disambiguation the graph loops use
+        .localCheckpoint(eager=False)
+    )
+    hop = trans.where(~F.col("dst").isin("purchase", "END"))
+    for _ in range(MARKOV_ATTR_ROUNDS):
+        contrib = (
+            r.join(
+                hop,
+                (F.col("src") == F.col("state"))
+                & (F.col("dst") != F.col("removed")),
+                "left",
+            )
+            .join(
+                r.select(
+                    F.col("variant").alias("qv"),
+                    F.col("state").alias("qs"),
+                    F.col("r").alias("qr"),
+                ),
+                (F.col("qv") == F.col("variant")) & (F.col("qs") == F.col("dst")),
+                "left",
+            )
+            .groupBy("variant", "removed", "state", "n_s", "b")
+            .agg(
+                (
+                    F.col("b")
+                    + F.coalesce(
+                        F.sum(
+                            F.floor(
+                                (F.col("n_st") * F.col("qr")).cast("double")
+                                / F.col("n_s")
+                            ).cast("long")
+                        ),
+                        F.lit(0).cast("long"),
+                    )
+                ).alias("r")
+            )
+        )
+        r = contrib.localCheckpoint(eager=False)
+    starts = r.where(F.col("state") == "START").select(
+        "variant", "removed", "r"
+    )
+    full = starts.where(F.col("variant") == "full").select(
+        F.col("r").alias("r_full")
+    )
+    eff = (
+        starts.where(F.col("variant") != "full")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("removed").alias("channel"),
+            "r_full",
+            (1.0 - F.col("r").cast("double") / F.col("r_full")).alias(
+                "removal"
+            ),
+        )
+    )
+    tot = eff.agg(F.sum("removal").alias("t"))
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round(F.col("r_full") / 1000000.0, 6).alias("p_convert"),
+        F.round(F.col("removal"), 6).alias("removal_effect"),
+        F.round(F.col("removal") / F.col("t"), 6).alias("attribution_share"),
+    )
