@@ -175,6 +175,11 @@ HEADLINE = [
     "corpus_psi",
     "funnel_time_constrained",
     "features_session_profile",
+    # round-8 session 2: the Markov removal-effect attribution (8
+    # broadcast-joined value-iteration rounds — the heaviest plan in
+    # the new batch) and the Hamming-prefilter ANN rung
+    "funnel_attribution_markov",
+    "ann_binary_quant",
 ]
 
 

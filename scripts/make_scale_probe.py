@@ -50,7 +50,19 @@ def main() -> None:
            (SELECT unnest(range({copies})) AS i) c
     ) TO '{out}/embeddings.parquet' (FORMAT parquet)
     """)
-    for t in ("documents", "embeddings"):
+    # events: re-keyed users/event ids per copy, timestamps verbatim —
+    # copies behave like independent user cohorts, which is exactly the
+    # pressure on user-keyed windows / journey censuses
+    con.execute(f"""
+    COPY (
+      SELECT event_id + c.i * 100000000 AS event_id, ts,
+             user_id + c.i * 10000000 AS user_id,
+             event_type, value, props
+      FROM read_parquet('{src}/events.parquet'),
+           (SELECT unnest(range({copies})) AS i) c
+    ) TO '{out}/events.parquet' (FORMAT parquet)
+    """)
+    for t in ("documents", "embeddings", "events"):
         n = con.execute(
             f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')"
         ).fetchone()[0]

@@ -37,7 +37,6 @@ KEYS = [
     "dedup_minhash_shingle",
     "dedup_minhash_shingle_lsh",
     "dedup_shingle_clusters",
-    "dedup_semantic_keep",
     "dedup_simhash_lsh",
     "dedup_clusters",
     "dedup_paragraph",
@@ -47,10 +46,7 @@ KEYS = [
     "graph_kcore",
     "bpe_pair_counts",
     "bpe_train_merges",
-    "kmeans_train",
     "pca_power_top1",
-    "ann_ivf_kmeans_topk",
-    "dedup_embedding_kmeans",
     "pipeline_gopher_filter",
     "pipeline_data_funnel",
     "text_cooccurrence",
@@ -82,6 +78,22 @@ KEYS = [
     "text_fragment_stitch",
     "embed_dim_stats",
     "dedup_cluster_size_histogram",
+    # round-8 additions: the repartitioned embedding-cache family
+    # (the round-7 scale-killers), the kmeans twins, the new
+    # Hamming/banding paths and the heavier new analytics
+    "dedup_embedding_kmeans",
+    "dedup_semantic_keep",
+    "ann_ivf_kmeans_topk",
+    "kmeans_train",
+    "ivf_kmeans_assign",
+    "ann_binary_quant",
+    "embed_random_projection",
+    "mm_phash",
+    "mm_phash_near_dup",
+    "pca_power_top2",
+    "funnel_attribution_markov",
+    "graph_closeness_landmarks",
+    "events_roc_auc",
 ]
 
 
