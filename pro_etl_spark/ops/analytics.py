@@ -8731,3 +8731,151 @@ def funnel_attribution_markov(spark: SparkSession, d: str) -> DataFrame:
         F.round(F.col("removal"), 6).alias("removal_effect"),
         F.round(F.col("removal") / F.col("t"), 6).alias("attribution_share"),
     )
+
+
+@register(
+    "events_sessionization_sensitivity",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), ts) AS gap_s
+      FROM events
+    ), nu AS (
+      SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      FROM events
+    ), t AS (SELECT * FROM (VALUES (600), (1800), (3600)) AS v(timeout_s))
+    SELECT CAST(t.timeout_s AS BIGINT) AS timeout_s,
+           CAST(MAX(nu.n_users)
+                + SUM(CASE WHEN g.gap_s > t.timeout_s THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_sessions,
+           ROUND(CAST(MAX(nu.n_events) AS DOUBLE)
+                 / (MAX(nu.n_users)
+                    + SUM(CASE WHEN g.gap_s > t.timeout_s
+                               THEN 1 ELSE 0 END)), 6)
+             AS avg_events_per_session
+    FROM g CROSS JOIN nu CROSS JOIN t
+    GROUP BY t.timeout_s
+    """,
+)
+def events_sessionization_sensitivity(spark: SparkSession, d: str) -> DataFrame:
+    """SESSIONIZE-TIMEOUT sensitivity ladder — session count and mean
+    session size at the 10/30/60-minute cutoffs, computed WITHOUT
+    materializing sessions: #sessions(T) = #users + #gaps > T (every
+    over-timeout gap starts one new session). This is the tuning
+    answer that ``events_gap_distribution`` only shapes: pick the
+    knee where the count stops falling and feed it to ``sessionize``.
+
+    Exactness: gaps are integer epoch-second diffs; session counts
+    are integers; one IEEE division per row at 1e-6.
+
+    Scale: one user-keyed lag pass over the fact table, one tiny
+    census, a 3-row broadcast ladder — the fact table never re-scans
+    per timeout."""
+    ev = load(spark, d, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s")
+    )
+    nu = ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+    t = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(600), F.lit(1800), F.lit(3600))
+        ).alias("timeout_s")
+    )
+    n_sessions = F.max("n_users") + F.sum(
+        F.when(F.col("gap_s") > F.col("timeout_s"), 1).otherwise(0)
+    )
+    return (
+        g.crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(t))
+        .groupBy(F.col("timeout_s").cast("long").alias("timeout_s"))
+        .agg(
+            n_sessions.cast("long").alias("n_sessions"),
+            F.round(
+                F.max("n_events").cast("double") / n_sessions, 6
+            ).alias("avg_events_per_session"),
+        )
+    )
+
+
+RFM_PIVOT_DATE = "1998-01-01"  # period split for the migration matrix
+
+
+@register(
+    "orders_rfm_migration_matrix",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_custkey AS custkey,
+             CASE WHEN o_orderdate < DATE '{RFM_PIVOT_DATE}'
+                  THEN 'A' ELSE 'B' END AS period,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY 1, 2
+    ), s AS (
+      SELECT custkey, period,
+             NTILE(3) OVER (PARTITION BY period
+                            ORDER BY monetary, custkey) AS seg
+      FROM m
+    )
+    SELECT a.seg AS seg_before, b.seg AS seg_after,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (SELECT custkey, seg FROM s WHERE period = 'A') a
+    JOIN (SELECT custkey, seg FROM s WHERE period = 'B') b
+      USING (custkey)
+    GROUP BY a.seg, b.seg
+    """,
+)
+def orders_rfm_migration_matrix(spark: SparkSession, d: str) -> DataFrame:
+    """SEGMENT MIGRATION matrix — tercile the customers by monetary
+    value in the before/after halves of the order history (pivot
+    1998-01-01) and cross-tabulate where each customer MOVED: the
+    retention-marketing view that a static ``rfm_segmentation``
+    snapshot can't answer (who decayed out of the top tercile, who
+    graduated in). Customers active in only one period drop out of
+    the matrix by design (they're the separate churn/new census of
+    ``growth_accounting``).
+
+    Exactness: monetary sums in DECIMAL(18,2); the tercile cut is the
+    distributed ``_global_ntile`` PER PERIOD (a (monetary, custkey)
+    total order), matching the oracle's NTILE(3); counts are
+    integers.
+
+    Scale: one customer×period aggregate, two range exchanges for the
+    per-period ranking, a key-joined 3×3 rollup."""
+    orders = load(spark, d, "orders")
+    m = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.when(
+            F.col("o_orderdate") < F.lit(RFM_PIVOT_DATE).cast("timestamp"),
+            "A",
+        )
+        .otherwise("B")
+        .alias("period"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary")
+    )
+    segs = []
+    for per in ("A", "B"):
+        sub = m.where(F.col("period") == per)
+        tiled = _global_ntile(
+            sub, 3, [F.col("monetary"), F.col("custkey")], key="custkey"
+        ).select(
+            F.col("custkey").alias(f"ck_{per.lower()}"),
+            F.col("_ntile").alias(f"seg_{per.lower()}"),
+        )
+        segs.append(tiled)
+    a, b = segs
+    return (
+        a.join(b, F.col("ck_a") == F.col("ck_b"))
+        .groupBy(
+            F.col("seg_a").cast("long").alias("seg_before"),
+            F.col("seg_b").cast("long").alias("seg_after"),
+        )
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )

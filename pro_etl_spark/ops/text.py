@@ -3110,3 +3110,79 @@ def split_kfold(spark: SparkSession, d: str) -> DataFrame:
             ),
         )
     )
+
+
+SAMPLE_WOR_N = 100  # weighted-without-replacement sample size
+
+
+@register(
+    "sample_weighted_wor",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars AS w,
+             ({DUCK_HASH60.format(
+                 x="(CAST(doc_id AS VARCHAR) || ':wor')")} % 999999999) + 1
+               AS u_nanos
+      FROM documents WHERE n_chars > 0
+    ), k AS (
+      SELECT doc_id, w, u_nanos,
+             CAST(FLOOR(LN(u_nanos / 1000000000.0) / w * 1000000000000.0)
+               AS BIGINT) AS key_picos
+      FROM u
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS weight,
+           CAST(u_nanos AS BIGINT) AS u_nanos, key_picos
+    FROM k ORDER BY key_picos DESC, doc_id LIMIT {SAMPLE_WOR_N}
+    """,
+)
+def sample_weighted_wor(spark: SparkSession, d: str) -> DataFrame:
+    """WEIGHTED sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res): each row draws a deterministic uniform u from the salted
+    content hash and is ranked by ln(u)/w — the top-n by that key is
+    EXACTLY a weight-proportional WOR sample, the one-pass distributed
+    answer to "give me 100 documents, long ones proportionally more
+    likely, no duplicates, reproducible". Complements the PPS
+    WITH-replacement sampler (``sample_weighted_systematic``): WOR is
+    what eval-set construction needs, where a duplicate pick is a
+    wasted slot.
+
+    Exactness: u is an integer-nanos hash draw (never rand()); the
+    E-S key quantizes ln(u)/w to integer picos (the transcendental
+    discipline) with a doc-id tie-break, so the selected SET is
+    identical cross-engine; the top-n is sort+limit — Spark's
+    TakeOrdered (per-partition heaps + driver merge of n), never a
+    global sort.
+
+    Scale: one narrow hash/ln pass and a size-n heap per partition —
+    no shuffle of the corpus at all; n rows move to the driver-side
+    merge exactly once."""
+    u = (
+        load(spark, d, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("w"),
+            (
+                hash60(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":wor"))
+                )
+                % 999999999
+                + 1
+            ).alias("u_nanos"),
+        )
+    )
+    k = u.select(
+        "doc_id",
+        F.col("w").cast("long").alias("weight"),
+        F.col("u_nanos").cast("long").alias("u_nanos"),
+        F.floor(
+            F.log(F.col("u_nanos") / 1000000000.0)
+            / F.col("w")
+            * 1000000000000.0
+        )
+        .cast("long")
+        .alias("key_picos"),
+    )
+    return k.orderBy(F.desc("key_picos"), F.asc("doc_id")).limit(
+        SAMPLE_WOR_N
+    )
