@@ -8879,3 +8879,94 @@ def orders_rfm_migration_matrix(spark: SparkSession, d: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_customers"))
     )
+
+
+@register(
+    "events_conversion_lag_curve",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS pt
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.vt
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), lat AS (
+      SELECT v.user_id,
+             date_diff('day', v.vt, p.pt) AS lag_days
+      FROM v LEFT JOIN p ON p.user_id = v.user_id
+    ), ladder AS (
+      SELECT CAST(r.range AS BIGINT) AS d FROM range(14) r
+    ), nv AS (SELECT COUNT(*) AS n_viewers FROM lat)
+    SELECT l.d AS within_days,
+           CAST(MAX(nv.n_viewers) AS BIGINT) AS n_viewers,
+           CAST(SUM(CASE WHEN lat.lag_days IS NOT NULL
+                          AND lat.lag_days <= l.d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           ROUND(SUM(CASE WHEN lat.lag_days IS NOT NULL
+                           AND lat.lag_days <= l.d
+                          THEN 1 ELSE 0 END)
+                 / CAST(MAX(nv.n_viewers) AS DOUBLE), 6) AS cum_rate
+    FROM lat CROSS JOIN ladder l CROSS JOIN nv
+    GROUP BY l.d
+    """,
+)
+def events_conversion_lag_curve(spark: SparkSession, d: str) -> DataFrame:
+    """CUMULATIVE CONVERSION-LAG curve — for each horizon d in 0..13
+    days, the share of first-time viewers whose first subsequent
+    purchase landed within d days: the attribution-window CDF that
+    tells you where to SET the window every windowed-funnel and
+    attribution operator takes as input (``funnel_time_constrained``
+    evaluates ONE window; this evaluates them all in one pass).
+    ``events_time_to_convert`` gives latency percentiles among
+    converters; this curve is anchored on ALL viewers, so it also
+    shows the never-converted asymptote.
+
+    Exactness: latencies are integer day diffs; the ladder is a
+    14-row literal; one IEEE division per output row at 1e-6.
+
+    Scale: two user-keyed min-aggregates, a 14-row broadcast ladder
+    over the |viewers|-row latency table — the fact table is scanned
+    twice (the funnel family's shared shape), never per horizon."""
+    ev = load(spark, d, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v.select(F.col("user_id").alias("vu"), "vt"),
+              (F.col("user_id") == F.col("vu")) & (F.col("ts") >= F.col("vt")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    lat = v.join(
+        p.select(F.col("user_id").alias("pu"), "pt"),
+        F.col("user_id") == F.col("pu"),
+        "left",
+    ).select(
+        F.datediff(F.col("pt").cast("date"), F.col("vt").cast("date")).alias(
+            "lag_days"
+        )
+    )
+    ladder = spark.range(14).select(F.col("id").cast("long").alias("d"))
+    nv = lat.agg(F.count("*").alias("n_viewers"))
+    conv = F.sum(
+        F.when(
+            F.col("lag_days").isNotNull() & (F.col("lag_days") <= F.col("d")),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        lat.crossJoin(F.broadcast(ladder))
+        .crossJoin(F.broadcast(nv))
+        .groupBy(F.col("d").alias("within_days"))
+        .agg(
+            F.max("n_viewers").cast("long").alias("n_viewers"),
+            conv.cast("long").alias("n_converted"),
+            F.round(
+                conv / F.max("n_viewers").cast("double"), 6
+            ).alias("cum_rate"),
+        )
+    )

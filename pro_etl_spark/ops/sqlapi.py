@@ -1398,3 +1398,39 @@ def sql_parameterized(spark: SparkSession, d: str) -> DataFrame:
         """,
         args={"tbl": "orders", "status": "F", "min_price": 50000.0},
     )
+
+
+#: RELATIONAL DIVISION ("customers who ordered EVERY priority") via the
+#: scalable idiom — per-key distinct cardinality equals the universe
+#: cardinality, with the universe as an uncorrelated scalar subquery in
+#: HAVING. The textbook double-NOT-EXISTS spelling needs a two-level
+#: outer reference Spark's correlated-subquery planner rejects; this
+#: form is one grouped pass + a broadcast scalar, which is also the
+#: shape you'd WANT at scale (the nested-exists plan is a per-customer
+#: probe loop).
+SQL_RELATIONAL_DIVISION = """
+SELECT o_custkey AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(DISTINCT o_orderpriority) =
+       (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+"""
+
+
+@register("sql_relational_division", oracle=SQL_RELATIONAL_DIVISION)
+def sql_relational_division(spark: SparkSession, d: str) -> DataFrame:
+    """RELATIONAL DIVISION — the "for all" query (customers whose
+    order history covers EVERY priority in the universe), the one
+    relational-algebra operator SQL never got a keyword for. Planned
+    as the cardinality idiom: per-customer COUNT(DISTINCT priority)
+    compared against the universe count delivered by an uncorrelated
+    scalar subquery in HAVING — one grouped pass over the fact table
+    plus a broadcast scalar, instead of the textbook nested
+    NOT-EXISTS-per-customer probe loop (which Spark's correlated
+    planner rejects at two levels anyway, and which would be a
+    per-key dependent join at scale). Same text runs on both
+    engines."""
+    _views(spark, d)
+    return spark.sql(SQL_RELATIONAL_DIVISION)
