@@ -2887,3 +2887,206 @@ def window_rolling_zscore(spark: SparkSession, d: str) -> DataFrame:
         F.col("n").cast("long").alias("n_window"),
         F.when((F.col("n") >= 2) & (disc > 0), z).alias("zscore"),
     )
+
+
+@register(
+    "agg_variance_merge",
+    oracle="""
+    WITH v AS (
+      SELECT event_id % 8 AS shard,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), s AS (
+      SELECT shard, COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(v AS DECIMAL(38,0)) * v) AS s2
+      FROM v GROUP BY shard
+    ), m AS (
+      SELECT shard, n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n) AS m2
+      FROM s
+    ), tot AS (
+      SELECT SUM(n) AS tn,
+             CAST(SUM(s1) AS DOUBLE) AS ts1,
+             CAST(SUM(s2) AS DOUBLE) AS ts2
+      FROM s
+    ), f0 AS (
+      -- the init-merge step, spelled with the SAME formula so the
+      -- FP ops match Spark's fold seed exactly (mean*n/n is not a
+      -- guaranteed identity in IEEE arithmetic)
+      SELECT 0 + m.n AS n,
+             CAST(0 AS DOUBLE) + (m.mean - 0) * m.n / (0 + m.n) AS mean,
+             CAST(0 AS DOUBLE) + m.m2 + (m.mean - 0) * (m.mean - 0)
+               * 0 * m.n / (0 + m.n) AS m2
+      FROM m WHERE shard = 0
+    )
+    , f1 AS (
+      SELECT f0.n + m.n AS n,
+             f0.mean + (m.mean - f0.mean) * m.n
+               / (f0.n + m.n) AS mean,
+             f0.m2 + m.m2 + (m.mean - f0.mean)
+               * (m.mean - f0.mean) * f0.n * m.n
+               / (f0.n + m.n) AS m2
+      FROM f0, m WHERE m.shard = 1
+    )
+    , f2 AS (
+      SELECT f1.n + m.n AS n,
+             f1.mean + (m.mean - f1.mean) * m.n
+               / (f1.n + m.n) AS mean,
+             f1.m2 + m.m2 + (m.mean - f1.mean)
+               * (m.mean - f1.mean) * f1.n * m.n
+               / (f1.n + m.n) AS m2
+      FROM f1, m WHERE m.shard = 2
+    )
+    , f3 AS (
+      SELECT f2.n + m.n AS n,
+             f2.mean + (m.mean - f2.mean) * m.n
+               / (f2.n + m.n) AS mean,
+             f2.m2 + m.m2 + (m.mean - f2.mean)
+               * (m.mean - f2.mean) * f2.n * m.n
+               / (f2.n + m.n) AS m2
+      FROM f2, m WHERE m.shard = 3
+    )
+    , f4 AS (
+      SELECT f3.n + m.n AS n,
+             f3.mean + (m.mean - f3.mean) * m.n
+               / (f3.n + m.n) AS mean,
+             f3.m2 + m.m2 + (m.mean - f3.mean)
+               * (m.mean - f3.mean) * f3.n * m.n
+               / (f3.n + m.n) AS m2
+      FROM f3, m WHERE m.shard = 4
+    )
+    , f5 AS (
+      SELECT f4.n + m.n AS n,
+             f4.mean + (m.mean - f4.mean) * m.n
+               / (f4.n + m.n) AS mean,
+             f4.m2 + m.m2 + (m.mean - f4.mean)
+               * (m.mean - f4.mean) * f4.n * m.n
+               / (f4.n + m.n) AS m2
+      FROM f4, m WHERE m.shard = 5
+    )
+    , f6 AS (
+      SELECT f5.n + m.n AS n,
+             f5.mean + (m.mean - f5.mean) * m.n
+               / (f5.n + m.n) AS mean,
+             f5.m2 + m.m2 + (m.mean - f5.mean)
+               * (m.mean - f5.mean) * f5.n * m.n
+               / (f5.n + m.n) AS m2
+      FROM f5, m WHERE m.shard = 6
+    )
+    , f7 AS (
+      SELECT f6.n + m.n AS n,
+             f6.mean + (m.mean - f6.mean) * m.n
+               / (f6.n + m.n) AS mean,
+             f6.m2 + m.m2 + (m.mean - f6.mean)
+               * (m.mean - f6.mean) * f6.n * m.n
+               / (f6.n + m.n) AS m2
+      FROM f6, m WHERE m.shard = 7
+    )
+    SELECT CAST(f7.n AS BIGINT) AS n,
+           ROUND(f7.mean / 1000000.0, 6) AS mean_merged,
+           ROUND(f7.m2 / (f7.n - 1) / 1000000000000.0, 6) AS var_merged,
+           ROUND((ts2 - ts1 * (ts1 / tn)) / (tn - 1) / 1000000000000.0, 6)
+             AS var_direct,
+           ROUND(ABS(f7.m2 / (f7.n - 1) / 1000000000000.0
+                     - (ts2 - ts1 * (ts1 / tn)) / (tn - 1)
+                       / 1000000000000.0), 6) AS abs_diff
+    FROM f7 CROSS JOIN tot
+    """,
+)
+def agg_variance_merge(spark: SparkSession, d: str) -> DataFrame:
+    """PARALLEL-VARIANCE MERGE (Chan et al.) — the mergeable-aggregate
+    algebra every distributed engine runs under the hood, surfaced and
+    AUDITED: compute per-shard (n, mean, M2), fold the shards pairwise
+    with the Chan update (mean ← meanA + δ·nB/n, M2 ← M2A + M2B +
+    δ²·nA·nB/n), and compare against the direct sum-of-squares
+    variance. The abs_diff column is the numerical-stability audit —
+    the reason engines merge M2 instead of summing x² at scale. This
+    is the algebra that makes ``agg_moments``/``agg_incremental``
+    shard-safe; here it is exercised end to end with a deterministic
+    8-shard split.
+
+    Exactness: per-shard n/Σv/Σv² are exact integer (DECIMAL) sums of
+    micro-quantized values; every derived double comes from the same
+    exact integers through the same textual IEEE expression; the fold
+    runs in shard order (sorted struct array), so both engines execute
+    the identical 8-step merge.
+
+    Scale: one map-side-combinable shard census (8 rows), then an
+    in-row fold over the sorted 8-struct array — the merge itself is
+    corpus-size-independent, which is the entire point."""
+    ev = load(spark, d, "events")
+    v = ev.select(
+        (F.col("event_id") % 8).alias("shard"),
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    s = v.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias("s2"),
+    )
+    m = s.select(
+        "shard",
+        "n",
+        "s1",
+        "s2",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double")
+            * (F.col("s1").cast("double") / F.col("n"))
+        ).alias("m2"),
+    )
+    packed = m.agg(
+        F.array_sort(
+            F.collect_list(F.struct("shard", "n", "mean", "m2"))
+        ).alias("l"),
+        F.sum("n").alias("tn"),
+        F.sum("s1").cast("double").alias("ts1"),
+        F.sum("s2").cast("double").alias("ts2"),
+    )
+    init = F.struct(
+        F.lit(-1).cast("long").alias("shard"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0.0).alias("mean"),
+        F.lit(0.0).alias("m2"),
+    )
+    acc = F.aggregate(
+        F.col("l"),
+        init,
+        lambda a, b: F.struct(
+            b["shard"].alias("shard"),
+            (a["n"] + b["n"]).alias("n"),
+            (
+                a["mean"]
+                + (b["mean"] - a["mean"]) * b["n"] / (a["n"] + b["n"])
+            ).alias("mean"),
+            (
+                a["m2"]
+                + b["m2"]
+                + (b["mean"] - a["mean"])
+                * (b["mean"] - a["mean"])
+                * a["n"]
+                * b["n"]
+                / (a["n"] + b["n"])
+            ).alias("m2"),
+        ),
+    )
+    folded = packed.select("tn", "ts1", "ts2", acc.alias("acc"))
+    var_merged = F.col("acc.m2") / (F.col("acc.n") - 1) / 1000000000000.0
+    var_direct = (
+        (F.col("ts2") - F.col("ts1") * (F.col("ts1") / F.col("tn")))
+        / (F.col("tn") - 1)
+        / 1000000000000.0
+    )
+    return folded.select(
+        F.col("acc.n").cast("long").alias("n"),
+        F.round(F.col("acc.mean") / 1000000.0, 6).alias("mean_merged"),
+        F.round(var_merged, 6).alias("var_merged"),
+        F.round(var_direct, 6).alias("var_direct"),
+        F.round(F.abs(var_merged - var_direct), 6).alias("abs_diff"),
+    )
