@@ -1105,3 +1105,165 @@ def mm_phash_near_dup(spark: SparkSession, d: str) -> DataFrame:
             ),
         )
     )
+
+
+def _dhash_oracle() -> str:
+    return f"""
+    WITH ck AS (
+      SELECT doc_id, md5(text) AS key FROM documents
+    ), cells AS (
+      SELECT doc_id,
+             CAST(r.range AS BIGINT) // 8 AS x,
+             CAST(r.range AS BIGINT) % 8 AS y,
+             {DUCK_HASH60.format(
+                 x="(key || ':ph:' || CAST(r.range AS VARCHAR))")} % 256
+               AS val
+      FROM ck, range(64) r
+    )
+    SELECT a.doc_id,
+           CAST(SUM(CASE WHEN b.val > a.val
+                         THEN CAST(1 AS BIGINT) << CAST(7 * a.x + a.y AS INT)
+                         ELSE 0 END) AS BIGINT) AS dhash,
+           CAST(SUM(CASE WHEN b.val > a.val THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bits_set
+    FROM cells a JOIN cells b
+      ON b.doc_id = a.doc_id AND b.x = a.x AND b.y = a.y + 1
+    GROUP BY a.doc_id
+    """
+
+
+@register("mm_dhash", oracle=_dhash_oracle())
+def mm_dhash(spark: SparkSession, d: str) -> DataFrame:
+    """DIFFERENCE HASH (dHash) — the gradient-based perceptual
+    fingerprint beside the DCT ``mm_phash``: one bit per horizontal
+    neighbor comparison on the same 8×8 luma grid (is the pixel to the
+    right brighter?), 56 bits packed into one BIGINT. dHash survives
+    brightness/contrast shifts that break average-hashing and costs no
+    DCT — the standard cheap first pass before pHash verification in
+    image-dedup stacks (both hashes feed the same Hamming-LSH banding
+    as ``mm_phash_near_dup``).
+
+    The grid is the documented deterministic decode stand-in
+    (mm_decode_features:38 policy — no image codec in this container);
+    the comparison/packing plumbing is the real production shape.
+
+    Exactness: grid values and neighbor comparisons are integers; the
+    packed hash is an exact sum of distinct powers of two.
+
+    Scale: the neighbor join is per (doc, x, y)→(doc, x, y+1) — keyed
+    by doc, no fan-out beyond the 64-cell grid; at 100 TB this is one
+    narrow pass over the stored grid column."""
+    docs = load(spark, d, "documents").select(
+        "doc_id", F.md5("text").alias("key")
+    )
+    cells = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("k"),
+        "key",
+    ).select(
+        "doc_id",
+        (F.col("k") / 8).cast("long").alias("x"),
+        (F.col("k") % 8).alias("y"),
+        (
+            hash60(
+                F.concat(
+                    F.col("key"), F.lit(":ph:"), F.col("k").cast("string")
+                )
+            )
+            % 256
+        ).alias("val"),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    bit = F.when(
+        F.col("b.val") > F.col("a.val"),
+        F.expr("shiftleft(cast(1 as bigint), cast(7 * a.x + a.y as int))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.x") == F.col("a.x"))
+            & (F.col("b.y") == F.col("a.y") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(
+            F.sum(bit).cast("long").alias("dhash"),
+            F.sum(
+                F.when(F.col("b.val") > F.col("a.val"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_bits_set"),
+        )
+    )
+
+
+def _audio_dr_oracle() -> str:
+    from pro_etl_spark.registry import ORACLES
+
+    return f"""
+    WITH fr AS ({ORACLES["mm_audio_energy"]}),
+    fr2 AS (
+      SELECT *,
+             energy * COUNT(*) OVER (PARTITION BY doc_id)
+               > SUM(energy) OVER (PARTITION BY doc_id) AS is_loud
+      FROM fr
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(energy) AS BIGINT) AS e_max,
+           CAST(MIN(energy) AS BIGINT) AS e_min,
+           ROUND(CAST(MAX(energy) * COUNT(*) AS DOUBLE) / SUM(energy), 6)
+             AS crest,
+           CAST(SUM(CASE WHEN is_loud THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_loud,
+           CAST(FLOOR(LN((MAX(energy) + 1.0) / (MIN(energy) + 1.0))
+                      * 1000000.0) AS BIGINT) AS dyn_range_ln_micros
+    FROM fr2 GROUP BY doc_id
+    """
+
+
+@register("mm_audio_dynamic_range", oracle=_audio_dr_oracle())
+def mm_audio_dynamic_range(spark: SparkSession, d: str) -> DataFrame:
+    """AUDIO DYNAMIC-RANGE / loudness QC per clip on the framed-energy
+    front-end (``mm_audio_energy``): crest factor (peak-frame energy
+    over mean — clipping and over-compression detector), loud-frame
+    count (frames strictly above the clip mean, the integer
+    cross-multiply trick so no division enters the comparison), and
+    the log peak/floor ratio — the triage features an audio ingest
+    runs to route clips to re-encode / discard / keep before any
+    expensive transcription.
+
+    Exactness: frame energies are exact integers; the mean comparison
+    is an integer cross-multiply; ln is floor-quantized to micros; the
+    one crest division is IEEE at 1e-6.
+
+    Scale: the frame table is map-only (no shuffle to build); this
+    rollup is one doc-keyed aggregate over it."""
+    fr = mm_audio_energy(spark, d)
+    w = Window.partitionBy("doc_id")
+    loud = (
+        F.col("energy") * F.count("*").over(w) > F.sum("energy").over(w)
+    )
+    fr2 = fr.withColumn("is_loud", loud)
+    return fr2.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.max("energy").cast("long").alias("e_max"),
+        F.min("energy").cast("long").alias("e_min"),
+        F.round(
+            (F.max("energy") * F.count("*")).cast("double")
+            / F.sum("energy"),
+            6,
+        ).alias("crest"),
+        F.sum(F.when(F.col("is_loud"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_loud"),
+        F.floor(
+            F.log(
+                (F.max("energy") + 1.0) / (F.min("energy") + 1.0)
+            )
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("dyn_range_ln_micros"),
+    )
