@@ -1817,7 +1817,7 @@ def ann_recall_eval(spark: SparkSession, d: str) -> DataFrame:
            FROM exact WHERE rank = 1
          )
     SELECT t.query_id, t.true_neighbor,
-           CAST(a.rank AS BIGINT) AS found_rank,
+           CAST(COALESCE(a.rank, 0) AS BIGINT) AS found_rank,
            COALESCE(1.0 / a.rank, 0.0) AS reciprocal_rank
     FROM truth t
     LEFT JOIN approx a
@@ -1856,7 +1856,13 @@ def ann_mrr_eval(spark: SparkSession, d: str) -> DataFrame:
         .select(
             "query_id",
             "true_neighbor",
-            "found_rank",
+            # 0 = "true neighbor not in the index's top-k": keeps the
+            # column integral end to end (a NULL here materializes as
+            # pandas float64 on the oracle side — the dtype-bomb class
+            # the grading-dtype test guards)
+            F.coalesce(F.col("found_rank"), F.lit(0).cast("long")).alias(
+                "found_rank"
+            ),
             F.coalesce(
                 F.lit(1.0) / F.col("found_rank"), F.lit(0.0)
             ).alias("reciprocal_rank"),
@@ -2394,9 +2400,55 @@ def embed_norm_outliers(spark: SparkSession, d: str) -> DataFrame:
 #: work at 10× data). 8 bits = 256 buckets/band plus the
 #: SRP_MAX_BUCKET stop-bucket cap below bounds per-bucket fan-out the
 #: same way the MinHash-LSH path does (dedup.MAX_BUCKET).
-SRP_NPROJ = 32
+SRP_NPROJ = 48
 SRP_BANDS = 4
-SRP_ROWS = 8
+#: per-band bit BUDGET (projection layout stride): band b reads
+#: projections [b*SRP_MAX_BITS, b*SRP_MAX_BITS + bits) — the ACTIVE
+#: bit count scales with the corpus (see _srp_bits / the bitsk CTE)
+#: so the expected bucket size stays ~= sqrt(N): bits = the smallest
+#: k in [4, 12] with 2^k >= ceil(sqrt(N)). Candidate volume is then
+#: O(bands * N * sqrt(N)) at every scale, and recall at small N no
+#: longer pays big-N bit widths (the round-8 static-8-bit widening
+#: fixed the probe but cut tiny-corpus recall to ~0.09; adaptive bits
+#: restore ~0.3+ at test scale with the SAME big-N cost).
+SRP_MAX_BITS = 12
+SRP_MIN_BITS = 4
+
+
+def _srp_bits_of(n: int) -> int:
+    """Integer bit ladder — no log2 crosses an engine boundary: the
+    smallest k in [SRP_MIN_BITS, SRP_MAX_BITS] with 2^k >= ceil(sqrt
+    (N)), mirrored textually by the oracle's CASE ladder."""
+    import math
+
+    s = math.ceil(math.sqrt(n)) if n else 1
+    for k in range(SRP_MIN_BITS, SRP_MAX_BITS + 1):
+        if s <= 2 ** k:
+            return k
+    return SRP_MAX_BITS
+
+
+def _srp_bits(spark: SparkSession, d: str) -> int:
+    """Corpus-adaptive active bits per band (memoized corpus count —
+    the same bounded model-state count _k_cells uses)."""
+    key = (spark.sparkContext.applicationId, d)
+    n = _N_VEC_MEMO.get(key)
+    if n is None:
+        n = load(spark, d, "embeddings").count()
+        _N_VEC_MEMO[key] = n
+    return _srp_bits_of(n)
+
+
+_SRP_BITS_SQL = (
+    "(SELECT CASE "
+    + " ".join(
+        f"WHEN s <= {2 ** k} THEN {k}"
+        for k in range(SRP_MIN_BITS, SRP_MAX_BITS)
+    )
+    + f" ELSE {SRP_MAX_BITS} END AS k"
+    "  FROM (SELECT CAST(CEIL(SQRT(GREATEST(COUNT(*), 1))) AS BIGINT) AS s"
+    "        FROM embeddings))"
+)
 
 #: skew guard, mirroring dedup.MAX_BUCKET: band buckets larger than
 #: this are dropped as too-common before pair expansion, so a
@@ -2461,14 +2513,12 @@ _SRP_SQL = (
       SELECT vec_id, embedding,
              sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
       FROM embeddings
+    ), bitsk AS (
+      SELECT * FROM {_SRP_BITS_SQL} AS t(k)
     ), bands AS (
       SELECT vec_id, b,
-             {" + ".join(
-                 f"(CASE WHEN projs[{SRP_ROWS} * b + {r + 1}] > 0"
-                 f" THEN {2 ** r} ELSE 0 END)"
-                 for r in range(SRP_ROWS)
-             )} AS val
-      FROM sig, UNNEST(range(0, {SRP_BANDS})) AS t(b)
+             (CASE WHEN 0 < bitsk.k AND projs[12 * b + 1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN 1 < bitsk.k AND projs[12 * b + 2] > 0 THEN 2 ELSE 0 END) + (CASE WHEN 2 < bitsk.k AND projs[12 * b + 3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN 3 < bitsk.k AND projs[12 * b + 4] > 0 THEN 8 ELSE 0 END) + (CASE WHEN 4 < bitsk.k AND projs[12 * b + 5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN 5 < bitsk.k AND projs[12 * b + 6] > 0 THEN 32 ELSE 0 END) + (CASE WHEN 6 < bitsk.k AND projs[12 * b + 7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN 7 < bitsk.k AND projs[12 * b + 8] > 0 THEN 128 ELSE 0 END) + (CASE WHEN 8 < bitsk.k AND projs[12 * b + 9] > 0 THEN 256 ELSE 0 END) + (CASE WHEN 9 < bitsk.k AND projs[12 * b + 10] > 0 THEN 512 ELSE 0 END) + (CASE WHEN 10 < bitsk.k AND projs[12 * b + 11] > 0 THEN 1024 ELSE 0 END) + (CASE WHEN 11 < bitsk.k AND projs[12 * b + 12] > 0 THEN 2048 ELSE 0 END) AS val
+      FROM sig, UNNEST(range(0, {SRP_BANDS})) AS t(b), bitsk
     ), capped AS (
       SELECT vec_id, b, val FROM bands
       QUALIFY COUNT(*) OVER (PARTITION BY b, val) <= {SRP_MAX_BUCKET}
@@ -2523,6 +2573,7 @@ def dedup_embedding_srp(spark: SparkSession, d: str) -> DataFrame:
     one bucket) are bounded at SRP_MAX_BUCKET²/2 pairs per bucket."""
     signs = F.array(*[F.array(*[F.lit(v) for v in row]) for row in _SRP])
     e = corpus_table(spark, d)
+    bits = _srp_bits(spark, d)  # corpus-adaptive active bits per band
     projs = F.transform(
         F.sequence(F.lit(0), F.lit(SRP_NPROJ - 1)),
         lambda h: dot(F.col("embedding"), F.element_at(signs, h + 1)),
@@ -2542,12 +2593,12 @@ def dedup_embedding_srp(spark: SparkSession, d: str) -> DataFrame:
                         sum(
                             F.when(
                                 F.element_at(
-                                    F.col("projs"), b * SRP_ROWS + r + 1
+                                    F.col("projs"), b * SRP_MAX_BITS + r + 1
                                 )
                                 > 0,
                                 2**r,
                             ).otherwise(0)
-                            for r in range(SRP_ROWS)
+                            for r in range(bits)
                         ).alias("val"),
                     ),
                 )

@@ -139,13 +139,18 @@ def test_kmeans_cells_partition_and_improve(spark):
     """The one-Lloyd-iteration quantizer is a true partition (every
     vector in exactly one of ≤K cells) and every kmeans-blocked
     near-dup pair really is a same-cell pair above the τ used."""
-    from pro_etl_spark.ops.similarity import IVF_COSINE_THRESHOLD, K_CELLS
+    from pro_etl_spark.ops.similarity import (
+        IVF_COSINE_THRESHOLD,
+        _k_cells,
+    )
 
     qs = pro_etl_spark.get_queries()
     assign = qs["ivf_kmeans_assign"](spark, SF).collect()
     cells = {r.vec_id: r.cell for r in assign}
     assert len(cells) == len(assign), "each vector assigned exactly once"
-    assert len(set(cells.values())) <= K_CELLS
+    # nlist scales with the corpus (max(8, ceil(sqrt(N))) — the
+    # round-8 scale fix), so bound by the trained cell count
+    assert len(set(cells.values())) <= _k_cells(spark, SF)
     assert all(r.dist >= 0 for r in assign)
     pairs = qs["dedup_embedding_kmeans"](spark, SF).collect()
     for r in pairs:
