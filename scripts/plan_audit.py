@@ -77,6 +77,11 @@ ALLOWED = {
         "date exception list only (tiny by construction; the spine "
         "and the distinct-date census stay distributed)",
     },
+    "events_sessionization_sensitivity": {
+        "SinglePartition": "1-row user/event census (the heuristic "
+        "sees the per-user lag window's Sort in adjacent plan text; "
+        "the fact-table window itself is keyed by user_id)",
+    },
     "orders_abc_xyz": {
         "SinglePartition": "cumulative revenue share over the "
         "PART-grain rollup (1e-4 of lineitem; range-shuffle it via "
