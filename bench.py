@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {...}, "sf": ...}.
+JSON to stdout. The FINAL line is a complete, compact record
+{"metric": ..., "value": N, "unit": "sec", "n_queries": K,
+"queries": {top slowest...}, "sf": ...} sized to survive the round
+driver's bounded stdout-tail capture; the line before it carries the
+full per-query dict (metric suffix ``_full``).
 
 Each query is executed to completion with a ``noop``-format write
 (`df.write.format("noop")`): every output column of every output row
@@ -237,15 +240,55 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # The round driver stores only a bounded tail of stdout (~2 KB) and
+    # parses the LAST line as JSON. With 75+ headline queries the full
+    # per-query dict overflows that tail and the front of the line gets
+    # truncated away (BENCH_r07/r08: "parsed": null). So: the complete
+    # per-query dict goes on an EARLIER line (for logs/archive), and the
+    # final line is a compact, always-complete JSON object whose queries
+    # dict is capped (slowest-first) to fit the tail.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec_full",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+    )
+    budget = 1600  # bytes for the final line, safely under the tail cap
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    compact: dict[str, float] = {}
+    for k, v in slowest:
+        compact[k] = v
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": compact,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) > budget:
+            del compact[k]
+            break
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "queries": compact,
                 "sf": sf_val,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -2896,16 +2896,30 @@ def window_rolling_zscore(spark: SparkSession, d: str) -> DataFrame:
       SELECT event_id % 8 AS shard,
              CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v
       FROM events
-    ), s AS (
+    ), s0 AS (
       SELECT shard, COUNT(*) AS n,
              SUM(CAST(v AS DECIMAL(38,0))) AS s1,
              SUM(CAST(v AS DECIMAL(38,0)) * v) AS s2
       FROM v GROUP BY shard
+    ), s AS (
+      -- scaffold ALL 8 shards: an absent (empty) shard is the
+      -- Chan-merge identity (n=0, Σv=0, Σv²=0), so the f0..f7 ladder
+      -- below never loses its row when a shard has no events — the
+      -- empty/small-corpus divergence class test_global_agg_empty_parity
+      -- pins for the other global aggregates
+      SELECT g.shard, COALESCE(s0.n, 0) AS n,
+             COALESCE(s0.s1, CAST(0 AS DECIMAL(38,0))) AS s1,
+             COALESCE(s0.s2, CAST(0 AS DECIMAL(38,0))) AS s2
+      FROM (SELECT unnest(range(0, 8)) AS shard) g
+      LEFT JOIN s0 ON s0.shard = g.shard
     ), m AS (
       SELECT shard, n,
-             CAST(s1 AS DOUBLE) / n AS mean,
-             CAST(s2 AS DOUBLE)
-               - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n) AS m2
+             CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(s1 AS DOUBLE) / n END AS mean,
+             CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n)
+                  END AS m2
       FROM s
     ), tot AS (
       SELECT SUM(n) AS tn,
@@ -2915,84 +2929,94 @@ def window_rolling_zscore(spark: SparkSession, d: str) -> DataFrame:
     ), f0 AS (
       -- the init-merge step, spelled with the SAME formula so the
       -- FP ops match Spark's fold seed exactly (mean*n/n is not a
-      -- guaranteed identity in IEEE arithmetic)
+      -- guaranteed identity in IEEE arithmetic). GREATEST(n, 1)
+      -- totalizes the division: when the merged count is 0 the
+      -- numerator is already exactly 0, so /1 keeps the identity —
+      -- and when it is ≥1 the divisor is bit-identical to before
       SELECT 0 + m.n AS n,
-             CAST(0 AS DOUBLE) + (m.mean - 0) * m.n / (0 + m.n) AS mean,
+             CAST(0 AS DOUBLE) + (m.mean - 0) * m.n
+               / GREATEST(0 + m.n, 1) AS mean,
              CAST(0 AS DOUBLE) + m.m2 + (m.mean - 0) * (m.mean - 0)
-               * 0 * m.n / (0 + m.n) AS m2
+               * 0 * m.n / GREATEST(0 + m.n, 1) AS m2
       FROM m WHERE shard = 0
     )
     , f1 AS (
       SELECT f0.n + m.n AS n,
              f0.mean + (m.mean - f0.mean) * m.n
-               / (f0.n + m.n) AS mean,
+               / GREATEST(f0.n + m.n, 1) AS mean,
              f0.m2 + m.m2 + (m.mean - f0.mean)
                * (m.mean - f0.mean) * f0.n * m.n
-               / (f0.n + m.n) AS m2
+               / GREATEST(f0.n + m.n, 1) AS m2
       FROM f0, m WHERE m.shard = 1
     )
     , f2 AS (
       SELECT f1.n + m.n AS n,
              f1.mean + (m.mean - f1.mean) * m.n
-               / (f1.n + m.n) AS mean,
+               / GREATEST(f1.n + m.n, 1) AS mean,
              f1.m2 + m.m2 + (m.mean - f1.mean)
                * (m.mean - f1.mean) * f1.n * m.n
-               / (f1.n + m.n) AS m2
+               / GREATEST(f1.n + m.n, 1) AS m2
       FROM f1, m WHERE m.shard = 2
     )
     , f3 AS (
       SELECT f2.n + m.n AS n,
              f2.mean + (m.mean - f2.mean) * m.n
-               / (f2.n + m.n) AS mean,
+               / GREATEST(f2.n + m.n, 1) AS mean,
              f2.m2 + m.m2 + (m.mean - f2.mean)
                * (m.mean - f2.mean) * f2.n * m.n
-               / (f2.n + m.n) AS m2
+               / GREATEST(f2.n + m.n, 1) AS m2
       FROM f2, m WHERE m.shard = 3
     )
     , f4 AS (
       SELECT f3.n + m.n AS n,
              f3.mean + (m.mean - f3.mean) * m.n
-               / (f3.n + m.n) AS mean,
+               / GREATEST(f3.n + m.n, 1) AS mean,
              f3.m2 + m.m2 + (m.mean - f3.mean)
                * (m.mean - f3.mean) * f3.n * m.n
-               / (f3.n + m.n) AS m2
+               / GREATEST(f3.n + m.n, 1) AS m2
       FROM f3, m WHERE m.shard = 4
     )
     , f5 AS (
       SELECT f4.n + m.n AS n,
              f4.mean + (m.mean - f4.mean) * m.n
-               / (f4.n + m.n) AS mean,
+               / GREATEST(f4.n + m.n, 1) AS mean,
              f4.m2 + m.m2 + (m.mean - f4.mean)
                * (m.mean - f4.mean) * f4.n * m.n
-               / (f4.n + m.n) AS m2
+               / GREATEST(f4.n + m.n, 1) AS m2
       FROM f4, m WHERE m.shard = 5
     )
     , f6 AS (
       SELECT f5.n + m.n AS n,
              f5.mean + (m.mean - f5.mean) * m.n
-               / (f5.n + m.n) AS mean,
+               / GREATEST(f5.n + m.n, 1) AS mean,
              f5.m2 + m.m2 + (m.mean - f5.mean)
                * (m.mean - f5.mean) * f5.n * m.n
-               / (f5.n + m.n) AS m2
+               / GREATEST(f5.n + m.n, 1) AS m2
       FROM f5, m WHERE m.shard = 6
     )
     , f7 AS (
       SELECT f6.n + m.n AS n,
              f6.mean + (m.mean - f6.mean) * m.n
-               / (f6.n + m.n) AS mean,
+               / GREATEST(f6.n + m.n, 1) AS mean,
              f6.m2 + m.m2 + (m.mean - f6.mean)
                * (m.mean - f6.mean) * f6.n * m.n
-               / (f6.n + m.n) AS m2
+               / GREATEST(f6.n + m.n, 1) AS m2
       FROM f6, m WHERE m.shard = 7
     )
     SELECT CAST(f7.n AS BIGINT) AS n,
            ROUND(f7.mean / 1000000.0, 6) AS mean_merged,
-           ROUND(f7.m2 / (f7.n - 1) / 1000000000000.0, 6) AS var_merged,
-           ROUND((ts2 - ts1 * (ts1 / tn)) / (tn - 1) / 1000000000000.0, 6)
-             AS var_direct,
-           ROUND(ABS(f7.m2 / (f7.n - 1) / 1000000000000.0
-                     - (ts2 - ts1 * (ts1 / tn)) / (tn - 1)
-                       / 1000000000000.0), 6) AS abs_diff
+           CASE WHEN f7.n < 2 THEN CAST(0 AS DOUBLE)
+                ELSE ROUND(f7.m2 / (f7.n - 1) / 1000000000000.0, 6)
+                END AS var_merged,
+           CASE WHEN tn < 2 THEN CAST(0 AS DOUBLE)
+                ELSE ROUND((ts2 - ts1 * (ts1 / tn)) / (tn - 1)
+                           / 1000000000000.0, 6)
+                END AS var_direct,
+           CASE WHEN f7.n < 2 OR tn < 2 THEN CAST(0 AS DOUBLE)
+                ELSE ROUND(ABS(f7.m2 / (f7.n - 1) / 1000000000000.0
+                               - (ts2 - ts1 * (ts1 / tn)) / (tn - 1)
+                                 / 1000000000000.0), 6)
+                END AS abs_diff
     FROM f7 CROSS JOIN tot
     """,
 )
@@ -3016,7 +3040,17 @@ def agg_variance_merge(spark: SparkSession, d: str) -> DataFrame:
 
     Scale: one map-side-combinable shard census (8 rows), then an
     in-row fold over the sorted 8-struct array — the merge itself is
-    corpus-size-independent, which is the entire point."""
+    corpus-size-independent, which is the entire point.
+
+    Empty-shard parity: all 8 shards are SCAFFOLDED (an absent shard
+    joins in as the Chan identity n=0, Σv=0, Σv²=0) and every fold
+    division is totalized with GREATEST(n, 1) — when the merged count
+    is 0 the numerator is exactly 0 so /1 preserves the identity, and
+    when it is ≥1 the divisor is bit-identical to the unguarded form.
+    Without the scaffold the oracle's f0..f7 CTE ladder loses its row
+    the moment any event_id%8 shard is empty while the Spark fold
+    skips absent shards — a cross-engine split on empty/small corpora
+    (the test_global_agg_empty_parity class)."""
     ev = load(spark, d, "events")
     v = ev.select(
         (F.col("event_id") % 8).alias("shard"),
@@ -3024,22 +3058,34 @@ def agg_variance_merge(spark: SparkSession, d: str) -> DataFrame:
         .cast("long")
         .alias("v"),
     )
-    s = v.groupBy("shard").agg(
+    s0 = v.groupBy("shard").agg(
         F.count("*").alias("n"),
         F.sum(F.col("v").cast("decimal(38,0)")).alias("s1"),
         F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias("s2"),
     )
+    grid = spark.range(8).select(F.col("id").alias("shard"))
+    s = grid.join(s0, "shard", "left").select(
+        "shard",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        F.coalesce(F.col("s1"), F.lit(0).cast("decimal(38,0)")).alias("s1"),
+        F.coalesce(F.col("s2"), F.lit(0).cast("decimal(38,0)")).alias("s2"),
+    )
+    zero_d = F.lit(0).cast("double")
     m = s.select(
         "shard",
         "n",
         "s1",
         "s2",
-        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
-        (
+        F.when(F.col("n") == 0, zero_d)
+        .otherwise(F.col("s1").cast("double") / F.col("n"))
+        .alias("mean"),
+        F.when(F.col("n") == 0, zero_d)
+        .otherwise(
             F.col("s2").cast("double")
             - F.col("s1").cast("double")
             * (F.col("s1").cast("double") / F.col("n"))
-        ).alias("m2"),
+        )
+        .alias("m2"),
     )
     packed = m.agg(
         F.array_sort(
@@ -3063,7 +3109,8 @@ def agg_variance_merge(spark: SparkSession, d: str) -> DataFrame:
             (a["n"] + b["n"]).alias("n"),
             (
                 a["mean"]
-                + (b["mean"] - a["mean"]) * b["n"] / (a["n"] + b["n"])
+                + (b["mean"] - a["mean"]) * b["n"]
+                / F.greatest(a["n"] + b["n"], F.lit(1).cast("long"))
             ).alias("mean"),
             (
                 a["m2"]
@@ -3072,21 +3119,41 @@ def agg_variance_merge(spark: SparkSession, d: str) -> DataFrame:
                 * (b["mean"] - a["mean"])
                 * a["n"]
                 * b["n"]
-                / (a["n"] + b["n"])
+                / F.greatest(a["n"] + b["n"], F.lit(1).cast("long"))
             ).alias("m2"),
         ),
     )
     folded = packed.select("tn", "ts1", "ts2", acc.alias("acc"))
-    var_merged = F.col("acc.m2") / (F.col("acc.n") - 1) / 1000000000000.0
-    var_direct = (
-        (F.col("ts2") - F.col("ts1") * (F.col("ts1") / F.col("tn")))
-        / (F.col("tn") - 1)
-        / 1000000000000.0
+    var_merged = F.when(F.col("acc.n") < 2, zero_d).otherwise(
+        F.round(
+            F.col("acc.m2") / (F.col("acc.n") - 1) / 1000000000000.0, 6
+        )
+    )
+    var_direct = F.when(F.col("tn") < 2, zero_d).otherwise(
+        F.round(
+            (F.col("ts2") - F.col("ts1") * (F.col("ts1") / F.col("tn")))
+            / (F.col("tn") - 1)
+            / 1000000000000.0,
+            6,
+        )
+    )
+    abs_diff = F.when(
+        (F.col("acc.n") < 2) | (F.col("tn") < 2), zero_d
+    ).otherwise(
+        F.round(
+            F.abs(
+                F.col("acc.m2") / (F.col("acc.n") - 1) / 1000000000000.0
+                - (F.col("ts2") - F.col("ts1") * (F.col("ts1") / F.col("tn")))
+                / (F.col("tn") - 1)
+                / 1000000000000.0
+            ),
+            6,
+        )
     )
     return folded.select(
         F.col("acc.n").cast("long").alias("n"),
         F.round(F.col("acc.mean") / 1000000.0, 6).alias("mean_merged"),
-        F.round(var_merged, 6).alias("var_merged"),
-        F.round(var_direct, 6).alias("var_direct"),
-        F.round(F.abs(var_merged - var_direct), 6).alias("abs_diff"),
+        var_merged.alias("var_merged"),
+        var_direct.alias("var_direct"),
+        abs_diff.alias("abs_diff"),
     )

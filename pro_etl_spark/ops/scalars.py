@@ -580,7 +580,12 @@ def fn_mask(spark: SparkSession, d: str) -> DataFrame:
     "fn_regexp_extract_all",
     oracle=r"""
     SELECT doc_id,
-           regexp_extract_all(text, '\b[0-9]+\b') AS numbers,
+           -- DuckDB array_to_string([]) is NULL (string_agg
+           -- semantics); Spark array_join([]) is '' — coalesce to
+           -- keep the engines identical on the no-match rows
+           COALESCE(
+             array_to_string(regexp_extract_all(text, '\b[0-9]+\b'), '|'),
+             '') AS numbers,
            CAST(len(regexp_extract_all(text, '\b[A-Z][a-z]+')) AS INTEGER)
              AS n_capitalized
     FROM documents
@@ -588,15 +593,20 @@ def fn_mask(spark: SparkSession, d: str) -> DataFrame:
 )
 def fn_regexp_extract_all(spark: SparkSession, d: str) -> DataFrame:
     """All-occurrence regex extraction (F8 family extension): every
-    standalone integer in each document as an array column, plus a
-    count of Capitalized words — the entity-harvest shape (IDs, prices,
-    mentions) that would need a UDF loop in row engines. One narrow
-    JVM-side pass, codegen-friendly; the array stays a real
-    array<string> column (grading canonicalizer serializes arrays
-    recursively, so the oracle pairs exactly)."""
+    standalone integer in each document, plus a count of Capitalized
+    words — the entity-harvest shape (IDs, prices, mentions) that
+    would need a UDF loop in row engines. One narrow JVM-side pass,
+    codegen-friendly. The extracted array is serialized with
+    ``array_join(..., '|')`` because the grading harness's pandas
+    canonicalizer cannot sort top-level array cells (``unhashable
+    type: numpy.ndarray``) — the exact constraint ``dedup_minhash``
+    documents; both engines emit the identical '|'-joined string, so
+    value-exactness is preserved (empty match set → '' in both)."""
     return load(spark, d, "documents").select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit(r"\b[0-9]+\b"), 0).alias("numbers"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(r"\b[0-9]+\b"), 0), "|"
+        ).alias("numbers"),
         F.array_size(
             F.regexp_extract_all("text", F.lit(r"\b[A-Z][a-z]+"), 0)
         ).alias("n_capitalized"),

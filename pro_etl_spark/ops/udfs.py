@@ -255,7 +255,9 @@ EMBED_DIMS = 8
       FROM tok, (SELECT unnest(range(0, {EMBED_DIMS})) AS j)
       GROUP BY doc_id, j
     )
-    SELECT doc_id, list(CAST(s AS BIGINT) ORDER BY j) AS embedding
+    SELECT doc_id,
+           array_to_string(list(CAST(s AS BIGINT) ORDER BY j), '-')
+             AS embedding
     FROM contrib GROUP BY doc_id
     """,
 )
@@ -269,7 +271,11 @@ def text_embed_hash(spark: SparkSession, d: str) -> DataFrame:
     per dimension, INTEGER arithmetic) so the DuckDB oracle can verify
     the Arrow round-trip value-exactly — which no real float model
     would allow. Tokenization replicates the engine's \\s+ contract
-    including the empty-text → [''] edge.
+    including the empty-text → [''] edge. The Arrow boundary still
+    carries a real ``array<long>`` batch (the point of the key); only
+    the *graded* column is serialized to a '-'-joined string, because
+    the grading harness's pandas canonicalizer cannot sort top-level
+    array cells (the ``dedup_minhash`` constraint, dedup.py).
 
     Scale: map-only (one UDF pass, no shuffle); the hash cache is
     per-batch executor state, the analogue of the model weights living
@@ -308,7 +314,10 @@ def text_embed_hash(spark: SparkSession, d: str) -> DataFrame:
         return pd.Series(out)
 
     return load(spark, d, "documents").select(
-        "doc_id", embed(F.col("text")).alias("embedding")
+        "doc_id",
+        F.array_join(
+            embed(F.col("text")).cast("array<string>"), "-"
+        ).alias("embedding"),
     )
 
 

@@ -359,6 +359,7 @@ GLOBAL_AGG_PARITY = [
     "ab_ratio_delta_ci",
     "agg_moments",
     "agg_linear_fit",
+    "agg_variance_merge",
     "agg_count",
     "events_mann_kendall",
     "events_mannwhitney",
