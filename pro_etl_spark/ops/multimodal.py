@@ -800,89 +800,132 @@ def mm_phash(spark: SparkSession, d: str) -> DataFrame:
     tie-break; the packed hash is an exact integer sum of distinct
     powers of two.
 
-    Scale (sweep-driven, round 8): the fan-out carries a 32-char
+    Scale (sweep-driven, rounds 8-9): the fan-out carries a 32-char
     md5 CONTENT KEY, never the payload (hashing the full text per
     cell × basis row dominated the first cut: 40.8 s → ~3 s at
-    sf0.1), and the DCT is SEPARABLE — a column pass then a row pass
-    against the 64-row broadcast basis, 1024 join rows per doc
-    instead of the naive 4096 outer-product terms. Everything is
-    keyed by doc_id; at 100 TB the grid column is written once
-    beside the payload and the DCT rides the same narrow pass."""
+    sf0.1), and the whole separable DCT now folds IN-ROW — the 64
+    luma cells, both quantized DCT passes, the rank-32 median pick,
+    and the bit packing are array transforms over the 8×8 basis as
+    literal constants. No basis join, no explode, no window: the
+    round-8 plan still shipped 1024 join rows/doc through two
+    shuffles (the registry's largest constant factor — 35 s at 10×);
+    this one is a single narrow map-only projection, the plan a
+    1000-executor cluster wants for a per-document fingerprint."""
     docs = load(spark, d, "documents").select(
         "doc_id", F.md5("text").alias("key")
     )
-    ks = docs.select(
-        "doc_id",
-        "key",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("k"),
+    seq8 = F.sequence(F.lit(0), F.lit(7))
+    # 8×8 DCT basis as a literal array-of-arrays: CB[u+1][x+1] = C[u][x]
+    coef = {(u, x): c for u, x, c in _PHASH_BASIS}
+    CB = F.array(
+        *[
+            F.array(*[F.lit(coef[(u, x)]) for x in range(8)])
+            for u in range(8)
+        ]
     )
-    cells = ks.select(
-        "doc_id",
-        (F.col("k") / 8).cast("long").alias("x"),
-        (F.col("k") % 8).alias("y"),
-        (
+    # bit weights: W[8u+v] = 1 << (8u+v-1); slot 0 (the excluded DC
+    # term) is a dummy — 1-indexed via element_at(W, 8u+v+1)
+    W = F.array(
+        F.lit(0).cast("long"),
+        *[F.lit(1 << (k - 1)).cast("long") for k in range(1, 64)],
+    )
+    # stage 1: the 64-cell luma grid, materialized as a real column so
+    # every downstream lambda references (never recomputes) the md5s
+    vals = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda k: (
             hash60(
-                F.concat(
-                    F.col("key"), F.lit(":ph:"), F.col("k").cast("string")
-                )
+                F.concat(F.col("key"), F.lit(":ph:"), k.cast("string"))
             )
             % 256
-        )
-        .cast("double")
-        .alias("val"),
+        ).cast("double"),
     )
-    basis = spark.createDataFrame(
-        _PHASH_BASIS, "u long, xx long, c double"
+    s1 = docs.select("doc_id", vals.alias("vals"))
+    # stage 2: column pass — G[x][v] = Σ_y floor(val·C[v,y]·1e6 + .5)
+    g = F.transform(
+        seq8,
+        lambda x: F.transform(
+            seq8,
+            lambda v: F.aggregate(
+                seq8,
+                F.lit(0).cast("long"),
+                lambda acc, y: acc
+                + F.floor(
+                    F.element_at(F.col("vals"), x * 8 + y + 1)
+                    * F.element_at(F.element_at(CB, v + 1), y + 1)
+                    * 1_000_000.0
+                    + 0.5
+                ).cast("long"),
+            ),
+        ),
     )
-    bu = basis.select(
-        F.col("u").alias("u"), F.col("xx").alias("bx"), F.col("c").alias("cu")
+    s2 = s1.select("doc_id", g.alias("g"))
+    # stage 3: row pass — F[u][v] = Σ_x floor(G[x][v]·C[u,x]·1e3 + .5)
+    fuv = F.transform(
+        seq8,
+        lambda u: F.transform(
+            seq8,
+            lambda v: F.aggregate(
+                seq8,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + F.floor(
+                    F.element_at(F.element_at(F.col("g"), x + 1), v + 1)
+                    * F.element_at(F.element_at(CB, u + 1), x + 1)
+                    * 1_000.0
+                    + 0.5
+                ).cast("long"),
+            ),
+        ),
     )
-    bv = basis.select(
-        F.col("u").alias("v"), F.col("xx").alias("by"), F.col("c").alias("cv")
-    )
-    g = (
-        cells.join(F.broadcast(bv), F.col("y") == F.col("by"))
-        .groupBy("doc_id", "x", "v")
-        .agg(
-            F.sum(
-                F.floor(
-                    F.col("val") * F.col("cv") * 1_000_000.0 + 0.5
-                ).cast("long")
-            ).alias("g_micros")
-        )
-    )
-    f = (
-        g.join(F.broadcast(bu), F.col("x") == F.col("bx"))
-        .groupBy("doc_id", "u", "v")
-        .agg(
-            F.sum(
-                F.floor(
-                    F.col("g_micros") * F.col("cu") * 1_000.0 + 0.5
-                ).cast("long")
-            ).alias("f_nanos")
-        )
-    )
-    ac = f.where(~((F.col("u") == 0) & (F.col("v") == 0)))
-    w = Window.partitionBy("doc_id").orderBy("f_nanos", "u", "v")
-    ranked = ac.withColumn("rn", F.row_number().over(w))
-    med = ranked.where(F.col("rn") == 32).select(
-        F.col("doc_id").alias("md"), F.col("f_nanos").alias("m")
-    )
-    bit = F.when(
-        F.col("f_nanos") > F.col("m"),
-        F.expr("shiftleft(cast(1 as bigint), cast(8 * u + v - 1 as int))"),
-    ).otherwise(F.lit(0).cast("long"))
-    return (
-        ranked.join(med, F.col("doc_id") == F.col("md"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(bit).cast("long").alias("phash"),
-            F.sum(
-                F.when(F.col("f_nanos") > F.col("m"), 1).otherwise(0)
+    s3 = s2.select("doc_id", fuv.alias("f"))
+    # stage 4: the 63 AC coefficients as (f_nanos, u, v, bit-weight)
+    # structs — field order makes array_sort the oracle's
+    # ORDER BY f_nanos, u, v (w is a function of (u, v), so trailing
+    # it cannot perturb the order)
+    ac = F.filter(
+        F.flatten(
+            F.transform(
+                seq8,
+                lambda u: F.transform(
+                    seq8,
+                    lambda v: F.struct(
+                        F.element_at(
+                            F.element_at(F.col("f"), u + 1), v + 1
+                        ).alias("f_nanos"),
+                        u.alias("u"),
+                        v.alias("v"),
+                        F.element_at(W, u * 8 + v + 1).alias("w"),
+                    ),
+                ),
             )
-            .cast("long")
-            .alias("n_bits_set"),
-        )
+        ),
+        lambda s: ~((s["u"] == 0) & (s["v"] == 0)),
+    )
+    s4 = s3.select("doc_id", ac.alias("ac"))
+    # stage 5: rank-32 median of the sorted 63, then pack bits in-row
+    s5 = s4.select(
+        "doc_id",
+        "ac",
+        F.element_at(F.array_sort("ac"), 32)["f_nanos"].alias("m"),
+    )
+    phash = F.aggregate(
+        F.col("ac"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(s["f_nanos"] > F.col("m"), s["w"]).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    n_bits = F.aggregate(
+        F.col("ac"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(s["f_nanos"] > F.col("m"), F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    return s5.select(
+        "doc_id", phash.alias("phash"), n_bits.alias("n_bits_set")
     )
 
 
