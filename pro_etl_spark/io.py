@@ -22,6 +22,44 @@ TABLES = (
 )
 
 
+#: per-dataset memo dicts registered by operator modules (trained
+#: model state: corpus counts, k-means centroids, PQ codebooks, PCA
+#: axes, BPE merges, streaming fixture journals …). Every entry is
+#: keyed by a tuple CONTAINING the dataset dir, so
+#: ``invalidate_dataset`` can evict one dataset's artifacts. Modules
+#: append their dicts at import time: ``DATASET_MEMOS.append(_MY_MEMO)``.
+DATASET_MEMOS: list = []
+
+
+def invalidate_dataset(spark: SparkSession, sf_dir: str) -> None:
+    """Evict every memoized artifact derived from ``sf_dir`` — call
+    this if a dataset directory is REWRITTEN within one session.
+
+    The engine trains bounded model state once per (application,
+    dataset) — corpus counts (`similarity._k_cells` / `_srp_bits`),
+    centroids, codebooks, PCA axes — and caches hot derived tables.
+    Those memos deliberately never re-check the filesystem (a count()
+    per plan construction is exactly the eager-action class
+    scripts/lazy_audit.py bans), so overwriting a dataset dir mid-
+    session would otherwise leave the Spark side training against the
+    OLD corpus while the SQL oracles recompute from the new one. This
+    is the documented invalidation point: drop the memo entries, clear
+    the Spark cache (cached frames are all dataset-derived), and
+    refresh the file listing so subsequent scans re-list.
+    """
+    for memo in DATASET_MEMOS:
+        for key in [
+            k for k in memo if isinstance(k, tuple) and sf_dir in k
+        ]:
+            del memo[key]
+    spark.catalog.clearCache()
+    for name in TABLES:
+        try:
+            spark.catalog.refreshByPath(f"{sf_dir}/{name}.parquet")
+        except Exception:  # noqa: BLE001 — path may not exist yet
+            pass
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view so users can drive
     the engine through plain ``spark.sql`` — the SQL twin of the

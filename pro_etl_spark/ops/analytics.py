@@ -3413,16 +3413,22 @@ def events_markov_stationary(spark: SparkSession, d: str) -> DataFrame:
     trans = markov_transitions(spark, d).select("cur", "nxt", "n")
     trans = trans.localCheckpoint(eager=False)
     tot = trans.groupBy("cur").agg(F.sum("n").alias("t"))
-    n_types = trans.select("cur").distinct().count()
+    # |types| as a broadcast 1-row aggregate, NOT a driver-side
+    # count(): plan construction stays fully lazy (the
+    # dq_hash_uniformity discipline) and the division mirrors the
+    # oracle's scalar subquery exactly. Empty input: the distinct
+    # spine is empty, so the crossJoin emits nothing — no rows ever
+    # divide by the (absent) zero.
+    nt = trans.select("cur").distinct().agg(
+        F.count("*").cast("long").alias("_nt")
+    )
     pi = (
         trans.select("cur")
         .distinct()
+        .crossJoin(F.broadcast(nt))
         .select(
             F.col("cur").alias("type"),
-            # max(...,1): empty input has no types — the distinct
-            # spine is empty anyway, the literal just must not divide
-            # by zero while the plan is being built
-            F.lit(1000000 // max(n_types, 1)).cast("long").alias("m"),
+            F.expr("1000000 DIV _nt").cast("long").alias("m"),
         )
     )
     for _ in range(MARKOV_POWER_ROUNDS):

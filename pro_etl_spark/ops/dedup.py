@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from pro_etl_spark.io import load
+from pro_etl_spark.io import DATASET_MEMOS, load
 from pro_etl_spark.ops.hashing import DUCK_HASH60, hash60
 from pro_etl_spark.registry import register
 
@@ -40,6 +40,7 @@ COSINE_THRESHOLD = 0.8
 #: converged cluster labelings memoized per (Spark application, dataset)
 #: — see ``dedup_clusters``
 _CLUSTERS_MEMO: dict = {}
+DATASET_MEMOS.append(_CLUSTERS_MEMO)
 
 _TOKSET_SQL = r"list_distinct(regexp_split_to_array(trim(text), '\s+'))"
 

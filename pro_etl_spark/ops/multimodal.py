@@ -694,6 +694,21 @@ def mm_header_parse(spark: SparkSession, d: str) -> DataFrame:
 
 # --- perceptual hash (DCT pHash) ---------------------------------------
 
+
+def _let(expr, fn):
+    """Single-evaluation LET-binding inside one projection: transform
+    over a 1-element array binds ``expr`` to a lambda VARIABLE, which
+    the higher-order-function evaluator computes once per row — every
+    reference inside ``fn`` reads the bound value. This is the in-plan
+    workaround for the no-CSE-across-lambda-boundaries hazard (see the
+    dedup-family cached token tables for the cache-barrier variant):
+    a single-referenced projection column gets inlined by
+    CollapseProject, and once the producer expression sits INSIDE a
+    downstream lambda it re-evaluates per element — chained stages
+    make that multiplicative. ``_let`` keeps the pipeline one narrow
+    map-only projection with each stage evaluated exactly once."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
 #: 8x8 DCT-II basis C[u][x] = norm(u) * cos(pi * (2x+1) * u / 16),
 #: precomputed in Python to 12 dp and inlined as shared literals in
 #: BOTH plans — cos() is not bit-portable across engines, a table of
@@ -829,9 +844,18 @@ def mm_phash(spark: SparkSession, d: str) -> DataFrame:
         F.lit(0).cast("long"),
         *[F.lit(1 << (k - 1)).cast("long") for k in range(1, 64)],
     )
-    # stage 1: the 64-cell luma grid, materialized as a real column so
-    # every downstream lambda references (never recomputes) the md5s
-    vals = F.transform(
+    # Every stage below is bound with _let (transform over a 1-element
+    # array), NOT staged as intermediate select() columns: a produced
+    # column referenced once is inlined by CollapseProject, and inside
+    # a higher-order-function lambda an inlined producer re-evaluates
+    # PER ELEMENT (no CSE across lambda boundaries — the documented
+    # dedup-family hazard). Chained through 4 nested stages that
+    # inlining is multiplicative (~10⁹ md5 evals per doc — the first
+    # cut of this rewrite hung on 860 rows). A lambda VARIABLE is
+    # evaluated once per binding, so the let-chain keeps the whole
+    # pipeline one narrow projection with linear per-doc cost.
+    # stage 1: the 64-cell luma grid
+    vals_expr = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda k: (
             hash60(
@@ -840,92 +864,102 @@ def mm_phash(spark: SparkSession, d: str) -> DataFrame:
             % 256
         ).cast("double"),
     )
-    s1 = docs.select("doc_id", vals.alias("vals"))
+
     # stage 2: column pass — G[x][v] = Σ_y floor(val·C[v,y]·1e6 + .5)
-    g = F.transform(
-        seq8,
-        lambda x: F.transform(
+    def g_of(vals):
+        return F.transform(
             seq8,
-            lambda v: F.aggregate(
+            lambda x: F.transform(
                 seq8,
-                F.lit(0).cast("long"),
-                lambda acc, y: acc
-                + F.floor(
-                    F.element_at(F.col("vals"), x * 8 + y + 1)
-                    * F.element_at(F.element_at(CB, v + 1), y + 1)
-                    * 1_000_000.0
-                    + 0.5
-                ).cast("long"),
+                lambda v: F.aggregate(
+                    seq8,
+                    F.lit(0).cast("long"),
+                    lambda acc, y: acc
+                    + F.floor(
+                        F.element_at(vals, x * 8 + y + 1)
+                        * F.element_at(F.element_at(CB, v + 1), y + 1)
+                        * 1_000_000.0
+                        + 0.5
+                    ).cast("long"),
+                ),
             ),
-        ),
-    )
-    s2 = s1.select("doc_id", g.alias("g"))
+        )
+
     # stage 3: row pass — F[u][v] = Σ_x floor(G[x][v]·C[u,x]·1e3 + .5)
-    fuv = F.transform(
-        seq8,
-        lambda u: F.transform(
+    def f_of(g):
+        return F.transform(
             seq8,
-            lambda v: F.aggregate(
+            lambda u: F.transform(
                 seq8,
-                F.lit(0).cast("long"),
-                lambda acc, x: acc
-                + F.floor(
-                    F.element_at(F.element_at(F.col("g"), x + 1), v + 1)
-                    * F.element_at(F.element_at(CB, u + 1), x + 1)
-                    * 1_000.0
-                    + 0.5
-                ).cast("long"),
+                lambda v: F.aggregate(
+                    seq8,
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc
+                    + F.floor(
+                        F.element_at(F.element_at(g, x + 1), v + 1)
+                        * F.element_at(F.element_at(CB, u + 1), x + 1)
+                        * 1_000.0
+                        + 0.5
+                    ).cast("long"),
+                ),
             ),
-        ),
-    )
-    s3 = s2.select("doc_id", fuv.alias("f"))
+        )
+
     # stage 4: the 63 AC coefficients as (f_nanos, u, v, bit-weight)
     # structs — field order makes array_sort the oracle's
     # ORDER BY f_nanos, u, v (w is a function of (u, v), so trailing
     # it cannot perturb the order)
-    ac = F.filter(
-        F.flatten(
-            F.transform(
-                seq8,
-                lambda u: F.transform(
+    def ac_of(f):
+        return F.filter(
+            F.flatten(
+                F.transform(
                     seq8,
-                    lambda v: F.struct(
-                        F.element_at(
-                            F.element_at(F.col("f"), u + 1), v + 1
-                        ).alias("f_nanos"),
-                        u.alias("u"),
-                        v.alias("v"),
-                        F.element_at(W, u * 8 + v + 1).alias("w"),
+                    lambda u: F.transform(
+                        seq8,
+                        lambda v: F.struct(
+                            F.element_at(
+                                F.element_at(f, u + 1), v + 1
+                            ).alias("f_nanos"),
+                            u.alias("u"),
+                            v.alias("v"),
+                            F.element_at(W, u * 8 + v + 1).alias("w"),
+                        ),
                     ),
-                ),
-            )
-        ),
-        lambda s: ~((s["u"] == 0) & (s["v"] == 0)),
-    )
-    s4 = s3.select("doc_id", ac.alias("ac"))
+                )
+            ),
+            lambda s: ~((s["u"] == 0) & (s["v"] == 0)),
+        )
+
     # stage 5: rank-32 median of the sorted 63, then pack bits in-row
-    s5 = s4.select(
+    def packed(ac, m):
+        phash = F.aggregate(
+            ac,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.when(s["f_nanos"] > m, s["w"]).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        n_bits = F.aggregate(
+            ac,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.when(s["f_nanos"] > m, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.struct(phash.alias("phash"), n_bits.alias("n_bits_set"))
+
+    res = _let(vals_expr, lambda vals:
+          _let(g_of(vals), lambda g:
+          _let(f_of(g), lambda f:
+          _let(ac_of(f), lambda ac:
+          _let(F.element_at(F.array_sort(ac), 32)["f_nanos"], lambda m:
+               packed(ac, m))))))
+    return docs.select("doc_id", res.alias("r")).select(
         "doc_id",
-        "ac",
-        F.element_at(F.array_sort("ac"), 32)["f_nanos"].alias("m"),
-    )
-    phash = F.aggregate(
-        F.col("ac"),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc
-        + F.when(s["f_nanos"] > F.col("m"), s["w"]).otherwise(
-            F.lit(0).cast("long")
-        ),
-    )
-    n_bits = F.aggregate(
-        F.col("ac"),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc
-        + F.when(s["f_nanos"] > F.col("m"), F.lit(1).cast("long"))
-        .otherwise(F.lit(0).cast("long")),
-    )
-    return s5.select(
-        "doc_id", phash.alias("phash"), n_bits.alias("n_bits_set")
+        F.col("r")["phash"].alias("phash"),
+        F.col("r")["n_bits_set"].alias("n_bits_set"),
     )
 
 
@@ -1036,6 +1070,14 @@ def mm_audio_vad_segments(spark: SparkSession, d: str) -> DataFrame:
 
 PHASH_BANDS = 4          # 63-bit signature split into 4 × 16-bit bands
 PHASH_HAMMING_MAX = 12   # verify threshold for a perceptual near-dup
+#: skew guard, mirroring similarity.SRP_MAX_BUCKET / dedup.MAX_BUCKET:
+#: band buckets larger than this are dropped as too-common before the
+#: pair expansion, so a degenerate corpus (solid-color images,
+#: template screenshots → identical signatures) caps the per-bucket
+#: product at PHASH_MAX_BUCKET²/2 instead of going quadratic. The
+#: census columns (n_buckets, max_bucket) still report ALL buckets —
+#: the hot bucket must show up in the tuning table it feeds.
+PHASH_MAX_BUCKET = 128
 
 
 def _phash_near_dup_oracle() -> str:
@@ -1050,10 +1092,14 @@ def _phash_near_dup_oracle() -> str:
     ), buckets AS (
       SELECT band, band_val, COUNT(*) AS sz
       FROM bands GROUP BY 1, 2
+    ), capped AS (
+      SELECT doc_id, phash, band, band_val FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band, band_val)
+              <= {PHASH_MAX_BUCKET}
     ), cand AS (
       SELECT a.band, a.doc_id AS doc_a, c.doc_id AS doc_b,
              bit_count(xor(a.phash, c.phash)) AS hamming
-      FROM bands a JOIN bands c
+      FROM capped a JOIN capped c
         ON a.band = c.band AND a.band_val = c.band_val
        AND a.doc_id < c.doc_id
     )
@@ -1089,11 +1135,17 @@ def mm_phash_near_dup(spark: SparkSession, d: str) -> DataFrame:
     band extraction is shift/mask; Hamming is popcount of XOR —
     all-integer end to end.
 
-    Scale: the bucket self-join is keyed by (band, band_val) — at
-    100 TB band the SIGNATURES (16 bytes/doc), never the payloads;
-    a hot bucket (solid-color images, template screenshots) gets the
-    MAX_BUCKET QUALIFY cap + per-bucket sampling the text LSH path
-    uses (dedup.py:259) before the pair expansion."""
+    Scale: the bucket shuffle is keyed by (band, band_val) and carries
+    the SIGNATURES (16 bytes/doc), never the payloads; buckets larger
+    than PHASH_MAX_BUCKET are dropped as too-common BEFORE the pair
+    expansion (the SRP_MAX_BUCKET guard — a degenerate corpus of
+    solid-color images caps per-bucket work at cap²/2 instead of
+    going quadratic), and pairs are generated IN-ROW from the
+    bucket-collected member list (the ``_lsh_candidates`` pattern:
+    no self-join, no O(pairs) shuffle — within one band a pair can
+    collide in at most one bucket, so per-band counts need no
+    distinct). The census columns still report ALL buckets, hot ones
+    included — they ARE the tuning table."""
     ph = mm_phash(spark, d).select("doc_id", "phash")
     bands = ph.select(
         "doc_id",
@@ -1104,28 +1156,34 @@ def mm_phash_near_dup(spark: SparkSession, d: str) -> DataFrame:
         F.expr("shiftright(phash, cast(band * 16 as int)) & 65535"),
     )
     buckets = bands.groupBy("band", "band_val").agg(
-        F.count("*").alias("sz")
+        F.count("*").alias("sz"),
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "phash"))
+        ).alias("ms"),
     )
-    a = bands.alias("a")
-    c = bands.alias("c")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, PHASH_MAX_BUCKET),
+                lambda y: F.struct(
+                    F.bit_count(
+                        x["phash"].bitwiseXOR(y["phash"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.band_val") == F.col("c.band_val"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(
-            F.col("a.band").alias("cband"),
-            F.bit_count(
-                F.col("a.phash").bitwiseXOR(F.col("c.phash"))
-            ).alias("hamming"),
-        )
+        buckets.where(F.col("sz").between(2, PHASH_MAX_BUCKET))
+        .select(F.col("band").alias("cband"), F.explode(pair_structs).alias("p"))
         .groupBy("cband")
         .agg(
             F.count("*").alias("n_cand"),
             F.sum(
-                F.when(F.col("hamming") <= PHASH_HAMMING_MAX, 1).otherwise(0)
+                F.when(
+                    F.col("p.hamming") <= PHASH_HAMMING_MAX, 1
+                ).otherwise(0)
             ).alias("n_verified"),
         )
     )
@@ -1193,51 +1251,58 @@ def mm_dhash(spark: SparkSession, d: str) -> DataFrame:
     Exactness: grid values and neighbor comparisons are integers; the
     packed hash is an exact sum of distinct powers of two.
 
-    Scale: the neighbor join is per (doc, x, y)→(doc, x, y+1) — keyed
-    by doc, no fan-out beyond the 64-cell grid; at 100 TB this is one
-    narrow pass over the stored grid column."""
+    Scale: the whole comparison/packing folds IN-ROW over the 64-cell
+    grid (``_let``-bound so the md5 grid evaluates once — the
+    CollapseProject/lambda hazard documented there): a single narrow
+    map-only projection, no explode, no self-join, no shuffle — at
+    100 TB this is one pass over the stored grid column. The oracle
+    states the equivalent neighbor self-join in SQL."""
     docs = load(spark, d, "documents").select(
         "doc_id", F.md5("text").alias("key")
     )
-    cells = docs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("k"),
-        "key",
-    ).select(
-        "doc_id",
-        (F.col("k") / 8).cast("long").alias("x"),
-        (F.col("k") % 8).alias("y"),
-        (
-            hash60(
-                F.concat(
-                    F.col("key"), F.lit(":ph:"), F.col("k").cast("string")
-                )
-            )
-            % 256
-        ).alias("val"),
+    vals_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda k: hash60(
+            F.concat(F.col("key"), F.lit(":ph:"), k.cast("string"))
+        )
+        % 256,
     )
-    a = cells.alias("a")
-    b = cells.alias("b")
-    bit = F.when(
-        F.col("b.val") > F.col("a.val"),
-        F.expr("shiftleft(cast(1 as bigint), cast(7 * a.x + a.y as int))"),
-    ).otherwise(F.lit(0).cast("long"))
-    return (
-        a.join(
-            b,
-            (F.col("b.doc_id") == F.col("a.doc_id"))
-            & (F.col("b.x") == F.col("a.x"))
-            & (F.col("b.y") == F.col("a.y") + 1),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_id"))
-        .agg(
-            F.sum(bit).cast("long").alias("dhash"),
-            F.sum(
-                F.when(F.col("b.val") > F.col("a.val"), 1).otherwise(0)
+    # the 56 horizontal neighbor pairs: j = 7x + y (x 0..7, y 0..6);
+    # bit j set iff grid[x][y+1] > grid[x][y], weight 1 << j
+    def packed(vals):
+        def cmp(j):
+            x, y = (j / 7).cast("int"), (j % 7).cast("int")
+            return F.element_at(vals, x * 8 + y + 2) > F.element_at(
+                vals, x * 8 + y + 1
             )
-            .cast("long")
-            .alias("n_bits_set"),
+
+        pairs = F.sequence(F.lit(0), F.lit(55))
+        # bit weights as a literal array (shiftleft needs a Python-int
+        # shift; a lambda variable can only index a constant table)
+        w56 = F.array(*[F.lit(1 << j).cast("long") for j in range(56)])
+        dhash = F.aggregate(
+            pairs,
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(cmp(j), F.element_at(w56, j.cast("int") + 1)).otherwise(
+                F.lit(0).cast("long")
+            ),
         )
+        n_bits = F.aggregate(
+            pairs,
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(cmp(j), F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.struct(dhash.alias("dhash"), n_bits.alias("n_bits_set"))
+
+    res = _let(vals_expr, packed)
+    return docs.select("doc_id", res.alias("r")).select(
+        "doc_id",
+        F.col("r")["dhash"].alias("dhash"),
+        F.col("r")["n_bits_set"].alias("n_bits_set"),
     )
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from pro_etl_spark.io import load
+from pro_etl_spark.io import DATASET_MEMOS, load
 from pro_etl_spark.ops.dedup import (
     _CC_TAIL_CTE,
     _cc_min_label,
@@ -470,6 +470,7 @@ def _sqdist(a, b):
 #: count() job at quantizer-TRAINING time (the same train-once step
 #: that already collects the centroid model state)
 _N_VEC_MEMO: dict = {}
+DATASET_MEMOS.append(_N_VEC_MEMO)
 
 
 def _k_cells(spark: SparkSession, d: str) -> int:
@@ -480,7 +481,14 @@ def _k_cells(spark: SparkSession, d: str) -> int:
     (same integer count, same double sqrt/ceil), so every oracle in
     the k-means family stays value-exact at every SF. The count runs
     once per (application, dataset) as part of quantizer training —
-    bounded model-state work, like the centroid collect it precedes."""
+    bounded model-state work, like the centroid collect it precedes.
+
+    Staleness contract: the memo deliberately never re-checks the
+    filesystem (a count() per plan construction is the eager-action
+    class scripts/lazy_audit.py bans). If a dataset dir is REWRITTEN
+    within one session, call ``io.invalidate_dataset(spark, d)`` —
+    the registered eviction point for this memo and every other
+    per-dataset model artifact (centroids, codebooks, PCA axes)."""
     import math
 
     key = (spark.sparkContext.applicationId, d)
@@ -520,6 +528,7 @@ def _kmeans_centroids(spark: SparkSession, d: str) -> DataFrame:
 #: trained coarse-quantizer centroids memoized per (application,
 #: dataset) — model state, not data (K_CELLS × 64 doubles)
 _KM_CB_MEMO: dict = {}
+DATASET_MEMOS.append(_KM_CB_MEMO)
 
 
 def _km_centroid_rows(spark: SparkSession, d: str):
@@ -1057,6 +1066,7 @@ _PQ_ALL_CTES = (
 #: trained PQ codebooks memoized per (Spark application, dataset) —
 #: model state, not data
 _PQ_CB_MEMO: dict = {}
+DATASET_MEMOS.append(_PQ_CB_MEMO)
 
 
 def _pq_codebook_rows(spark: SparkSession, d: str, s: int):
@@ -1573,6 +1583,7 @@ def embed_quantize_sq8(spark: SparkSession, d: str) -> DataFrame:
 PCA_ITERS = 3
 _PCA_V0 = 0.125
 _PCA_MODEL_MEMO: dict = {}
+DATASET_MEMOS.append(_PCA_MODEL_MEMO)
 
 _PCA_DOT_V = """
   list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2430,7 +2441,8 @@ def _srp_bits_of(n: int) -> int:
 
 def _srp_bits(spark: SparkSession, d: str) -> int:
     """Corpus-adaptive active bits per band (memoized corpus count —
-    the same bounded model-state count _k_cells uses)."""
+    the same bounded model-state count, staleness contract, and
+    ``io.invalidate_dataset`` eviction point as ``_k_cells``)."""
     key = (spark.sparkContext.applicationId, d)
     n = _N_VEC_MEMO.get(key)
     if n is None:

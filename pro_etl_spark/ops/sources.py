@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import StringType, StructField, StructType
 
-from pro_etl_spark.io import load
+from pro_etl_spark.io import DATASET_MEMOS, load
 from pro_etl_spark.ops.migration import MAPPING_SQL, mapping_df, reconciliation
 from pro_etl_spark.registry import register
 
@@ -1195,6 +1195,7 @@ def sink_snapshot_time_travel(spark: SparkSession, d: str) -> DataFrame:
 
 
 _STREAM_SINK_MEMO: dict = {}
+DATASET_MEMOS.append(_STREAM_SINK_MEMO)
 
 
 @register(

@@ -1220,12 +1220,18 @@ def sql_pagination_offset(spark: SparkSession, d: str) -> DataFrame:
 
 
 #: keyset (seek) pagination: the cursor IS the last key of the
-#: previous page — the predicate prunes before any sort.
+#: previous page — a row-value comparison against a scalar subquery,
+#: so the whole page is ONE lazy plan (no driver round-trip to fetch
+#: the cursor). struct(...) ordering in Spark is lexicographic by
+#: field position — exactly the (o_orderdate, o_orderkey) row-value
+#: comparison the standard writes. Fewer than 60 rows: the scalar
+#: subquery is NULL, struct > NULL is NULL, the filter drops every
+#: row — the correct "past the last page" empty result.
 SQL_PAGINATION_KEYSET = """
 SELECT o_orderkey, o_orderdate, o_totalprice
 FROM orders
-WHERE (o_orderdate, o_orderkey) > (
-  SELECT (o_orderdate, o_orderkey) FROM orders
+WHERE struct(o_orderdate, o_orderkey) > (
+  SELECT struct(o_orderdate, o_orderkey) FROM orders
   ORDER BY o_orderdate, o_orderkey LIMIT 1 OFFSET 59
 )
 ORDER BY o_orderdate, o_orderkey
@@ -1250,32 +1256,13 @@ def scan_pagination_keyset(spark: SparkSession, d: str) -> DataFrame:
     materializes — on a sorted/Z-ordered layout the comparison prunes
     whole files). The oracle states the equivalent OFFSET page,
     proving seek == skip exactly under the deterministic order; here
-    the cursor row is derived in-query (subquery at OFFSET 59) so the
-    operator stays self-contained."""
+    the cursor row is derived in-query (a struct scalar subquery at
+    OFFSET 59) so the operator stays self-contained AND the whole page
+    is one lazy plan — no driver round-trip fetches the cursor at
+    plan-construction time (the round-9 laziness contract
+    tests/test_lazy_construction.py pins for every operator)."""
     _views(spark, d)
-    cur_rows = spark.sql(
-        """
-        SELECT o_orderdate AS cd, o_orderkey AS ck FROM orders
-        ORDER BY o_orderdate, o_orderkey LIMIT 1 OFFSET 59
-        """
-    ).collect()
-    if not cur_rows:  # fewer than 60 rows: past the last page
-        return spark.sql(
-            "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
-            "WHERE FALSE"
-        )
-    cursor = cur_rows[0]
-    return spark.sql(
-        f"""
-        SELECT o_orderkey, o_orderdate, o_totalprice
-        FROM orders
-        WHERE o_orderdate > TIMESTAMP '{cursor.cd}'
-           OR (o_orderdate = TIMESTAMP '{cursor.cd}'
-               AND o_orderkey > {cursor.ck})
-        ORDER BY o_orderdate, o_orderkey
-        LIMIT 20
-        """
-    )
+    return spark.sql(SQL_PAGINATION_KEYSET)
 
 
 #: correlated scalar subquery in the SELECT list (projection-position

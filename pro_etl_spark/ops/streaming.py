@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from pro_etl_spark.io import load
+from pro_etl_spark.io import DATASET_MEMOS, load
 from pro_etl_spark.registry import register
 
 DECV = "decimal(18,6)"
@@ -302,6 +302,7 @@ def stream_stream_left_outer(spark: SparkSession, d: str) -> DataFrame:
 #: one streaming run per (session, dataset) — queries may be invoked
 #: repeatedly in a sweep; the memory-sink table is already materialized
 _RUNNING_TOTALS_MEMO: dict = {}
+DATASET_MEMOS.append(_RUNNING_TOTALS_MEMO)
 
 
 @register(
@@ -366,6 +367,7 @@ def stream_running_totals(spark: SparkSession, d: str) -> DataFrame:
 
 
 _TOPK_STATE_MEMO: dict = {}
+DATASET_MEMOS.append(_TOPK_STATE_MEMO)
 TOPK_STATE_K = 3
 
 
@@ -429,6 +431,7 @@ def stream_topk_state(spark: SparkSession, d: str) -> DataFrame:
 
 
 _SESSION_STATE_MEMO: dict = {}
+DATASET_MEMOS.append(_SESSION_STATE_MEMO)
 
 
 @register("stream_session_state")  # rows-only: emissions are the
@@ -581,6 +584,7 @@ def stream_late_drop(spark: SparkSession, d: str) -> DataFrame:
 # --- foreachBatch upsert sink ----------------------------------------
 
 _FOREACH_BATCH_MEMO: dict = {}
+DATASET_MEMOS.append(_FOREACH_BATCH_MEMO)
 
 
 @register(
@@ -693,6 +697,7 @@ def stream_foreach_batch(spark: SparkSession, d: str) -> DataFrame:
 # --- dropDuplicatesWithinWatermark (real run) -------------------------
 
 _DEDUP_WM_MEMO: dict = {}
+DATASET_MEMOS.append(_DEDUP_WM_MEMO)
 
 
 @register(

@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
-from pro_etl_spark.io import load
+from pro_etl_spark.io import DATASET_MEMOS, load
 from pro_etl_spark.ops.dedup import _LSH_PAIRS_CTE
 from pro_etl_spark.ops.hashing import DUCK_HASH60, hash60  # noqa: F401 (re-export)
 from pro_etl_spark.registry import register
@@ -1284,6 +1284,7 @@ BPE_MERGES = 3
 #: one training run per (session, dataset) — repeated sweep calls
 #: reuse the learned merge table
 _BPE_TRAIN_MEMO: dict = {}
+DATASET_MEMOS.append(_BPE_TRAIN_MEMO)
 
 
 def _bpe_apply_merge(syms, a_sym: str, b_sym: str):

@@ -1,0 +1,154 @@
+"""Registry-wide LAZINESS audit: constructing a registered query must
+fire ZERO Spark jobs — plan construction is declarative, execution
+belongs to the caller (the driver collects; bench writes; a production
+orchestrator decides when and where). An eager action hidden in
+construction is a correctness hazard (it can read a dataset version
+different from the one the final plan executes against — the
+_k_cells staleness class) and a scale hazard (a driver-side count of
+a 100 TB table before the "real" query even starts).
+
+Protocol (two passes, one session):
+
+1. WARM pass — construct every query once, unaudited. This trains the
+   documented per-session model state (k-means centroids, PCA axes,
+   PQ codebooks, corpus-count memos), stages filesystem fixtures
+   (binaryFile staging, streaming-source journals) and runs sink
+   round-trips. All of that is one-time session setup, explicitly not
+   part of the per-construction contract.
+2. AUDITED pass — construct every query AGAIN inside a per-query job
+   group and count the jobs that land in the group
+   (``statusTracker().getJobIdsForGroup``). The contract: zero jobs,
+   unless the (query, reason) pair is in ALLOWED below.
+
+Every ALLOWED entry is a justified exception, same discipline as
+plan_audit.ALLOWED — the audit fails loudly on any new, unexplained
+eager construction.
+
+Usage: python scripts/lazy_audit.py [SF_DIR] [OUT_JSON]
+Defaults: /root/testdata/sf0.001, LAZY_AUDIT.json (repo root)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: query -> reason its construction legitimately runs jobs EVERY time
+#: (not just at session warm-up). Keep this list short and audited.
+ALLOWED = {
+    # The distributed-ranking helpers (_global_ntile /
+    # _global_running_sums / _grouped_running_sums) pin their range
+    # exchange with an EAGER localCheckpoint and collect the O(#parts)
+    # per-partition totals into literal offsets: the materialization
+    # is the documented exactness mechanism (RangePartitioner's
+    # reservoir seed differs per execution — without the pin the
+    # exchange runs twice with different boundaries and the offsets
+    # silently desync). The collected frame is O(partitions), never
+    # data-sized.
+    "events_lorenz_deciles": "_global_ntile eager range-pin (documented)",
+    "events_time_to_convert": "_global_running_sums eager range-pin",
+    "agg_weighted_median": "_global_running_sums eager range-pin",
+    "corpus_mix_weights": "_global_running_sums eager range-pin",
+    "window_cumulative_distinct": "_grouped_running_sums eager range-pin",
+    "user_streaks": "_grouped_running_sums eager range-pin",
+    # Sink / filesystem round-trip operators: the WRITE is the
+    # operator under test; the returned frame re-reads what was just
+    # written, so construction necessarily executes the write (the
+    # rows-only / oracle contract documents each).
+    "sink_xml": "XML sink round-trip is the operator",
+    "sink_xml_sharded": "sharded XML sink round-trip is the operator",
+    "sink_csv": "CSV sink round-trip is the operator",
+    "sink_json": "JSON sink round-trip is the operator",
+    "sink_orc": "ORC sink round-trip is the operator",
+    "sink_custom_source": "custom DataSource writer round-trip",
+    "sink_partition_overwrite": "dynamic partition overwrite round-trip",
+    "sink_manifest_commit": "manifest-commit protocol round-trip",
+    "sink_snapshot_time_travel": "snapshot write + time-travel read",
+    "compact_small_files": "compaction rewrite is the operator",
+    "layout_zorder": "clustered rewrite is the operator",
+    "layout_bloom_filter": "bloom-filter parquet rewrite is the operator",
+    # Streaming operators: construction runs the bounded
+    # micro-batch(es) to completion and returns the sink table —
+    # Structured Streaming has no lazy handle to hand the driver.
+    "stream_tumbling": "bounded streaming run is the operator",
+    "stream_sliding": "bounded streaming run is the operator",
+    "stream_session": "bounded streaming run is the operator",
+    "stream_dedup": "bounded streaming run is the operator",
+    "stream_dedup_watermark": "bounded streaming run is the operator",
+    "stream_join_static": "bounded streaming run is the operator",
+    "stream_stream_join": "bounded streaming run is the operator",
+    "stream_stream_left_outer": "bounded streaming run is the operator",
+    "stream_running_totals": "bounded stateful streaming run",
+    "stream_session_state": "bounded stateful streaming run",
+    "stream_topk_state": "bounded stateful streaming run",
+    "stream_late_drop": "bounded streaming run is the operator",
+    "stream_foreach_batch": "foreachBatch upsert run is the operator",
+    "stream_custom_sink": "custom sink streaming run is the operator",
+}
+
+
+def audit(spark, qs, sf, warm_errors):
+    """Second-construction job counts per query (the audited pass)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker
+    results = {}
+    for name in sorted(qs):
+        if name in warm_errors:
+            continue
+        group = f"lazy-audit::{name}"
+        sc.setJobGroup(group, name)
+        try:
+            qs[name](spark, sf)
+            err = None
+        except Exception as e:  # noqa: BLE001 — audit records, not raises
+            err = f"{type(e).__name__}: {str(e)[:150]}"
+        finally:
+            sc.setJobGroup("lazy-audit::idle", "")
+        n_jobs = len(tracker().getJobIdsForGroup(group))
+        results[name] = {"jobs": n_jobs, "error": err}
+    return results
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "LAZY_AUDIT.json"
+    import pro_etl_spark
+    from pro_etl_spark.session import get_spark
+
+    spark = get_spark("lazy-audit")
+    qs = pro_etl_spark.get_queries()
+
+    warm_errors = {}
+    for name in sorted(qs):  # pass 1: train/stage session state
+        try:
+            qs[name](spark, sf)
+        except Exception as e:  # noqa: BLE001
+            warm_errors[name] = f"{type(e).__name__}: {str(e)[:150]}"
+        print(json.dumps({"warm": name, "err": warm_errors.get(name)}),
+              flush=True)
+
+    results = audit(spark, qs, sf, warm_errors)
+    violations = {
+        name: r for name, r in results.items()
+        if (r["jobs"] > 0 or r["error"]) and name not in ALLOWED
+    }
+    doc = {
+        "lazy": sum(1 for r in results.values() if r["jobs"] == 0),
+        "total": len(qs),
+        "warm_errors": warm_errors,
+        "violations": violations,
+        "allowed": {k: ALLOWED[k] for k in sorted(ALLOWED) if k in results},
+        "jobs_by_query": {k: r["jobs"] for k, r in sorted(results.items())
+                          if r["jobs"]},
+    }
+    json.dump(doc, open(out_path, "w"), indent=1)
+    print(f"\n{doc['lazy']}/{len(qs)} lazy, {len(violations)} violations "
+          f"-> {out_path}", file=sys.stderr)
+    for k, v in violations.items():
+        print(f"  {k}: {v}", file=sys.stderr)
+    sys.exit(1 if (violations or warm_errors) else 0)
+
+
+if __name__ == "__main__":
+    main()

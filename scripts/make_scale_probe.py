@@ -12,6 +12,14 @@ driver's own sf0.1 parquet:
 - embeddings: N copies with re-keyed vec_id (identical vectors — the
   k-means/PCA/IVF loops see 10× the points per cell, which is the
   pressure being probed).
+- events: N copies as independent user cohorts (re-keyed event/user
+  ids, timestamps verbatim) — per-user windows stay constant-size,
+  the user population grows, which is how event streams scale.
+- TPC-H star (round 9): region/nation verbatim (fixed dims);
+  customer/supplier/part/orders/lineitem re-key with one consistent
+  offset per copy so FKs stay intact — N independent regions' books.
+  This lets the probe cover the window/join/SQL-API families, not
+  just the documents/embeddings heavy hitters.
 
 Usage: python scripts/make_scale_probe.py [SRC] [OUT] [COPIES]
 Defaults: /root/testdata/sf0.1 /tmp/testdata_sf1 10
@@ -62,7 +70,55 @@ def main() -> None:
            (SELECT unnest(range({copies})) AS i) c
     ) TO '{out}/events.parquet' (FORMAT parquet)
     """)
-    for t in ("documents", "embeddings", "events"):
+    # TPC-H-ish star: region/nation are fixed-cardinality dims (copied
+    # verbatim — they do NOT grow with the corpus, exactly like
+    # production), the fact/dim tables amplify with CONSISTENT key
+    # offsets so referential integrity holds per copy (copy i's orders
+    # reference copy i's customers etc.) — N independent regions'
+    # books, which is how a star schema actually reaches 100 TB.
+    off = 10_000_000
+    for t in ("region", "nation"):
+        con.execute(f"""
+        COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))
+        TO '{out}/{t}.parquet' (FORMAT parquet)
+        """)
+    amplified = {
+        "customer": f"""
+          SELECT c_custkey + c.i * {off} AS c_custkey,
+                 c_name || CASE WHEN c.i = 0 THEN '' ELSE '_c' || c.i END
+                   AS c_name,
+                 c_nationkey, c_acctbal, c_mktsegment""",
+        "supplier": f"""
+          SELECT s_suppkey + c.i * {off} AS s_suppkey,
+                 s_name || CASE WHEN c.i = 0 THEN '' ELSE '_c' || c.i END
+                   AS s_name,
+                 s_nationkey, s_acctbal""",
+        "part": f"""
+          SELECT p_partkey + c.i * {off} AS p_partkey,
+                 p_name || CASE WHEN c.i = 0 THEN '' ELSE '_c' || c.i END
+                   AS p_name,
+                 p_brand, p_type, p_size, p_retailprice""",
+        "orders": f"""
+          SELECT o_orderkey + c.i * {off} AS o_orderkey,
+                 o_custkey + c.i * {off} AS o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate,
+                 o_orderpriority""",
+        "lineitem": f"""
+          SELECT l_orderkey + c.i * {off} AS l_orderkey,
+                 l_partkey + c.i * {off} AS l_partkey,
+                 l_suppkey + c.i * {off} AS l_suppkey,
+                 l_linenumber, l_quantity, l_extendedprice, l_discount,
+                 l_tax, l_returnflag, l_linestatus, l_shipdate""",
+    }
+    for t, sel in amplified.items():
+        con.execute(f"""
+        COPY ({sel}
+              FROM read_parquet('{src}/{t}.parquet'),
+                   (SELECT unnest(range({copies})) AS i) c
+        ) TO '{out}/{t}.parquet' (FORMAT parquet)
+        """)
+    for t in ("documents", "embeddings", "events", "region", "nation",
+              "customer", "supplier", "part", "orders", "lineitem"):
         n = con.execute(
             f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')"
         ).fetchone()[0]
