@@ -68,12 +68,35 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+#: resolved RAW parquet schema per (application, dataset, table) —
+#: with an explicit schema, ``spark.read`` skips footer inference,
+#: which otherwise fires one tiny Spark job per fresh read. That job
+#: is metadata-sized but it made every plan CONSTRUCTION an action
+#: (353 of 517 queries showed exactly this 1 job in the round-9
+#: lazy audit), and at 100 TB re-reading footers per constructed
+#: query is pure waste. Registered in DATASET_MEMOS: a rewritten
+#: dataset dir needs ``invalidate_dataset`` like every other memo.
+_SCHEMA_MEMO: dict = {}
+DATASET_MEMOS.append(_SCHEMA_MEMO)
+
+
+def _read_memoized(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_memoized(spark, sf_dir, name)
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,6 +112,12 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = f"{sf_dir}/events.parquet"
+    key = (spark.sparkContext.applicationId, sf_dir, "events")
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is not None:
+        # the nanosAsLong conf (if it was needed) is already set from
+        # the first resolution — explicit schema skips re-inference
+        return normalize_events_ts(spark.read.schema(schema).parquet(path))
     try:
         df = spark.read.parquet(path)
     except Exception as e:
@@ -101,6 +130,7 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+    _SCHEMA_MEMO[key] = df.schema
     return normalize_events_ts(df)
 
 

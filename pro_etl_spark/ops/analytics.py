@@ -1632,7 +1632,10 @@ def rfm_segmentation(spark: SparkSession, d: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    rfm = rfm.localCheckpoint(eager=False)
+    # cache, not localCheckpoint: reuse-only barrier (3 ntile rankings
+    # + the final join read the same frame); localCheckpoint(eager=
+    # False) materializes every stage at construction under AQE
+    rfm = rfm.cache()
     r_s = _global_ntile(rfm, 5, [F.col("recency_days"), F.col("custkey")])
     f_s = _global_ntile(rfm, 5, [F.desc("frequency"), F.col("custkey")])
     m_s = _global_ntile(rfm, 5, [F.desc("monetary"), F.col("custkey")])
@@ -3411,7 +3414,13 @@ def events_markov_stationary(spark: SparkSession, d: str) -> DataFrame:
     is a broadcast join + tiny aggregate — corpus is touched once by
     the transition census."""
     trans = markov_transitions(spark, d).select("cur", "nxt", "n")
-    trans = trans.localCheckpoint(eager=False)
+    # cache, NOT localCheckpoint: the matrix is reused 7× (totals,
+    # spine, 4 power rounds) and cache is a lazy plan barrier —
+    # localCheckpoint(eager=False) is NOT lazy under AQE (toRdd
+    # materializes every query stage at checkpoint time, round-9
+    # lazy-audit finding), and no loop lineage needs truncating at
+    # MARKOV_POWER_ROUNDS=4.
+    trans = trans.cache()
     tot = trans.groupBy("cur").agg(F.sum("n").alias("t"))
     # |types| as a broadcast 1-row aggregate, NOT a driver-side
     # count(): plan construction stays fully lazy (the
@@ -8643,7 +8652,10 @@ def funnel_attribution_markov(spark: SparkSession, d: str) -> DataFrame:
         .where(F.col("dst").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n_st"))
-        .localCheckpoint(eager=False)
+        # cache, not localCheckpoint: reuse-only (outdeg/conv/hop read
+        # it; no loop lineage grows through it) — keeps construction
+        # lazy where the per-round r pins below cannot be
+        .cache()
     )
     outdeg = trans.groupBy(F.col("src").alias("osrc")).agg(
         F.sum("n_st").alias("n_s")

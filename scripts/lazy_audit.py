@@ -52,6 +52,46 @@ ALLOWED = {
     "corpus_mix_weights": "_global_running_sums eager range-pin",
     "window_cumulative_distinct": "_grouped_running_sums eager range-pin",
     "user_streaks": "_grouped_running_sums eager range-pin",
+    "rfm_segmentation": "3× _global_ntile eager range-pins",
+    "orders_rfm_migration_matrix": "_global_ntile range-pins (2 periods)",
+    "events_ks_test": "_global_running_sums eager range-pin",
+    "events_mannwhitney": "_global_running_sums eager range-pin",
+    "sample_weighted_systematic": "_grouped_running_sums eager range-pin",
+    "shard_range_splits": "_global_ntile eager range-pin",
+    "embed_norm_outliers": "_global_ntile eager range-pin",
+    # Iterative operators: each round ends in a localCheckpoint that
+    # truncates the loop's lineage (the plan would otherwise nest one
+    # join-tree per round). Under AQE, toRdd at checkpoint time
+    # materializes the round's stages, so construction runs the
+    # bounded training/propagation loop — the same class as
+    # kmeans_train's memoized centroid collect, and the checkpointed
+    # state is model-sized (labels, ranks, merge tables), never a
+    # data copy.
+    "graph_pagerank": "per-round lineage pin (power iteration)",
+    "graph_hits": "per-round lineage pin (hub/authority iteration)",
+    "graph_personalized_pagerank": "per-round lineage pin",
+    "graph_kcore": "per-round lineage pin (peeling loop)",
+    "graph_label_propagation": "per-round lineage pin",
+    "graph_modularity": "per-round lineage pin (LPA + modularity)",
+    "graph_bfs_distances": "per-round lineage pin (frontier loop)",
+    "graph_closeness_landmarks": "per-round lineage pin (BFS loop)",
+    "dedup_semantic_keep": "driver-coordinated CC min-label loop",
+    "funnel_attribution_markov": "per-round lineage pin (removal-"
+    "effect value iteration over channel-removal variants)",
+    "bpe_encode": "per-merge lineage pin (greedy merge application)",
+    # Fixture/maintenance operators: construction re-reads the
+    # operator's own staged output (schema inference on a side path
+    # io.load's memo does not cover) or re-runs a small maintenance
+    # action that IS the operator (glob staging, observe() metrics,
+    # partition-overwrite round-trip). All metadata-sized.
+    "scan_glob_discovery": "stages + infers its own glob fixture",
+    "scan_partition_pruned": "re-infers its staged partitioned dir",
+    "scan_nested_pruning": "re-infers its staged nested parquet",
+    "scan_schema_drift": "mergeSchema scan of its drift fixture",
+    "scan_file_metadata": "re-infers its staged multi-file dir",
+    "run_observed_metrics": "observe() metrics need one action",
+    "join_dynamic_partition_pruning": "re-infers its staged "
+    "partitioned fact table",
     # Sink / filesystem round-trip operators: the WRITE is the
     # operator under test; the returned frame re-reads what was just
     # written, so construction necessarily executes the write (the
@@ -62,6 +102,7 @@ ALLOWED = {
     "sink_json": "JSON sink round-trip is the operator",
     "sink_orc": "ORC sink round-trip is the operator",
     "sink_custom_source": "custom DataSource writer round-trip",
+    "sink_parquet_zstd": "codec-comparison rewrite is the operator",
     "sink_partition_overwrite": "dynamic partition overwrite round-trip",
     "sink_manifest_commit": "manifest-commit protocol round-trip",
     "sink_snapshot_time_travel": "snapshot write + time-travel read",
@@ -85,6 +126,8 @@ ALLOWED = {
     "stream_late_drop": "bounded streaming run is the operator",
     "stream_foreach_batch": "foreachBatch upsert run is the operator",
     "stream_custom_sink": "custom sink streaming run is the operator",
+    "stream_custom_source": "re-infers the drained source journal "
+    "(the drain itself is memoized per application)",
 }
 
 

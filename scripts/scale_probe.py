@@ -106,6 +106,14 @@ def main() -> None:
 
     spark = get_spark("scale-probe")
     qs = pro_etl_spark.get_queries()
+    # `--all` (round 9): probe EVERY registered key — the amplified
+    # layout now carries the full star schema (make_scale_probe.py),
+    # so the window/join/SQL-API families are probe-able too, not
+    # just the documents/embeddings heavy hitters. Keys that are
+    # already in KEYS keep their place at the front (heaviest first)
+    # so a partial run still covers the risk-ranked set.
+    if only == ["--all"]:
+        only = KEYS + sorted(k for k in qs if k not in KEYS)
     out = {}
     if only and os.path.exists(out_path):
         prior = json.load(open(out_path))
