@@ -2583,11 +2583,25 @@ def dedup_embedding_srp(spark: SparkSession, d: str) -> DataFrame:
     too-common-bucket cap the MinHash path uses (dedup.MAX_BUCKET
     pattern), so degenerate layouts (identical copies all landing in
     one bucket) are bounded at SRP_MAX_BUCKET²/2 pairs per bucket."""
-    signs = F.array(*[F.array(*[F.lit(v) for v in row]) for row in _SRP])
     e = corpus_table(spark, d)
     bits = _srp_bits(spark, d)  # corpus-adaptive active bits per band
+    # project only the PLANES THE BANDS USE — band b reads plane
+    # b*SRP_MAX_BITS + r for r < bits, so at bits=6 that is 24 of the
+    # 48 hyperplanes; computing the unused ones doubled the signature
+    # pass for nothing (round-9 bench finding: the sig stage was 1.9 s
+    # of SRP's 5.2 s at sf0.1). projs is re-indexed densely
+    # (projs[b*bits + r] = plane[b*SRP_MAX_BITS + r]); values of the
+    # used projections are bit-identical, so the oracle — which still
+    # projects the full plane table and indexes sparsely — pairs
+    # exactly.
+    used = [
+        _SRP[b * SRP_MAX_BITS + r]
+        for b in range(SRP_BANDS)
+        for r in range(bits)
+    ]
+    signs = F.array(*[F.array(*[F.lit(v) for v in row]) for row in used])
     projs = F.transform(
-        F.sequence(F.lit(0), F.lit(SRP_NPROJ - 1)),
+        F.sequence(F.lit(0), F.lit(SRP_BANDS * bits - 1)),
         lambda h: dot(F.col("embedding"), F.element_at(signs, h + 1)),
     )
     sig = e.select("vec_id", "embedding", "nrm", projs.alias("projs")).cache()
@@ -2605,7 +2619,7 @@ def dedup_embedding_srp(spark: SparkSession, d: str) -> DataFrame:
                         sum(
                             F.when(
                                 F.element_at(
-                                    F.col("projs"), b * SRP_MAX_BITS + r + 1
+                                    F.col("projs"), b * bits + r + 1
                                 )
                                 > 0,
                                 2**r,
