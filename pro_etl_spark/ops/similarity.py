@@ -2676,6 +2676,110 @@ def dedup_embedding_srp(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
+def _srp_eval_oracle() -> str:
+    from pro_etl_spark.registry import ORACLES
+
+    dotab = DUCK_DOT.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH raw AS (
+      SELECT vec_id, label, embedding,
+             sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    ), truth AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM raw a JOIN raw b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {dotab} / (a.nrm * b.nrm) >= {IVF_COSINE_THRESHOLD}
+    ), srp AS ({ORACLES["dedup_embedding_srp"]}),
+    hit AS (
+      SELECT t.vec_a FROM truth t
+      WHERE EXISTS (SELECT 1 FROM srp s
+                    WHERE s.vec_a = t.vec_a AND s.vec_b = t.vec_b)
+    ), xl AS (
+      SELECT s.vec_a FROM srp s
+      JOIN raw x ON x.vec_id = s.vec_a
+      JOIN raw y ON y.vec_id = s.vec_b
+      WHERE x.label <> y.label
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM hit) AS n_hit,
+           (SELECT COUNT(*) FROM hit) /
+             CAST(NULLIF((SELECT COUNT(*) FROM truth), 0) AS DOUBLE)
+             AS recall,
+           (SELECT COUNT(*) FROM xl) AS n_cross_label_extra
+    """
+
+
+@register("dedup_srp_eval", oracle=_srp_eval_oracle())
+def dedup_srp_eval(spark: SparkSession, d: str) -> DataFrame:
+    """Recall certification of the SRP hyperplane-LSH near-dup path
+    against the exact LABEL-BLOCKED baseline — the embedding-space
+    twin of ``dedup_lsh_eval`` (which certifies MinHash-LSH against
+    the exact n-gram baseline), and the audit that makes the
+    corpus-adaptive band width (``_srp_bits``) a MEASURED trade
+    instead of a guessed one: hyperplane collision probability is
+    (1 - θ/π) per bit, so widening bands at larger corpora buys
+    candidate volume at a recall cost this one row quantifies per
+    corpus. Reports: exact within-block pairs at the SRP threshold
+    ({IVF_COSINE_THRESHOLD}), how many SRP found (banding recall),
+    and the TRUE cross-label pairs SRP finds that label-blocking is
+    structurally blind to — the number that justifies LSH over
+    blocked all-pairs.
+
+    Exactness: counts are integers; recall is one closing IEEE
+    division (NULL on an empty truth set, both engines).
+
+    Scale: truth is the label-blocked self-join (per-block quadratic
+    — the documented fenced-baseline class, like
+    ``dedup_ngram_jaccard``: it exists to certify the production
+    twin, not to run at 100 TB); the SRP side reuses the production
+    operator unchanged, and the hit check is a semi-join on the pair
+    keys."""
+    e = corpus_table(spark, d)
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    truth = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= IVF_COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+    )
+    srp = dedup_embedding_srp(spark, d).select("vec_a", "vec_b")
+    hit = truth.join(srp, ["vec_a", "vec_b"], "left_semi")
+    lab = e.select("vec_id", "label")
+    xa = lab.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"))
+    xb = lab.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"))
+    xl = (
+        srp.join(F.broadcast(xa), "vec_a")
+        .join(F.broadcast(xb), "vec_b")
+        .where(F.col("la") != F.col("lb"))
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    n_xl = xl.agg(F.count("*").alias("n_cross_label_extra"))
+    return (
+        n_truth.crossJoin(n_hit)
+        .crossJoin(n_xl)
+        .select(
+            "n_truth",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0))
+            ).alias("recall"),
+            "n_cross_label_extra",
+        )
+    )
+
+
 #: a dimension whose variance falls below this is "dead" (collapsed)
 DIM_DEAD_VAR = 0.001
 
