@@ -804,8 +804,8 @@ def mm_phash(spark: SparkSession, d: str) -> DataFrame:
     the 8×8 luma grid derives from the payload via the public md5
     recipe, so both engines see identical "pixels" and the REAL part
     — the Spark-side DCT/median/packing plumbing a production pHash
-    needs — is fully exercised. Swap ``_grid`` for a Pandas-UDF PIL
-    resize when a codec exists; nothing downstream changes.
+    needs — is fully exercised. Swap the grid stage for a Pandas-UDF
+    PIL resize when a codec exists; nothing downstream changes.
 
     Exactness: DCT basis constants are Python-precomputed shared
     literals (cos is not bit-portable); each separable-pass term
@@ -817,146 +817,99 @@ def mm_phash(spark: SparkSession, d: str) -> DataFrame:
 
     Scale (sweep-driven, rounds 8-9): the fan-out carries a 32-char
     md5 CONTENT KEY, never the payload (hashing the full text per
-    cell × basis row dominated the first cut: 40.8 s → ~3 s at
-    sf0.1), and the whole separable DCT now folds IN-ROW — the 64
-    luma cells, both quantized DCT passes, the rank-32 median pick,
-    and the bit packing are array transforms over the 8×8 basis as
-    literal constants. No basis join, no explode, no window: the
-    round-8 plan still shipped 1024 join rows/doc through two
-    shuffles (the registry's largest constant factor — 35 s at 10×);
-    this one is a single narrow map-only projection, the plan a
-    1000-executor cluster wants for a per-document fingerprint."""
+    cell dominated the first cut: 40.8 s → ~3 s at sf0.1). The 64
+    luma cells are plain codegen'd columns (the hashing is the
+    irreducible JVM cost), and BOTH quantized DCT passes + the
+    rank-32 median + the bit pack run as ONE vectorized Arrow pandas
+    UDF over the cell array — measured 11 s at 10× vs 35 s for the
+    round-8 basis-join plan (1024 rows/doc through two shuffles),
+    ~20 s for an all-lambda in-row fold (HOF lambdas are never
+    codegen'd), and 42 s for a plain-column DCT (1024 floor terms
+    overflow Janino's 64 KB method limit and the whole fused stage
+    silently drops to interpreted evaluation). This is the guide's
+    "vectorized Pandas UDF when built-ins can't express it
+    efficiently" clause applied deliberately: numpy float64
+    multiply/floor is bit-identical to JVM doubles, every term
+    quantizes to int64 BEFORE its sum, and the stable sort
+    reproduces the oracle's ORDER BY f_nanos, u, v tie-break. Still
+    no join, no explode, no shuffle — one narrow map-only pass."""
     docs = load(spark, d, "documents").select(
         "doc_id", F.md5("text").alias("key")
     )
-    seq8 = F.sequence(F.lit(0), F.lit(7))
-    # 8×8 DCT basis as a literal array-of-arrays: CB[u+1][x+1] = C[u][x]
     coef = {(u, x): c for u, x, c in _PHASH_BASIS}
-    CB = F.array(
+    # stage 1: the 64-cell luma grid as plain columns (codegen'd md5)
+    s1 = docs.select(
+        "doc_id",
         *[
-            F.array(*[F.lit(coef[(u, x)]) for x in range(8)])
-            for u in range(8)
-        ]
-    )
-    # bit weights: W[8u+v] = 1 << (8u+v-1); slot 0 (the excluded DC
-    # term) is a dummy — 1-indexed via element_at(W, 8u+v+1)
-    W = F.array(
-        F.lit(0).cast("long"),
-        *[F.lit(1 << (k - 1)).cast("long") for k in range(1, 64)],
-    )
-    # Every stage below is bound with _let (transform over a 1-element
-    # array), NOT staged as intermediate select() columns: a produced
-    # column referenced once is inlined by CollapseProject, and inside
-    # a higher-order-function lambda an inlined producer re-evaluates
-    # PER ELEMENT (no CSE across lambda boundaries — the documented
-    # dedup-family hazard). Chained through 4 nested stages that
-    # inlining is multiplicative (~10⁹ md5 evals per doc — the first
-    # cut of this rewrite hung on 860 rows). A lambda VARIABLE is
-    # evaluated once per binding, so the let-chain keeps the whole
-    # pipeline one narrow projection with linear per-doc cost.
-    # stage 1: the 64-cell luma grid
-    vals_expr = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda k: (
-            hash60(
-                F.concat(F.col("key"), F.lit(":ph:"), k.cast("string"))
+            (
+                hash60(F.concat(F.col("key"), F.lit(f":ph:{k}"))) % 256
             )
-            % 256
-        ).cast("double"),
+            .cast("double")
+            .alias(f"v{k}")
+            for k in range(64)
+        ],
     )
+    # stages 2-5 run as ONE Arrow-batched pandas UDF: the plain-column
+    # form of this arithmetic (1024 floor-quantized DCT terms + the
+    # rank-32 median + 63 CASE bits) overflows Janino's 64 KB
+    # processNext() limit, silently dropping the WHOLE fused stage to
+    # interpreted evaluation (42 s at 10× — slower than the lambda
+    # fold it replaced), and lambda HOFs are never codegen'd at all
+    # (~20 s). The md5 GRID stays JVM-side (codegen-friendly, and the
+    # hashing is the irreducible ~7 s); the per-document matrix math
+    # is exactly what the guide's "vectorized Pandas UDF when
+    # built-ins can't express it efficiently" clause is for — numpy
+    # float64 multiplication/floor is bit-identical to JVM doubles,
+    # every term quantizes to int64 before summing, and the stable
+    # sort reproduces the oracle's ORDER BY f_nanos, u, v (stable on
+    # f_nanos preserves the (u, v) generation order for ties).
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    # stage 2: column pass — G[x][v] = Σ_y floor(val·C[v,y]·1e6 + .5)
-    def g_of(vals):
-        return F.transform(
-            seq8,
-            lambda x: F.transform(
-                seq8,
-                lambda v: F.aggregate(
-                    seq8,
-                    F.lit(0).cast("long"),
-                    lambda acc, y: acc
-                    + F.floor(
-                        F.element_at(vals, x * 8 + y + 1)
-                        * F.element_at(F.element_at(CB, v + 1), y + 1)
-                        * 1_000_000.0
+    cmat = [[coef[(u, x)] for x in range(8)] for u in range(8)]
+    wvec = [
+        (1 << (8 * u + v - 1)) if not (u == 0 and v == 0) else 0
+        for u in range(8)
+        for v in range(8)
+    ]
+
+    @pandas_udf("struct<phash: long, n_bits_set: long>")
+    def _pack(varr):
+        V = np.stack(varr.values) if len(varr) else np.zeros((0, 64))
+        n = V.shape[0]
+        C = np.array(cmat)          # C[u][x]
+        g = np.zeros((n, 8, 8), dtype=np.int64)   # g[., x, v]
+        for x in range(8):
+            for v in range(8):
+                acc = np.zeros(n, dtype=np.int64)
+                for y in range(8):
+                    acc += np.floor(
+                        V[:, x * 8 + y] * C[v, y] * 1_000_000.0 + 0.5
+                    ).astype(np.int64)
+                g[:, x, v] = acc
+        f = np.zeros((n, 8, 8), dtype=np.int64)   # f[., u, v]
+        for u in range(8):
+            for v in range(8):
+                acc = np.zeros(n, dtype=np.int64)
+                for x in range(8):
+                    acc += np.floor(
+                        g[:, x, v].astype(np.float64) * C[u, x] * 1_000.0
                         + 0.5
-                    ).cast("long"),
-                ),
-            ),
+                    ).astype(np.int64)
+                f[:, u, v] = acc
+        flat = f.reshape(n, 64)[:, 1:]            # drop (0,0): 63 ACs
+        m = np.sort(flat, axis=1, kind="stable")[:, 31]  # rank 32
+        above = flat > m[:, None]
+        w = np.array(wvec[1:], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "phash": (above * w).sum(axis=1),
+                "n_bits_set": above.sum(axis=1).astype("int64"),
+            }
         )
 
-    # stage 3: row pass — F[u][v] = Σ_x floor(G[x][v]·C[u,x]·1e3 + .5)
-    def f_of(g):
-        return F.transform(
-            seq8,
-            lambda u: F.transform(
-                seq8,
-                lambda v: F.aggregate(
-                    seq8,
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc
-                    + F.floor(
-                        F.element_at(F.element_at(g, x + 1), v + 1)
-                        * F.element_at(F.element_at(CB, u + 1), x + 1)
-                        * 1_000.0
-                        + 0.5
-                    ).cast("long"),
-                ),
-            ),
-        )
-
-    # stage 4: the 63 AC coefficients as (f_nanos, u, v, bit-weight)
-    # structs — field order makes array_sort the oracle's
-    # ORDER BY f_nanos, u, v (w is a function of (u, v), so trailing
-    # it cannot perturb the order)
-    def ac_of(f):
-        return F.filter(
-            F.flatten(
-                F.transform(
-                    seq8,
-                    lambda u: F.transform(
-                        seq8,
-                        lambda v: F.struct(
-                            F.element_at(
-                                F.element_at(f, u + 1), v + 1
-                            ).alias("f_nanos"),
-                            u.alias("u"),
-                            v.alias("v"),
-                            F.element_at(W, u * 8 + v + 1).alias("w"),
-                        ),
-                    ),
-                )
-            ),
-            lambda s: ~((s["u"] == 0) & (s["v"] == 0)),
-        )
-
-    # stage 5: rank-32 median of the sorted 63, then pack bits in-row
-    def packed(ac, m):
-        phash = F.aggregate(
-            ac,
-            F.lit(0).cast("long"),
-            lambda acc, s: acc
-            + F.when(s["f_nanos"] > m, s["w"]).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        n_bits = F.aggregate(
-            ac,
-            F.lit(0).cast("long"),
-            lambda acc, s: acc
-            + F.when(s["f_nanos"] > m, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        return F.struct(phash.alias("phash"), n_bits.alias("n_bits_set"))
-
-    res = _let(vals_expr, lambda vals:
-          _let(g_of(vals), lambda g:
-          _let(f_of(g), lambda f:
-          _let(ac_of(f), lambda ac:
-          _let(F.element_at(F.array_sort(ac), 32)["f_nanos"], lambda m:
-               packed(ac, m))))))
-    return docs.select("doc_id", res.alias("r")).select(
+    r = _pack(F.array(*[F.col(f"v{k}") for k in range(64)]))
+    return s1.select("doc_id", r.alias("r")).select(
         "doc_id",
         F.col("r")["phash"].alias("phash"),
         F.col("r")["n_bits_set"].alias("n_bits_set"),

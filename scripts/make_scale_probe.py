@@ -83,15 +83,28 @@ def main() -> None:
         TO '{out}/{t}.parquet' (FORMAT parquet)
         """)
     amplified = {
+        # names are RE-KEYED (digits replaced with the new key), not
+        # suffixed: TPC-H names are 'Customer#000000001' and several
+        # operators block on a name PREFIX (join_fuzzy: substr 1..16).
+        # With a suffix, all N copies share the prefix block and
+        # block density grows N× (quadratic candidate growth that
+        # real 10× data does NOT have — at any real scale the
+        # zero-padded digits spread keys across blocks of ≤100).
         "customer": f"""
           SELECT c_custkey + c.i * {off} AS c_custkey,
-                 c_name || CASE WHEN c.i = 0 THEN '' ELSE '_c' || c.i END
-                   AS c_name,
+                 CASE WHEN c.i = 0 THEN c_name
+                      ELSE 'Customer#' ||
+                           lpad(CAST(c_custkey + c.i * {off} AS VARCHAR),
+                                12, '0')
+                 END AS c_name,
                  c_nationkey, c_acctbal, c_mktsegment""",
         "supplier": f"""
           SELECT s_suppkey + c.i * {off} AS s_suppkey,
-                 s_name || CASE WHEN c.i = 0 THEN '' ELSE '_c' || c.i END
-                   AS s_name,
+                 CASE WHEN c.i = 0 THEN s_name
+                      ELSE 'Supplier#' ||
+                           lpad(CAST(s_suppkey + c.i * {off} AS VARCHAR),
+                                12, '0')
+                 END AS s_name,
                  s_nationkey, s_acctbal""",
         "part": f"""
           SELECT p_partkey + c.i * {off} AS p_partkey,

@@ -120,6 +120,14 @@ def main() -> None:
         out.update(prior.get("queries", {}))
     t_all = time.perf_counter()
     for name in only or KEYS:
+        # isolate each key's measurement: without this, cached tables
+        # from earlier keys accumulate until the storage pool thrashes
+        # and LATE keys pay eviction pressure they didn't cause
+        # (round 9: agg_corr_matrix measured 69 s mid-probe vs 9 s
+        # clean — a 7× phantom). Each key now builds its own caches
+        # inside its own timing; driver-side model memos (centroids,
+        # codebooks, counts) survive, as they would in production.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             qs[name](spark, sf).write.format("noop").mode("overwrite").save()
