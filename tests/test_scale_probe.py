@@ -50,6 +50,22 @@ FAMILIES = [
     ("graph_kcore", 30.0),
     ("pipeline_data_funnel", 30.0),
     ("text_cooccurrence", 30.0),
+    # round 9: the amplified layout now carries the TPC-H star +
+    # events (make_scale_probe.py re-keys names so prefix-blocked
+    # joins see realistic block sizes), so the join/window/SQL
+    # families get gates too; mm_phash pins the Arrow-UDF DCT form.
+    ("join_fuzzy", 30.0),
+    ("join_sortmerge", 30.0),
+    ("join_range_binned", 30.0),
+    ("window_running_sum", 30.0),
+    ("sql_pricing_summary", 30.0),
+    ("sql_product_profit", 30.0),
+    ("sessionize", 30.0),
+    ("retention_cohorts", 30.0),
+    ("agg_corr_matrix", 30.0),
+    ("mm_phash", 30.0),
+    ("mm_phash_near_dup", 30.0),
+    ("events_ohlc", 30.0),
 ]
 
 pytestmark = pytest.mark.scaleprobe
