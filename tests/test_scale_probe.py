@@ -66,6 +66,7 @@ FAMILIES = [
     ("mm_phash", 30.0),
     ("mm_phash_near_dup", 30.0),
     ("events_ohlc", 30.0),
+    ("text_dedup_intra_span", 30.0),
 ]
 
 pytestmark = pytest.mark.scaleprobe
