@@ -1632,10 +1632,13 @@ def rfm_segmentation(spark: SparkSession, d: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    # cache, not localCheckpoint: reuse-only barrier (3 ntile rankings
-    # + the final join read the same frame); localCheckpoint(eager=
-    # False) materializes every stage at construction under AQE
-    rfm = rfm.cache()
+    # localCheckpoint, not cache: this frame is read 4x (3 ntile
+    # rankings + the final join) and the _global_ntile pins make the
+    # query construction-eager regardless (lazy_audit ALLOWED), so a
+    # cache barrier would buy no laziness here — the checkpointed row
+    # RDD is the established form for eager-pinned frames (round-9
+    # A/B at sf0.1 showed the two barriers within session noise).
+    rfm = rfm.localCheckpoint(eager=False)
     r_s = _global_ntile(rfm, 5, [F.col("recency_days"), F.col("custkey")])
     f_s = _global_ntile(rfm, 5, [F.desc("frequency"), F.col("custkey")])
     m_s = _global_ntile(rfm, 5, [F.desc("monetary"), F.col("custkey")])
@@ -8652,10 +8655,12 @@ def funnel_attribution_markov(spark: SparkSession, d: str) -> DataFrame:
         .where(F.col("dst").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n_st"))
-        # cache, not localCheckpoint: reuse-only (outdeg/conv/hop read
-        # it; no loop lineage grows through it) — keeps construction
-        # lazy where the per-round r pins below cannot be
-        .cache()
+        # localCheckpoint, not cache: the per-round r pins below make
+        # this operator construction-eager regardless (lazy_audit
+        # ALLOWED), so a cache barrier would buy no laziness — keep
+        # the checkpointed row RDD all the loop reads share (round-9
+        # A/B at sf0.1: the two barriers are within session noise)
+        .localCheckpoint(eager=False)
     )
     outdeg = trans.groupBy(F.col("src").alias("osrc")).agg(
         F.sum("n_st").alias("n_s")

@@ -67,6 +67,14 @@ ALLOWED = {
         "adjacent plan text; the fact-table window itself is keyed "
         "by user_id)",
     },
+    "events_markov_stationary": {
+        "SinglePartition": "1-row |types| count feeding the broadcast "
+        "uniform-start scalar (the round-9 lazy fix replaced a "
+        "driver-side count with this in-plan aggregate; the heuristic "
+        "sees markov_transitions' user-keyed lead window's Sort in "
+        "adjacent plan text — visible since the cache barrier "
+        "replaced the localCheckpoint that used to hide the subtree)",
+    },
     "events_lorenz_deciles": {
         "SinglePartition": "1-row grand-total over the 10-row decile "
         "rollup; the user ranking itself is _global_ntile's "
