@@ -95,7 +95,7 @@ def main() -> None:
                  CASE WHEN c.i = 0 THEN c_name
                       ELSE 'Customer#' ||
                            lpad(CAST(c_custkey + c.i * {off} AS VARCHAR),
-                                12, '0')
+                                9, '0')
                  END AS c_name,
                  c_nationkey, c_acctbal, c_mktsegment""",
         "supplier": f"""
@@ -103,7 +103,7 @@ def main() -> None:
                  CASE WHEN c.i = 0 THEN s_name
                       ELSE 'Supplier#' ||
                            lpad(CAST(s_suppkey + c.i * {off} AS VARCHAR),
-                                12, '0')
+                                9, '0')
                  END AS s_name,
                  s_nationkey, s_acctbal""",
         "part": f"""
