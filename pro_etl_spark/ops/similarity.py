@@ -83,24 +83,67 @@ def ann_cosine_topk(spark: SparkSession, d: str) -> DataFrame:
 #: deployment uses k-means centroids; the grid keeps the assignment
 #: deterministic and oracle-checkable while exercising the same plan
 #: shape (cell-pruned candidate scan → exact re-rank).
-_CELL_SQL = "CAST(FLOOR(CAST({e}[1] AS DOUBLE) * 2) * 100 + FLOOR(CAST({e}[2] AS DOUBLE) * 2) AS BIGINT)"
+#:
+#: SCALE FIX (round 10, closing the round-9 probe finding): the pitch
+#: is CORPUS-ADAPTIVE. The old fixed multiplier (×2 per dim) meant the
+#: occupied-cell count was a CONSTANT as N grew, so the per-cell work
+#: in this family was Θ(N²/C) — 257 s for `dedup_embedding_cosine_ivf`
+#: at the 10× layout, the single worst key in SCALEPROBE_r9. The
+#: multiplier is now M = max(2, ⌈2·N^(1/4)⌉), so cells per dim grow as
+#: N^(1/4) and occupied 2-D cells as √N — the same nlist ≈ √N
+#: discipline as the trained-cell path (``_K_CELLS_SQL``), keeping
+#: expected cell size ≈ √N and total pairwise work O(N·√N). The
+#: leading 2 calibrates for the synthetic embeddings' per-coordinate
+#: spread (unit vectors in 64-d ⇒ coords ~ N(0, 1/64)); any constant
+#: keeps the asymptotics. Both engines derive M from the same COUNT(*)
+#: through CEIL∘SQRT∘SQRT (sqrt is IEEE-correctly-rounded, so the
+#: integer M — and therefore every FLOOR cell id — is bit-identical
+#: cross-engine at every SF). The row stride 10⁶ keeps the 2-D→1-D
+#: packing collision-free up to |coord·M| < 10⁶.
+_GM_CTE = (
+    "gm AS (SELECT GREATEST(2, CAST(CEIL(2.0 * SQRT(SQRT("
+    "CAST(COUNT(*) AS DOUBLE)))) AS BIGINT)) AS gm FROM embeddings)"
+)
+
+_CELL_SQL = (
+    "CAST(FLOOR(CAST({e}[1] AS DOUBLE) * CAST(gm AS DOUBLE)) * 1000000"
+    " + FLOOR(CAST({e}[2] AS DOUBLE) * CAST(gm AS DOUBLE)) AS BIGINT)"
+)
 
 
-def _cell(e):
+def _grid_m(spark: SparkSession, d: str) -> DataFrame:
+    """Broadcast 1-row grid multiplier ``gm`` = max(2, ⌈2·N^(1/4)⌉) —
+    the lazy twin of the oracle's ``_GM_CTE`` scalar (the
+    events_markov_stationary pattern: a 1-row aggregate cross-joined
+    in, never a driver-side count, so plan construction stays
+    zero-job)."""
+    return F.broadcast(
+        load(spark, d, "embeddings").agg(
+            F.greatest(
+                F.lit(2).cast("long"),
+                F.ceil(
+                    F.lit(2.0) * F.sqrt(F.sqrt(F.count(F.lit(1)).cast("double")))
+                ),
+            ).alias("gm")
+        )
+    )
+
+
+def _cell(e, gm):
     return (
-        F.floor(F.element_at(e, 1).cast("double") * 2) * 100
-        + F.floor(F.element_at(e, 2).cast("double") * 2)
+        F.floor(F.element_at(e, 1).cast("double") * gm.cast("double")) * 1000000
+        + F.floor(F.element_at(e, 2).cast("double") * gm.cast("double"))
     ).cast("long")
 
 
 @register(
     "ann_ivf_topk",
     oracle=f"""
-    WITH e AS (
+    WITH {_GM_CTE}, e AS (
       SELECT vec_id, embedding,
              sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm,
              {_CELL_SQL.format(e="embedding")} AS cell
-      FROM embeddings
+      FROM embeddings, gm
     ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {DUCK_DOT.format(a="q.embedding", b="c.embedding")}
@@ -121,8 +164,15 @@ def ann_ivf_topk(spark: SparkSession, d: str) -> DataFrame:
     """IVF-bucketed ANN: candidates restricted to the query's coarse
     cell (nprobe=1), exact cosine re-rank inside the cell. Trades
     recall for a corpus scan bounded by cell size; the brute-force
-    twin above is the recall baseline."""
-    e = corpus_table(spark, d).withColumn("cell", _cell(F.col("embedding")))
+    twin above is the recall baseline. Cell pitch is corpus-adaptive
+    (see ``_GM_CTE``): candidate-list size per query stays ≈ √N
+    instead of growing linearly with a fixed grid."""
+    e = (
+        corpus_table(spark, d)
+        .crossJoin(_grid_m(spark, d))
+        .withColumn("cell", _cell(F.col("embedding"), F.col("gm")))
+        .drop("gm")
+    )
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -153,11 +203,11 @@ def ann_ivf_topk(spark: SparkSession, d: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine_ivf",
     oracle=f"""
-    WITH e AS (
+    WITH {_GM_CTE}, e AS (
       SELECT vec_id, embedding,
              sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm,
              {_CELL_SQL.format(e="embedding")} AS cell
-      FROM embeddings
+      FROM embeddings, gm
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND({DUCK_DOT.format(a="a.embedding", b="b.embedding")}
@@ -178,8 +228,20 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, d: str) -> DataFrame:
     deterministic grid) and the per-cell join is partition-local.
     Near-identical vectors quantize to the same cell, which is exactly
     the near-dup regime; the documented recall trade is cross-cell
-    borderline pairs."""
-    e = corpus_table(spark, d).withColumn("cell", _cell(F.col("embedding")))
+    borderline pairs.
+
+    SCALE FIX (round 10): the grid pitch is corpus-adaptive — occupied
+    cells grow as √N (``_GM_CTE`` / ``_grid_m``), so expected cell size
+    is ≈ √N and total pair work O(N·√N), not the Θ(N²/C) a fixed pitch
+    produced (SCALEPROBE_r9: 257 s at 10×, the registry's worst key).
+    Both engines derive the pitch from the same COUNT(*), keeping the
+    oracle pairing value-exact at every SF."""
+    e = (
+        corpus_table(spark, d)
+        .crossJoin(_grid_m(spark, d))
+        .withColumn("cell", _cell(F.col("embedding"), F.col("gm")))
+        .drop("gm")
+    )
     a = e.alias("a")
     b = e.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
@@ -206,30 +268,30 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, d: str) -> DataFrame:
 #: boundary — the standard IVF recall/cost knob, still an equi-join.
 _PROBE_OFFSETS = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
 
-_CELL_I_SQL = "FLOOR(CAST({e}[1] AS DOUBLE) * 2)"
-_CELL_J_SQL = "FLOOR(CAST({e}[2] AS DOUBLE) * 2)"
+_CELL_I_SQL = "FLOOR(CAST({e}[1] AS DOUBLE) * CAST(gm AS DOUBLE))"
+_CELL_J_SQL = "FLOOR(CAST({e}[2] AS DOUBLE) * CAST(gm AS DOUBLE))"
 
 
-def _cell_i(e):
-    return F.floor(F.element_at(e, 1).cast("double") * 2)
+def _cell_i(e, gm):
+    return F.floor(F.element_at(e, 1).cast("double") * gm.cast("double"))
 
 
-def _cell_j(e):
-    return F.floor(F.element_at(e, 2).cast("double") * 2)
+def _cell_j(e, gm):
+    return F.floor(F.element_at(e, 2).cast("double") * gm.cast("double"))
 
 
 @register(
     "ann_ivf_multiprobe",
     oracle=f"""
-    WITH e AS (
+    WITH {_GM_CTE}, e AS (
       SELECT vec_id, embedding,
              sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm,
              {_CELL_I_SQL.format(e="embedding")} AS ci,
              {_CELL_J_SQL.format(e="embedding")} AS cj
-      FROM embeddings
+      FROM embeddings, gm
     ), probes AS (
       SELECT q.vec_id AS query_id, q.embedding AS q_emb, q.nrm AS q_nrm,
-             CAST((q.ci + o.di) * 100 + (q.cj + o.dj) AS BIGINT) AS pcell
+             CAST((q.ci + o.di) * 1000000 + (q.cj + o.dj) AS BIGINT) AS pcell
       FROM e q, (VALUES {", ".join(f"({di}, {dj})" for di, dj in _PROBE_OFFSETS)}) o(di, dj)
       WHERE q.vec_id < {N_QUERIES}
     ), scored AS (
@@ -237,7 +299,7 @@ def _cell_j(e):
              {DUCK_DOT.format(a="p.q_emb", b="c.embedding")}
                / (p.q_nrm * c.nrm) AS cos
       FROM probes p JOIN e c
-        ON CAST(c.ci * 100 + c.cj AS BIGINT) = p.pcell
+        ON CAST(c.ci * 1000000 + c.cj AS BIGINT) = p.pcell
        AND p.query_id <> c.vec_id
     )
     SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
@@ -257,13 +319,18 @@ def ann_ivf_multiprobe(spark: SparkSession, d: str) -> DataFrame:
     candidate duplicates and the join stays a plain equi-join on the
     cell id — at 100 TB: 9 partition lookups per query instead of 1,
     recall close to brute force at a small multiple of single-probe
-    cost."""
-    e = corpus_table(spark, d).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        _cell_i(F.col("embedding")).alias("ci"),
-        _cell_j(F.col("embedding")).alias("cj"),
+    cost. Pitch is corpus-adaptive (``_GM_CTE``): probing 9 cells of
+    ≈ √N rows each keeps per-query candidates sublinear in N."""
+    e = (
+        corpus_table(spark, d)
+        .crossJoin(_grid_m(spark, d))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            _cell_i(F.col("embedding"), F.col("gm")).alias("ci"),
+            _cell_j(F.col("embedding"), F.col("gm")).alias("cj"),
+        )
     )
     offsets = F.array(
         *[
@@ -285,13 +352,13 @@ def ann_ivf_multiprobe(spark: SparkSession, d: str) -> DataFrame:
             "query_id",
             "q_emb",
             "q_nrm",
-            ((F.col("ci") + F.col("o.di")) * 100 + (F.col("cj") + F.col("o.dj")))
+            ((F.col("ci") + F.col("o.di")) * 1000000 + (F.col("cj") + F.col("o.dj")))
             .cast("long")
             .alias("pcell"),
         )
     )
     scored = (
-        e.withColumn("ccell", (F.col("ci") * 100 + F.col("cj")).cast("long"))
+        e.withColumn("ccell", (F.col("ci") * 1000000 + F.col("cj")).cast("long"))
         .join(
             F.broadcast(probes),
             (F.col("ccell") == F.col("pcell"))

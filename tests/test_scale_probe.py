@@ -67,6 +67,13 @@ FAMILIES = [
     ("mm_phash_near_dup", 30.0),
     ("events_ohlc", 30.0),
     ("text_dedup_intra_span", 30.0),
+    # round 10: the grid-blocked embedding family moved to a
+    # corpus-adaptive pitch (occupied cells ≈ √N) — SCALEPROBE_r9's
+    # worst key (257 s at 10×, Θ(N²/C) with the old fixed pitch)
+    # measured 22 s after the fix; gate it so the pitch never goes
+    # constant again.
+    ("dedup_embedding_cosine_ivf", 30.0),
+    ("ann_ivf_topk", 30.0),
 ]
 
 pytestmark = pytest.mark.scaleprobe
