@@ -16,8 +16,10 @@ fingerprints get full value oracles.
 
 from __future__ import annotations
 
+import pandas as pd  # Arrow-UDF signatures only (no driver-side pandas)
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql.functions import pandas_udf
 
 from pro_etl_spark.io import DATASET_MEMOS, load
 from pro_etl_spark.ops.dedup import _LSH_PAIRS_CTE
@@ -161,32 +163,52 @@ def _marker_sql(lang: str) -> str:
 def text_langid(spark: SparkSession, d: str) -> DataFrame:
     """Language-ID heuristic: stopword-marker hit counts per language +
     a non-ASCII script check, argmax with a deterministic tiebreak.
-    (A real pipeline swaps in fastText/CLD3 behind the same schema.)"""
+    (A real pipeline swaps in fastText/CLD3 behind the same schema.)
+
+    STAGED on purpose (round-10 fix for the round-9 probe finding):
+    the one-projection form re-built ``F.split(trim(text))`` inside
+    every marker filter — four score columns plus six more ``score()``
+    references in the CASE chain, and HOF lambdas are interpreted with
+    no CSE across lambda boundaries, a ~90× constant (138 s at 10× vs
+    1.5 s for ``text_tokens`` on the same layout). The three stacked
+    projections below bind (1) the token array, then (2) the four
+    scores, then (3) the argmax over the materialized score columns.
+    CollapseProject leaves them alone because each produced expression
+    is non-cheap and consumed more than once (the single-use case is
+    the one it inlines — see ``multimodal._let``); the tokenizer runs
+    once per row and each marker filter once."""
     docs = load(spark, d, "documents")
-    toks = TOKENS()
 
     def score(lang: str) -> Column:
         return F.size(
-            F.filter(toks, lambda t: t.isin(*_LANG_MARKERS[lang]))
+            F.filter(F.col("toks"), lambda t: t.isin(*_LANG_MARKERS[lang]))
         ).cast("long")
 
     n_nonascii = F.length(
         F.regexp_replace(F.col("text"), F.lit("[ -~]"), F.lit(""))
     ).cast("long")
-    pred = (
-        F.when(n_nonascii > 0, "other")
-        .when(score("fr") > score("en"), "fr")
-        .when(score("de") > score("en"), "de")
-        .when(score("es") > score("en"), "es")
-        .otherwise("en")
-    )
-    return docs.select(
+    scored = docs.select("doc_id", "text", TOKENS().alias("toks")).select(
         "doc_id",
         score("en").alias("score_en"),
         score("fr").alias("score_fr"),
         score("de").alias("score_de"),
         score("es").alias("score_es"),
         n_nonascii.alias("n_nonascii"),
+    )
+    pred = (
+        F.when(F.col("n_nonascii") > 0, "other")
+        .when(F.col("score_fr") > F.col("score_en"), "fr")
+        .when(F.col("score_de") > F.col("score_en"), "de")
+        .when(F.col("score_es") > F.col("score_en"), "es")
+        .otherwise("en")
+    )
+    return scored.select(
+        "doc_id",
+        "score_en",
+        "score_fr",
+        "score_de",
+        "score_es",
+        "n_nonascii",
         pred.alias("pred_lang"),
     )
 
@@ -288,15 +310,47 @@ def text_fingerprint(spark: SparkSession, d: str) -> DataFrame:
     """Document fingerprint: order-sensitive polynomial rolling hash
     over the token stream (h ← (31·h + hash(tok)) mod 2³¹−1) — two
     documents with the same token sequence collide, reordered ones
-    don't. Sequential fold in both engines → bit-identical."""
+    don't. Sequential fold in both engines → bit-identical.
+
+    Arrow-vectorized (round 10, the mm_phash recipe): the in-row HOF
+    form paid one INTERPRETED md5+conv per token (69 s at the 10×
+    probe — the expression is linear but HOF lambdas never reach
+    codegen); one pandas UDF now folds each token list with hashlib
+    (bit-identical md5, same first-15-hex-chars → int60 parse, same
+    int64 fold) with a per-batch token cache. Tokenization stays
+    JVM-side — the codegen'd split feeds the UDF an array column, so
+    the \\s+ contract (empty text → ['']) is shared by construction.
+    Map-only, no shuffle; the Arrow batch transfer is the only added
+    cost."""
+    @pandas_udf("long")
+    def fp_roll(toks: pd.Series) -> pd.Series:
+        import hashlib
+
+        cache: dict = {}
+
+        def h(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:
+                v = (
+                    int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                    % 65536
+                )
+                cache[tok] = v
+            return v
+
+        out = []
+        for lst in toks:
+            if lst is None:
+                out.append(None)
+                continue
+            acc = 0
+            for t in lst:
+                acc = (acc * 31 + h(t)) % FP_MOD
+            out.append(acc)
+        return pd.Series(out)
+
     docs = load(spark, d, "documents")
-    th = F.transform(TOKENS(), lambda t: hash60(t) % 65536)
-    fp = F.aggregate(
-        th,
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + x) % FP_MOD,
-    )
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    return docs.select("doc_id", fp_roll(TOKENS()).alias("fingerprint"))
 
 
 @register(
@@ -616,44 +670,62 @@ def text_winnow(spark: SparkSession, d: str) -> DataFrame:
     window's minimum, dedupe. Guarantees any shared token run of
     length >= W+K-1 produces a shared fingerprint, while storing only
     ~2/(W+1) of the k-gram hashes — the standard overlap/plagiarism
-    detector at corpus scale. Pure HOFs, narrow; output is exploded to
-    flat (doc_id, fp) rows — the join-ready posting-list layout (and
-    array-free driver output)."""
-    toks = TOKENS()
-    n = F.size(toks)
-    gram = lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + j) for j in range(WINNOW_K)]
-    )
-    kh = F.when(
-        n >= WINNOW_K,
-        F.transform(
-            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
-            lambda i: hash60(gram(i)) % 65536,
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    # materialization barrier (same pattern as dedup._token_table) so
-    # CollapseProject can never inline the kh build into the per-window
-    # slice lambda; the remaining cost is the interpreted HOF window
-    # scan itself, which stays narrow — the property that matters at
-    # scale
-    docs = load(spark, d, "documents").select("doc_id", kh.alias("kh")).cache()
-    m = F.size("kh")
-    fp = (
-        F.when(
-            m >= WINNOW_W,
-            F.array_sort(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), m - (WINNOW_W - 1)),
-                        lambda j: F.array_min(F.slice("kh", j, WINNOW_W)),
-                    )
+    detector at corpus scale. Output is exploded to flat (doc_id, fp)
+    rows — the join-ready posting-list layout (and array-free driver
+    output).
+
+    Arrow-vectorized (round 10, the mm_phash recipe): the in-row HOF
+    form re-ran the regex split PER K-GRAM (``TOKENS()`` inlined into
+    the gram lambda — O(n²) re-tokenization) and paid an interpreted
+    md5 per gram on top: 84 s at the 10× probe. One pandas UDF now
+    does the k-gram join, hashlib md5 (bit-identical to the oracle's),
+    sliding-window min, and the distinct-sort per doc; the codegen'd
+    JVM split feeds it the token array, and the cache barrier the HOF
+    form needed is gone — map-only, no shuffle, explode stays
+    JVM-side."""
+    @pandas_udf("array<long>")
+    def winnow_fps(toks: pd.Series) -> pd.Series:
+        import hashlib
+
+        cache: dict = {}
+
+        def h(gram: str) -> int:
+            v = cache.get(gram)
+            if v is None:
+                v = (
+                    int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:15], 16)
+                    % 65536
                 )
-            ),
-        )
-        .when(m > 0, F.array(F.array_min("kh")))
-        .otherwise(F.array().cast("array<long>"))
+                cache[gram] = v
+            return v
+
+        out = []
+        for lst in toks:
+            if lst is None:
+                out.append(None)
+                continue
+            n = len(lst)
+            if n < WINNOW_K:
+                out.append([])
+                continue
+            kh = [
+                h(" ".join(lst[i : i + WINNOW_K]))
+                for i in range(n - WINNOW_K + 1)
+            ]
+            m = len(kh)
+            if m >= WINNOW_W:
+                fps = sorted(
+                    {min(kh[j : j + WINNOW_W]) for j in range(m - WINNOW_W + 1)}
+                )
+            else:
+                fps = [min(kh)]
+            out.append(fps)
+        return pd.Series(out)
+
+    docs = load(spark, d, "documents").select(
+        "doc_id", winnow_fps(TOKENS()).alias("fps")
     )
-    return docs.select("doc_id", F.explode(fp).alias("fp"))
+    return docs.select("doc_id", F.explode("fps").alias("fp"))
 
 
 PACK_CAP = 512  # context-window capacity in tokens
@@ -1747,8 +1819,14 @@ def text_rouge2(spark: SparkSession, d: str) -> DataFrame:
 
     Scale: bigram sets build narrow per doc; the pair table (LSH
     output, already cached) drives two doc-keyed joins — candidates ×
-    2 lookups, never all-pairs."""
-    bgs = distinct_bigrams(TOKENS())
+    2 lookups, never all-pairs. The token array is ``_let``-bound
+    (round-10 fix): inlining ``TOKENS()`` into the bigram transform
+    re-ran the regex split TWICE PER BIGRAM in the interpreted HOF
+    evaluator — O(n²) re-tokenization per doc, 77 s at the 10× probe
+    for what is an O(n) build."""
+    from pro_etl_spark.ops.multimodal import _let
+
+    bgs = _let(TOKENS(), distinct_bigrams)
     bg = load(spark, d, "documents").select("doc_id", bgs.alias("bgs"))
     from pro_etl_spark.ops.dedup import dedup_minhash_lsh
 
