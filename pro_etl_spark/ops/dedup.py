@@ -42,6 +42,73 @@ COSINE_THRESHOLD = 0.8
 _CLUSTERS_MEMO: dict = {}
 DATASET_MEMOS.append(_CLUSTERS_MEMO)
 
+#: Sampled certification (round 10): the EXACT pairwise truth
+#: baselines behind the recall-certification keys (`dedup_lsh_eval`,
+#: `dedup_shingle_lsh_eval`, `dedup_srp_eval`, and the
+#: `dedup_ngram_jaccard` baseline they lean on) are quadratic within
+#: their blocks BY DESIGN — they exist to certify the production LSH
+#: paths, never to run on a full corpus. Above this row count the
+#: baseline restricts itself to a deterministic salted-hash sample of
+#: ~CERT_SAMPLE_N rows (the repo's rand()-free sampling discipline:
+#: reproducible across engines, reruns, and partitionings), so the
+#: certification itself scales: each row survives with probability
+#: p = CERT_SAMPLE_N/N, each true pair with p², and the recall ratio
+#: over the sampled truth set is a consistent estimator of full
+#: recall (the LSH side stays UNSAMPLED — hits are counted against
+#: the full production pair table). At or below the threshold —
+#: including the sf0.01 grading scale and the sf0.1 bench scale —
+#: the gate keeps every row and the semantics are exactly exhaustive.
+#: Both engines derive the cutoff from the same COUNT(*) via the
+#: same FLOOR(1e6·S/N) double expression, so the sampled set — and
+#: therefore every certified number — stays value-exact cross-engine
+#: at every SF. (SCALEPROBE_r9 motivation: these four keys were
+#: ~590 s of the 996 s full-registry probe at the 10× layout and
+#: would be unrunnable at 100×.)
+CERT_SAMPLE_N = 5000
+
+#: oracle twin: 1-row cutoff CTE (per-million keep threshold) over
+#: the baseline's source table
+_CERT_CUT_SQL = (
+    "cert AS (SELECT CASE WHEN COUNT(*) <= {n} THEN 1000000"
+    " ELSE CAST(FLOOR(1000000.0 * {n} / COUNT(*)) AS BIGINT) END AS cut"
+    " FROM {table})"
+).format
+_CERT_PRED_SQL = (
+    DUCK_HASH60.format(x="(CAST({id} AS VARCHAR) || ':cert')")
+    + " % 1000000 < cert.cut"
+).format
+
+
+def _cert_sample(
+    spark: SparkSession, d: str, df: DataFrame, id_col: str, table: str
+) -> DataFrame:
+    """Filter ``df`` to the deterministic certification sample: keep
+    rows whose salted 60-bit id hash lands under the per-million
+    cutoff max-capped at CERT_SAMPLE_N expected rows. The cutoff is a
+    broadcast 1-row aggregate (the events_markov_stationary pattern —
+    no driver-side count, plan construction stays zero-job) mirroring
+    ``_CERT_CUT_SQL`` exactly."""
+    cut = F.broadcast(
+        load(spark, d, table).agg(
+            F.when(
+                F.count(F.lit(1)) <= CERT_SAMPLE_N,
+                F.lit(1000000).cast("long"),
+            )
+            .otherwise(
+                F.floor(
+                    F.lit(1000000.0) * CERT_SAMPLE_N / F.count(F.lit(1))
+                )
+            )
+            .alias("cut")
+        )
+    )
+    keep = (
+        hash60(F.concat(F.col(id_col).cast("string"), F.lit(":cert")))
+        % 1000000
+        < F.col("cut")
+    )
+    return df.crossJoin(cut).where(keep).drop("cut")
+
 _TOKSET_SQL = r"list_distinct(regexp_split_to_array(trim(text), '\s+'))"
 
 
@@ -125,8 +192,10 @@ def dedup_exact_normalized(spark: SparkSession, d: str) -> DataFrame:
     "dedup_ngram_jaccard",
     baseline_twin="dedup_minhash_lsh",
     oracle=f"""
-    WITH s AS (
-      SELECT doc_id, source, {_TOKSET_SQL} AS ts FROM documents
+    WITH {_CERT_CUT_SQL(n=CERT_SAMPLE_N, table="documents")},
+    s AS (
+      SELECT doc_id, source, {_TOKSET_SQL} AS ts FROM documents, cert
+      WHERE {_CERT_PRED_SQL(id="doc_id")}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
@@ -141,8 +210,18 @@ def dedup_exact_normalized(spark: SparkSession, d: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, d: str) -> DataFrame:
     """N-gram Jaccard near-dup: within-block (source) pairwise Jaccard
     over token sets, τ-thresholded. Blocking bounds the self-join;
-    the LSH variant below is the unblocked scale path."""
-    s = _token_table(spark, d).select("doc_id", "source", "ts")
+    the LSH variant below is the unblocked scale path. This is the
+    EXACT BASELINE twin of ``dedup_minhash_lsh`` — above
+    ``CERT_SAMPLE_N`` documents it runs on the deterministic
+    certification sample (see the constant's docstring); at the
+    grading and bench SFs it is exhaustive."""
+    s = _cert_sample(
+        spark,
+        d,
+        _token_table(spark, d).select("doc_id", "source", "ts"),
+        "doc_id",
+        "documents",
+    )
     a = s.alias("a")
     b = s.alias("b")
     inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts"))).cast("double")
@@ -1146,9 +1225,12 @@ def dedup_minhash_shingle_lsh(spark: SparkSession, d: str) -> DataFrame:
 @register(
     "dedup_shingle_lsh_eval",
     oracle=_SHINGLE_LSH_CTE + f"""
-    , truth AS (
+    , {_CERT_CUT_SQL(n=CERT_SAMPLE_N, table="documents")},
+    sh_s AS (
+      SELECT s.* FROM sh s, cert WHERE {_CERT_PRED_SQL(id="s.doc_id")}
+    ), truth AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b
+      FROM sh_s a JOIN sh_s b
         ON a.source = b.source AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.th, b.th)) AS DOUBLE)
             / (len(a.th) + len(b.th) - len(list_intersect(a.th, b.th)))
@@ -1178,8 +1260,11 @@ def dedup_shingle_lsh_eval(spark: SparkSession, d: str) -> DataFrame:
     structurally blind to. The quadratic truth join is within-source
     blocks only and exists exclusively here (an eval, never a
     production path); it intersects the CACHED shingle-hash sets, so
-    no re-hashing happens on either side."""
-    sh = _shingle_table(spark, d)
+    no re-hashing happens on either side. Above ``CERT_SAMPLE_N``
+    documents the truth side runs on the deterministic certification
+    sample (see the constant's docstring); the LSH side stays
+    unsampled."""
+    sh = _cert_sample(spark, d, _shingle_table(spark, d), "doc_id", "documents")
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.th60"), F.col("b.th60"))).cast(
         "double"
@@ -1229,10 +1314,13 @@ def dedup_shingle_lsh_eval(spark: SparkSession, d: str) -> DataFrame:
 @register(
     "dedup_lsh_eval",
     oracle=_LSH_PAIRS_CTE + f"""
-    , truth AS (
+    , {_CERT_CUT_SQL(n=CERT_SAMPLE_N, table="documents")},
+    ts_s AS (
+      SELECT doc_id, source, {_TOKSET_SQL} AS ts FROM documents, cert
+      WHERE {_CERT_PRED_SQL(id="doc_id")}
+    ), truth AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM (SELECT doc_id, source, {_TOKSET_SQL} AS ts FROM documents) a
-      JOIN (SELECT doc_id, source, {_TOKSET_SQL} AS ts FROM documents) b
+      FROM ts_s a JOIN ts_s b
         ON a.source = b.source AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
@@ -1262,7 +1350,12 @@ def dedup_lsh_eval(spark: SparkSession, d: str) -> DataFrame:
     and the count of TRUE cross-source pairs LSH finds that
     source-blocking is structurally blind to — the two numbers that
     justify shipping LSH instead of blocked all-pairs. One summary
-    row; all counts integer, one closing IEEE division."""
+    row; all counts integer, one closing IEEE division.
+
+    Above ``CERT_SAMPLE_N`` documents the truth side certifies on the
+    deterministic sample (inherited from ``dedup_ngram_jaccard`` —
+    see the constant's docstring for the estimator argument); the LSH
+    side and the cross-source census stay unsampled."""
     truth = dedup_ngram_jaccard(spark, d).select("doc_a", "doc_b")
     lsh = dedup_minhash_lsh(spark, d).select("doc_a", "doc_b")
     hit = truth.join(lsh, ["doc_a", "doc_b"], "left_semi")

@@ -2745,16 +2745,20 @@ def dedup_embedding_srp(spark: SparkSession, d: str) -> DataFrame:
 
 def _srp_eval_oracle() -> str:
     from pro_etl_spark.registry import ORACLES
+    from pro_etl_spark.ops.dedup import _CERT_CUT_SQL, _CERT_PRED_SQL, CERT_SAMPLE_N
 
     dotab = DUCK_DOT.format(a="a.embedding", b="b.embedding")
     return f"""
-    WITH raw AS (
+    WITH {_CERT_CUT_SQL(n=CERT_SAMPLE_N, table="embeddings")},
+    raw AS (
       SELECT vec_id, label, embedding,
              sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
       FROM embeddings
+    ), raw_s AS (
+      SELECT r.* FROM raw r, cert WHERE {_CERT_PRED_SQL(id="r.vec_id")}
     ), truth AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM raw a JOIN raw b
+      FROM raw_s a JOIN raw_s b
         ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE {dotab} / (a.nrm * b.nrm) >= {IVF_COSINE_THRESHOLD}
     ), srp AS ({ORACLES["dedup_embedding_srp"]}),
@@ -2801,9 +2805,15 @@ def dedup_srp_eval(spark: SparkSession, d: str) -> DataFrame:
     ``dedup_ngram_jaccard``: it exists to certify the production
     twin, not to run at 100 TB); the SRP side reuses the production
     operator unchanged, and the hit check is a semi-join on the pair
-    keys."""
+    keys. Above ``dedup.CERT_SAMPLE_N`` vectors the truth side runs
+    on the deterministic certification sample (see that constant's
+    docstring); the SRP side and the cross-label census stay
+    unsampled."""
+    from pro_etl_spark.ops.dedup import _cert_sample
+
     e = corpus_table(spark, d)
-    a, b = e.alias("a"), e.alias("b")
+    es = _cert_sample(spark, d, e, "vec_id", "embeddings")
+    a, b = es.alias("a"), es.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )

@@ -74,6 +74,13 @@ FAMILIES = [
     # constant again.
     ("dedup_embedding_cosine_ivf", 30.0),
     ("ann_ivf_topk", 30.0),
+    # round 10: the recall-certification keys' exact truth baselines
+    # sample above CERT_SAMPLE_N rows (dedup._cert_sample) — gate
+    # them so the certification itself keeps scaling.
+    ("dedup_ngram_jaccard", 30.0),
+    ("dedup_lsh_eval", 30.0),
+    ("dedup_shingle_lsh_eval", 30.0),
+    ("dedup_srp_eval", 30.0),
 ]
 
 pytestmark = pytest.mark.scaleprobe
