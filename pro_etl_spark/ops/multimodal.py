@@ -875,7 +875,19 @@ def mm_phash(spark: SparkSession, d: str) -> DataFrame:
 
     @pandas_udf("struct<phash: long, n_bits_set: long>")
     def _pack(varr):
-        V = np.stack(varr.values) if len(varr) else np.zeros((0, 64))
+        V = (
+            np.stack(varr.values).astype(np.float64)
+            if len(varr)
+            else np.zeros((0, 64))
+        )
+        # NULL propagation (ADVICE r9): a NULL documents.text row
+        # reaches this UDF as all-null grid cells (md5(NULL) → NULL),
+        # which astype(float64) turns into NaN; without the mask the
+        # int64 casts below would emit undefined garbage where the
+        # oracle (and the old HOF plan) propagate NULL. Flag the rows
+        # here, compute on zero-filled stand-ins, null the outputs.
+        bad = np.isnan(V).any(axis=1)
+        V = np.nan_to_num(V)
         n = V.shape[0]
         C = np.array(cmat)          # C[u][x]
         g = np.zeros((n, 8, 8), dtype=np.int64)   # g[., x, v]
@@ -901,12 +913,11 @@ def mm_phash(spark: SparkSession, d: str) -> DataFrame:
         m = np.sort(flat, axis=1, kind="stable")[:, 31]  # rank 32
         above = flat > m[:, None]
         w = np.array(wvec[1:], dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "phash": (above * w).sum(axis=1),
-                "n_bits_set": above.sum(axis=1).astype("int64"),
-            }
-        )
+        phash = pd.array((above * w).sum(axis=1), dtype="Int64")
+        nbits = pd.array(above.sum(axis=1).astype("int64"), dtype="Int64")
+        phash[bad] = None
+        nbits[bad] = None
+        return pd.DataFrame({"phash": phash, "n_bits_set": nbits})
 
     r = _pack(F.array(*[F.col(f"v{k}") for k in range(64)]))
     return s1.select("doc_id", r.alias("r")).select(

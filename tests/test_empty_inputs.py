@@ -457,3 +457,34 @@ def test_distinct_bigrams_degenerate_docs(spark):
     assert rows["  spaced  "] == []
     assert rows["two tokens"] == ["two tokens"]
     assert sorted(rows["a b a b"]) == ["a b", "b a"]
+
+
+def test_mm_phash_null_text_propagates_null(spark, tmp_path):
+    """NULL propagation through the Arrow pHash packer (ADVICE r9): a
+    NULL documents.text row reaches the pandas UDF as all-NaN grid
+    cells; the packer must emit NULL phash / n_bits_set (what the
+    oracle and the old HOF plan produce), never NaN-cast int64
+    garbage. The shipped testdata has no null text, so this fixture
+    plants one."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path)
+    docs = load(spark, SF, "documents").orderBy("doc_id").limit(4)
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    nulled = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == ids[0], F.lit(None).cast("string"))
+        .otherwise(F.col("text")),
+    )
+    nulled.coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    qs = pro_etl_spark.get_queries()
+    rows = {
+        r.doc_id: (r.phash, r.n_bits_set)
+        for r in qs["mm_phash"](spark, d).collect()
+    }
+    assert rows[ids[0]] == (None, None)
+    for k, (ph, nb) in rows.items():
+        if k != ids[0]:
+            assert ph is not None and nb is not None
