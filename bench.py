@@ -185,6 +185,45 @@ HEADLINE = [
     "ann_binary_quant",
 ]
 
+#: Version-pinned STABLE subset (round 10, VERDICT_r9 item 7): the
+#: 80-key round-8/9 headline set frozen as an explicit list, reported
+#: as a second total (`stable_total_sec`) alongside the full headline
+#: total every round. Round-over-round comparisons read the stable
+#: total — headline growth then never confounds the delta again (the
+#: r9 1.09×-in-suite vs ~0.99×-isolated ambiguity was exactly that
+#: confound). DO NOT edit this list when adding headline keys: append
+#: new keys to HEADLINE above; mint a STABLE_V<next> only when the
+#: old one's members change meaning.
+STABLE_V10 = (
+    "agg_multi_measure", "join_sortmerge", "join_broadcast_inner",
+    "window_running_sum", "join_asof", "migration_reconciliation",
+    "stream_tumbling", "dedup_minhash_lsh", "dedup_incremental",
+    "dedup_exact", "dedup_paragraph", "decontaminate_ngrams",
+    "shuffle_shards", "sql_returned_items", "sql_large_volume_customers",
+    "scd2_intervals", "ann_cosine_topk", "ann_ivf_kmeans_topk",
+    "ann_ivfpq_topk", "text_lm_score", "text_bm25", "join_temporal",
+    "stream_join_static", "text_quality", "text_fingerprint",
+    "text_tfidf", "cdc_snapshot_diff", "sql_product_profit",
+    "join_salted", "corpus_ngrams", "pca_power_top1", "events_ohlc",
+    "text_cooccurrence", "ann_hybrid_rrf", "anomaly_cusum",
+    "interval_concurrency", "graph_pagerank", "graph_kcore",
+    "merge_cdc_apply", "retention_cohorts", "rfm_segmentation",
+    "sessionize", "pipeline_gopher_filter", "seq_pack",
+    "text_rake_keyphrases", "mm_audio_energy", "pipeline_data_funnel",
+    "events_ks_test", "dedup_minhash_shingle", "window_holt",
+    "dedup_minhash_shingle_lsh", "sink_xml_sharded",
+    "dedup_shingle_clusters", "dedup_semantic_keep", "join_spatial_grid",
+    "events_mannwhitney", "bpe_encode", "impute_group_median",
+    "sample_weighted_systematic", "graph_label_propagation",
+    "corpus_js_divergence", "window_bollinger", "graph_bfs_distances",
+    "ann_filtered_topk", "ann_hard_negatives", "window_rolling_corr",
+    "dedup_ppjoin_prefix", "dedup_embedding_srp", "text_dedup_intra_span",
+    "join_range_binned", "events_bot_score", "ab_cuped",
+    "dedup_embedding_kmeans", "graph_hits", "mm_phash", "corpus_psi",
+    "funnel_time_constrained", "features_session_profile",
+    "funnel_attribution_markov", "ann_binary_quant",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -235,6 +274,8 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    stable = {k: v for k, v in timings.items() if k in set(STABLE_V10)}
+    stable_total = round(sum(stable.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -253,6 +294,9 @@ def main() -> None:
                 "metric": "headline_queries_total_sec_full",
                 "value": total,
                 "unit": "sec",
+                "stable_total_sec": stable_total,
+                "stable_n": len(stable),
+                "stable_set": "v10",
                 "queries": timings,
                 "sf": sf_val,
             },
@@ -270,6 +314,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "stable_total_sec": stable_total,
+                "stable_n": len(stable),
+                "stable_set": "v10",
                 "queries": compact,
                 "sf": sf_val,
             },
@@ -285,6 +332,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "stable_total_sec": stable_total,
+                "stable_n": len(stable),
+                "stable_set": "v10",
                 "queries": compact,
                 "sf": sf_val,
             },
