@@ -1102,14 +1102,26 @@ def mm_phash_near_dup(spark: SparkSession, d: str) -> DataFrame:
     Scale: the bucket shuffle is keyed by (band, band_val) and carries
     the SIGNATURES (16 bytes/doc), never the payloads; buckets larger
     than PHASH_MAX_BUCKET are dropped as too-common BEFORE the pair
-    expansion (the SRP_MAX_BUCKET guard — a degenerate corpus of
-    solid-color images caps per-bucket work at cap²/2 instead of
-    going quadratic), and pairs are generated IN-ROW from the
-    bucket-collected member list (the ``_lsh_candidates`` pattern:
-    no self-join, no O(pairs) shuffle — within one band a pair can
+    expansion AND before any member list materializes (ADVICE r9: the
+    cap rides a windowed per-(band, band_val) count — the oracle's
+    QUALIFY shape — so a degenerate hot bucket of identical signatures
+    never collects into one unbounded aggregation row; the window and
+    the collect share the same hash partitioning, so no extra
+    exchange). Pairs are generated IN-ROW from the capped
+    bucket-collected member list (the ``_lsh_candidates`` pattern: no
+    self-join, no O(pairs) shuffle — within one band a pair can
     collide in at most one bucket, so per-band counts need no
     distinct). The census columns still report ALL buckets, hot ones
-    included — they ARE the tuning table."""
+    included — they ARE the tuning table: the bucket aggregate keeps
+    every bucket's true size, and only the MEMBER COLLECT is capped
+    (``collect_list`` skips the NULLs the windowed size gate emits for
+    hot-bucket rows), so the one aggregation row a degenerate bucket
+    produces holds an EMPTY list, never an unbounded one. Window,
+    gate, and collect all ride the same (band, band_val) hash
+    partitioning — one exchange, shared via ReusedExchange by the
+    census and candidate consumers (a separate census aggregate over
+    the raw bands frame measured 2× — it re-ran the pHash UDF because
+    the subtrees no longer matched)."""
     ph = mm_phash(spark, d).select("doc_id", "phash")
     bands = ph.select(
         "doc_id",
@@ -1119,11 +1131,28 @@ def mm_phash_near_dup(spark: SparkSession, d: str) -> DataFrame:
         "band_val",
         F.expr("shiftright(phash, cast(band * 16 as int)) & 65535"),
     )
-    buckets = bands.groupBy("band", "band_val").agg(
-        F.count("*").alias("sz"),
-        F.sort_array(
-            F.collect_list(F.struct("doc_id", "phash"))
-        ).alias("ms"),
+    wb = Window.partitionBy("band", "band_val")
+    buckets = (
+        bands.withColumn("sz", F.count("*").over(wb))
+        .groupBy("band", "band_val")
+        .agg(
+            F.first("sz").alias("sz"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("sz").between(2, PHASH_MAX_BUCKET),
+                        F.struct("doc_id", "phash"),
+                    )
+                )
+            ).alias("ms"),
+        )
+        # bounded cache barrier (≤ cap members per bucket row): the
+        # census and candidate consumers prune different columns, so
+        # their subtrees diverge and ReusedExchange cannot dedupe —
+        # uncached, each re-ran the pHash UDF + window (measured 29 s
+        # vs 5 s at 10×). The broadcast (cand) side materializes
+        # first and fills the cache; the census side reads it.
+        .cache()
     )
     pair_structs = F.flatten(
         F.transform(
