@@ -44,8 +44,18 @@ def invalidate_dataset(spark: SparkSession, sf_dir: str) -> None:
     session would otherwise leave the Spark side training against the
     OLD corpus while the SQL oracles recompute from the new one. This
     is the documented invalidation point: drop the memo entries, clear
-    the Spark cache (cached frames are all dataset-derived), and
-    refresh the file listing so subsequent scans re-list.
+    the Spark cache, refresh the file listing so subsequent scans
+    re-list, and re-register this dataset's temp views (whose pinned
+    schemas would otherwise go stale) if ``register_views`` had been
+    called for it.
+
+    Scope note (deliberate coarseness): ``spark.catalog.clearCache()``
+    evicts cached frames for EVERY dataset in the session, not just
+    ``sf_dir`` — cached plans don't expose their source path, so
+    per-dataset eviction isn't reliably possible, and a rewrite is a
+    rare maintenance event where re-warming other datasets' caches is
+    the cheap, safe cost. The MEMO eviction, by contrast, is precise:
+    only keys mentioning ``sf_dir`` drop.
     """
     for memo in DATASET_MEMOS:
         for key in [
@@ -58,12 +68,20 @@ def invalidate_dataset(spark: SparkSession, sf_dir: str) -> None:
             spark.catalog.refreshByPath(f"{sf_dir}/{name}.parquet")
         except Exception:  # noqa: BLE001 — path may not exist yet
             pass
+    if _REGISTERED_VIEWS.get(spark.sparkContext.applicationId) == sf_dir:
+        register_views(spark, sf_dir)
+
+
+#: last register_views dataset per application — invalidate_dataset
+#: re-registers so temp views never keep a stale pinned schema
+_REGISTERED_VIEWS: dict = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view so users can drive
     the engine through plain ``spark.sql`` — the SQL twin of the
     DataFrame surface (same Catalyst plans)."""
+    _REGISTERED_VIEWS[spark.sparkContext.applicationId] = sf_dir
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 

@@ -739,14 +739,16 @@ def test_rfm_ntile_has_no_single_partition_window(spark):
     """rfm_segmentation's quintile scores use the distributed exact
     NTILE (range shuffle + per-partition ranks + literal offsets) —
     a SinglePartition exchange FEEDING A WINDOW/SORT would mean a
-    global window sort crept back in. The round-9 lazy-construction
-    fix swapped the RFM base's eager localCheckpoint for a cache
-    barrier, so the final plan now shows the full subtree inline —
-    including the scalar max(o_orderdate) aggregate, whose
-    SinglePartition exchange under a 1-row HashAggregate is how every
-    global aggregate legitimately finishes (the same distinction
+    global window sort crept back in. The RFM base deliberately KEEPS
+    its ``localCheckpoint(eager=False)`` barrier (analytics.py — the
+    _global_ntile pins make the query construction-eager regardless,
+    so a cache barrier would buy no laziness; round-9 A/B measured the
+    two within session noise), and any scalar max(o_orderdate)-style
+    aggregate that surfaces inline finishes with a SinglePartition
+    exchange under a 1-row HashAggregate, which is how every global
+    aggregate legitimately finishes (the same distinction
     scripts/plan_audit.py draws). Assert the window-feed pattern is
-    absent, plus the range pins (the _global_ntile internals still
+    absent, plus the range pins (the _global_ntile internals
     checkpoint their exchange: Scan ExistingRDD)."""
     plan = plan_of(spark, "rfm_segmentation")
     lines = plan.splitlines()
