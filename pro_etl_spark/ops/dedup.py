@@ -920,10 +920,12 @@ def corpus_table(spark: SparkSession, d: str) -> DataFrame:
     "dedup_embedding_cosine",
     baseline_twin="dedup_embedding_cosine_ivf",
     oracle=f"""
-    WITH e AS (
+    WITH {_CERT_CUT_SQL(n=CERT_SAMPLE_N, table="embeddings")},
+    e AS (
       SELECT vec_id, label, embedding,
              sqrt({DUCK_DOT.format(a="embedding", b="embedding")}) AS nrm
-      FROM embeddings
+      FROM embeddings, cert
+      WHERE {_CERT_PRED_SQL(id="vec_id")}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND({DUCK_DOT.format(a="a.embedding", b="b.embedding")}
@@ -936,8 +938,14 @@ def corpus_table(spark: SparkSession, d: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, d: str) -> DataFrame:
     """Embedding near-dup: within-cluster (label-blocked) pairwise
     cosine ≥ τ. At scale the blocks come from a coarse quantizer (IVF
-    cells) so the self-join stays per-cell."""
-    e = corpus_table(spark, d)
+    cells) so the self-join stays per-cell — this label-blocked form
+    is the EXACTNESS BASELINE for the family (its blocks grow with
+    the corpus), so above ``CERT_SAMPLE_N`` vectors it runs on the
+    deterministic certification sample (see that constant's
+    docstring); at the grading and bench SFs it is exhaustive."""
+    e = _cert_sample(
+        spark, d, corpus_table(spark, d), "vec_id", "embeddings"
+    )
     a = e.alias("a")
     b = e.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (

@@ -2700,72 +2700,69 @@ def text_dedup_intra_span(spark: SparkSession, d: str) -> DataFrame:
     marks all its tokens for removal; the document is re-emitted with
     only the kept tokens (first occurrence always survives). Catches
     boilerplate echoes, scraper stutter, and navigation loops that
-    inflate token counts and teach models to repeat themselves. The
-    whole transform is in-row higher-order functions — span list,
-    earlier-duplicate flags, per-token coverage test — identical
-    lambda algebra in both engines, so even the reconstructed text is
-    value-exact.
+    inflate token counts and teach models to repeat themselves.
 
-    Scale: zero shuffles — a narrow map over documents; per-doc cost
-    is O(spans^2) string compares (bounded by document length, the
-    classic trade against building a per-doc hash set in a Python
-    UDF, which would leave the JVM). At 100 TB this runs as a scan-
-    attached projection in the ingest pass, before any corpus-level
-    dedup shuffles."""
+    Arrow-vectorized (round 10, the mm_phash recipe): the in-row HOF
+    form did O(spans²) interpreted string compares per document
+    (array_contains over the growing prefix — 59.8 s at the 10×
+    probe); one pandas UDF now builds a per-doc hash SET of spans
+    (O(spans)), flags earlier-duplicates, and takes the sliding-window
+    coverage test over a prefix-sum of the flags — per-doc linear.
+    The codegen'd JVM split feeds it the token array (shared \\s+
+    contract); span keys are the same space-joined strings the oracle
+    compares, so the reconstructed text stays value-exact. Still zero
+    shuffles — a narrow map over documents; at 100 TB this runs as a
+    scan-attached projection in the ingest pass, before any
+    corpus-level dedup shuffles."""
+    import numpy as np
+
     n = INTRA_SPAN_N
-    docs = load(spark, d, "documents").select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
-    )
-    m = F.size("toks")
-    spans = F.when(
-        m >= n,
-        F.transform(
-            F.sequence(F.lit(1), m - (n - 1)),
-            lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sp = docs.select("doc_id", "toks", m.alias("m"), spans.alias("spans"))
-    dupf = F.transform(
-        F.sequence(F.lit(1), F.size("spans")),
-        lambda i: (i > 1)
-        & F.array_contains(
-            F.slice(F.col("spans"), F.lit(1), (i - 1).cast("int")),
-            F.element_at(F.col("spans"), i),
-        ),
-    )
-    dup = sp.select(
-        "doc_id",
-        "toks",
-        "m",
-        F.when(F.size("spans") > 0, dupf)
-        .otherwise(F.array().cast("array<boolean>"))
-        .alias("dupf"),
-    )
-    removed = lambda k: F.when(  # noqa: E731
-        F.size("dupf") > 0,
-        F.exists(
-            F.sequence(
-                F.greatest(F.lit(1), k - (n - 1)),
-                F.least(k, F.size("dupf")),
-            ),
-            lambda i: F.element_at(F.col("dupf"), i),
+
+    @pandas_udf("struct<n_tokens: long, n_removed: long, cleaned_text: string>")
+    def intra(toks: pd.Series) -> pd.DataFrame:
+        nt, nr, cl = [], [], []
+        for lst in toks:
+            if lst is None:
+                nt.append(None)
+                nr.append(None)
+                cl.append(None)
+                continue
+            m = len(lst)
+            nspan = m - n + 1
+            if nspan < 1:
+                nt.append(m)
+                nr.append(0)
+                cl.append(" ".join(lst))
+                continue
+            seen: set = set()
+            dup = np.zeros(nspan, dtype=np.int64)
+            for i in range(nspan):
+                key = " ".join(lst[i : i + n])
+                if key in seen:
+                    dup[i] = 1
+                else:
+                    seen.add(key)
+            cs = np.concatenate(([0], np.cumsum(dup)))
+            kept = [
+                t
+                for k, t in enumerate(lst)
+                if cs[min(k, nspan - 1) + 1] - cs[max(0, k - (n - 1))] == 0
+            ]
+            nt.append(m)
+            nr.append(m - len(kept))
+            cl.append(" ".join(kept))
+        return pd.DataFrame(
+            {"n_tokens": nt, "n_removed": nr, "cleaned_text": cl}
         )
-        & (F.greatest(F.lit(1), k - (n - 1)) <= F.least(k, F.size("dupf"))),
-    ).otherwise(F.lit(False))
-    kept = F.filter(
-        F.sequence(F.lit(1), F.col("m")), lambda k: ~removed(k)
+
+    docs = load(spark, d, "documents").select(
+        "doc_id", intra(TOKENS()).alias("r")
     )
-    marked = dup.select("doc_id", "toks", "m", kept.alias("kept"))
-    return marked.select(
+    return docs.select(
         "doc_id",
-        F.col("m").cast("long").alias("n_tokens"),
-        (F.col("m") - F.size("kept")).cast("long").alias("n_removed"),
-        F.array_join(
-            F.transform(
-                F.col("kept"), lambda k: F.element_at(F.col("toks"), k)
-            ),
-            " ",
-        ).alias("cleaned_text"),
+        F.col("r")["n_tokens"].alias("n_tokens"),
+        F.col("r")["n_removed"].alias("n_removed"),
+        F.col("r")["cleaned_text"].alias("cleaned_text"),
     )
 
 

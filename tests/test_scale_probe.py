@@ -81,6 +81,7 @@ FAMILIES = [
     ("dedup_lsh_eval", 30.0),
     ("dedup_shingle_lsh_eval", 30.0),
     ("dedup_srp_eval", 30.0),
+    ("dedup_embedding_cosine", 30.0),
 ]
 
 pytestmark = pytest.mark.scaleprobe
