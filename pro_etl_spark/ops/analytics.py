@@ -3519,12 +3519,21 @@ def sample_poisson_bootstrap(spark: SparkSession, d: str) -> DataFrame:
             F.col("replicate").cast("string"),
         )
     ) % 1000000
-    wt = F.size(
-        F.filter(
-            F.array(*[F.lit(t).cast("long") for t in BOOT_CUM_MICROS]),
-            lambda t: t <= u,
-        )
-    ).cast("long")
+    # _let-bind the hash before the threshold filter: referenced
+    # directly inside the lambda, the md5 re-evaluates once per
+    # threshold (|BOOT_CUM_MICROS|× per row-replicate — the standard
+    # interpreted-HOF no-CSE hazard; 35 s at the 10× probe)
+    from pro_etl_spark.ops.multimodal import _let
+
+    wt = _let(
+        u,
+        lambda uu: F.size(
+            F.filter(
+                F.array(*[F.lit(t).cast("long") for t in BOOT_CUM_MICROS]),
+                lambda t: t <= uu,
+            )
+        ).cast("long"),
+    )
     return (
         e.select("event_id", "value", r)
         .select("replicate", "value", wt.alias("wt"))

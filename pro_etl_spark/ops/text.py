@@ -722,10 +722,14 @@ def text_winnow(spark: SparkSession, d: str) -> DataFrame:
             out.append(fps)
         return pd.Series(out)
 
-    docs = load(spark, d, "documents").select(
-        "doc_id", winnow_fps(TOKENS()).alias("fps")
+    # explode DIRECTLY over the UDF call: staging the UDF output as a
+    # named column first makes ExtractPythonUDFs emit a second, DEAD
+    # ArrowEvalPython below the Generate that still evaluates per
+    # batch (plan-verified: 2 nodes for the two-select form, 1 for
+    # this form — the round-10 duplicated-subtree sweep's finding)
+    return load(spark, d, "documents").select(
+        "doc_id", F.explode(winnow_fps(TOKENS())).alias("fp")
     )
-    return docs.select("doc_id", F.explode("fps").alias("fp"))
 
 
 PACK_CAP = 512  # context-window capacity in tokens

@@ -135,10 +135,18 @@ def main() -> None:
         except Exception as e:
             out[name] = f"ERR: {type(e).__name__}: {str(e)[:200]}"
         print(json.dumps({name: out[name]}), flush=True)
+    # `value` is the PER-KEY SUM, not this run's wall clock: with the
+    # merge/resume path (key args) a partial rerun's wall would
+    # otherwise masquerade as the registry total (the round-9 record's
+    # 996 s was exactly this artifact — its true full-pass sum was
+    # 3202 s). `wall_sec` keeps this invocation's wall for reference.
     doc = {
         "metric": "scale_probe_total_sec",
-        "value": round(time.perf_counter() - t_all, 2),
+        "value": round(
+            sum(v for v in out.values() if isinstance(v, (int, float))), 2
+        ),
         "unit": "sec",
+        "wall_sec": round(time.perf_counter() - t_all, 2),
         "queries": out,
         "sf_dir": sf,
     }
