@@ -841,3 +841,46 @@ def test_nested_pruning_readschema(spark):
     assert "status" in schema and "price" in schema, schema
     assert "priority" not in schema, schema
     assert "half" not in schema, schema
+
+
+def _optimized_plan_of(spark, name: str) -> str:
+    df = pro_etl_spark.get_queries()[name](spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_langid_tokenizes_once(spark):
+    """text_langid's round-10 fix: the tokenizer must appear exactly
+    once in the optimized plan (the one-projection form re-built the
+    regex split inside ~10 interpreted marker-filter lambdas — 138 s
+    at the 10× layout). CollapseProject keeps the staged projections
+    apart only while every produced expression stays non-cheap AND
+    multi-referenced; this pin catches anyone collapsing them back."""
+    plan = _optimized_plan_of(spark, "text_langid")
+    assert plan.count("split(") == 1, plan.count("split(")
+    assert plan.count("filter(") == 4
+
+
+def test_poisson_bootstrap_hashes_once(spark):
+    """sample_poisson_bootstrap's round-10 fix: the salted md5 row
+    hash is _let-bound, so it appears once in the optimized plan —
+    referenced directly inside the threshold filter lambda it
+    re-evaluated per Poisson threshold (interpreted HOFs get no CSE
+    across lambda boundaries)."""
+    plan = _optimized_plan_of(spark, "sample_poisson_bootstrap")
+    assert plan.count("md5(") == 1, plan.count("md5(")
+
+
+def test_winnow_single_arrow_udf(spark):
+    """text_winnow must plan exactly ONE ArrowEvalPython: staging the
+    UDF output as a named column before the explode makes
+    ExtractPythonUDFs emit a second, DEAD ArrowEvalPython below the
+    Generate that still evaluates the winnowing UDF per batch
+    (round-10 duplicated-subtree sweep). Exploding directly over the
+    UDF call is the fixed form."""
+    assert plan_of(spark, "text_winnow").count("ArrowEvalPython") == 1
+
+
+def test_fingerprint_single_arrow_udf(spark):
+    """text_fingerprint's rolling-hash UDF must plan exactly once —
+    same dead-duplicate hazard class as text_winnow."""
+    assert plan_of(spark, "text_fingerprint").count("ArrowEvalPython") == 1
