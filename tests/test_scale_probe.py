@@ -116,3 +116,20 @@ def test_growth_factor(spark, probe_ready, name, ceiling):
         f"(growth {growth:.1f}× > ceiling {ceiling}×) — check the "
         f"blocking/bucketing config for quadratic candidate generation"
     )
+
+
+def test_sampled_certification_still_certifies_at_10x(spark, probe_ready):
+    """The round-10 sampled-certification regime must still produce a
+    MEANINGFUL certificate above CERT_SAMPLE_N rows: at the 10× layout
+    the truth sample is non-empty (the estimator has support), recall
+    stays a valid probability, and the LSH side still reports its
+    cross-block extras — i.e. sampling made the certification cheap,
+    not vacuous."""
+    import pro_etl_spark
+
+    qs = pro_etl_spark.get_queries()
+    for key in ("dedup_lsh_eval", "dedup_shingle_lsh_eval", "dedup_srp_eval"):
+        row = qs[key](spark, SF10X).collect()[0]
+        assert row.n_truth > 0, (key, "empty sampled truth set")
+        assert 0.0 <= row.recall <= 1.0, (key, row.recall)
+        assert row.n_hit <= row.n_truth, (key, row.n_hit, row.n_truth)
