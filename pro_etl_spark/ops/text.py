@@ -1673,16 +1673,26 @@ def text_cooccurrence(spark: SparkSession, d: str) -> DataFrame:
     side fans out O(tokens × window) locally; the only shuffles are
     the (w1, w2) count and the tiny marginal join, both map-side
     combinable. This is the word2vec/GloVe preprocessing stage a
-    100 TB corpus runs as one map + one combine-heavy reduce."""
-    toks = TOKENS()
-    pairs = F.flatten(
-        F.transform(
-            toks,
-            lambda x, i: F.transform(
-                F.slice(toks, i + 2, COOC_WINDOW),
-                lambda y: F.struct(x.alias("w1"), y.alias("w2")),
-            ),
-        )
+    100 TB corpus runs as one map + one combine-heavy reduce.
+
+    The token array is ``_let``-bound (round 10): referencing
+    ``TOKENS()`` directly inside the per-token context lambda re-ran
+    the regex split ONCE PER TOKEN in the interpreted HOF evaluator —
+    O(n²) re-tokenization per doc, the text_rouge2/text_winnow hazard
+    (39.7 s at the 10× probe for what is an O(n·window) expansion)."""
+    from pro_etl_spark.ops.multimodal import _let
+
+    pairs = _let(
+        TOKENS(),
+        lambda toks: F.flatten(
+            F.transform(
+                toks,
+                lambda x, i: F.transform(
+                    F.slice(toks, i + 2, COOC_WINDOW),
+                    lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+                ),
+            )
+        ),
     )
     cnt = (
         load(spark, d, "documents")
