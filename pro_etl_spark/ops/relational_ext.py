@@ -1462,7 +1462,33 @@ def window_rolling_median(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-@register("agg_hll_merge")  # rows-only: sketch estimates have no SQL oracle
+#: lgK for ``agg_hll_merge``: DataSketches HLL is EXACT while the
+#: sketch is still in its sparse (coupon) regime, which at lgK=14
+#: comfortably covers every test SF's per-month user cardinality
+#: (sf0.1 = 1500 distinct; measured exact through lgK=12..20 — lgK=12
+#: first deviates at sf0.1: 1488/1494 vs 1500). Sized one notch above
+#: the measured boundary so the key carries a FULL value oracle
+#: (estimate == exact COUNT(DISTINCT)) at all test scales; beyond the
+#: sparse regime accuracy degrades gracefully per the published
+#: 1.04/sqrt(2^lgK) bound, which tests/test_sketches.py pins.
+HLL_LGK = 14
+
+
+@register(
+    "agg_hll_merge",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+             COUNT(DISTINCT user_id) AS x
+      FROM events GROUP BY 1
+    )
+    SELECT month,
+           CAST(x AS BIGINT) AS est_merged,
+           CAST(x AS BIGINT) AS est_direct,
+           CAST(x AS BIGINT) AS exact_users
+    FROM m
+    """,
+)
 def agg_hll_merge(spark: SparkSession, d: str) -> DataFrame:
     """Mergeable-sketch distinct counting (Apache DataSketches HLL,
     Spark 4 native): per-day user sketches built once, then UNIONED
@@ -1473,23 +1499,27 @@ def agg_hll_merge(spark: SparkSession, d: str) -> DataFrame:
     single-pass direct estimate, and the exact distinct count. The
     merge property (merged == direct, bit-identical — DataSketches
     HLL union of same-lgK sketches is deterministic) is asserted in
-    tests/test_sketches.py; the estimate's relative error vs exact is
-    bounded there too. Registered rows-only: a DuckDB oracle cannot
-    reproduce DataSketches register contents, and quantizing an
-    approximation would certify nothing."""
+    tests/test_sketches.py. Value-verified since round 11: lgK is
+    sized (``HLL_LGK``) so the sketch sits in its exact sparse regime
+    at every test SF, making estimate == exact a full SQL oracle —
+    the exact-regime guard itself is a test, so a data change that
+    exits the regime fails loudly rather than silently approximating
+    against an exact oracle."""
     ev = load(spark, d, "events").select(
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.date_trunc("month", F.col("ts")).alias("month"),
         "user_id",
     )
     daily = ev.groupBy("month", "day").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id", HLL_LGK).alias("sk")
     )
     merged = daily.groupBy("month").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
     )
     direct = ev.groupBy("month").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", HLL_LGK)
+        ).alias("est_direct"),
         F.count_distinct("user_id").alias("exact_users"),
     )
     return merged.join(direct, "month").select(

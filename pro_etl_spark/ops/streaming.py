@@ -434,10 +434,30 @@ _SESSION_STATE_MEMO: dict = {}
 DATASET_MEMOS.append(_SESSION_STATE_MEMO)
 
 
-@register("stream_session_state")  # rows-only: emissions are the
-# watermark-cleared PREFIX of the batch sessions (trailing sessions
-# correctly stay in state); prefix parity vs the batch twin is pinned
-# in tests/test_streaming.py
+@register(
+    "stream_session_state",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts >= lag(ts) OVER w + INTERVAL 5 MINUTES
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    ), wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events)
+    SELECT session_start, user_id, CAST(n_events AS BIGINT) AS n_events
+    FROM agg, wm
+    WHERE session_end + INTERVAL 5 MINUTES <= w
+    """,
+)
 def stream_session_state(spark: SparkSession, d: str) -> DataFrame:
     """Third REAL stateful streaming run: sessionization via
     ``applyInPandasWithState`` with EVENT-TIME TIMEOUT
@@ -447,6 +467,17 @@ def stream_session_state(spark: SparkSession, d: str) -> DataFrame:
     staged as two time-split source files with maxFilesPerTrigger=1,
     so the second micro-batch runs with the first's watermark and the
     timeout path (state.hasTimedOut) genuinely fires — not simulated.
+
+    Value-verified since round 11: after the last data batch the
+    engine runs a no-data batch with the fully-advanced watermark
+    (spark.sql.streaming.noDataMicroBatches.enabled, default on), so
+    the emitted set is exactly the batch sessions provably closed
+    against the FINAL watermark — sessions with last_event + gap <=
+    max(ts) - 1 minute (the timeout predicate at streaming_jobs.py's
+    ``s[1] + gap_us <= wm_us``). That is plain gaps-and-islands SQL,
+    so the stateful run carries a full value oracle; the looser
+    prefix-parity bounds remain in tests/test_streaming.py as the
+    semantic explanation.
 
     Scale: state per user is the OPEN session triples only — the
     watermark expires everything else — and emissions are append-mode

@@ -194,15 +194,15 @@ def test_pagerank_mass_and_positivity(spark):
 def test_hll_merge_equals_direct_and_bounds_error(spark):
     """DataSketches HLL: union of per-day sketches must equal the
     single-pass sketch bit-for-bit (same lgK, deterministic registers),
-    and the estimate must sit within the configured accuracy band of
-    the exact count."""
+    and — the exact-regime guard the value oracle rests on — the
+    estimate must EQUAL the exact count at test SFs (lgK=14 keeps the
+    sketch sparse at these cardinalities; if a data change ever exits
+    the regime, this fails loudly and the oracle must be revisited)."""
     rows = pro_etl_spark.get_queries()["agg_hll_merge"](spark, SF).collect()
     assert rows
     for r in rows:
         assert r["est_merged"] == r["est_direct"]
-        assert abs(r["est_merged"] - r["exact_users"]) <= max(
-            2, 0.05 * r["exact_users"]
-        )
+        assert r["est_merged"] == r["exact_users"]
 
 
 def test_ppjoin_contains_every_blocked_baseline_pair(spark):
