@@ -262,65 +262,74 @@ def scan_binary_files(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-@register("sink_xml_sharded")  # rows-only: multi-doc round-trip fidelity
+#: shard count for the sharded XML sink (and its oracle's modulus)
+XML_SHARDS = 4
+
+
+@register(
+    "sink_xml_sharded",
+    oracle=f"""
+    SELECT CAST(c_custkey AS VARCHAR) AS id,
+           CAST(c_custkey % {XML_SHARDS} AS INT) AS shard,
+           CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS n_users
+    FROM customer
+    """,
+)
 def sink_xml_sharded(spark: SparkSession, d: str) -> DataFrame:
     """S5 at scale: SHARDED enveloped-XML sink. ``sink_xml``'s
     single-document mode matches the reference contract
     (migrate.py:286-293) but funnels every byte through one driver
     file handle — a single-writer ceiling at 100 TB. Here each of N
     shards is a complete well-formed XML document written entirely
-    executor-side (envelope rows + hash-sharded record rows, one text
-    file per shard — see xml_io.write_xml_document_sharded), with a
+    executor-side (envelope rows + sharded record rows, one text file
+    per shard — see xml_io.write_xml_document_sharded), with the
     per-shard manifest as the commit record (sink_manifest_commit's
-    protocol, one level down). Returned manifest: (shard, n_records,
-    n_rescanned) where n_rescanned re-reads each shard document with
-    the native XML source — the round-trip proof that every shard is
-    independently parseable."""
+    protocol, one level down; manifest == rescan census is pinned in
+    tests/test_xml_io.py).
+
+    Value-verified since round 11 (the sink_orc recipe): the returned
+    rows are the RESCAN — every customer element re-read from the
+    shard documents by the native XML source, with the shard id
+    re-derived from FILE PLACEMENT (partition discovery on shard=N),
+    not from the writer's arithmetic. The oracle recomputes id, shard
+    and per-record body shape (user count) from the customer base, so
+    a dropped record, a misplaced record, an unparseable shard, or a
+    body-mangling render all surface as value mismatches. Shard
+    assignment is ``id % {XML_SHARDS}`` rather than a Murmur3 hash
+    ONLY so the oracle can recompute placement cross-engine — the
+    writer takes any assignment column, and hash placement keeps its
+    own round-trip test (test_xml_io.py)."""
     from pro_etl_spark.ops.nested import nested_customers
     from pro_etl_spark import xml_io
 
-    shards = 4
-    path = _tmp(f"sink_xml_sharded_{dataset_suffix(d)}")
+    path = _tmp(f"sink_xml_sharded_v2_{dataset_suffix(d)}")
     out = os.path.join(path, "docs")
     n = nested_customers(spark, d).drop("key")
     rendered = xml_io.customer_xml(n).withColumn(
         "_id", F.regexp_extract(F.col("value"), r'customer id="([^"]*)"', 1)
     )
-    manifest = None
-
-    def do_write():
-        nonlocal manifest
-        manifest = xml_io.write_xml_document_sharded(
+    _write_once(
+        out,
+        lambda: xml_io.write_xml_document_sharded(
             rendered.select("value", "_id"),
             out,
-            shards,
+            XML_SHARDS,
             shard_key=F.col("_id"),
             root_tag="enfinity",
             nsmap=xml_io.ENFINITY_NSMAP,
-        )
-
-    _write_once(out, do_write)
-    if manifest is None:  # reused completed output; recompute the census
-        manifest = rendered.select(
-            F.pmod(F.hash(F.col("_id")), F.lit(shards)).alias("shard")
-        ).groupBy("shard").agg(F.count("*").alias("n_records"))
-    # partition discovery on the shard=N layout re-derives the shard id
-    # from file placement — the rescan checks the files, not the hash
+            shard_assign=F.pmod(F.col("_id").cast("long"), F.lit(XML_SHARDS)),
+        ),
+    )
     back = (
         spark.read.format("xml")
         .option("rowTag", "customer")
         .load(out)
-        .groupBy("shard")
-        .agg(F.count("*").alias("n_rescanned"))
     )
-    return (
-        manifest.join(back, "shard", "full")
-        .select(
-            "shard",
-            F.coalesce("n_records", F.lit(0)).alias("n_records"),
-            F.coalesce("n_rescanned", F.lit(0)).alias("n_rescanned"),
-        )
-        .orderBy("shard")
+    return back.select(
+        F.col("_id").cast("string").alias("id"),
+        F.col("shard").cast("int").alias("shard"),
+        F.size("user").cast("long").alias("n_users"),
     )
 
 

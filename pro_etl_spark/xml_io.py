@@ -190,6 +190,7 @@ def write_xml_document_sharded(
     root_tag: str = "enfinity",
     root_attrs: dict[str, str] | None = None,
     nsmap: dict[str, str] | None = None,
+    shard_assign=None,
 ) -> DataFrame:
     """Sharded XML sink — the 100 TB escape from the single-writer
     ceiling of ``write_xml_document`` (which stream-concatenates every
@@ -211,7 +212,13 @@ def write_xml_document_sharded(
     in-flight files).
 
     ``shard_key`` is the Column the shard assignment hashes; callers
-    pick a stable id so re-runs land records in the same shard."""
+    pick a stable id so re-runs land records in the same shard.
+    ``shard_assign``, when given, is used VERBATIM as the shard number
+    (must already be in [0, shards)) instead of hashing ``shard_key`` —
+    callers that need a cross-engine-reproducible placement (e.g. a
+    value oracle recomputing ``id % shards`` in another SQL engine,
+    where Spark's Murmur3 ``hash()`` has no twin) pass an explicit
+    arithmetic assignment here."""
     import pyspark.sql.functions as F
 
     ns = "".join(f' xmlns:{p}="{u}"' for p, u in (nsmap or {}).items())
@@ -220,8 +227,13 @@ def write_xml_document_sharded(
     footer = f"</{root_tag}>"
 
     col = records.columns[0]
+    assign = (
+        shard_assign.cast("int")
+        if shard_assign is not None
+        else F.pmod(F.hash(shard_key), F.lit(shards))
+    )
     body = records.select(
-        F.pmod(F.hash(shard_key), F.lit(shards)).alias("shard"),
+        assign.alias("shard"),
         F.lit(1).alias("ord"),
         F.col(col).alias("line"),
     )

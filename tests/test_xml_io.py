@@ -166,3 +166,40 @@ def test_sharded_write_round_trips_every_document(spark, tmp_path):
         assert ids == (placed if ids else set())
         seen |= ids
     assert seen == expected
+
+
+def test_sharded_manifest_matches_rescan_census(spark, tmp_path):
+    """Explicit ``shard_assign`` path (the oracle-reproducible
+    placement sink_xml_sharded uses): the writer's manifest counts
+    must equal the per-shard census of a native-XML rescan, and file
+    placement (partition discovery on shard=N) must agree with the
+    arithmetic assignment for every record."""
+    shards = 4
+    n = nested_customers(spark, SF).drop("key")
+    rendered = xml_io.customer_xml(n).withColumn(
+        "_id", F.regexp_extract(F.col("value"), r'customer id="([^"]*)"', 1)
+    )
+    out = str(tmp_path / "sharded_assign")
+    manifest = {
+        r.shard: r.n_records
+        for r in xml_io.write_xml_document_sharded(
+            rendered.select("value", "_id"),
+            out,
+            shards,
+            shard_key=F.col("_id"),
+            nsmap=xml_io.ENFINITY_NSMAP,
+            shard_assign=F.pmod(F.col("_id").cast("long"), F.lit(shards)),
+        ).collect()
+    }
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .load(out)
+        .select(F.col("_id").cast("long").alias("id"), "shard")
+        .collect()
+    )
+    census: dict[int, int] = {}
+    for r in back:
+        assert r.shard == r.id % shards, (r.id, r.shard)
+        census[r.shard] = census.get(r.shard, 0) + 1
+    assert census == manifest
