@@ -623,8 +623,71 @@ def corpus_mix_weights(spark: SparkSession, d: str) -> DataFrame:
 PACK_CAPACITY = 64
 
 
-@register("pack_bestfit")  # rows-only: FFD is inherently sequential —
-# certified by invariant tests (tests/test_properties.py), not SQL
+@register(
+    "pack_bestfit",
+    oracle=rf"""
+    WITH RECURSIVE docs AS (
+      SELECT source, doc_id,
+             LEAST(len(regexp_split_to_array(trim(text), '\s+')),
+                   {PACK_CAPACITY}) AS n_tokens
+      FROM documents
+    ), ordered AS (
+      SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM docs
+    ), counts AS (
+      SELECT source, COUNT(*) AS n FROM ordered GROUP BY source
+    ),
+    -- sequential FFD replay: one recursion step places doc rn = i+1
+    -- (every source advances in lockstep; fills = per-bin loads in
+    -- creation order, bins = placement per rn). This is the greedy
+    -- loop itself, not an approximation of it.
+    step AS (
+      SELECT source, CAST(0 AS BIGINT) AS i,
+             CAST([] AS BIGINT[]) AS fills,
+             CAST([] AS BIGINT[]) AS bins
+      FROM counts
+      UNION ALL
+      SELECT s.source, s.i + 1,
+             CASE WHEN list_filter(range(1, len(s.fills)+1),
+                        j -> s.fills[j] + o.n_tokens <= {PACK_CAPACITY}
+                        )[1] IS NULL
+                  THEN list_append(s.fills, o.n_tokens)
+                  ELSE list_transform(range(1, len(s.fills)+1),
+                         j -> CASE WHEN j = list_filter(
+                                     range(1, len(s.fills)+1),
+                                     k -> s.fills[k] + o.n_tokens
+                                          <= {PACK_CAPACITY})[1]
+                                   THEN s.fills[j] + o.n_tokens
+                                   ELSE s.fills[j] END)
+             END,
+             list_append(s.bins,
+               COALESCE(list_filter(range(1, len(s.fills)+1),
+                          j -> s.fills[j] + o.n_tokens
+                               <= {PACK_CAPACITY})[1],
+                        len(s.fills) + 1) - 1)
+      FROM step s
+      JOIN counts c USING (source)
+      JOIN ordered o ON o.source = s.source AND o.rn = s.i + 1
+      WHERE s.i < c.n
+    ), final AS (
+      SELECT s.source, s.fills, s.bins
+      FROM step s JOIN counts c USING (source)
+      WHERE s.i = c.n
+    ), assign AS (
+      SELECT source,
+             generate_subscripts(bins, 1) AS rn,
+             unnest(bins) AS bin_id,
+             fills
+      FROM final
+    )
+    SELECT o.source, o.doc_id, o.n_tokens,
+           CAST(a.bin_id AS BIGINT) AS bin_id,
+           CAST(a.fills[CAST(a.bin_id AS INT) + 1] AS BIGINT) AS bin_fill
+    FROM assign a JOIN ordered o USING (source, rn)
+    """,
+)
 def pack_bestfit(spark: SparkSession, d: str) -> DataFrame:
     """Context-window packing by first-fit-decreasing — the padding-
     minimizing alternative to ``seq_pack``'s concat-then-chunk: whole
@@ -639,10 +702,14 @@ def pack_bestfit(spark: SparkSession, d: str) -> DataFrame:
     per-shard sequentiality is the natural grain, same as seq_pack).
 
     Determinism: placement order is (n_tokens DESC, doc_id) and bins
-    are scanned in creation order, so re-runs produce identical bins —
-    no SQL oracle can replay a greedy loop, so certification is by
-    invariants: every doc appears once, no bin over capacity (oversize
-    docs isolate), fill ratio beats the naive sequential packing."""
+    are scanned in creation order, so re-runs produce identical bins.
+    Value-verified since round 11: the oracle REPLAYS the greedy loop
+    itself as a DuckDB recursive CTE (one recursion step per placement,
+    fills carried as a list, first-fitting bin via list_filter), so the
+    pandas loop is checked placement-by-placement against an
+    independent sequential-fold implementation — plus the standing
+    invariant tests (every doc once, no bin over capacity, fill ratio
+    beats naive sequential packing) in tests/test_properties.py."""
     import pandas as pd
 
     docs = load(spark, d, "documents").select(
