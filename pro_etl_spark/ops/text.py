@@ -1976,9 +1976,31 @@ def text_rake_keyphrases(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-@register("text_compression_ratio")  # rows-only: no SQL zlib — the
-# signal's invariants (bounds + anti-correlation with the repetition
-# census) are pinned in tests/test_properties.py
+def _zlib_pins_values() -> str:
+    """VALUES body for text_compression_ratio's oracle — independent
+    zlib-size pins generated by scripts/gen_compression_pins.py (plain
+    Python + DuckDB over the parquet, no Spark and no operator code)."""
+    from pro_etl_spark.ops._zlib_pins import PINS
+
+    return ",".join(f"({d},'{m}',{n})" for d, m, n in PINS)
+
+
+@register(
+    "text_compression_ratio",
+    oracle=f"""
+    WITH pins(doc_id, text_md5, pin_compressed) AS (
+      VALUES {_zlib_pins_values()}
+    )
+    SELECT d.doc_id,
+           CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(p.pin_compressed AS BIGINT) AS n_compressed,
+           CAST(p.pin_compressed AS DOUBLE)
+             / octet_length(CAST(d.text AS BLOB)) AS ratio
+    FROM documents d
+    JOIN pins p ON p.doc_id = d.doc_id
+               AND p.text_md5 = substr(md5(d.text), 1, 16)
+    """,
+)
 def text_compression_ratio(spark: SparkSession, d: str) -> DataFrame:
     """Compression-ratio quality signal: deflate the utf-8 payload at
     level 6 and report compressed/original bytes — the cheap
@@ -1989,11 +2011,18 @@ def text_compression_ratio(spark: SparkSession, d: str) -> DataFrame:
     the batch loop is in C), emitting integer byte counts plus the
     one-division ratio.
 
-    No SQL oracle exists for DEFLATE output size, so the operator is
-    rows-only with property tests instead: ratio bounds, monotone
-    relationship to the exact repetition census on the corpus's most
-    and least repetitive documents, and determinism across runs (zlib
-    level pinned; same bytes → same size on any worker).
+    DEFLATE output size has no closed-form SQL twin, so the value
+    oracle (since round 11) is a PINNED independent expectation:
+    scripts/gen_compression_pins.py computes every document's
+    compressed size in plain Python over the parquet (no Spark, no
+    operator code) at the official correctness SFs, and the oracle
+    joins those pins on doc_id + md5(text) — n_bytes and the ratio are
+    recomputed live in SQL, only the zlib integer is pinned. The md5
+    join key makes staleness fail LOUDLY (zero matches → row-count
+    mismatch), never false-pass. Property tests additionally pin ratio
+    bounds, the monotone relationship to the exact repetition census,
+    and determinism across runs (zlib level pinned; same bytes → same
+    size on any worker).
 
     Scale: map-only; at 100 TB this is the same narrow pass the other
     quality signals ride, and the ratio column feeds
