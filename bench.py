@@ -224,6 +224,13 @@ STABLE_V10 = (
     "funnel_attribution_markov", "ann_binary_quant",
 )
 
+# import-time drift guard: every stable key must still be a headline
+# key, or stable_total_sec silently shrinks (ADVICE r10)
+_stable_orphans = set(STABLE_V10) - set(HEADLINE)
+assert not _stable_orphans, (
+    f"STABLE_V10 keys not in HEADLINE: {sorted(_stable_orphans)}"
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -274,7 +281,20 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    stable = {k: v for k, v in timings.items() if k in set(STABLE_V10)}
+    # Membership drift guard (ADVICE r10): a STABLE_V10 key renamed or
+    # dropped from HEADLINE would silently shrink stable_total_sec and
+    # break the round-over-round comparison the stable set exists for.
+    # Fail loudly instead — unless an explicit SPARK_GRAFT_HEADLINE
+    # subset run is in play, where partial intersection is the point.
+    stable_set = set(STABLE_V10)
+    if not subset:
+        missing = stable_set - set(timings)
+        assert not missing, (
+            f"STABLE_V10 keys missing from HEADLINE timings: "
+            f"{sorted(missing)} — stable_total_sec would silently "
+            f"shrink; restore the keys or mint STABLE_V11"
+        )
+    stable = {k: v for k, v in timings.items() if k in stable_set}
     stable_total = round(sum(stable.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

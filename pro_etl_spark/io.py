@@ -68,20 +68,27 @@ def invalidate_dataset(spark: SparkSession, sf_dir: str) -> None:
             spark.catalog.refreshByPath(f"{sf_dir}/{name}.parquet")
         except Exception:  # noqa: BLE001 — path may not exist yet
             pass
-    if _REGISTERED_VIEWS.get(spark.sparkContext.applicationId) == sf_dir:
+    if _REGISTERED_VIEWS.get(spark) == sf_dir:
         register_views(spark, sf_dir)
 
 
-#: last register_views dataset per application — invalidate_dataset
-#: re-registers so temp views never keep a stale pinned schema
-_REGISTERED_VIEWS: dict = {}
+#: last register_views dataset per SESSION — invalidate_dataset
+#: re-registers so temp views never keep a stale pinned schema. Keyed
+#: by the SparkSession itself (weakly, so dropped sessions don't pin
+#: memory), NOT by applicationId: temp views are session-scoped, and
+#: ``spark.newSession()`` shares one application — an app-keyed memo
+#: tracked only the last (app, sf_dir) pair and could re-register
+#: views into the wrong session or skip a stale one.
+import weakref as _weakref  # noqa: E402 — scoped to the memo above
+
+_REGISTERED_VIEWS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view so users can drive
     the engine through plain ``spark.sql`` — the SQL twin of the
     DataFrame surface (same Catalyst plans)."""
-    _REGISTERED_VIEWS[spark.sparkContext.applicationId] = sf_dir
+    _REGISTERED_VIEWS[spark] = sf_dir
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 

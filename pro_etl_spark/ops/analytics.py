@@ -689,7 +689,9 @@ _PROFILE_COLS = (
         for name, expr in _PROFILE_COLS
     ),
 )
-def profile_columns(spark: SparkSession, d: str) -> DataFrame:
+def profile_columns(
+    spark: SparkSession, d: str, approx: bool = False
+) -> DataFrame:
     """Table profiler (ANALYZE-style data-quality summary): one row per
     profiled column with row/non-null/distinct counts and min/max, all
     from a SINGLE scan — the per-column measures are computed in one
@@ -699,10 +701,16 @@ def profile_columns(spark: SparkSession, d: str) -> DataFrame:
 
     Scale: multiple exact COUNT(DISTINCT)s in one aggregate plan via
     Expand (scan replicated ×5 in the shuffle) — the exact-profile
-    shape for daily-partition audits. For a 100 TB full-table profile
-    swap ``countDistinct`` for ``approx_count_distinct`` and the Expand
-    disappears; everything else is identical (documented trade, same
-    output schema).
+    shape for daily-partition audits. ``approx=True`` is the 100 TB
+    full-table variant: distinct counts come from DataSketches HLL
+    (``hll_sketch_estimate(hll_sketch_agg(col, lgK=14))``) and the
+    Expand disappears — one unreplicated pass, same output schema.
+    DataSketches (unlike ``approx_count_distinct``'s HLL++, which is
+    off-by-one even at 150 distinct — measured) is EXACT in its sparse
+    regime, so the variant is value-tested against the exact profile
+    at test SFs (tests/test_sketches.py); past the regime it degrades
+    per the published bound. The registered key stays the exact
+    variant.
     """
     o = load(spark, d, "orders").withColumn(
         "o_totalprice_dec", F.col("o_totalprice").cast("decimal(18,2)")
@@ -714,11 +722,22 @@ def profile_columns(spark: SparkSession, d: str) -> DataFrame:
         "o_orderdate": "o_orderdate",
         "o_totalprice": "o_totalprice_dec",
     }
+
+    def nd(c: str):
+        if approx:
+            # the sketch takes int/bigint/string/binary only; cast
+            # timestamps/decimals to their canonical string — an
+            # injective mapping, so distinct counts are unchanged
+            return F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(c).cast("string"), 14)
+            )
+        return F.countDistinct(c)
+
     aggs = [F.count("*").alias("n_rows")]
     for name, c in spark_cols.items():
         aggs += [
             F.count(c).alias(f"nn_{name}"),
-            F.countDistinct(c).alias(f"nd_{name}"),
+            nd(c).alias(f"nd_{name}"),
             F.min(c).cast("string").alias(f"mn_{name}"),
             F.max(c).cast("string").alias(f"mx_{name}"),
         ]

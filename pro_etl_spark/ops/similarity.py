@@ -99,7 +99,11 @@ def ann_cosine_topk(spark: SparkSession, d: str) -> DataFrame:
 #: through CEIL∘SQRT∘SQRT (sqrt is IEEE-correctly-rounded, so the
 #: integer M — and therefore every FLOOR cell id — is bit-identical
 #: cross-engine at every SF). The row stride 10⁶ keeps the 2-D→1-D
-#: packing collision-free up to |coord·M| < 10⁶.
+#: packing collision-free up to |coord·M| < 5·10⁵ — HALF the stride,
+#: since cell indices can be negative: (i+1, j−10⁶) would alias (i, j)
+#: once |j| reaches the full stride (ADVICE r10). Unreachable here
+#: (M ≈ 2·N^¼, |coord| ≤ 1), but audit any pitch/stride change
+#: against the half-stride bound, not the stride itself.
 _GM_CTE = (
     "gm AS (SELECT GREATEST(2, CAST(CEIL(2.0 * SQRT(SQRT("
     "CAST(COUNT(*) AS DOUBLE)))) AS BIGINT)) AS gm FROM embeddings)"

@@ -140,9 +140,15 @@ def register(
     """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # extra kwargs pass through so variant parameters beyond the
+        # driver contract (e.g. profile_columns(approx=True)) stay
+        # callable on the registered name; the driver always calls
+        # (spark, sf_dir) and hits the defaults
+        def wrapped(
+            spark: SparkSession, sf_dir: str, **kwargs
+        ) -> DataFrame:
             tune(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kwargs)
 
         wrapped.__name__ = name
         wrapped.__doc__ = fn.__doc__

@@ -28,13 +28,19 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+#: name -> (per-node-family max allowed count, justification). The
+#: allowance pins the EXPECTED counts, not just the name: if an
+#: allowed query later regresses past its justified count (a genuine
+#: recompute — the exact hazard this gate exists for), it fails the
+#: sweep again instead of hiding behind its old entry.
 ALLOWED = {
     "mm_phash_near_dup": (
-        "2 ArrowEvalPython: the capped bucket table is a bounded .cache() "
-        "read by the census and candidate consumers; the pHash UDF prints "
-        "inside each InMemoryRelation's cached-plan text but executes once "
+        {"ArrowEvalPython": 2},
+        "the capped bucket table is a bounded .cache() read by the "
+        "census and candidate consumers; the pHash UDF prints inside "
+        "each InMemoryRelation's cached-plan text but executes once "
         "(cache fill) — measured 10.5 s warm at 10×, vs 29 s when the "
-        "subtrees really did recompute"
+        "subtrees really did recompute",
     ),
 }
 
@@ -66,8 +72,12 @@ def main() -> None:
             findings[name] = f"ERR {type(e).__name__}: {str(e)[:120]}"
             continue
         counts = {n: p.count(n) for n in NODES if p.count(n) > 1}
-        if counts and name not in ALLOWED:
-            findings[name] = counts
+        allowance = ALLOWED.get(name, (None,))[0] or {}
+        excess = {
+            n: c for n, c in counts.items() if c > allowance.get(n, 1)
+        }
+        if excess:
+            findings[name] = excess
         print(json.dumps({name: counts or "clean"}), flush=True)
     print(
         f"\n{len(qs) - len(findings)}/{len(qs)} clean, "

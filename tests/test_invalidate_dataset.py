@@ -75,3 +75,32 @@ def test_memo_registry_covers_model_state_dicts():
     for memo in (sim._N_VEC_MEMO, sim._KM_CB_MEMO, sim._PQ_CB_MEMO,
                  sim._PCA_MODEL_MEMO):
         assert any(memo is m for m in pio.DATASET_MEMOS)
+
+
+def test_view_memo_is_session_scoped(spark):
+    """Temp views are SparkSession-scoped, so the register_views memo
+    must track each session independently (ADVICE r10: an
+    applicationId-keyed memo tracked only the LAST (app, sf_dir) pair,
+    so invalidate could re-register views into the wrong session or
+    skip a session whose views were stale)."""
+    from pro_etl_spark import io as pio
+
+    sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    s2 = spark.newSession()
+    pio.register_views(spark, sf_a)
+    pio.register_views(s2, sf_b)
+    # both sessions tracked, each with its own dataset (the app-keyed
+    # memo kept only s2's later registration)
+    assert pio._REGISTERED_VIEWS[spark] == sf_a
+    assert pio._REGISTERED_VIEWS[s2] == sf_b
+    # each session's views resolve against ITS dataset
+    n_a = spark.sql("SELECT count(*) AS n FROM events").collect()[0].n
+    n_b = s2.sql("SELECT count(*) AS n FROM events").collect()[0].n
+    assert (n_a, n_b) == (1000, 10000)
+    # invalidating session 1's dataset re-registers session 1's views
+    # (skipped under the app-keyed memo, which said sf_b) and leaves
+    # session 2's registration untouched
+    pio.invalidate_dataset(spark, sf_a)
+    assert pio._REGISTERED_VIEWS[spark] == sf_a
+    assert pio._REGISTERED_VIEWS[s2] == sf_b
+    assert spark.sql("SELECT count(*) AS n FROM events").collect()[0].n == 1000

@@ -82,6 +82,15 @@ FAMILIES = [
     ("dedup_shingle_lsh_eval", 30.0),
     ("dedup_srp_eval", 30.0),
     ("dedup_embedding_cosine", 30.0),
+    # round 11: pin the SCALEPROBE_r10 top-of-table keys' claimed
+    # linearity (they replaced the fixed quadratics at the top of the
+    # probe): the enveloped XML sink (executor-side render + driver
+    # envelope concat, both linear), power-iteration PCA (driver loop
+    # of narrow matrix-fold rounds), and the contamination report
+    # (broadcast eval shingles past the corpus).
+    ("sink_xml", 30.0),
+    ("pca_power_top2", 30.0),
+    ("corpus_contamination_report", 30.0),
 ]
 
 pytestmark = pytest.mark.scaleprobe

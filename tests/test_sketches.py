@@ -324,3 +324,22 @@ def test_cert_sample_exhaustive_below_threshold_and_deterministic(spark):
     s2 = {r.doc_id for r in _cert_sample(spark, SF, docs, "doc_id", "documents").collect()}
     assert s1 == {r.doc_id for r in docs.collect()}
     assert s1 == s2
+
+
+def test_profile_columns_approx_variant_matches_exact_and_drops_expand(spark):
+    """The 100 TB profile variant (``profile_columns(..., approx=True)``,
+    VERDICT r10 #7): DataSketches-HLL distinct counts must EQUAL the
+    exact profile at test SFs (sparse-regime exactness, same contract
+    as agg_hll_merge), and the plan must lose the Expand node the
+    5-way exact COUNT(DISTINCT) needs — the whole point of the trade."""
+    from pro_etl_spark.ops.analytics import profile_columns
+
+    exact_df = profile_columns(spark, SF)
+    approx_df = profile_columns(spark, SF, approx=True)
+    exact = {r.col: r.asDict() for r in exact_df.collect()}
+    approx = {r.col: r.asDict() for r in approx_df.collect()}
+    assert exact == approx
+    exact_plan = exact_df._jdf.queryExecution().executedPlan().toString()
+    approx_plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
