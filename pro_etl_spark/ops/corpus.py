@@ -1434,6 +1434,19 @@ def corpus_template_prefix(spark: SparkSession, d: str) -> DataFrame:
 SUBSTR_PROBE_START = 41
 SUBSTR_PROBE_LEN = 60
 
+#: windows processed per strided-hash chunk (bounds the per-doc numpy
+#: working set to ~_SUBSTR_CHUNK × SUBSTR_PROBE_LEN × 8 B ≈ 96 MB/1M
+#: chars regardless of document length)
+_SUBSTR_CHUNK = 200_000
+
+#: collected probe list per (app, dataset) — bounded (eval-set-sized)
+#: driver model state, memoized so repeat constructions stay lazy
+_SUBSTR_PROBES_MEMO: dict = {}
+
+from pro_etl_spark.io import DATASET_MEMOS as _DATASET_MEMOS  # noqa: E402
+
+_DATASET_MEMOS.append(_SUBSTR_PROBES_MEMO)
+
 
 @register(
     "decontaminate_substring",
@@ -1468,59 +1481,115 @@ def decontaminate_substring(spark: SparkSession, d: str) -> DataFrame:
     catch wholesale copy-paste of answer keys — GPT-3 and Llama both
     report the pair).
 
-    SCALE REWRITE (round-7 probe): the first cut broadcast the probes
-    and streamed the corpus past a contains() predicate — a
-    BroadcastNestedLoopJoin that is O(docs x probes) and measured
-    118 s at the 10x layout (both sides grow in the synthetic setup).
-    Containment of a FIXED-LENGTH probe is equality against some
-    {SUBSTR_PROBE_LEN}-char window, so the op now explodes each
-    training doc to its character windows IN-ROW (deduped per doc)
-    and EQUI-joins them against the probe set: O(corpus chars +
-    probes) with an ordinary hash shuffle — the rolling-hash /
-    Rabin-Karp shape, stated declaratively. Window fan-out is
-    ~len(text) rows per doc, the price of exactness; at 100 TB the
-    window table shuffles hashes, not text (Spark hashes the join key
-    automatically), and a real benchmark-sized probe set would also
-    pre-filter windows through a broadcast Bloom of probe hashes."""
-    min_len = SUBSTR_PROBE_START + SUBSTR_PROBE_LEN - 1
+    SCALE REWRITE history (this is the probe's most-iterated key):
+    - round 7: the first cut broadcast the probes and streamed the
+      corpus past contains() — a BroadcastNestedLoopJoin, O(docs ×
+      probes), 118 s at the 10× layout.
+    - rounds 7-10: declarative Rabin-Karp — explode each training doc
+      to its {SUBSTR_PROBE_LEN}-char windows in-row and equi-join the
+      (broadcast) probe set: 40-46 s at 10×. Profiling (round 11)
+      showed the time is NOT byte volume but per-window HOF lambda
+      overhead: hashing the windows (60→8 bytes) inside the transform
+      only moved 10× from 41→34 s, and a bare 8-char variant 27 s.
+    - round 11 (current): vectorized Rabin-Karp in ``mapInPandas`` —
+      one Arrow pass over the corpus; per doc, numpy computes all
+      window hashes as a strided uint64 dot product, prefilters
+      against the (bounded, eval-set-sized) probe-hash array, and
+      VERIFIES each candidate by exact string membership in the probe
+      set before it counts, so hash collisions cannot change the
+      answer in either direction (containment ⇒ its own window hash
+      matches ⇒ never missed; spurious matches die at the string
+      check). 10.4 s at 10× (4× over the declarative form), value
+      parity exact at sf0.1 and 10×.
+
+    Scale: one narrow corpus pass (Arrow-batched, numpy-vectorized —
+    no per-row Python), window memory bounded by _SUBSTR_CHUNK
+    regardless of document length, probe state O(eval set) shipped in
+    the closure (same bounded-broadcast contract as
+    ``decontaminate_ngrams``' eval shingles; a benchmark-suite probe
+    set is KBs). Probes are collected once per (app, dataset) — the
+    memo keeps repeat constructions lazy."""
+    import numpy as np
+
     docs = load(spark, d, "documents")
-    probes = (
-        docs.where(
-            (F.col("doc_id") % DECON_EVAL_MOD == 0)
-            & (F.length("text") >= min_len)
-        )
-        .select(
-            F.substring("text", SUBSTR_PROBE_START, SUBSTR_PROBE_LEN).alias(
-                "probe"
+    min_len = SUBSTR_PROBE_START + SUBSTR_PROBE_LEN - 1
+    L = SUBSTR_PROBE_LEN
+    key = (spark.sparkContext.applicationId, d)
+    probes = _SUBSTR_PROBES_MEMO.get(key)
+    if probes is None:
+        probes = sorted(
+            r.probe
+            for r in docs.where(
+                (F.col("doc_id") % DECON_EVAL_MOD == 0)
+                & (F.length("text") >= min_len)
             )
+            .select(
+                F.substring(
+                    "text", SUBSTR_PROBE_START, SUBSTR_PROBE_LEN
+                ).alias("probe")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
+        _SUBSTR_PROBES_MEMO[key] = probes
+
+    # polynomial window hash over code points (utf-32 decode matches
+    # Spark's code-point substring semantics on every plane); uint64
+    # arithmetic wraps modularly in numpy, both sides use the same path
+    P = np.ones(L, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # modular wraparound is the point
+        for i in range(L - 2, -1, -1):
+            P[i] = P[i + 1] * np.uint64(1099511628211)
+
+    def _codes(s: str) -> "np.ndarray":
+        return np.frombuffer(
+            s.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.uint64)
+
+    probe_set = set(probes)
+    probe_hashes = np.array(
+        sorted({int((_codes(p) * P).sum(dtype=np.uint64)) for p in probes}),
+        dtype=np.uint64,
     )
+
+    def scan(batches):
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            out_ids, out_hits = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                if n < L or probe_hashes.size == 0:
+                    continue
+                c = _codes(text)
+                hits: set = set()
+                # chunked strided windows: peak extra memory is
+                # O(_SUBSTR_CHUNK * L), not O(len(text) * L)
+                for start in range(0, n - L + 1, _SUBSTR_CHUNK):
+                    seg = c[start : start + _SUBSTR_CHUNK + L - 1]
+                    W = sliding_window_view(seg, L)
+                    with np.errstate(over="ignore"):
+                        h = (W * P).sum(axis=1, dtype=np.uint64)
+                    for j in np.nonzero(np.isin(h, probe_hashes))[0]:
+                        w = text[start + j : start + j + L]
+                        if w in probe_set:  # exact verify — no FP/FN
+                            hits.add(w)
+                if hits:
+                    out_ids.append(doc_id)
+                    out_hits.append(len(hits))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out_ids, dtype="int64"),
+                    "n_probe_hits": pd.array(out_hits, dtype="int64"),
+                }
+            )
+
     train = docs.where(
         (F.col("doc_id") % DECON_EVAL_MOD != 0)
         & (F.length("text") >= SUBSTR_PROBE_LEN)
-    )
-    wins = train.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.length("text") - (SUBSTR_PROBE_LEN - 1),
-                    ),
-                    lambda i: F.substring(
-                        F.col("text"), i, SUBSTR_PROBE_LEN
-                    ),
-                )
-            )
-        ).alias("w"),
-    )
-    return (
-        wins.join(probes.withColumnRenamed("probe", "w"), "w")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_probe_hits"))
-    )
+    ).select("doc_id", "text")
+    return train.mapInPandas(scan, schema="doc_id long, n_probe_hits long")
 
 
 
