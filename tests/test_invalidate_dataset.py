@@ -104,3 +104,19 @@ def test_view_memo_is_session_scoped(spark):
     assert pio._REGISTERED_VIEWS[spark] == sf_a
     assert pio._REGISTERED_VIEWS[s2] == sf_b
     assert spark.sql("SELECT count(*) AS n FROM events").collect()[0].n == 1000
+
+
+def test_substr_probe_memo_registered_for_eviction():
+    """The decontaminate_substring probe memo (round 11) is dataset
+    state like the similarity models: a rewritten dataset dir must not
+    keep serving stale probes after invalidate_dataset."""
+    import pro_etl_spark
+
+    # load the full registry BEFORE touching ops.corpus: its composed
+    # oracles read other modules' ORACLES entries at import time, so a
+    # bare corpus import in a fresh process KeyErrors
+    pro_etl_spark.get_queries()
+    from pro_etl_spark import io as pio
+    from pro_etl_spark.ops import corpus
+
+    assert any(corpus._SUBSTR_PROBES_MEMO is m for m in pio.DATASET_MEMOS)
