@@ -91,6 +91,17 @@ FAMILIES = [
     ("sink_xml", 30.0),
     ("pca_power_top2", 30.0),
     ("corpus_contamination_report", 30.0),
+    # round 11 second batch: the rest of the SCALEPROBE_r11 top —
+    # power iteration's other key, the two per-group Python API
+    # surfaces (linear in group count by construction; the gate pins
+    # that no pre-join blowup or per-row path sneaks in), the VAD
+    # island windows over the audio frames, and the composed dedup
+    # cascade census.
+    ("pca_power_top1", 30.0),
+    ("udf_grouped_map", 30.0),
+    ("udf_cogrouped_map", 30.0),
+    ("mm_audio_vad_segments", 30.0),
+    ("dedup_cascade_census", 30.0),
 ]
 
 pytestmark = pytest.mark.scaleprobe
