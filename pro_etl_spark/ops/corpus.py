@@ -1434,10 +1434,11 @@ def corpus_template_prefix(spark: SparkSession, d: str) -> DataFrame:
 SUBSTR_PROBE_START = 41
 SUBSTR_PROBE_LEN = 60
 
-#: windows processed per strided-hash chunk (bounds the per-doc numpy
-#: working set to ~_SUBSTR_CHUNK × SUBSTR_PROBE_LEN × 8 B ≈ 96 MB/1M
-#: chars regardless of document length)
-_SUBSTR_CHUNK = 200_000
+#: windows processed per strided-hash chunk. The W·P product
+#: materializes _SUBSTR_CHUNK × SUBSTR_PROBE_LEN uint64s, so peak
+#: extra memory per task is ~chunk × 60 × 8 B ≈ 48 MB — bounded
+#: regardless of document length, and safe × 32 concurrent tasks
+_SUBSTR_CHUNK = 100_000
 
 #: collected probe list per (app, dataset) — bounded (eval-set-sized)
 #: driver model state, memoized so repeat constructions stay lazy

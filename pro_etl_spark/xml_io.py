@@ -300,7 +300,14 @@ def read_manifest_document(
     # one bounded driver sample fixes the record schema (standard
     # schema-inference cost, one row); production callers with a known
     # schema pass it straight to from_xml instead
-    sample = wrapped.select("xml").first()[0]
+    head = wrapped.select("xml").head(1)
+    if not head:
+        raise ValueError(
+            f"manifest {manifest_path} has no {row_tag} records to "
+            "infer a schema from — pass parts to spark.read directly "
+            "with an explicit schema for empty documents"
+        )
+    sample = head[0][0]
     ddl = spark.range(1).select(
         F.schema_of_xml(F.lit(sample)).alias("s")
     ).first()[0]
