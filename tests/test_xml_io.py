@@ -292,3 +292,24 @@ def test_manifest_envelope_assembly_is_flat_in_data_volume(spark, tmp_path):
     assert sizes["small"][0] == sizes["large"][0]  # header bytes flat
     assert sizes["small"][1] == sizes["large"][1]  # footer bytes flat
     assert sizes["large"][2] == 8 + 2  # manifest ~ part count, not bytes
+
+
+def test_manifest_of_empty_record_set_composes_valid_empty_document(
+    spark, tmp_path
+):
+    """Zero records is a legal document (envelope only): the manifest
+    still composes to well-formed XML, and the fragment reader refuses
+    loudly (no schema to infer) instead of returning garbage."""
+    empty = xml_io.customer_xml(
+        nested_customers(spark, SF).drop("key")
+    ).limit(0)
+    mdir = str(tmp_path / "mempty")
+    manifest = xml_io.write_xml_document_manifest(
+        empty, mdir, root_attrs=ROOT_ATTRS, nsmap=xml_io.ENFINITY_NSMAP
+    )
+    composed = xml_io.compose_manifest(manifest, str(tmp_path / "e.xml"))
+    root = ET.parse(composed).getroot()  # strict: raises if malformed
+    assert root.tag == "enfinity"
+    assert len(root) == 0
+    with pytest.raises(ValueError, match="no customer records"):
+        xml_io.read_manifest_document(spark, manifest)
