@@ -32,6 +32,10 @@ def main() -> None:
 
     spark = get_spark("sf-sweep")
     qs = pro_etl_spark.get_queries()
+    # warm-up: whichever key runs first otherwise absorbs JVM/codegen
+    # startup into ITS number (r11 sweep: events_mannwhitney recorded
+    # 10.7 s in first position vs 4.4 s warm) — same hygiene as bench.py
+    qs["agg_count"](spark, sf).write.format("noop").mode("overwrite").save()
     out = {}
     for name in qs:
         t0 = time.perf_counter()
