@@ -35,6 +35,11 @@ from pro_etl_spark.ops.dedup import (
     dedup_minhash_lsh,
 )
 from pro_etl_spark.ops.hashing import DUCK_HASH60, hash60
+from pro_etl_spark.ops.text import pipeline_gopher_filter  # noqa: F401
+# ^ imported for its registration side effect: _funnel_oracle() below
+#   reads ORACLES["pipeline_gopher_filter"] at module-import time, so a
+#   bare `import pro_etl_spark.ops.corpus` in a fresh process must pull
+#   text.py in first (bit two tests in r11 before this line existed)
 from pro_etl_spark.registry import register
 
 #: tokens per pseudo-paragraph segment. The synthetic corpus has no
