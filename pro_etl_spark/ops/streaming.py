@@ -455,7 +455,7 @@ DATASET_MEMOS.append(_SESSION_STATE_MEMO)
     ), wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events)
     SELECT session_start, user_id, CAST(n_events AS BIGINT) AS n_events
     FROM agg, wm
-    WHERE session_end + INTERVAL 5 MINUTES <= w
+    WHERE session_end + INTERVAL 5 MINUTES < w
     """,
 )
 def stream_session_state(spark: SparkSession, d: str) -> DataFrame:
@@ -472,12 +472,17 @@ def stream_session_state(spark: SparkSession, d: str) -> DataFrame:
     engine runs a no-data batch with the fully-advanced watermark
     (spark.sql.streaming.noDataMicroBatches.enabled, default on), so
     the emitted set is exactly the batch sessions provably closed
-    against the FINAL watermark — sessions with last_event + gap <=
-    max(ts) - 1 minute (the timeout predicate at streaming_jobs.py's
-    ``s[1] + gap_us <= wm_us``). That is plain gaps-and-islands SQL,
-    so the stateful run carries a full value oracle; the looser
-    prefix-parity bounds remain in tests/test_streaming.py as the
-    semantic explanation.
+    against the FINAL watermark — sessions with last_event + gap
+    STRICTLY BEFORE max(ts) - 1 minute. Strict, because the engine
+    fires an event-time timeout only when the watermark passes
+    strictly beyond the set timestamp; the handler's sweep uses the
+    same strict comparison so a tie session never rides a sibling's
+    callback (the synthetic tie test in tests/test_streaming.py pins
+    the boundary — under a <= sweep, whether a tying session emitted
+    depended on whether another session triggered the callback, a
+    two-level predicate no SQL twin should encode). Plain
+    gaps-and-islands SQL; the looser prefix-parity bounds remain in
+    tests/test_streaming.py as the semantic explanation.
 
     Scale: state per user is the OPEN session triples only — the
     watermark expires everything else — and emissions are append-mode

@@ -306,8 +306,17 @@ def session_state_stream(ev: DataFrame, gap_min: int = 5) -> DataFrame:
         if state.hasTimedOut:
             wm_us = state.getCurrentWatermarkMs() * 1000
             still_open = []
+            # STRICT <: matches the engine's own firing convention
+            # (an event-time timeout fires only when the watermark
+            # passes strictly beyond the set timestamp), so the
+            # emitted set is exactly {sessions: last + gap < final
+            # watermark} — with <= here, a session TYING the
+            # watermark emitted only if a strictly-closable sibling
+            # triggered the same callback, a two-level predicate no
+            # SQL twin should have to encode (round-11 synthetic tie
+            # test pinned the divergence)
             for s in sessions:
-                (emitted if s[1] + gap_us <= wm_us else still_open).append(s)
+                (emitted if s[1] + gap_us < wm_us else still_open).append(s)
             sessions = still_open
         else:
             ts_new = []

@@ -340,7 +340,9 @@ def test_session_state_stream_prefix_parity(spark):
     must_emit = {
         (r.user_id, r.session_start, r.n_events)
         for r in batch
-        if r.session_end + datetime.timedelta(minutes=5) <= wm1
+        # strict <, matching the engine's timeout-firing convention
+        # (see test_session_state_tie_at_watermark_stays_open)
+        if r.session_end + datetime.timedelta(minutes=5) < wm1
     }
     assert must_emit <= got
 
@@ -417,3 +419,52 @@ def test_checkpoint_recovery_resumes(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_session_state_tie_at_watermark_stays_open(spark, tmp_path):
+    """Pin the boundary predicate of the round-11 value oracle with a
+    constructed corpus the real data never produces: a session whose
+    last_event + gap lands EXACTLY on the final watermark
+    (max(ts) − 1 min). The engine fires an event-time timeout only
+    when the watermark passes STRICTLY beyond the set timestamp, and
+    the handler sweep is strict to match (streaming_jobs.py), so the
+    tie session must stay in state — exactly what the oracle's
+    strict `<` twin predicts. (Under a `<=` sweep the tie's fate
+    depended on whether a sibling session triggered the callback —
+    the divergence this test originally caught.)"""
+    import datetime
+
+    import pandas as pd
+
+    import pro_etl_spark
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    # user 7: session A = {10:00} (ends 10:00); session B = {10:06}
+    # (the global max). Final watermark = 10:06 − 1 min = 10:05;
+    # A closes at 10:00 + 5 min = 10:05 == watermark → the tie.
+    # user 8: one event at 10:00 → closes 10:05 == watermark too,
+    # but 8 ALSO has a strictly-closable session at 09:30 (09:35 <
+    # 10:05) whose callback would have swept a tie under <=.
+    rows = [
+        (0, t0, 7, "click", 0.0, "{}"),
+        (1, t0 + datetime.timedelta(minutes=6), 7, "click", 0.0, "{}"),
+        (2, t0 - datetime.timedelta(minutes=30), 8, "click", 0.0, "{}"),
+        (3, t0, 8, "click", 0.0, "{}"),
+    ]
+    d = str(tmp_path / "tie")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(f"{d}/events.parquet")
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in pro_etl_spark.get_queries()["stream_session_state"](
+            spark, d
+        ).collect()
+    }
+    # only user 8's strictly-closable 09:30 session emits; both tie
+    # sessions (users 7 and 8 at 10:00) and the 10:06 max stay open
+    assert got == {(8, t0 - datetime.timedelta(minutes=30), 1)}, got
