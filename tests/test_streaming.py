@@ -526,3 +526,58 @@ def test_running_totals_state_carries_across_many_batches(spark, tmp_path):
         .collect()
     }
     assert {r.user_id: (r.n_events, r.total_micros) for r in final} == batch
+
+
+def test_topk_state_carries_across_many_batches(spark, tmp_path):
+    """Same multi-batch exercise for the top-k leaderboard: 3 files →
+    3+ data batches, and the final per-user top-3 must equal the batch
+    window-rank exactly (integer-micros ordering makes the state
+    batching-invariant; the registered key only ever sees one batch)."""
+    from pyspark.sql import Window
+
+    from pro_etl_spark import streaming_jobs as S
+
+    ev = load(spark, SF, "events")
+    import glob
+    import os
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        tmp = str(tmp_path / f"s{i}")
+        ev.where(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/*.parquet")[0], f"{flat}/part_{i}.parquet")
+    stream = S.read_events_stream(spark, flat)
+    q = S.run_to_memory(
+        S.topk_state_stream(stream, k=3), "topk_split3", output_mode="update"
+    )
+    assert sum(1 for p in q.recentProgress if p["numInputRows"] > 0) >= 3
+    emitted = spark.table("topk_split3")
+    w = Window.partitionBy("user_id")
+    final = {
+        (r.user_id, r.rank, r.micros, r.event_id)
+        for r in emitted.withColumn("mx", F.max("n_seen").over(w))
+        .where(F.col("n_seen") == F.col("mx"))
+        .select("user_id", "rank", "micros", "event_id")
+        .collect()
+    }
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("micros"), F.asc("event_id")
+    )
+    batch = {
+        (r.user_id, r.rank, r.micros, r.event_id)
+        for r in ev.select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("micros"),
+        )
+        .withColumn("rank", F.row_number().over(wb))
+        .where(F.col("rank") <= 3)
+        .collect()
+    }
+    assert final == batch
