@@ -705,12 +705,14 @@ def profile_columns(
     full-table variant: distinct counts come from DataSketches HLL
     (``hll_sketch_estimate(hll_sketch_agg(col, lgK=14))``) and the
     Expand disappears — one unreplicated pass, same output schema.
-    DataSketches (unlike ``approx_count_distinct``'s HLL++, which is
-    off-by-one even at 150 distinct — measured) is EXACT in its sparse
-    regime, so the variant is value-tested against the exact profile
-    at test SFs (tests/test_sketches.py); past the regime it degrades
-    per the published bound. The registered key stays the exact
-    variant.
+    Accuracy, measured: DataSketches is value-EQUAL to the exact
+    profile at sf0.001 (every column ≤ 1500 distinct — pinned by
+    tests/test_sketches.py), where ``approx_count_distinct``'s HLL++
+    is already off-by-one at 150 distinct; above ~2k distinct the
+    coupon estimator starts deviating (sf0.01: o_orderdate 2399 →
+    2385, o_totalprice 14999 → 14934 — 0.4-0.6% low, inside the
+    published bound), which is the normal sketch trade the variant
+    exists to make. The registered key stays the exact variant.
     """
     o = load(spark, d, "orders").withColumn(
         "o_totalprice_dec", F.col("o_totalprice").cast("decimal(18,2)")

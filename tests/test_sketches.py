@@ -329,8 +329,9 @@ def test_cert_sample_exhaustive_below_threshold_and_deterministic(spark):
 def test_profile_columns_approx_variant_matches_exact_and_drops_expand(spark):
     """The 100 TB profile variant (``profile_columns(..., approx=True)``,
     VERDICT r10 #7): DataSketches-HLL distinct counts must EQUAL the
-    exact profile at test SFs (sparse-regime exactness, same contract
-    as agg_hll_merge), and the plan must lose the Expand node the
+    exact profile at THIS suite's SF (sf0.001, every column ≤ 1500
+    distinct — the coupon estimator starts deviating ~2k, measured at
+    sf0.01: 2399 → 2385), and the plan must lose the Expand node the
     5-way exact COUNT(DISTINCT) needs — the whole point of the trade."""
     from pro_etl_spark.ops.analytics import profile_columns
 
