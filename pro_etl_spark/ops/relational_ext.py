@@ -1463,15 +1463,18 @@ def window_rolling_median(spark: SparkSession, d: str) -> DataFrame:
 
 
 #: lgK for ``agg_hll_merge``: DataSketches HLL is EXACT while the
-#: sketch is still in its sparse (coupon) regime, which at lgK=14
-#: comfortably covers every test SF's per-month user cardinality
-#: (sf0.1 = 1500 distinct; measured exact through lgK=12..20 — lgK=12
-#: first deviates at sf0.1: 1488/1494 vs 1500). Sized one notch above
-#: the measured boundary so the key carries a FULL value oracle
-#: (estimate == exact COUNT(DISTINCT)) at all test scales; beyond the
-#: sparse regime accuracy degrades gracefully per the published
-#: 1.04/sqrt(2^lgK) bound, which tests/test_sketches.py pins.
-HLL_LGK = 14
+#: sketch is still in its sparse (coupon) regime. Measured exactness
+#: boundaries: lgK=12 first deviates at 1500 distinct (sf0.1 users:
+#: 1488/1494 vs 1500); lgK=14 is exact at 1500 but deviates ~2.4k
+#: (2399 -> 2388 on sf0.01 order dates); lgK=16 is exact through
+#: 2399. Sized at 16 — sketch is still only 64 KB dense — so the key
+#: carries a FULL value oracle (estimate == exact COUNT(DISTINCT))
+#: with >60% cardinality headroom over the largest test-SF month
+#: (1500 users); beyond the regime accuracy degrades per the
+#: published 1.04/sqrt(2^lgK) bound, and the equality test in
+#: tests/test_sketches.py fails loudly if a data change ever exits
+#: the regime.
+HLL_LGK = 16
 
 
 @register(
