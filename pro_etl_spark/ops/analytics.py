@@ -3675,18 +3675,26 @@ VWAP_WIN = 24  # trailing trades in the rolling VWAP frame
 @register(
     "window_vwap",
     oracle=f"""
+    WITH g AS (
+      SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(15,3)) * 1000 AS BIGINT)
+               AS p3,
+             CAST(CAST(l_quantity AS DECIMAL(9,3)) * 1000 AS BIGINT) AS q3
+      FROM lineitem
+    ), w AS (
+      SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+             CAST(SUM(p3 * q3) OVER f AS BIGINT) AS p6,
+             CAST(SUM(q3) OVER f AS BIGINT) AS v3
+      FROM g
+      WINDOW f AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN {VWAP_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
     SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,3))
-                           * CAST(l_quantity AS DECIMAL(9,3))) OVER f
-                      AS DOUBLE)
-                 / CAST(SUM(CAST(l_quantity AS DECIMAL(9,3))) OVER f
-                        AS DOUBLE), 6) AS vwap,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(9,3))) OVER f AS DOUBLE)
-             AS vol_w
-    FROM lineitem
-    WINDOW f AS (PARTITION BY l_partkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN {VWAP_WIN - 1} PRECEDING AND CURRENT ROW)
+           CAST((2 * p6 * 1000 + v3) // (2 * v3) AS DOUBLE) / 1000000.0
+             AS vwap,
+           CAST(v3 AS DOUBLE) / 1000.0 AS vol_w
+    FROM w
     """,
 )
 def window_vwap(spark: SparkSession, d: str) -> DataFrame:
@@ -3694,35 +3702,51 @@ def window_vwap(spark: SparkSession, d: str) -> DataFrame:
     trailing VWAP_WIN trades — the execution-quality benchmark every
     trading/procurement system computes (a fill above rolling VWAP
     overpaid; a PO priced below it beat the market): Σ(price·qty) /
-    Σ(qty) over a bounded row frame, both sums riding DECIMAL so the
-    division sees identical values in each engine. Completes the
-    weighted family next to ``agg_weighted_avg`` (global) and
-    ``agg_weighted_median`` (robust).
+    Σ(qty) over a bounded row frame.
+
+    Rounding is TIE-FREE by construction (r12, fixes the only red
+    CORRECTNESS_r11 row): price and qty become exact scaled longs
+    (grains ×1000), the windowed sums P6 = Σ(p3·q3) (micros) and
+    V3 = Σq3 stay integral, and round-half-up(P6·10⁶/V3·10³) is the
+    exact integer division (2·P6·1000 + V3) div (2·V3) — no engine
+    ever rounds an IEEE quotient, so the `...5`-at-the-6th-decimal
+    lottery that split Spark/DuckDB on 2 of 60k rows at sf0.01 cannot
+    recur. Magnitudes: p3·q3 ≤ ~5e12/row, P6 ≤ ~1.2e14 over 24 rows,
+    2·P6·1000 ≤ 2.4e17 — comfortably inside int64 in both engines.
 
     Scale: one window pass partitioned by the high-cardinality part
-    key over a bounded frame — no global sort, one shuffle."""
+    key over a bounded frame — no global sort, one shuffle; the
+    integer formulation is also cheaper than DECIMAL at width."""
     f = (
         Window.partitionBy("l_partkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(-(VWAP_WIN - 1), 0)
     )
     li = load(spark, d, "lineitem")
-    # narrow grains ((15,3) x (9,3) -> 24-digit product) so the
-    # windowed products stay inside 128-bit decimals in BOTH engines
-    # (the (18,6) x (18,6) form overflows DuckDB's multiply)
-    pq = F.col("l_extendedprice").cast("decimal(15,3)") * F.col(
-        "l_quantity"
-    ).cast("decimal(9,3)")
-    vol = F.sum(F.col("l_quantity").cast("decimal(9,3)")).over(f)
-    return li.select(
+    p3 = (F.col("l_extendedprice").cast("decimal(15,3)") * 1000).cast(
+        "long"
+    )
+    q3 = (F.col("l_quantity").cast("decimal(9,3)") * 1000).cast("long")
+    win = li.select(
         "l_partkey",
         "l_shipdate",
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.sum(pq).over(f).cast("double") / vol.cast("double"), 6
+        F.sum(p3 * q3).over(f).alias("_p6"),
+        F.sum(q3).over(f).alias("_v3"),
+    )
+    # `div` (not `/`) — Spark's `/` on longs is IEEE double division,
+    # which is inexact past 2^53; `div` is exact integral division.
+    return win.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "CAST((2 * _p6 * 1000 + _v3) div (2 * _v3) AS DOUBLE)"
+            " / 1000000.0"
         ).alias("vwap"),
-        vol.cast("double").alias("vol_w"),
+        (F.col("_v3").cast("double") / F.lit(1000.0)).alias("vol_w"),
     )
 
 

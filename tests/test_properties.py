@@ -5,6 +5,8 @@ Spark executes the real Column-expression pipeline)."""
 
 from __future__ import annotations
 
+import datetime
+
 import pyspark.sql.functions as F
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -1505,6 +1507,54 @@ def test_vwap_bracketed_by_prices(spark):
         lo, hi = rng[r.l_partkey]
         assert lo - 1e-6 <= r.vwap <= hi + 1e-6, r
         assert r.vol_w > 0
+
+
+def test_vwap_half_tie_is_exact_and_engine_portable(spark, tmp_path):
+    """Regression for the CORRECTNESS_r11 red row: the old
+    round-on-IEEE-quotient form let a `...5` at the 6th decimal
+    resolve differently in Spark (HALF_UP on shortest repr, down) vs
+    DuckDB (up) — 2 of 60k rows at sf0.01. The r12 integer-micros
+    formulation makes the tie deterministic: this frame is engineered
+    so the exact quotient is 1.0000625 (micros 1,000,062.5), and BOTH
+    the Spark operator and its DuckDB oracle must land half-up on
+    1.000063 — bit-identically."""
+    import duckdb
+
+    import pro_etl_spark
+
+    rows = [
+        # frame of row 2 = {row 1, row 2}: P6 = 1001*1 + 1000*15
+        # = 16001 (odd), V3 = 16 -> micros = 16001*1000/16 = 1000062.5
+        (1, datetime.date(1995, 1, 1), 1, 1, 1.001, 0.001),
+        (1, datetime.date(1995, 1, 2), 2, 1, 1.000, 0.015),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_partkey long, l_shipdate date, l_orderkey long,"
+        " l_linenumber int, l_extendedprice double, l_quantity double",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    qs = pro_etl_spark.get_queries()
+    got = {
+        (r.l_orderkey): (r.vwap, r.vol_w)
+        for r in qs["window_vwap"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (1.001, 0.001)
+    assert got[2] == (1.000063, 0.016), got[2]  # half-UP, not down
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    oracle = {
+        r[2]: (r[4], r[5])
+        for r in con.execute(
+            pro_etl_spark.get_oracles()["window_vwap"]
+        ).fetchall()
+    }
+    assert oracle == got
 
 
 def test_burstiness_accounts_and_nonnegative(spark):
