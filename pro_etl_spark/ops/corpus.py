@@ -1438,6 +1438,12 @@ def corpus_template_prefix(spark: SparkSession, d: str) -> DataFrame:
 #: snippet lifted from each eval doc at this (1-based) offset
 SUBSTR_PROBE_START = 41
 SUBSTR_PROBE_LEN = 60
+#: loud bound on the driver-collected probe list (ADVICE_r11): a real
+#: benchmark probe set is KBs, but the synthetic eval set is 1/50 of
+#: the corpus, so the list grows O(corpus) here — 1M probes x ~60 chars
+#: is the ~comfortably-broadcastable ceiling before the design must
+#: change (probe table join instead of closure shipping).
+SUBSTR_PROBE_CAP = 1_000_000
 
 #: windows processed per strided-hash chunk. The W·P product
 #: materializes _SUBSTR_CHUNK × SUBSTR_PROBE_LEN uint64s, so peak
@@ -1513,8 +1519,14 @@ def decontaminate_substring(spark: SparkSession, d: str) -> DataFrame:
     regardless of document length, probe state O(eval set) shipped in
     the closure (same bounded-broadcast contract as
     ``decontaminate_ngrams``' eval shingles; a benchmark-suite probe
-    set is KBs). Probes are collected once per (app, dataset) — the
-    memo keeps repeat constructions lazy."""
+    set is KBs). HONESTY NOTE (ADVICE_r11): under THIS synthetic data
+    model the "eval set" is doc_id % DECON_EVAL_MOD — 1/50 of the
+    whole corpus — so the collected probe list grows O(corpus), not
+    O(benchmark); real decontamination runs carry a fixed benchmark
+    suite and stay KB-sized. SUBSTR_PROBE_CAP makes the boundary loud
+    instead of silent: past the cap the collect raises rather than
+    quietly shipping an unbounded closure. Probes are collected once
+    per (app, dataset) — the memo keeps repeat constructions lazy."""
     import numpy as np
 
     docs = load(spark, d, "documents")
@@ -1535,8 +1547,17 @@ def decontaminate_substring(spark: SparkSession, d: str) -> DataFrame:
                 ).alias("probe")
             )
             .distinct()
+            .limit(SUBSTR_PROBE_CAP + 1)
             .collect()
         )
+        if len(probes) > SUBSTR_PROBE_CAP:
+            raise ValueError(
+                f"decontaminate_substring: eval probe set exceeds "
+                f"SUBSTR_PROBE_CAP={SUBSTR_PROBE_CAP}; the bounded-"
+                "closure contract (probes ship to every task) no "
+                "longer holds at this corpus/eval ratio — shrink the "
+                "probe set or raise the cap deliberately"
+            )
         _SUBSTR_PROBES_MEMO[key] = probes
 
     # polynomial window hash over code points (utf-32 decode matches

@@ -260,7 +260,11 @@ def compose_manifest(manifest_path: str, out_file: str, concat=None) -> str:
 
 
 def read_manifest_document(
-    spark: SparkSession, manifest_path: str, row_tag: str = "customer"
+    spark: SparkSession,
+    manifest_path: str,
+    row_tag: str = "customer",
+    schema=None,
+    infer_sample_records: int = 64,
 ) -> tuple[str, dict[str, str], DataFrame]:
     """Read a manifest document WITHOUT composing it: root tag +
     envelope attrs come from the O(1) header part; records come
@@ -276,6 +280,20 @@ def read_manifest_document(
     compose time; standalone they'd be undeclared). Fully distributed,
     no Python in the row path, and the single physical file never
     exists — this is the consumption path at scale.
+
+    Schema: pass ``schema`` (DDL string or StructType of ONE record's
+    fields) for production reads — heterogeneous corpora REQUIRE it
+    for guaranteed fidelity. Without it, the record schema is inferred
+    from a bounded MULTI-record sample (``infer_sample_records``,
+    default 64) merged through one ``schema_of_xml`` call, so a child
+    element that repeats in ANY sampled record (the real corpus has
+    1-user and 2-user customers) infers as an array and single-child
+    records parse as 1-element arrays — uniform, lossless. (The r11
+    head(1) form let the first record's shape decide: a 1-user sample
+    inferred ``user`` as a struct and silently mangled 2-user records,
+    ADVICE_r11.) Residual inference risk: a field that repeats ONLY in
+    records outside the sample still infers as a lone struct — that is
+    inherent to bounded sampling, which is why ``schema`` exists.
 
     Returns (root_tag, root_attrs, records) with the record fields
     under their parsed struct columns."""
@@ -297,23 +315,50 @@ def read_manifest_document(
             F.lit(f"<w {ns}>"), F.col("value"), F.lit(close), F.lit("</w>")
         ).alias("xml")
     )
-    # one bounded driver sample fixes the record schema (standard
-    # schema-inference cost, one row); production callers with a known
-    # schema pass it straight to from_xml instead
-    head = wrapped.select("xml").head(1)
-    if not head:
+    if schema is not None:
+        from pyspark.sql import types as T
+
+        if isinstance(schema, T.StructType):
+            wrapper_schema = T.StructType(
+                [T.StructField(row_tag, schema)]
+            )
+        else:
+            wrapper_schema = f"STRUCT<{row_tag}: {schema}>"
+        return root_tag, root_attrs, wrapped.select(
+            F.from_xml("xml", wrapper_schema).alias("w")
+        ).select(f"w.{row_tag}.*")
+
+    # bounded MULTI-record sample merged through ONE schema_of_xml
+    # call: with >=2 records under the wrapper the inferencer unions
+    # field shapes across records AND sees repetition, so a child that
+    # repeats anywhere in the sample becomes an array for every record
+    sample_rows = frags.select("value").head(infer_sample_records)
+    if not sample_rows:
         raise ValueError(
             f"manifest {manifest_path} has no {row_tag} records to "
-            "infer a schema from — pass parts to spark.read directly "
-            "with an explicit schema for empty documents"
+            "infer a schema from — pass an explicit schema= for "
+            "empty documents"
         )
-    sample = head[0][0]
+    merged = (
+        f"<w {ns}>"
+        + "".join(r[0] + close for r in sample_rows)
+        + "</w>"
+    )
     ddl = spark.range(1).select(
-        F.schema_of_xml(F.lit(sample)).alias("s")
+        F.schema_of_xml(F.lit(merged)).alias("s")
     ).first()[0]
-    records = wrapped.select(
-        F.from_xml("xml", ddl).alias("w")
-    ).select(f"w.{row_tag}.*")
+    parsed = wrapped.select(F.from_xml("xml", ddl).alias("w"))
+    from pyspark.sql import types as T
+
+    field = parsed.schema["w"].dataType[row_tag].dataType
+    if isinstance(field, T.ArrayType):
+        # multi-record inference wraps the row tag itself in an array;
+        # each fragment holds exactly one record, so [0] unwraps it
+        records = parsed.select(
+            F.col(f"w.{row_tag}").getItem(0).alias("_r")
+        ).select("_r.*")
+    else:
+        records = parsed.select(f"w.{row_tag}.*")
     return root_tag, root_attrs, records
 
 
@@ -362,11 +407,29 @@ def write_xml_document_sharded(
     footer = f"</{root_tag}>"
 
     col = records.columns[0]
-    assign = (
-        shard_assign.cast("int")
-        if shard_assign is not None
-        else F.pmod(F.hash(shard_key), F.lit(shards))
-    )
+    if shard_assign is not None:
+        # loud range gate (ADVICE_r11): a null or out-of-range caller
+        # assignment (e.g. a non-numeric id cast to int -> NULL) must
+        # fail the job, not silently land records in bogus partition
+        # dirs the manifest never accounts for
+        a = shard_assign.cast("int")
+        assign = F.when(
+            a.isNotNull() & (a >= 0) & (a < shards), a
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"write_xml_document_sharded: shard_assign "
+                        f"outside [0, {shards}): "
+                    ),
+                    F.coalesce(
+                        shard_assign.cast("string"), F.lit("NULL")
+                    ),
+                )
+            )
+        )
+    else:
+        assign = F.pmod(F.hash(shard_key), F.lit(shards))
     body = records.select(
         assign.alias("shard"),
         F.lit(1).alias("ord"),

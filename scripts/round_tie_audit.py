@@ -1,0 +1,169 @@
+"""Round-half-tie audit (r12, VERDICT_r11 #2): exact per-VALUE diff of
+every oracle-paired registered query against its DuckDB oracle at an
+arbitrary scale factor, with floats compared at FULL precision (repr).
+
+Why this exists: `window_vwap` failed the official driver in r11 on 2
+of 60,000 rows that differed by exactly 1e-6 — a round-half tie on an
+IEEE quotient that both the %.6g mimic hash and the sf0.001 pytest
+oracle were blind to (the tie only realizes at sf0.01). The hazard
+class is any `ROUND(x, n)` where x is a quotient of decimal-exact
+quantities: the exact rational can land on a `...5` boundary at the
+nth decimal with positive probability, and Spark (BigDecimal HALF_UP
+on the shortest double repr) and DuckDB (scaled float rounding) can
+resolve it in opposite directions. More rows = more lottery tickets,
+and different SFs draw different tickets — so this audit is
+SF-parameterizable and is expected to be run at sf0.01 AND sf0.1.
+
+What it reports per failing key: the differing (spark, oracle) value
+pairs, and whether each pair carries the TIE SIGNATURE — a difference
+of exactly one unit in a low decimal place (|a-b| == 10^-k, k <= 9) —
+which distinguishes a rounding-direction split (fix: tie-free integer/
+DECIMAL arithmetic, see window_vwap ops/analytics.py) from a genuine
+semantic divergence (fix: the operator).
+
+Gate placement: tests/test_oracle.py is the same exact comparison at
+sf0.001 (every pytest run); the driver-mimic is the same at sf0.01
+(every round, now repr-strict); this script extends the exact check to
+sf0.1 where the per-row families have 10x the tickets.
+
+Usage:
+    python scripts/round_tie_audit.py [SF_DIR] [KEY ...]
+Defaults: /root/testdata/sf0.01, all oracle-paired keys. Exit 1 on any
+differing value. One progress line per key (tail -f friendly).
+"""
+
+import datetime
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+
+def norm(v):
+    """Full-precision canonical form — repr for floats, so ANY bit
+    difference between engines renders differently (the %.6g hash this
+    audit replaces could not see a 6th-decimal diff in a 5-digit
+    value)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "asDict"):
+        return (
+            "{"
+            + ",".join(
+                f"{k}:{norm(x)}" for k, x in sorted(v.asDict().items())
+            )
+            + "}"
+        )
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ",".join(f"{k}:{norm(x)}" for k, x in sorted(v.items()))
+            + "}"
+        )
+    return str(v)
+
+
+def multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def tie_signature(a: str, b: str) -> str:
+    """Classify a differing float pair: a difference of exactly one
+    unit in decimal place k (k <= 9) is the rounding-direction split;
+    anything else is a semantic divergence."""
+    try:
+        fa, fb = float(a), float(b)
+    except ValueError:
+        return "non-float"
+    d = abs(fa - fb)
+    if d == 0:
+        return "repr-only"
+    for k in range(10):
+        unit = 10.0 ** -k
+        if abs(d - unit) <= unit * 1e-6:
+            return f"TIE at decimal {k}"
+    return "semantic"
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    sf = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.01"
+    keys = [a for a in argv if "/" not in a]
+
+    import duckdb
+
+    import pro_etl_spark
+    from pro_etl_spark.session import get_spark
+
+    spark = get_spark("round-tie-audit")
+    qs = pro_etl_spark.get_queries()
+    oracles = pro_etl_spark.get_oracles()
+    unknown = set(keys) - set(oracles)
+    assert not unknown, f"unknown/rows-only keys: {sorted(unknown)}"
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+        " documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf}/{t}.parquet')"
+        )
+
+    bad = {}
+    for name in keys or sorted(oracles):
+        try:
+            sdf = qs[name](spark, sf)
+            srows = multiset([tuple(r) for r in sdf.collect()], sdf.columns)
+            res = con.execute(oracles[name])
+            orows = multiset(
+                res.fetchall(), [c[0] for c in res.description]
+            )
+        except Exception as e:  # keep auditing; the report is the point
+            bad[name] = [("ERR", f"{type(e).__name__}: {str(e)[:160]}")]
+            print(f"ERR  {name}: {bad[name][0][1]}", flush=True)
+            continue
+        if srows == orows:
+            print(f"ok   {name}: {len(srows)} rows", flush=True)
+            continue
+        diffs = []
+        if len(srows) != len(orows):
+            diffs.append(("rowcount", f"{len(srows)} vs {len(orows)}"))
+        for s, o in zip(srows, orows):
+            if s != o:
+                for sv, ov in zip(s, o):
+                    if sv != ov:
+                        diffs.append((sv, ov))
+            if len(diffs) >= 8:
+                break
+        bad[name] = diffs
+        print(f"FAIL {name}: {len(diffs)}+ differing values", flush=True)
+
+    print(f"\nTIE AUDIT [{sf}]: {len(bad)} failing keys")
+    for name, diffs in bad.items():
+        print(f"  {name}:")
+        for a, b in diffs[:8]:
+            sig = tie_signature(a, b) if a != "ERR" else b
+            print(f"    spark={a} oracle={b}  [{sig}]")
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

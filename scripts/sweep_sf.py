@@ -32,12 +32,18 @@ def main() -> None:
 
     spark = get_spark("sf-sweep")
     qs = pro_etl_spark.get_queries()
-    # warm-up: whichever key runs first otherwise absorbs JVM/codegen
-    # startup into ITS number (r11 sweep: events_mannwhitney recorded
-    # 10.7 s in first position vs 4.4 s warm) — same hygiene as bench.py
+    # warm-up (r12 methodology pin, VERDICT_r11 #4): whichever key runs
+    # first otherwise absorbs startup into ITS number (r11 sweep:
+    # events_mannwhitney recorded 10.7 s first vs 4.4 s warm). Warm BOTH
+    # runtimes — agg_count for JVM/codegen, udf_scalar for the Arrow
+    # Python-worker pool (udf_grouped_map's r11 "1.7x regression" was a
+    # cold worker fork, invisible to a JVM-only warm-up) — and discard.
     qs["agg_count"](spark, sf).write.format("noop").mode("overwrite").save()
+    qs["udf_scalar"](spark, sf).write.format("noop").mode("overwrite").save()
     out = {}
-    for name in qs:
+    # sorted = deterministic, registration-order-independent: per-key
+    # numbers stay comparable round-over-round even as operators land.
+    for name in sorted(qs):
         t0 = time.perf_counter()
         try:
             qs[name](spark, sf).write.format("noop").mode("overwrite").save()

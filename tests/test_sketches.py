@@ -195,9 +195,14 @@ def test_hll_merge_equals_direct_and_bounds_error(spark):
     """DataSketches HLL: union of per-day sketches must equal the
     single-pass sketch bit-for-bit (same lgK, deterministic registers),
     and — the exact-regime guard the value oracle rests on — the
-    estimate must EQUAL the exact count at test SFs (lgK=14 keeps the
-    sketch sparse at these cardinalities; if a data change ever exits
+    estimate must EQUAL the exact count at test SFs (HLL_LGK, pinned
+    at 16 in relational_ext.py precisely because lgK=14 starts
+    deviating near ~2.4k distinct, keeps the sketch in its exact
+    sparse regime at these cardinalities; if a data change ever exits
     the regime, this fails loudly and the oracle must be revisited)."""
+    from pro_etl_spark.ops.relational_ext import HLL_LGK
+
+    assert HLL_LGK == 16  # the regime this guard documents
     rows = pro_etl_spark.get_queries()["agg_hll_merge"](spark, SF).collect()
     assert rows
     for r in rows:

@@ -248,6 +248,24 @@ def test_manifest_reads_without_compose_and_hands_off_concat(spark, tmp_path):
         ).collect()
     }
     assert got == {r.id for r in n.select("id").collect()}
+    # heterogeneity fidelity (ADVICE_r11 medium): the corpus mixes
+    # 1-user and 2-user customers; head(1) inference let the first
+    # record's shape decide and silently dropped the second user. The
+    # merged multi-record inference must surface `user` as an array
+    # and round-trip the exact multiplicity for EVERY customer.
+    from pyspark.sql import types as T
+
+    assert isinstance(records.schema["user"].dataType, T.ArrayType)
+    n_users = {
+        r.rid: r.nu
+        for r in records.select(
+            F.col("_id").cast("string").alias("rid"),
+            F.size("user").alias("nu"),
+        ).collect()
+    }
+    src = {r.id: len(r.users) for r in n.select("id", "users").collect()}
+    assert n_users == src
+    assert 2 in set(src.values())  # the fixture really is heterogeneous
     # storage-primitive handoff: paths arrive in document order,
     # header first, footer last, every record part in between
     calls = []
