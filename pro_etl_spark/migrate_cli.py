@@ -285,6 +285,7 @@ def run(
     csv_path: str,
     output_dir: str,
     strict: bool = False,
+    scale: bool = False,
 ) -> dict[str, str]:
     """Execute the full migration; returns the output file paths.
 
@@ -293,6 +294,17 @@ def run(
     output document, only the log flags them. ``strict=True`` excludes
     every "Not OK" row from the output document — the log is unchanged
     either way, so the reconciliation trail is complete in both modes.
+
+    ``scale=True`` switches the delta-XML sink from the reference's
+    flat single file (driver stream-concat — correct for its contract,
+    a single-writer ceiling for a corpus-sized export) to the
+    manifest document: records stay in distributed part files, the
+    envelope is two O(1)-byte parts, and a manifest lists the parts in
+    document order. Consumers either read the file set directly
+    (``xml_io.read_manifest_document``) or hand the manifest to the
+    storage layer's concat primitive (``xml_io.compose_manifest`` —
+    hdfs concat / S3 multipart compose) for a physical single file; no
+    record byte ever moves through the driver.
     """
     mapping = read_mapping_csv(spark, csv_path)
     customers = read_customers_xml(spark, xml_path)
@@ -336,14 +348,21 @@ def run(
     # FLAT file (migrate.py:286-293) — the XML sink is a driver-side
     # single-document write, so no Spark part-directory is needed; the
     # row-wise log (no reference counterpart) lands in a sibling dir
-    xml_out = f"{out_dir}/output-{run_id}.xml"
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    xml_io.write_xml_document(
-        xml_io.customer_xml(migrated), xml_out,
-        root_tag="enfinity", root_attrs=attrs_out, nsmap=nsmap,
-    )
+    if scale:
+        xml_out = f"{out_dir}/output-{run_id}-xml"
+        xml_out = xml_io.write_xml_document_manifest(
+            xml_io.customer_xml(migrated), xml_out,
+            root_tag="enfinity", root_attrs=attrs_out, nsmap=nsmap,
+        )
+    else:
+        xml_out = f"{out_dir}/output-{run_id}.xml"
+        xml_io.write_xml_document(
+            xml_io.customer_xml(migrated), xml_out,
+            root_tag="enfinity", root_attrs=attrs_out, nsmap=nsmap,
+        )
     log_out = f"{out_dir}/output-{run_id}-log"
     log.coalesce(1).write.mode("overwrite").option("header", True).csv(log_out)
 
@@ -353,7 +372,8 @@ def run(
     found = log.where(F.col("reason") != REASON_NOT_FOUND).count()
     log.unpersist()
     print(f"{found}/{total} customers found in source XML")
-    print(f"delta XML: {xml_out}")
+    kind = "delta XML manifest" if scale else "delta XML"
+    print(f"{kind}: {xml_out}")
     print(f"log CSV:   {log_out}")
     return {
         "xml": xml_out,
@@ -409,6 +429,15 @@ def main(argv: list[str] | None = None) -> None:
         help="exclude validation-failed rows from the output document "
         "(default: advisory — they flow through and the log flags them)",
     )
+    p.add_argument(
+        "--scale",
+        action="store_true",
+        help="write the delta XML as a manifest document (distributed "
+        "part files + O(1) envelope + ordered manifest) instead of a "
+        "driver-streamed single file; stitch with the storage layer's "
+        "concat primitive via xml_io.compose_manifest, or read the "
+        "file set directly with xml_io.read_manifest_document",
+    )
     a = p.parse_args(argv)
     xml_path = a.xml or latest_file(a.input_dir, ".xml")
     csv_path = a.csv or latest_file(a.input_dir, ".csv")
@@ -425,7 +454,10 @@ def main(argv: list[str] | None = None) -> None:
         .getOrCreate()
     )
     try:
-        run(spark, xml_path, csv_path, a.output_dir, strict=a.strict)
+        run(
+            spark, xml_path, csv_path, a.output_dir,
+            strict=a.strict, scale=a.scale,
+        )
     finally:
         spark.stop()
 
