@@ -1150,13 +1150,22 @@ _TS_ANCHOR = 1_704_067_200
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cv
       FROM events
     ), s AS (
+      -- VARCHAR-mediated decimal->double (r12): DuckDB's direct
+      -- CAST(DECIMAL AS DOUBLE) is up to 1 ulp off past 2^53 (s4 is
+      -- ~3e19 here; measured ...072e19 vs the correctly-rounded
+      -- ...076e19 Spark/strtod produce); the exact decimal string
+      -- through strtod is correctly rounded and engine-portable.
       SELECT event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(cv AS DECIMAL(38,0))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(cv * cv AS DECIMAL(38,0))) AS DOUBLE) AS s2,
-             CAST(SUM(CAST(cv * cv * cv AS DECIMAL(38,0))) AS DOUBLE) AS s3,
-             CAST(SUM(CAST(cv * cv AS DECIMAL(19,0))
-                      * CAST(cv * cv AS DECIMAL(19,0))) AS DOUBLE) AS s4
+             CAST(CAST(SUM(CAST(cv AS DECIMAL(38,0))) AS VARCHAR)
+                  AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(cv * cv AS DECIMAL(38,0))) AS VARCHAR)
+                  AS DOUBLE) AS s2,
+             CAST(CAST(SUM(CAST(cv * cv * cv AS DECIMAL(38,0)))
+                       AS VARCHAR) AS DOUBLE) AS s3,
+             CAST(CAST(SUM(CAST(cv * cv AS DECIMAL(19,0))
+                           * CAST(cv * cv AS DECIMAL(19,0)))
+                       AS VARCHAR) AS DOUBLE) AS s4
       FROM c GROUP BY event_type
     )
     SELECT event_type, n,

@@ -913,12 +913,23 @@ def ann_ivf_kmeans_multiprobe(spark: SparkSession, d: str) -> DataFrame:
     WITH flat AS (
       SELECT label,
              CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS val
+             -- integer picos via FLOOR on the exact binary double —
+             -- the double->DECIMAL cast this replaces quantizes via
+             -- shortest-repr in Spark but exact binary in DuckDB, and
+             -- they split at half-boundaries (realized: 1/640 rows at
+             -- sf0.01, r12)
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e12 + 0.5)
+                  AS BIGINT) AS pv
       FROM embeddings
     )
     SELECT label, dim,
            COUNT(*) AS n_vectors,
-           CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)
+           -- VARCHAR-mediated decimal->double: DuckDB's direct
+           -- decimal->double cast is up to 1 ulp off past 2^53; the
+           -- exact decimal string through strtod is correctly rounded,
+           -- matching Spark's BigDecimal.doubleValue
+           CAST(CAST(SUM(CAST(pv AS DECIMAL(38,0))) AS VARCHAR)
+                AS DOUBLE) / COUNT(*) / 1e12
              AS centroid
     FROM flat GROUP BY label, dim
     """,
@@ -929,10 +940,14 @@ def embed_centroid(spark: SparkSession, d: str) -> DataFrame:
     prototype for nearest-centroid classification. posexplode to
     (label, dim, value) then ONE map-side-combinable aggregate: at
     100 TB this is a single shuffle of 64·|labels| partial sums, not a
-    driver-side vector accumulation. Per-dimension sums are DECIMAL-
-    routed so the centroid is identical whatever the row order (tie
-    impossibility: a float is m/2^e, never landing on the half-ulp of
-    a 10^-12 grid, so the decimal rounding is unambiguous); the final
+    driver-side vector accumulation. Exactness route (r12, same recipe
+    as ``agg_moments``): each component lifts to integer PICOS via
+    ``floor(v·1e12 + 0.5)`` — pure IEEE ops both engines agree on
+    bit-for-bit, unlike the double→DECIMAL cast it replaces (Spark
+    quantizes via the shortest-repr string, DuckDB via the exact
+    binary expansion; they split at half-boundaries — realized on
+    1/640 rows at sf0.01) — the sums ride DECIMAL(38,0) (a 100 TB cell
+    can hold 1e9 members × 1e12 picos, past int64), and the closing
     mean is one double division. Output in long (label, dim, value)
     form — join-ready for the assignment pass, never a dense row."""
     e = load(spark, d, "embeddings")
@@ -941,12 +956,17 @@ def embed_centroid(spark: SparkSession, d: str) -> DataFrame:
     ).select(
         "label",
         (F.col("pos") + 1).cast("long").alias("dim"),
-        F.col("val").cast("double").alias("val"),
+        F.floor(F.col("val").cast("double") * F.lit(1e12) + F.lit(0.5))
+        .cast("long")
+        .alias("pv"),
     )
     return flat.groupBy("label", "dim").agg(
         F.count("*").alias("n_vectors"),
-        (F.sum(F.col("val").cast("decimal(27,12)")).cast("double") / F.count("*"))
-        .alias("centroid"),
+        (
+            F.sum(F.col("pv").cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+            / F.lit(1e12)
+        ).alias("centroid"),
     )
 
 
@@ -2262,16 +2282,23 @@ def ann_hard_negatives(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-#: shared CTE: per-label centroid arrays (dim-ordered) + member counts
+#: shared CTE: per-label centroid arrays (dim-ordered) + member counts.
+#: Same pico-integer + VARCHAR-mediated-cast recipe as the
+#: ``embed_centroid`` oracle (r12): floor-lifted integer sums sidestep
+#: the engine-split double->DECIMAL quantization, and the decimal
+#: renders through VARCHAR because DuckDB's direct decimal->double cast
+#: is up to 1 ulp off past 2^53.
 _CARR_CTE = """
     flat AS (
       SELECT label,
              CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS val
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e12 + 0.5)
+                  AS BIGINT) AS pv
       FROM embeddings
     ), cent AS (
       SELECT label, dim,
-             CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)
+             CAST(CAST(SUM(CAST(pv AS DECIMAL(38,0))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*) / 1e12
                AS centroid
       FROM flat GROUP BY label, dim
     ), carr AS (
@@ -2940,12 +2967,16 @@ def embed_dim_stats(spark: SparkSession, d: str) -> DataFrame:
     WITH flat AS (
       SELECT label, vec_id % 2 AS half,
              CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS val
+             -- pico lift (r12): FLOOR on the exact binary double is
+             -- engine-portable; the double->DECIMAL cast it replaces
+             -- splits at half-boundaries (see embed_centroid)
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e12 + 0.5)
+                  AS BIGINT) AS pv
       FROM embeddings
     ), cent AS (
       SELECT label, half, dim,
-             CAST(CAST(SUM(CAST(val AS DECIMAL(27,12))) AS VARCHAR)
-                  AS DOUBLE) / COUNT(*) AS c
+             CAST(CAST(SUM(CAST(pv AS DECIMAL(38,0))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*) / 1e12 AS c
       FROM flat GROUP BY label, half, dim
     ), paired AS (
       SELECT a.label, a.dim, a.c AS ca, b.c AS cb
@@ -2992,9 +3023,15 @@ def embed_centroid_drift(spark: SparkSession, d: str) -> DataFrame:
         "label", "half", (F.col("dim0") + 1).alias("dim")
     ).agg(
         (
-            F.sum(F.col("val").cast("double").cast("decimal(27,12)"))
-            .cast("double")
+            F.sum(
+                F.floor(
+                    F.col("val").cast("double") * F.lit(1e12) + F.lit(0.5)
+                )
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).cast("double")
             / F.count("*")
+            / F.lit(1e12)
         ).alias("c")
     )
     a = cent.where(F.col("half") == 0).select(
