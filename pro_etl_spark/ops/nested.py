@@ -489,9 +489,13 @@ def fn_xpath(spark: SparkSession, d: str) -> DataFrame:
              AS spark_pos,
            len(list_filter(toks, x -> x <> 'the')) AS n_without_the,
            list_has_any(toks, ['join', 'merge']) AS mentions_join,
-           array_to_string(list_sort(list_distinct(
-             list_filter(toks, x -> x IN ('scan', 'sort', 'hash')))), ',')
-             AS ops_found,
+           -- COALESCE pins Spark's array_join semantics: an EMPTY
+           -- match list renders '' there, but DuckDB's
+           -- array_to_string([]) returns NULL (realized 13/295 rows
+           -- at sf0.1 where a doc mentions none of the three ops)
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(toks, x -> x IN ('scan', 'sort', 'hash')))), ','),
+             '') AS ops_found,
            toks[1] AS first_tok,
            toks[-1] AS last_tok
     FROM t

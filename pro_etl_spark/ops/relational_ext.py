@@ -1247,15 +1247,22 @@ def agg_moments(spark: SparkSession, d: str) -> DataFrame:
     "agg_linear_fit",
     oracle=f"""
     WITH s AS (
+      -- VARCHAR-mediated sum->double (r12): these sums pass 2^53 at
+      -- sf0.1 and DuckDB's direct HUGEINT/DECIMAL->DOUBLE casts are
+      -- up to 1 ulp off there; exact digits through strtod match
+      -- Spark's correctly-rounded conversions
       SELECT event_type,
              COUNT(*) AS n,
-             CAST(SUM(epoch_us(ts) // 1000000 - {_TS_ANCHOR}) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-             CAST(SUM((epoch_us(ts) // 1000000 - {_TS_ANCHOR})
-                      * (epoch_us(ts) // 1000000 - {_TS_ANCHOR})) AS DOUBLE)
-               AS sxx,
-             CAST(SUM(CAST((epoch_us(ts) // 1000000 - {_TS_ANCHOR}) * value
-                           AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(epoch_us(ts) // 1000000 - {_TS_ANCHOR})
+                       AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR)
+                  AS DOUBLE) AS sy,
+             CAST(CAST(SUM((epoch_us(ts) // 1000000 - {_TS_ANCHOR})
+                           * (epoch_us(ts) // 1000000 - {_TS_ANCHOR}))
+                       AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST((epoch_us(ts) // 1000000 - {_TS_ANCHOR})
+                                * value AS DECIMAL(38,6))) AS VARCHAR)
+                  AS DOUBLE) AS sxy
       FROM events GROUP BY event_type
     )
     SELECT event_type, n,
