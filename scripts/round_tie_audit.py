@@ -26,17 +26,32 @@ sf0.001 (every pytest run); the driver-mimic is the same at sf0.01
 (every round, now repr-strict); this script extends the exact check to
 sf0.1 where the per-row families have 10x the tickets.
 
+Oracle timeout: oracles are sized for the sf0.01 grading contract;
+some (the unrolled iterative-graph CTEs over the reconstructed LSH
+pair table) are hours-class at sf0.1 in DuckDB. Rather than wedge the
+audit, each ORACLE execution gets ORACLE_TIMEOUT_S (default 180,
+env-overridable) and is interrupted past it — logged loudly as a
+SLOW-SKIP, never silently dropped. A skipped key is still exactly
+verified at sf0.001 (pytest) and sf0.01 (mimic); the sf0.1 pass just
+can't afford its oracle, which is an oracle-cost statement, not a
+correctness one.
+
 Usage:
     python scripts/round_tie_audit.py [SF_DIR] [KEY ...]
 Defaults: /root/testdata/sf0.01, all oracle-paired keys. Exit 1 on any
-differing value. One progress line per key (tail -f friendly).
+differing value (skips don't fail). One progress line per key
+(tail -f friendly).
 """
 
 import datetime
 import math
+import os
 import sys
+import threading
 
 sys.path.insert(0, ".")
+
+ORACLE_TIMEOUT_S = float(os.environ.get("TIE_AUDIT_ORACLE_TIMEOUT", "180"))
 
 
 def norm(v):
@@ -127,17 +142,33 @@ def main() -> None:
         )
 
     bad = {}
+    skipped = []
     for name in keys or sorted(oracles):
         try:
             sdf = qs[name](spark, sf)
             srows = multiset([tuple(r) for r in sdf.collect()], sdf.columns)
-            res = con.execute(oracles[name])
-            orows = multiset(
-                res.fetchall(), [c[0] for c in res.description]
-            )
+            timer = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
+            timer.start()
+            try:
+                res = con.execute(oracles[name])
+                orows = multiset(
+                    res.fetchall(), [c[0] for c in res.description]
+                )
+            finally:
+                timer.cancel()
         except Exception as e:  # keep auditing; the report is the point
-            bad[name] = [("ERR", f"{type(e).__name__}: {str(e)[:160]}")]
-            print(f"ERR  {name}: {bad[name][0][1]}", flush=True)
+            msg = f"{type(e).__name__}: {str(e)[:160]}"
+            if "INTERRUPT" in msg.upper() or "interrupt" in msg:
+                skipped.append(name)
+                print(
+                    f"SLOW-SKIP {name}: oracle exceeded "
+                    f"{ORACLE_TIMEOUT_S:.0f}s at {sf} (sized for "
+                    "sf0.01; key remains exactly verified there)",
+                    flush=True,
+                )
+                continue
+            bad[name] = [("ERR", msg)]
+            print(f"ERR  {name}: {msg}", flush=True)
             continue
         if srows == orows:
             print(f"ok   {name}: {len(srows)} rows", flush=True)
@@ -155,7 +186,10 @@ def main() -> None:
         bad[name] = diffs
         print(f"FAIL {name}: {len(diffs)}+ differing values", flush=True)
 
-    print(f"\nTIE AUDIT [{sf}]: {len(bad)} failing keys")
+    print(
+        f"\nTIE AUDIT [{sf}]: {len(bad)} failing keys, "
+        f"{len(skipped)} slow-skipped {skipped}"
+    )
     for name, diffs in bad.items():
         print(f"  {name}:")
         for a, b in diffs[:8]:
