@@ -587,16 +587,23 @@ def sql_volume_shipping(spark: SparkSession, d: str) -> DataFrame:
 #: rides DECIMAL partials; the extended charge expression keeps ≤ 6
 #: decimal digits, so the double product is within a quarter-ulp of
 #: the true decimal and the DECIMAL(33,9) cast recovers it exactly on
-#: both engines.
+#: both engines. The two wide sums render through VARCHAR before the
+#: final DOUBLE cast (r12): their int128-backed decimals pass 2^53 at
+#: sf0.1 and DuckDB's direct decimal->double cast is 1 ulp off there,
+#: while exact-digits -> strtod is correctly rounded in BOTH engines
+#: (Spark's string and direct paths agree, so its values are
+#: unchanged).
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
          AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
-            AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                     AS DECIMAL(33,9))) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(27,6))) AS STRING) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          AS DECIMAL(33,9))) AS STRING) AS DOUBLE)
+         AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
          AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)

@@ -132,6 +132,14 @@ def main() -> None:
     assert not unknown, f"unknown/rows-only keys: {sorted(unknown)}"
 
     con = duckdb.connect()
+    # bounded DuckDB memory: a runaway oracle (the sf0.1 graph CTEs
+    # built tens of GB of intermediates) must raise OutOfMemory and be
+    # reported, not draw the kernel OOM-killer onto the whole audit
+    con.execute(
+        "SET memory_limit='"
+        + os.environ.get("TIE_AUDIT_DUCK_MEM", "24GB")
+        + "'"
+    )
     for t in (
         "region nation customer supplier part orders lineitem events"
         " documents embeddings"
