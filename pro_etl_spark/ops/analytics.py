@@ -8675,7 +8675,9 @@ def funnel_attribution_markov(spark: SparkSession, d: str) -> DataFrame:
     Scale: the only corpus-sized work is the journey census (one
     user-keyed window pass + a grouped count to ≤|states|² rows);
     the chain algebra runs on the (5 variants × |states|) grid —
-    model state — as 8 broadcast-joined rounds."""
+    model state, collected once and iterated on the driver in exact
+    integer/IEEE arithmetic (bit-identical to the former in-engine
+    rounds); the closing 4-row algebra stays in Spark."""
     ev = load(spark, d, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -8709,83 +8711,61 @@ def funnel_attribution_markov(spark: SparkSession, d: str) -> DataFrame:
         .where(F.col("dst").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n_st"))
-        # localCheckpoint, not cache: the per-round r pins below make
-        # this operator construction-eager regardless (lazy_audit
-        # ALLOWED), so a cache barrier would buy no laziness — keep
-        # the checkpointed row RDD all the loop reads share (round-9
-        # A/B at sf0.1: the two barriers are within session noise)
-        .localCheckpoint(eager=False)
     )
-    outdeg = trans.groupBy(F.col("src").alias("osrc")).agg(
-        F.sum("n_st").alias("n_s")
-    )
-    conv = trans.where(F.col("dst") == "purchase").select(
-        F.col("src").alias("csrc"), F.col("n_st").alias("n_conv")
-    )
-    base = (
-        outdeg.join(conv, F.col("osrc") == F.col("csrc"), "left")
-        .select(
-            F.col("osrc").alias("state"),
-            "n_s",
-            F.coalesce(
-                F.floor(
-                    (F.col("n_conv") * 1000000).cast("double") / F.col("n_s")
-                ).cast("long"),
-                F.lit(0).cast("long"),
-            ).alias("b"),
+    # MODEL-STATE rounds on the driver (r12, guide §1.2): the 8 value
+    # iterations used to run as 8 Spark rounds of two broadcast joins
+    # each over the ≤ (5 variants × |states|) grid behind per-round
+    # localCheckpoint pins — ~16 tiny chained stages of pure job
+    # overhead; the only corpus-sized work is the journey census
+    # above. Collecting the transition census (≤ |states|² integer
+    # cells — the same class as the k-means/PCA trainers' collected
+    # centroids; the operator was already construction-eager,
+    # lazy_audit ALLOWED) and running the rounds in Python replicates
+    # every engine op bit-for-bit: counts are integers, each term is
+    # floor(float(n_st·r) / n_s) with long→double casts exact under
+    # 2^53 and IEEE division, and the per-round sum is an integer sum.
+    # The closing 4-row algebra stays in Spark unchanged.
+    import math
+
+    tr = [(row[0], row[1], row[2]) for row in trans.collect()]
+    n_s: dict = {}
+    for s_, _d, n_ in tr:
+        n_s[s_] = n_s.get(s_, 0) + n_
+    conv = {s_: n_ for s_, d_, n_ in tr if d_ == "purchase"}
+    b = {
+        s_: (
+            math.floor(float(conv[s_] * 1000000) / float(n_s[s_]))
+            if s_ in conv
+            else 0
         )
-    )
-    variants = spark.createDataFrame(
-        [("full", "")] + [(f"-{c}", c) for c in _MARKOV_CHANNELS],
-        "variant string, removed string",
-    )
-    r = (
-        F.broadcast(variants)
-        .crossJoin(base)
-        .select(
-            "variant", "removed", "state", "n_s", "b", F.col("b").alias("r")
-        )
-        # pin the frame before the per-round SELF-join (the q side) —
-        # same disambiguation the graph loops use
-        .localCheckpoint(eager=False)
-    )
-    hop = trans.where(~F.col("dst").isin("purchase", "END"))
+        for s_ in n_s
+    }
+    variants = [("full", "")] + [(f"-{c}", c) for c in _MARKOV_CHANNELS]
+    hop = {}
+    for s_, d_, n_ in tr:
+        if d_ not in ("purchase", "END"):
+            hop.setdefault(s_, []).append((d_, n_))
+    rv = {(v, s_): b[s_] for v, _rm in variants for s_ in n_s}
     for _ in range(MARKOV_ATTR_ROUNDS):
-        contrib = (
-            r.join(
-                hop,
-                (F.col("src") == F.col("state"))
-                & (F.col("dst") != F.col("removed")),
-                "left",
-            )
-            .join(
-                r.select(
-                    F.col("variant").alias("qv"),
-                    F.col("state").alias("qs"),
-                    F.col("r").alias("qr"),
-                ),
-                (F.col("qv") == F.col("variant")) & (F.col("qs") == F.col("dst")),
-                "left",
-            )
-            .groupBy("variant", "removed", "state", "n_s", "b")
-            .agg(
-                (
-                    F.col("b")
-                    + F.coalesce(
-                        F.sum(
-                            F.floor(
-                                (F.col("n_st") * F.col("qr")).cast("double")
-                                / F.col("n_s")
-                            ).cast("long")
-                        ),
-                        F.lit(0).cast("long"),
-                    )
-                ).alias("r")
-            )
-        )
-        r = contrib.localCheckpoint(eager=False)
-    starts = r.where(F.col("state") == "START").select(
-        "variant", "removed", "r"
+        new_rv = {}
+        for v, rm in variants:
+            for s_ in n_s:
+                acc = 0
+                for d_, n_ in hop.get(s_, ()):
+                    if d_ == rm:
+                        continue
+                    q = rv.get((v, d_))
+                    if q is not None:
+                        acc += math.floor(float(n_ * q) / float(n_s[s_]))
+                new_rv[(v, s_)] = b[s_] + acc
+        rv = new_rv
+    starts = spark.createDataFrame(
+        [
+            (v, rm, rv[(v, "START")])
+            for v, rm in variants
+            if (v, "START") in rv
+        ],
+        "variant string, removed string, r long",
     )
     full = starts.where(F.col("variant") == "full").select(
         F.col("r").alias("r_full")

@@ -467,10 +467,11 @@ def merge_cdc_apply(spark: SparkSession, d: str) -> DataFrame:
     Debezium/stream tail, and the batch twin of the streaming
     ``stream_dedup`` keep-latest discipline.
 
-    Plan: the changelog collapses to one row per key FIRST (row_number
-    window on the key — one shuffle of the feed, map-side pruned), so
-    the full-outer join against the base is keyed change-count-sized,
-    not feed-sized. At 100 TB the base is bucketed by key, making the
+    Plan: the changelog collapses to one row per key FIRST
+    (MAX(STRUCT(ts, seq, …)) — a hash aggregate with map-side
+    partials, so only one candidate row per key per map partition is
+    shuffled), and the full-outer join against the base is keyed
+    change-count-sized, not feed-sized. At 100 TB the base is bucketed by key, making the
     apply a co-located join; the window and join share the same key so
     Spark reuses the exchange. Deletes are filtered AFTER the join
     (matched-delete must still eliminate its base row, which a
@@ -495,11 +496,27 @@ def merge_cdc_apply(spark: SparkSession, d: str) -> DataFrame:
         F.col("o_orderkey").alias("seq"),
         "bal",
     )
-    w = Window.partitionBy("k").orderBy(F.desc("ts"), F.desc("seq"))
+    # last-change-per-key: MAX(STRUCT(ts, seq, op, bal)) is the
+    # identical (ts DESC, seq DESC) pick — seq (= o_orderkey) is
+    # unique per key, so (ts, seq) is a total order and op/bal are
+    # never compared. The former row_number window shuffled and
+    # SORTED the whole change feed; the aggregate collapses each map
+    # partition to one row per key BEFORE the exchange (guide §2.3
+    # "aggregate before you shuffle") — at 100 TB the shuffle drops
+    # from feed-sized to keys×partitions.
     latest = (
-        chg.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("k", "op", "bal")
+        chg.groupBy("k")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("seq").alias("seq"),
+                    F.col("op").alias("op"),
+                    F.col("bal").alias("bal"),
+                )
+            ).alias("m")
+        )
+        .select("k", F.col("m.op").alias("op"), F.col("m.bal").alias("bal"))
     )
     c = load(spark, d, "customer")
     return (

@@ -418,8 +418,9 @@ def dedup_canonical_by_quality(spark: SparkSession, d: str) -> DataFrame:
     the arbitrary min-id survivor — the policy real corpus builds use
     (the longest crawl of a page usually has the least boilerplate
     stripping damage). Consumes the memoized cluster labeling
-    (``dedup_clusters``) joined to per-doc token counts; one window
-    ranks members within each cluster.
+    (``dedup_clusters``) joined to per-doc token counts; one
+    cluster-keyed aggregate picks the canonical member and counts the
+    cluster in the same pass.
 
     Scale: the cluster table is |near-dup docs| (≪ corpus), so the
     join and the per-cluster window are small; the corpus-sized work
@@ -436,21 +437,30 @@ def dedup_canonical_by_quality(spark: SparkSession, d: str) -> DataFrame:
         )
     )
     j = clusters.join(q, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_tokens"), F.asc("doc_id")
-    )
-    ranked = j.select(
-        "cluster_id",
-        "doc_id",
-        "n_tokens",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("cluster_id")).alias("n_members"),
-    )
-    return ranked.where(F.col("rn") == 1).select(
-        "cluster_id",
-        F.col("doc_id").alias("canonical_doc_id"),
-        F.col("n_tokens").alias("canonical_tokens"),
-        "n_members",
+    # canonical pick (former row_number window) and member count
+    # (former COUNT(*) window) fused into ONE hash aggregate:
+    # MIN(STRUCT(-n_tokens, doc_id, …)) is the identical
+    # (n_tokens DESC, doc_id ASC) total order (doc_id unique), and the
+    # census rides the same cluster-keyed exchange — one exchange, no
+    # per-cluster sorts, map-side partials (guide §2.3).
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_tokens")).alias("nt"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("n_tokens").alias("n_tokens"),
+                )
+            ).alias("m"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("m.doc_id").alias("canonical_doc_id"),
+            F.col("m.n_tokens").alias("canonical_tokens"),
+            "n_members",
+        )
     )
 
 
@@ -895,45 +905,91 @@ def pipeline_data_funnel(spark: SparkSession, d: str) -> DataFrame:
 
     Scale: each gate reuses the already-scaling machinery — the
     quality pass is narrow, exact dedup is one md5-keyed shuffle of
-    the FILTERED corpus, and the near-dup drop set is the cached
-    shingle-LSH pair output (bounded bucket shuffle, see ops.dedup)
-    applied as a broadcast-able anti-join on ids, never text. The four
-    stage summaries are map-side-combined counts unioned at the end."""
-    from pro_etl_spark.ops.text import TOKENS, pipeline_gopher_filter
+    hashes-and-flags (never text), and the near-dup drop set is the
+    cached shingle-LSH pair output (bounded bucket shuffle, see
+    ops.dedup) applied as a broadcast-able id join. All four stage
+    summaries fold out of ONE conditional aggregate over the
+    flag-annotated corpus — a single documents scan in the census
+    spine (r12; the former layout unioned four independent aggregates
+    and re-derived every stage's inputs per branch)."""
+    # ONE-PASS census (r12, guide §1.2 step 1 — don't compute things
+    # you throw away): the former four independent stage aggregates
+    # UNIONed at the end scanned `documents` 4×, computed the Gopher
+    # gate 3× and the md5 exact-dedup shuffle 2× (56 Exchanges).
+    # Instead, annotate each document ONCE with its stage-survival
+    # flags, fold all four censuses out of one conditional aggregate,
+    # and explode to the 4 output rows. Only (doc_id, h, n_toks, g)
+    # bytes cross the md5-keyed exchange — `text` is dropped before
+    # the shuffle (guide §2.3 "project before the exchange").
+    # The gopher flag is computed IN the census scan via the shared
+    # gate expressions (gopher_keep_expr == the registered gate's
+    # `keep`, see ops.text) — no second documents scan and no join.
+    # The token array is bound in a stacked projection so the HOF
+    # lambdas never re-run the tokenizer per element, and no FILTER
+    # ever sits above the gate expressions (predicate pushdown would
+    # inline the signal stack over raw text — measured 24 s vs 6 s at
+    # sf0.1 when the gopher stage was a filtered left-semi join).
+    from pro_etl_spark.ops.text import TOKENS, gopher_keep_expr
 
-    docs = load(spark, d, "documents").select(
-        "doc_id", "text", F.size(TOKENS()).alias("n_toks")
+    ann = (
+        load(spark, d, "documents")
+        .select("doc_id", F.md5("text").alias("h"), TOKENS().alias("toks"))
+        .select(
+            "doc_id",
+            "h",
+            F.size("toks").alias("n_toks"),
+            gopher_keep_expr(F.col("toks")).alias("g"),
+        )
     )
-    keep = (
-        pipeline_gopher_filter(spark, d).where(F.col("keep")).select("doc_id")
-    )
-    s1 = docs.join(keep, "doc_id", "left_semi")
-    survivors = (
-        s1.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    s2 = s1.join(survivors, "doc_id", "left_semi")
     from pro_etl_spark.ops.dedup import dedup_minhash_shingle_lsh
 
-    drop = dedup_minhash_shingle_lsh(spark, d).select(
-        F.col("doc_b").alias("doc_id")
+    drop = (
+        dedup_minhash_shingle_lsh(spark, d)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(True).alias("nd"))
     )
-    s3 = s2.join(drop, "doc_id", "left_anti")
+    # exact-dedup winner among gopher survivors = MIN(doc_id) over the
+    # md5 group restricted to survivors — the same h-keyed exchange the
+    # former groupBy paid, computed as a window so the flag lands on
+    # every row without a join back
+    wh = Window.partitionBy("h")
+    ann = ann.withColumn(
+        "keep_id", F.min(F.when(F.col("g"), F.col("doc_id"))).over(wh)
+    ).withColumn("s2", F.col("g") & (F.col("doc_id") == F.col("keep_id")))
+    ann = ann.join(drop, "doc_id", "left").withColumn(
+        "s3", F.col("s2") & F.col("nd").isNull()
+    )
 
-    def census(df: DataFrame, ord_: int, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(ord_).cast("long").alias("stage_ord"),
-            F.lit(name).alias("stage"),
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("n_tokens"),
-        )
+    def cnt(flag, col=None):
+        if col is None:
+            return F.coalesce(F.sum(flag.cast("long")), F.lit(0)).cast("long")
+        return F.coalesce(F.sum(F.when(flag, F.col(col))), F.lit(0)).cast("long")
 
+    census = ann.agg(
+        F.count("*").alias("d0"),
+        F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("t0"),
+        cnt(F.col("g")).alias("d1"),
+        cnt(F.col("g"), "n_toks").alias("t1"),
+        cnt(F.col("s2")).alias("d2"),
+        cnt(F.col("s2"), "n_toks").alias("t2"),
+        cnt(F.col("s3")).alias("d3"),
+        cnt(F.col("s3"), "n_toks").alias("t3"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_ord"),
+                F.lit(name).alias("stage"),
+                F.col(f"d{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+            )
+            for i, name in enumerate(_FUNNEL_STAGES)
+        ]
+    )
     return (
-        census(docs, 0, "raw")
-        .unionByName(census(s1, 1, "gopher"))
-        .unionByName(census(s2, 2, "exact_dedup"))
-        .unionByName(census(s3, 3, "near_dedup"))
+        census.select(F.explode(stages).alias("s"))
+        .select("s.stage_ord", "s.stage", "s.n_docs", "s.n_tokens")
         .orderBy("stage_ord")
     )
 

@@ -813,7 +813,11 @@ def _cc_min_label(pairs: DataFrame) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
-    edges = edges.localCheckpoint()
+    # lazy: the first round's convergence-probe collect materializes
+    # the edge RDD along with round 1 in ONE job (r12; the former
+    # eager checkpoint was a separate job per barrier — two jobs per
+    # round for one round's bytes)
+    edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -845,7 +849,7 @@ def _cc_min_label(pairs: DataFrame) -> DataFrame:
         new_labels = (
             hop.join(parent, "label", "left")
             .select("node", F.coalesce("gl", "label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # per-node min over a superset only ever lowers labels, so the
         # total is strictly decreasing until the fixpoint

@@ -104,15 +104,16 @@ def graph_pagerank(spark: SparkSession, d: str) -> DataFrame:
         sums = contrib.groupBy("dst").agg(
             F.sum(F.col("c").cast(_DEC30)).cast("double").alias("s")
         )
-        r = (
-            nodes.join(sums, nodes.node == sums.dst)
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                (
-                    (1 - DAMPING) / F.col("n") + DAMPING * F.col("s")
-                ).alias("r"),
-            )
+        # the edge list is SYMMETRIC (both directions of every LSH
+        # pair), so every node has an incoming edge and `sums` already
+        # covers the exact node set: the former `nodes ⋈ sums` inner
+        # join was an identity costing two exchanges per round (guide
+        # §2.4 — remove shuffles outright). The oracle's
+        # `nodes n JOIN edges e ON e.dst = n.node` reduces to the same
+        # set, so values are untouched.
+        r = sums.crossJoin(F.broadcast(nn)).select(
+            F.col("dst").alias("node"),
+            ((1 - DAMPING) / F.col("n") + DAMPING * F.col("s")).alias("r"),
         )
     return r.select(F.col("node").alias("doc_id"), F.round("r", 6).alias("pagerank"))
 
@@ -408,10 +409,9 @@ def graph_label_propagation(spark: SparkSession, d: str) -> DataFrame:
 
     Scale: per round one keyed shuffle — labels equi-join edges (at
     100 TB a co-located join when both are bucketed by node) then a
-    (node, label) count and a per-node window argmax; node ids are
-    high-cardinality so the window partitioning is fine-grained.
-    Lineage is truncated per round (the ``dedup_clusters``
-    discipline)."""
+    (node, label) count and a per-node MIN(STRUCT) argmax — both hash
+    aggregates with map-side partials, no per-node sort. Lineage is
+    truncated per round (the ``dedup_clusters`` discipline)."""
     pairs = dedup_minhash_lsh(spark, d)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -425,18 +425,29 @@ def graph_label_propagation(spark: SparkSession, d: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    from pyspark.sql import Window
-
     for _ in range(LPA_ROUNDS):
         cand = edges.join(
             labels, edges["src"] == labels["node"], "inner"
         ).select(F.col("dst").alias("node"), "label")
         counts = cand.groupBy("node", "label").agg(F.count("*").alias("cnt"))
-        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        # most-frequent-neighbor-label pick: MIN(STRUCT(-cnt, label))
+        # is the identical deterministic (cnt DESC, label ASC)
+        # tie-break computed as a hash aggregate with map-side partials
+        # on the same node-keyed exchange — the former
+        # `row_number() OVER (PARTITION BY node ORDER BY ...)` paid a
+        # full sort of every (node, label) cell per round (guide §2.3
+        # "aggregate before you shuffle"). Values unchanged (the
+        # oracle keeps the ROW_NUMBER form; same winner per node).
         labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "label")
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label").alias("label")
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels.select(
@@ -970,10 +981,19 @@ def graph_hits(spark: SparkSession, d: str) -> DataFrame:
     h = nodes.select("node", F.lit(1.0).alias("h"))
     a = None
     for _ in range(HITS_ROUNDS):
+        # each half-round's neighbor-sum frame is consumed TWICE (the
+        # 1-row L1 normalizer aggregate and the per-node projection);
+        # without a lineage barrier the unrolled subtree DOUBLES per
+        # half-round — 2^(2·rounds) copies of the LSH-pair derivation,
+        # measured as a 704 KB plan with 1,130 Exchanges at r12.
+        # A lazy localCheckpoint per half-round pins it (guide §3.3
+        # "materialise an intermediate to truncate the plan"): 5 KB,
+        # 14 Exchanges, values untouched.
         ad = (
             e.join(h, e.src == h.node)
             .groupBy(F.col("dst").alias("anode"))
             .agg(F.sum(F.col("h").cast(_DEC30H)).alias("s"))
+            .localCheckpoint(eager=False)
         )
         at = ad.agg(F.sum("s").alias("t"))
         a = ad.crossJoin(F.broadcast(at)).select(
@@ -986,6 +1006,7 @@ def graph_hits(spark: SparkSession, d: str) -> DataFrame:
             e.join(a, e.dst == a.node)
             .groupBy(F.col("src").alias("hnode"))
             .agg(F.sum(F.col("a").cast(_DEC30H)).alias("s"))
+            .localCheckpoint(eager=False)
         )
         ht = hd.agg(F.sum("s").alias("t"))
         h = hd.crossJoin(F.broadcast(ht)).select(

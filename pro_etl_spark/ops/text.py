@@ -505,6 +505,76 @@ GOPHER_MAX_TOP_TOKEN = 0.14
 from pro_etl_spark.registry import ORACLES as _ORACLES  # noqa: E402
 
 
+def _gopher_sig_exprs(toks):
+    """The four Gopher-gate signal Columns over a BOUND token-array
+    column — expression-identical to ``text_quality``'s
+    n_tokens/stopword_ratio and ``text_repetition``'s
+    dup_bigram_ratio/top_token_ratio (the fused r12 gate and
+    ``pipeline_data_funnel``'s in-scan annotation both build from
+    these, so the values provably match the composed form). ``toks``
+    MUST be a projected column, not an inline ``TOKENS()`` — the HOF
+    lambdas re-evaluate inline producers per element."""
+    n_long = F.size(toks).cast("long")
+    n_dbl = F.size(toks).cast("double")
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    n = F.size(toks)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    )
+    bigrams = F.when(
+        n >= 2, F.transform(F.sequence(F.lit(1), n - 1), gram)
+    ).otherwise(F.array().cast("array<string>"))
+    dup_bigram = F.round(
+        F.when(
+            F.size(bigrams) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    top_ratio = F.round(
+        F.when(
+            n > 0,
+            F.array_max(
+                F.transform(
+                    F.array_distinct(toks),
+                    lambda tok: F.size(F.filter(toks, lambda x: x == tok)),
+                )
+            )
+            / n,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        n_long,
+        F.round(sw / n_dbl, 6),
+        dup_bigram,
+        top_ratio,
+    )
+
+
+def _gopher_reason_array(nt, sr, db, tt) -> Column:
+    """Reason-tag array from the four signal Columns — the single
+    definition both the registered gate and the keep expression build
+    from (NULL-signal semantics included: a NULL comparison yields no
+    tag, exactly like the oracle's CASE + list_filter)."""
+    return F.array_compact(
+        F.array(
+            F.when(nt < GOPHER_MIN_TOKENS, F.lit("too_short")),
+            F.when(sr < GOPHER_MIN_STOPWORD, F.lit("low_stopword")),
+            F.when(db > GOPHER_MAX_DUP_BIGRAM, F.lit("repetitive_bigrams")),
+            F.when(tt > GOPHER_MAX_TOP_TOKEN, F.lit("dominant_token")),
+        )
+    )
+
+
+def gopher_keep_expr(toks) -> Column:
+    """The gate's boolean keep decision over a BOUND token-array
+    column — literally ``size(reasons) == 0`` over the same signal
+    and reason expressions as the registered gate."""
+    nt, sr, db, tt = _gopher_sig_exprs(toks)
+    return F.size(_gopher_reason_array(nt, sr, db, tt)) == 0
+
+
 @register(
     "pipeline_gopher_filter",
     oracle=f"""
@@ -535,34 +605,43 @@ from pro_etl_spark.registry import ORACLES as _ORACLES  # noqa: E402
     """,
 )
 def pipeline_gopher_filter(spark: SparkSession, d: str) -> DataFrame:
-    """Composed Gopher-style quality gate: join the quality-signal and
-    repetition-signal tables on doc_id and derive a keep/drop decision
-    with machine-readable reason tags (the audit trail a training-data
-    pipeline keeps for every dropped document). Composition mirrors
-    production: signal tables are computed once (both narrow) and
-    joined on the document key — at 100 TB both sides are
-    bucket-sorted by doc_id so the join is co-located; fusing the
-    signals into one projection is the other valid layout, but loses
-    the reusable signal tables."""
-    q = text_quality(spark, d)
-    r = text_repetition(spark, d).drop("n_tokens")
-    j = q.join(r, "doc_id")
-    reasons = F.array_compact(
-        F.array(
-            F.when(F.col("n_tokens") < GOPHER_MIN_TOKENS, F.lit("too_short")),
-            F.when(
-                F.col("stopword_ratio") < GOPHER_MIN_STOPWORD,
-                F.lit("low_stopword"),
-            ),
-            F.when(
-                F.col("dup_bigram_ratio") > GOPHER_MAX_DUP_BIGRAM,
-                F.lit("repetitive_bigrams"),
-            ),
-            F.when(
-                F.col("top_token_ratio") > GOPHER_MAX_TOP_TOKEN,
-                F.lit("dominant_token"),
-            ),
-        )
+    """Composed Gopher-style quality gate: per-document quality +
+    repetition signals and a keep/drop decision with machine-readable
+    reason tags (the audit trail a training-data pipeline keeps for
+    every dropped document).
+
+    FUSED single-pass layout (r12, guide §1.2 step 1): the composed
+    ``text_quality ⋈ text_repetition`` form scanned and tokenized the
+    corpus TWICE, paid a doc-keyed join, and computed three signals
+    the gate never reads (avg_token_len, length_score,
+    dup_trigram_ratio). The gate now computes exactly its four signals
+    in one narrow projection with the IDENTICAL expressions — same
+    values, same schema, zero shuffles. The standalone signal
+    operators remain registered for pipelines that persist the full
+    signal tables. The token array is bound in a stacked projection
+    (multi-referenced non-cheap producer, so CollapseProject leaves it
+    alone — the ``text_langid`` recipe): each HOF lambda would
+    otherwise re-run the regex split per element. NOTE for consumers:
+    never put a FILTER on this gate's derived columns (predicate
+    pushdown would inline the whole signal stack over raw text and
+    re-tokenize per lambda element) — join/annotate with the `keep`
+    column instead (see pipeline_data_funnel)."""
+    docs = load(spark, d, "documents").select(
+        "doc_id", TOKENS().alias("toks")
+    )
+    nt, sr, db, tt = _gopher_sig_exprs(F.col("toks"))
+    j = docs.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        sr.alias("stopword_ratio"),
+        db.alias("dup_bigram_ratio"),
+        tt.alias("top_token_ratio"),
+    )
+    reasons = _gopher_reason_array(
+        F.col("n_tokens"),
+        F.col("stopword_ratio"),
+        F.col("dup_bigram_ratio"),
+        F.col("top_token_ratio"),
     )
     # reasons is emitted ','-joined (one string column): the grading
     # harness canonicalizes through a pandas sort that cannot factorize
@@ -1966,13 +2045,28 @@ def text_rake_keyphrases(spark: SparkSession, d: str) -> DataFrame:
             ).cast("long").alias("score_micro"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score_micro"), "keyphrase"
-    )
+    # top-1 phrase per doc: MIN(STRUCT(-score_micro, keyphrase, ...))
+    # is the identical (score DESC, keyphrase ASC) pick as a hash
+    # aggregate with map-side partials on the doc-keyed exchange the
+    # phrase-score groupBy already established — the former row_number
+    # window re-sorted every candidate phrase per doc (guide §2.3).
+    # Two phrases tying on (score, keyphrase) are the same word
+    # sequence, so n_words (carried in the struct) is determined.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "keyphrase", "n_words", "score_micro")
+        scored.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score_micro")).alias("ns"),
+                    F.col("keyphrase").alias("keyphrase"),
+                    F.col("n_words").alias("n_words"),
+                    F.col("score_micro").alias("score_micro"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "doc_id", "m.keyphrase", "m.n_words", F.col("m.score_micro").alias("score_micro")
+        )
     )
 
 

@@ -38,8 +38,10 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # local[32] test harness: 32 shuffle partitions ≈ 1 per core; on a
-    # real cluster AQE coalescing makes the initial number non-critical.
+    # floor value only — tune() overrides with a scale-adaptive
+    # max(32, 2×defaultParallelism) when the session exposes a
+    # SparkContext (see below); this static entry keeps sessions that
+    # don't (e.g. Connect) at the local-harness default.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # restore the default broadcast threshold before every query:
@@ -116,6 +118,22 @@ def tune(spark: SparkSession) -> SparkSession:
                     "tune(): conf %s=%s not applied (%s) — immutable "
                     "in this deployment or unknown key", k, v, exc
                 )
+    # Scale-adaptive shuffle partitions (r12, guide §2.2): AQE
+    # partition coalescing only SHRINKS the initial count, so a
+    # constant 32 would cap every reduce stage at 32 tasks on a real
+    # cluster. Derive the floor from the live session instead:
+    # local[8] keeps 32, local[32] gets 64, a 1000-core cluster gets
+    # 2000 — and AQE still sizes the actual post-shuffle partitions by
+    # bytes. Parameterised by the session (not an env constant), so
+    # the driver's lower-core bench runs inherit the right floor
+    # automatically.
+    try:
+        par = spark.sparkContext.defaultParallelism
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(32, 2 * par))
+        )
+    except Exception:
+        pass  # no SparkContext (e.g. Connect) — static floor stands
     try:
         _ship_package(spark)
     except Exception:
