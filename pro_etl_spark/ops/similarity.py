@@ -2840,11 +2840,15 @@ def dedup_srp_eval(spark: SparkSession, d: str) -> DataFrame:
     on the deterministic certification sample (see that constant's
     docstring); the SRP side and the cross-label census stay
     unsampled."""
-    from pro_etl_spark.ops.dedup import _cert_sample
+    from pro_etl_spark.ops.dedup import _cert_sample, _pair_spread
 
     e = corpus_table(spark, d)
     es = _cert_sample(spark, d, e, "vec_id", "embeddings")
-    a, b = es.alias("a"), es.alias("b")
+    # explicit-count repartition: without it the few-MB sampled frame
+    # sits in one (coalesced) partition and the per-pair dot-product
+    # loop of the blocked truth join runs on a single task — see
+    # dedup._pair_spread
+    a, b = _pair_spread(es, "vec_id").alias("a"), es.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )

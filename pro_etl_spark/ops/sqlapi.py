@@ -697,14 +697,61 @@ LIMIT 20
 """
 
 
+#: Spark-side twin of SQL_MIN_COST_SUPPLIER with the part filter
+#: pushed below the partsupp rollup (r12, same argument as
+#: SQL_PRODUCT_PROFIT_SPARK): both the outer query and the
+#: decorrelated per-part MIN consume partsupp ONLY at partkeys
+#: passing the p_size/p_type filter (~1.7% of parts), and the
+#: prefiltered rollup keeps every (partkey, suppkey) row of those
+#: partkeys, so all consumed ps_supplycost values are identical. The
+#: rollup's shuffle of raw lineitem drops ~60×.
+SQL_MIN_COST_SUPPLIER_SPARK = """
+WITH fp AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_size <= 5 AND p_type = 'LARGE'
+),
+fli AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice, l_quantity
+  FROM lineitem JOIN fp ON p_partkey = l_partkey
+),
+partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM fli WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name
+FROM fp
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 20
+"""
+
+
 @register("sql_min_cost_supplier", oracle=SQL_MIN_COST_SUPPLIER)
 def sql_min_cost_supplier(spark: SparkSession, d: str) -> DataFrame:
     """TPC-H Q2 shape over the lineitem-derived partsupp. Catalyst
     decorrelates the per-part MIN into an aggregate joined back on
     p_partkey; at 100 TB both sides of that join are the (part, supp)
-    rollup, never raw lineitem, and every dimension is broadcast."""
+    rollup, never raw lineitem, and every dimension is broadcast.
+    r12: the rollup itself is derived from lineitem prefiltered to
+    the ~1.7% of partkeys the query can consume
+    (SQL_MIN_COST_SUPPLIER_SPARK), instead of aggregating the whole
+    fact table first."""
     _views(spark, d)
-    return spark.sql(SQL_MIN_COST_SUPPLIER)
+    return spark.sql(SQL_MIN_COST_SUPPLIER_SPARK)
 
 
 #: TPC-H Q9 shape (product-type profit by nation and year): profit =
@@ -744,16 +791,57 @@ ORDER BY nation, o_year DESC
 """
 
 
+#: Spark-side twin of SQL_PRODUCT_PROFIT with the red-parts filter
+#: PUSHED BELOW the partsupp rollup: p_name is a function of
+#: p_partkey (unique key), so restricting lineitem to red partkeys
+#: BEFORE the (partkey, suppkey) MIN changes no surviving
+#: ps_supplycost value — MIN over the rows of a key is untouched by
+#: dropping other keys — and the fact side consumed the rollup only
+#: at red partkeys anyway. The rollup's corpus-sized shuffle drops by
+#: the filter's selectivity (~13% of parts are red at every SF); the
+#: join tree and every arithmetic expression are verbatim from the
+#: oracle text, so the per-row IEEE profit terms are bit-identical.
+SQL_PRODUCT_PROFIT_SPARK = """
+WITH red_li AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+         l_extendedprice, l_discount
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'
+),
+partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM red_li WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                            - ps_supplycost * l_quantity) * 1000000.0)
+                     AS DECIMAL(27,0)))
+            AS DOUBLE) / 1000000.0 AS profit
+FROM red_li
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+ORDER BY nation, o_year DESC
+"""
+
+
 @register("sql_product_profit", oracle=SQL_PRODUCT_PROFIT)
 def sql_product_profit(spark: SparkSession, d: str) -> DataFrame:
     """TPC-H Q9 shape: the p_name filter prunes lineitem through the
-    part join before the wide 5-way join fans out; the partsupp rollup
-    joins on the same (partkey, suppkey) grain as the facts so AQE can
-    plan it shuffle-local. Group keys (nation, year) are low-cardinality
-    — partial aggregation collapses the map side to ~nations×years rows
-    per task before the one final shuffle."""
+    part join before the wide 5-way join fans out AND before the
+    partsupp rollup (see SQL_PRODUCT_PROFIT_SPARK — r12: the rollup
+    previously aggregated ALL of lineitem to derive supply costs the
+    query then discarded for ~87% of parts). Group keys (nation,
+    year) are low-cardinality — partial aggregation collapses the map
+    side to ~nations×years rows per task before the one final
+    shuffle."""
     _views(spark, d)
-    return spark.sql(SQL_PRODUCT_PROFIT)
+    return spark.sql(SQL_PRODUCT_PROFIT_SPARK)
 
 
 #: TPC-H Q11 shape (important stock): per-part value from one nation's
