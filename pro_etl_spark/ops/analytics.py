@@ -2214,7 +2214,7 @@ def user_streaks(spark: SparkSession, d: str) -> DataFrame:
 # --- two-sample / independence statistical tests ---------------------
 
 
-def _global_running_sums(df, order_cols, sum_cols):
+def _global_running_sums(df, order_cols, sum_cols, with_totals=False):
     """Distributed exact running sums over a total order — the same
     recipe as ``_global_ntile``: range-shuffle on the ordering,
     per-partition window sums (parallel), per-partition TOTALS
@@ -2222,6 +2222,15 @@ def _global_running_sums(df, order_cols, sum_cols):
     state) and folded into literal offsets added to each partition's
     local running sum. No single-partition sort anywhere; bit-exact
     equal to the global-window version for integer columns.
+
+    ``with_totals=True`` additionally returns the GRAND totals of
+    ``sum_cols`` as a tuple of Python ints — the offset fold's final
+    accumulator, already on the driver for free. Callers that need
+    Σcol (the KS/Mann-Whitney n1/n2) read it from here instead of
+    re-aggregating the input: the r12 plan read showed events_ks_test
+    paying the events scan + support groupBy TWICE more just to
+    rebuild those two scalars
+    (plans/r12/events_ks_test_before.txt nodes 6-13 ≅ 19-26).
 
     As in ``_global_ntile``, the post-exchange frame is pinned with an
     eager localCheckpoint so the totals collect and the downstream
@@ -2259,7 +2268,10 @@ def _global_running_sums(df, order_cols, sum_cols):
         for pid, offs in offsets.items():
             off = F.when(F.col("_pid") == pid, F.lit(offs[idx])).otherwise(off)
         out = out.withColumn(f"run_{c}", (off + F.col(f"_run_{c}")).cast("long"))
-    return out.drop("_pid", *[f"_run_{c}" for c in sum_cols])
+    out = out.drop("_pid", *[f"_run_{c}" for c in sum_cols])
+    if with_totals:
+        return out, tuple(int(a) for a in acc)
+    return out
 
 
 def _grouped_running_sums(df, group_cols, order_cols, sum_cols):
@@ -2378,11 +2390,14 @@ def events_ks_test(spark: SparkSession, d: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c2"),
     )
-    cum = _global_running_sums(s, ["value"], ["c1", "c2"])
-    tot = s.agg(
-        F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n1"),
-        F.coalesce(F.sum("c2"), F.lit(0)).cast("long").alias("n2"),
+    cum, (n1_t, n2_t) = _global_running_sums(
+        s, ["value"], ["c1", "c2"], with_totals=True
     )
+    # grand totals are the running-sum fold's final accumulator —
+    # exact integer sums of the same longs Spark's SUM adds, already
+    # driver-side; re-entering them as a literal row removes the two
+    # extra events scans the SUM(c1)/SUM(c2) re-aggregation paid
+    tot = spark.createDataFrame([(n1_t, n2_t)], "n1 long, n2 long")
     dmax = cum.crossJoin(F.broadcast(tot)).agg(
         F.coalesce(
             F.max(
@@ -2471,11 +2486,13 @@ def events_mannwhitney(spark: SparkSession, d: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c2"),
     )
-    cum = _global_running_sums(s, ["value"], ["c1", "c2"])
-    tot = s.agg(
-        F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n1"),
-        F.coalesce(F.sum("c2"), F.lit(0)).cast("long").alias("n2"),
+    cum, (n1_t, n2_t) = _global_running_sums(
+        s, ["value"], ["c1", "c2"], with_totals=True
     )
+    # same literal re-entry as events_ks_test: the grand totals are
+    # the offset fold's final accumulator, so the extra SUM pass over
+    # the support (one more events scan) is pure recompute
+    tot = spark.createDataFrame([(n1_t, n2_t)], "n1 long, n2 long")
     nbefore = (
         F.col("run_c1") + F.col("run_c2") - F.col("c1") - F.col("c2")
     )
@@ -3368,10 +3385,13 @@ def events_time_to_convert(spark: SparkSession, d: str) -> DataFrame:
         F.unix_micros(F.col("first_purchase")) - F.unix_micros(F.col("fv"))
     ).alias("delta_us")
     deltas = p.select("user_id", us, F.lit(1).cast("long").alias("_one"))
-    ranked = _global_running_sums(
-        deltas, ["delta_us", "user_id"], ["_one"]
-    ).withColumnRenamed("run__one", "rn")
-    n_tot = deltas.agg(F.count("*").cast("long").alias("n"))
+    ranked, (n_conv,) = _global_running_sums(
+        deltas, ["delta_us", "user_id"], ["_one"], with_totals=True
+    )
+    ranked = ranked.withColumnRenamed("run__one", "rn")
+    # COUNT(*) == the running-_one fold's final accumulator; literal
+    # re-entry saves recomputing the two-aggregate converters table
+    n_tot = spark.createDataFrame([(n_conv,)], "n long")
     ranked = ranked.crossJoin(F.broadcast(n_tot))
     return ranked.agg(
         F.max("n").cast("long").alias("n_converters"),

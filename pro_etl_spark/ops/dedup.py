@@ -277,7 +277,14 @@ def _minhash_perms(th60: Column) -> Column:
     """MinHash signature from materialized base token hashes via
     universal hashing: h' = h mod P, then permutation j is the affine
     map h_j = ((2j+1)·h' + j·C + 7) mod P — the standard (aX+b) mod P
-    family's collision bounds, no per-permutation md5."""
+    family's collision bounds, no per-permutation md5.
+
+    CONTRACT: ``th60`` must be a MATERIALIZED column (cached table or
+    lambda-bound variable), never an inline derivation — the
+    per-permutation lambda references it once per permutation, so an
+    inlined producer expression re-evaluates 16× per row (r12 plan
+    read: plans/r12/dedup_minhash_shingle_before.txt node (7), fixed
+    by caching the shingle table at the th60 grain)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1)),
         lambda j: F.array_min(
@@ -1139,36 +1146,50 @@ def _shingle_table(spark: SparkSession, d: str) -> DataFrame:
 
     Hashing strategy (round-7 speedup): md5 runs once per token
     POSITION (the raw sequence — order matters, so no list_distinct
-    before hashing), reduced mod MH_P and MATERIALIZED via cache —
-    the barrier matters because ``element_at`` inside the shingle
-    lambda would otherwise re-evaluate the whole md5-transform subtree
-    per element (the round-6 105 s CSE lesson). Each shingle hash is
-    then the Horner mix of three cached values — three multiply-adds
-    replacing an md5 over the concatenated shingle string. Docs under
-    3 tokens have no shingle set and are filtered on both sides."""
+    before hashing), reduced mod MH_P; each shingle hash is the Horner
+    mix of three of those values — three multiply-adds replacing an
+    md5 over the concatenated shingle string. Docs under 3 tokens have
+    no shingle set and are filtered on both sides.
+
+    r12: the cache barrier moved from the per-token sequence to the
+    FINISHED shingle-hash set. The old shape cached ``th_seq`` and
+    left ``th60`` a single-use projection, so CollapseProject inlined
+    the Horner+``array_distinct`` derivation into every consumer
+    lambda — 16× per row under ``_minhash_perms``, and once per row
+    per JOIN SIDE in ``_lsh_sized_pairs`` and the eval truth joins.
+    ``_let`` binds the token-hash sequence to a lambda variable
+    (evaluated once per row — the in-plan form of the round-6 cache
+    lesson: ``element_at`` into an unbound transform would re-run the
+    md5 subtree per element), so the whole derivation is one narrow
+    pass and every consumer reads the materialized set."""
+    from pro_etl_spark.ops.multimodal import _let
+
     toks = F.split(F.trim(F.col("text")), r"\s+")  # RAW sequence
-    seqs = (
+
+    def sh(ts):
+        def h(i):
+            return F.element_at(ts, i)
+
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - 2),
+                lambda i: ((h(i) * SH_R + h(i + 1)) % MH_P * SH_R + h(i + 2))
+                % MH_P,
+            )
+        )
+
+    return (
         load(spark, d, "documents")
         .where(F.size(toks) >= 3)
         .select(
             "doc_id",
             "source",
-            F.transform(toks, lambda t: hash60(t) % MH_P).alias("th_seq"),
+            _let(
+                F.transform(toks, lambda t: hash60(t) % MH_P), sh
+            ).alias("th60"),
         )
         .cache()
     )
-
-    def h(i):
-        return F.element_at(F.col("th_seq"), i)
-
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("th_seq") - 2),
-            lambda i: ((h(i) * SH_R + h(i + 1)) % MH_P * SH_R + h(i + 2))
-            % MH_P,
-        )
-    )
-    return seqs.select("doc_id", "source", sh.alias("th60"))
 
 
 @register(
@@ -1650,6 +1671,13 @@ def dedup_ppjoin_prefix(spark: SparkSession, d: str) -> DataFrame:
         "doc_id", F.size("ts").alias("n"), F.explode("ts").alias("t")
     )
     dfc = tok.groupBy("t").agg(F.count("*").alias("df"))
+    # NOT cached, deliberately: the prefix self-join's two sides each
+    # recompute this census+sort (plan nodes 8-25 ≅ 29-46 in
+    # plans/r12/dedup_ppjoin_prefix_before.txt), but an r12 isolated
+    # A/B measured .cache() here at 4.8-6.0 s vs 3.4-3.8 s without —
+    # the two branches run in parallel inside one job, while the
+    # InMemoryRelation build serializes them behind a deserialized
+    # store of the big struct-array column. Recompute-in-parallel wins.
     ordered = (
         tok.join(dfc, "t")
         .groupBy("doc_id", "n")
@@ -1698,20 +1726,26 @@ def dedup_ppjoin_prefix(spark: SparkSession, d: str) -> DataFrame:
     s = tt.select("doc_id", "ts")
     x = s.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
     y = s.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
-    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b"))).cast(
-        "double"
-    )
-    union = (
-        F.size("ts_a")
-        + F.size("ts_b")
-        - F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
-    )
-    jac = inter / union
-    return (
+    # evaluate the intersect ONCE per candidate: materialize the sizes
+    # in a projection, then filter — the _lsh_sized_pairs recipe
+    # (array_intersect otherwise re-evaluates in the filter AND the
+    # final jaccard projection)
+    sized = (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
-        .where(jac >= PPJOIN_TAU)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+            .cast("double")
+            .alias("n_inter"),
+            F.size("ts_a").alias("n_a"),
+            F.size("ts_b").alias("n_b"),
+        )
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return sized.where(jac >= PPJOIN_TAU).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 

@@ -2465,12 +2465,16 @@ def embed_norm_outliers(spark: SparkSession, d: str) -> DataFrame:
     e = corpus_table(spark, d).select(
         "vec_id", "label", F.round("nrm", 6).alias("nrm")
     )
-    ranked = _global_running_sums(
+    ranked, (n_rows,) = _global_running_sums(
         e.withColumn("_one", F.lit(1).cast("long")),
         ["nrm", "vec_id"],
         ["_one"],
-    ).withColumnRenamed("run__one", "rn")
-    n_tot = e.agg(F.count("*").cast("long").alias("n"))
+        with_totals=True,
+    )
+    ranked = ranked.withColumnRenamed("run__one", "rn")
+    # COUNT(*) == the running-_one fold's final accumulator; literal
+    # re-entry saves a second norm pass over the corpus table
+    n_tot = spark.createDataFrame([(n_rows,)], "n long")
     med = (
         ranked.crossJoin(F.broadcast(n_tot))
         .agg(
