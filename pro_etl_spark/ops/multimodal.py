@@ -343,6 +343,11 @@ def mm_audio_energy(spark: SparkSession, d: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    # stacked select: ``energy`` (a per-frame Σs² HOF aggregate) is
+    # needed by both the energy column and rms; HOFs are
+    # CodegenFallback so whole-stage subexpression elimination never
+    # dedupes them — materialize it once, then derive rms (r12; the
+    # multi-referenced-producer CollapseProject rule keeps the stage)
     return (
         load(spark, d, "documents")
         .select("doc_id", pcm.alias("pcm"))
@@ -354,7 +359,15 @@ def mm_audio_energy(spark: SparkSession, d: str) -> DataFrame:
             F.size("frame").cast("long").alias("n_samples"),
             energy.alias("energy"),
             F.array_max("frame").cast("long").alias("peak"),
-            F.sqrt(energy.cast("double") / F.size("frame")).alias("rms"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            "n_samples",
+            "energy",
+            "peak",
+            F.sqrt(F.col("energy").cast("double") / F.col("n_samples"))
+            .alias("rms"),
         )
     )
 
@@ -986,12 +999,45 @@ def mm_audio_vad_segments(spark: SparkSession, d: str) -> DataFrame:
     Scale: frames are doc-keyed (the energy pass is map-only); the
     island windows partition by doc_id — per-partition state is one
     document's frames. No shuffle beyond the doc-keyed aggregate."""
-    fr = mm_audio_energy(spark, d).select("doc_id", "frame_idx", "energy")
-    tot = fr.groupBy("doc_id").agg(
-        F.sum("energy").alias("te"), F.count("*").alias("nf")
+    # r12: per-doc totals fold IN-ROW. The old shape consumed the
+    # framed-energy table twice (doc-keyed total aggregate + join
+    # back), re-running the char-level framing pass on both sides and
+    # paying a shuffle+join purely to attach (te, nf) — but every
+    # frame of a document lives in ONE source row, so the energies
+    # array, its sum and its size are one narrow projection and the
+    # voiced filter needs no shuffle at all (guide §2.4). Same
+    # integers: aggregate() over the array adds the same longs SUM()
+    # added over rows, and posexplode yields the same 0-based
+    # frame_idx.
+    pcm = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+    n_frames = F.ceil(F.size("pcm") / F.lit(float(FRAME_LEN))).cast("long")
+    energies = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.aggregate(
+            F.transform(
+                F.slice(F.col("pcm"), i * FRAME_LEN + 1, FRAME_LEN),
+                lambda x: (x * x).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
     )
-    voiced = fr.join(tot, "doc_id").where(
-        F.col("energy") * F.col("nf") >= F.col("te")
+    base = (
+        load(spark, d, "documents")
+        .select("doc_id", pcm.alias("pcm"))
+        .where(F.size("pcm") > 0)
+        .select("doc_id", energies.alias("es"))
+    )
+    fr = base.select(
+        "doc_id",
+        F.size("es").cast("long").alias("nf"),
+        F.aggregate(
+            F.col("es"), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("te"),
+        F.posexplode("es").alias("frame_idx", "energy"),
+    )
+    voiced = fr.where(F.col("energy") * F.col("nf") >= F.col("te")).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "energy"
     )
     wlag = Window.partitionBy("doc_id").orderBy("frame_idx")
     flagged = voiced.select(
@@ -1339,32 +1385,71 @@ def mm_audio_dynamic_range(spark: SparkSession, d: str) -> DataFrame:
     is an integer cross-multiply; ln is floor-quantized to micros; the
     one crest division is IEEE at 1e-6.
 
-    Scale: the frame table is map-only (no shuffle to build); this
-    rollup is one doc-keyed aggregate over it."""
-    fr = mm_audio_energy(spark, d)
-    w = Window.partitionBy("doc_id")
-    loud = (
-        F.col("energy") * F.count("*").over(w) > F.sum("energy").over(w)
+    Scale: pure map — every statistic is a fold over the document's
+    own energies array (r12: the old shape exploded the frame table,
+    shuffled it under a doc-keyed window for the loud flag and
+    doc-keyed groupBy for the rollup — but all of a document's frames
+    live in ONE source row, so the window, the aggregate and their
+    exchanges were pure overhead; same integers, same IEEE ops)."""
+    pcm = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+    n_frames = F.ceil(F.size("pcm") / F.lit(float(FRAME_LEN))).cast("long")
+    energies = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.aggregate(
+            F.transform(
+                F.slice(F.col("pcm"), i * FRAME_LEN + 1, FRAME_LEN),
+                lambda x: (x * x).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
     )
-    fr2 = fr.withColumn("is_loud", loud)
-    return fr2.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_frames"),
-        F.max("energy").cast("long").alias("e_max"),
-        F.min("energy").cast("long").alias("e_min"),
-        F.round(
-            (F.max("energy") * F.count("*")).cast("double")
-            / F.sum("energy"),
-            6,
-        ).alias("crest"),
-        F.sum(F.when(F.col("is_loud"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_loud"),
-        F.floor(
-            F.log(
-                (F.max("energy") + 1.0) / (F.min("energy") + 1.0)
-            )
-            * 1000000.0
+    # nested _let bindings: es, then the scalar fold (nf/te/max/min),
+    # are lambda VARIABLES — every downstream reference (including
+    # inside the loud-frame filter lambda) reads the bound value, so
+    # nothing re-evaluates per element or per reference
+    row = _let(
+        energies,
+        lambda es: _let(
+            F.struct(
+                F.size(es).cast("long").alias("nf"),
+                F.aggregate(
+                    es, F.lit(0).cast("long"), lambda a, v: a + v
+                ).alias("te"),
+                F.array_max(es).cast("long").alias("emax"),
+                F.array_min(es).cast("long").alias("emin"),
+            ),
+            lambda st: F.struct(
+                st["nf"].alias("n_frames"),
+                st["emax"].alias("e_max"),
+                st["emin"].alias("e_min"),
+                F.round(
+                    (st["emax"] * st["nf"]).cast("double") / st["te"], 6
+                ).alias("crest"),
+                F.size(F.filter(es, lambda e: e * st["nf"] > st["te"]))
+                .cast("long")
+                .alias("n_loud"),
+                F.floor(
+                    F.log((st["emax"] + 1.0) / (st["emin"] + 1.0))
+                    * 1000000.0
+                )
+                .cast("long")
+                .alias("dyn_range_ln_micros"),
+            ),
+        ),
+    )
+    return (
+        load(spark, d, "documents")
+        .select("doc_id", pcm.alias("pcm"))
+        .where(F.size("pcm") > 0)
+        .select("doc_id", row.alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.n_frames").alias("n_frames"),
+            F.col("r.e_max").alias("e_max"),
+            F.col("r.e_min").alias("e_min"),
+            F.col("r.crest").alias("crest"),
+            F.col("r.n_loud").alias("n_loud"),
+            F.col("r.dyn_range_ln_micros").alias("dyn_range_ln_micros"),
         )
-        .cast("long")
-        .alias("dyn_range_ln_micros"),
     )

@@ -409,14 +409,23 @@ def text_repetition(spark: SparkSession, d: str) -> DataFrame:
         ).otherwise(F.array().cast("array<string>"))
 
     def dup_ratio(grams: Column) -> Column:
-        total = F.size(grams)
-        return F.round(
-            F.when(
-                total > 0,
-                F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
-            ).otherwise(F.lit(0.0)),
-            6,
-        )
+        # _let-bound: the gram construction is referenced three times
+        # (the guard, the denominator, the distinct) and would be
+        # re-evaluated per reference — O(n) concat_ws per token each
+        # time (r12; same class as the shingle-table fix)
+        from pro_etl_spark.ops.multimodal import _let
+
+        def ratio(g: Column) -> Column:
+            total = F.size(g)
+            return F.round(
+                F.when(
+                    total > 0,
+                    F.lit(1.0) - F.size(F.array_distinct(g)) / total,
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+
+        return _let(grams, ratio)
 
     top_ratio = F.round(
         F.when(
@@ -1352,6 +1361,8 @@ def text_quality_classifier(spark: SparkSession, d: str) -> DataFrame:
     from bucket id to weight."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     docs = load(spark, d, "documents").select("doc_id", toks.alias("toks"))
+    from pro_etl_spark.ops.multimodal import _let
+
     uni_w = F.transform(F.col("toks"), _fc_weight)
     bigrams = F.when(
         F.size("toks") >= 2,
@@ -1366,12 +1377,27 @@ def text_quality_classifier(spark: SparkSession, d: str) -> DataFrame:
     lsum = lambda arr: F.aggregate(  # noqa: E731
         arr, F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    logit = (lsum(uni_w) + lsum(bi_w)).alias("logit_millis")
-    return docs.select(
+    # _let-bind both weight arrays and fold (n_feats, logit) into ONE
+    # struct: the old shape referenced uni_w/bi_w three times each
+    # (size + two logit sums), re-running the hash-weight transforms
+    # per reference (r12; same class as the shingle-table fix). The
+    # struct column is multi-referenced downstream, so CollapseProject
+    # keeps it materialized and every signal evaluates once per row.
+    feats = _let(
+        uni_w,
+        lambda uw: _let(
+            bi_w,
+            lambda bw: F.struct(
+                (F.size(uw) + F.size(bw)).cast("long").alias("n_feats"),
+                (lsum(uw) + lsum(bw)).alias("logit_millis"),
+            ),
+        ),
+    )
+    return docs.select("doc_id", feats.alias("f")).select(
         "doc_id",
-        (F.size(uni_w) + F.size(bi_w)).cast("long").alias("n_feats"),
-        logit,
-        F.when(lsum(uni_w) + lsum(bi_w) >= 0, F.lit("keep"))
+        F.col("f.n_feats").alias("n_feats"),
+        F.col("f.logit_millis").alias("logit_millis"),
+        F.when(F.col("f.logit_millis") >= 0, F.lit("keep"))
         .otherwise(F.lit("drop"))
         .alias("label"),
     )
