@@ -980,23 +980,26 @@ def dedup_embedding_cosine(spark: SparkSession, d: str) -> DataFrame:
     e = _cert_sample(
         spark, d, corpus_table(spark, d), "vec_id", "embeddings"
     )
-    a = e.alias("a")
+    # r12: same two fixes as the other certification truth joins —
+    # _pair_spread so the quadratic loop runs across tasks instead of
+    # the one AQE-coalesced partition, and the 64-wide dot evaluated
+    # ONCE in a projection (it was in the filter AND the final select)
+    a = _pair_spread(e, "vec_id").alias("a")
     b = e.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(cos >= COSINE_THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
-        )
+    sized = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cos"),
+    )
+    return sized.where(F.col("cos") >= COSINE_THRESHOLD).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
     )
 
 
