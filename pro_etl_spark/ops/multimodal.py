@@ -1028,13 +1028,22 @@ def mm_audio_vad_segments(spark: SparkSession, d: str) -> DataFrame:
         .where(F.size("pcm") > 0)
         .select("doc_id", energies.alias("es"))
     )
+    # posexplode_OUTER, deliberately: plain posexplode makes
+    # InferFiltersFromGenerate add a `size(es) > 0 AND isnotnull(es)`
+    # guard, and predicate pushdown then inlines the WHOLE energies
+    # derivation (split+ascii+frame Σs²) into a Filter below the
+    # projection — evaluated twice more per row from raw text (r12
+    # probe: 38.7 s vs 21.7 at 10× before this fix; the plan's Filter
+    # node carried the full lambda twice). The outer form infers no
+    # guard; es is never empty here (size(pcm) > 0 ⇒ ≥1 frame), and a
+    # hypothetical null row would fail the voiced predicate anyway.
     fr = base.select(
         "doc_id",
         F.size("es").cast("long").alias("nf"),
         F.aggregate(
             F.col("es"), F.lit(0).cast("long"), lambda acc, v: acc + v
         ).alias("te"),
-        F.posexplode("es").alias("frame_idx", "energy"),
+        F.posexplode_outer("es").alias("frame_idx", "energy"),
     )
     voiced = fr.where(F.col("energy") * F.col("nf") >= F.col("te")).select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "energy"
