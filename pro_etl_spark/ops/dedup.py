@@ -89,8 +89,17 @@ def _pair_spread(df: DataFrame, id_col: str) -> DataFrame:
     task — serializing the O(sample²) pair loop regardless of core
     count (measured on the n-gram truth join at sf0.1: 10.5 s → 1.4 s
     from this pin alone). An explicit count is exempt from AQE
-    coalescing, and the key is a deterministic hash of the row id, so
-    task retries reproduce the same placement (guide §2.5)."""
+    coalescing, and the key is a deterministic hash of the given
+    column, so task retries reproduce the same placement (guide §2.5).
+
+    Key choice matters (ADVICE r12): when the pair join is an
+    EQUI-join (e.g. label-blocked cosine), spread on the JOIN KEY —
+    a row-id spread is discarded by the join's own
+    ENSURE_REQUIREMENTS exchange (a dead shuffle), and that implicit
+    exchange stays AQE-coalescible, re-serializing the loop. A
+    join-key spread is reused as the join's distribution. Row-id
+    spreads are for non-equi (theta) pair joins, where the probe side
+    keeps its partitioning."""
     n = max(16, 2 * df.sparkSession.sparkContext.defaultParallelism)
     return df.repartition(n, F.col(id_col))
 
@@ -980,26 +989,38 @@ def dedup_embedding_cosine(spark: SparkSession, d: str) -> DataFrame:
     e = _cert_sample(
         spark, d, corpus_table(spark, d), "vec_id", "embeddings"
     )
-    # r12: same two fixes as the other certification truth joins —
-    # _pair_spread so the quadratic loop runs across tasks instead of
-    # the one AQE-coalesced partition, and the 64-wide dot evaluated
-    # ONCE in a projection (it was in the filter AND the final select)
-    a = _pair_spread(e, "vec_id").alias("a")
+    # r13 (ADVICE r12 correction): the r12 "sized projection" did NOT
+    # achieve a single dot evaluation — predicate pushdown re-inlines
+    # the cos ≥ τ filter into the SortMergeJoin condition, so the
+    # 64-wide fold runs once per label-blocked candidate inside the
+    # join plus once per SURVIVOR in the output projection, with or
+    # without an intermediate projection; reverted to the plain filter
+    # form (identical arithmetic, simpler plan). The r12 _pair_spread
+    # on vec_id was likewise dead: this is an EQUI-join on label, so
+    # the join's own ENSURE_REQUIREMENTS label exchange immediately
+    # discarded the vec_id spread (one extra shuffle for nothing) and,
+    # being AQE-coalescible, re-serialized the quadratic loop onto one
+    # task. Spreading on the JOIN KEY fixes both: the explicit-count
+    # label repartition is exempt from coalescing and is reused as the
+    # join's distribution, so per-label pair loops run on one task per
+    # label (the best the label-blocking allows without salting).
+    a = _pair_spread(e, "label").alias("a")
     b = e.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
-    sized = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        cos.alias("cos"),
-    )
-    return sized.where(F.col("cos") >= COSINE_THRESHOLD).select(
-        "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
     )
 
 

@@ -293,6 +293,60 @@ def mm_chunk_dedup(spark: SparkSession, d: str) -> DataFrame:
 FRAME_LEN = 64
 
 
+# Shared expression builders for the audio family (ADVICE r12): the
+# pcm / n_frames / frames / energies pipeline was copy-pasted across
+# mm_audio_energy, mm_scene_cuts, mm_audio_vad_segments and
+# mm_audio_dynamic_range, and oracle hash parity depends on the copies
+# staying bit-identical — any drift in one would silently diverge the
+# others. Pure Column builders (no plan-shape impact): each returns the
+# exact expression the inline copies built, reading the same
+# ``pcm`` / ``frame`` column names.
+
+def _audio_pcm():
+    """Character-code PCM stand-in stream over ``text``."""
+    return F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+
+
+def _audio_n_frames():
+    """Frame count ⌈len(pcm)/FRAME_LEN⌉ (reads the ``pcm`` column)."""
+    return F.ceil(F.size("pcm") / F.lit(float(FRAME_LEN))).cast("long")
+
+
+def _audio_frames():
+    """array<array<int>> of non-overlapping FRAME_LEN-sample frames
+    (reads the ``pcm`` column)."""
+    return F.transform(
+        F.sequence(F.lit(0), _audio_n_frames() - 1),
+        lambda i: F.slice(F.col("pcm"), i * FRAME_LEN + 1, FRAME_LEN),
+    )
+
+
+def _audio_energies():
+    """array<long> of per-frame Σs² integer energies computed in-row
+    (reads the ``pcm`` column)."""
+    return F.transform(
+        F.sequence(F.lit(0), _audio_n_frames() - 1),
+        lambda i: F.aggregate(
+            F.transform(
+                F.slice(F.col("pcm"), i * FRAME_LEN + 1, FRAME_LEN),
+                lambda x: (x * x).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def _frame_energy():
+    """Per-frame Σs² integer energy (reads the exploded ``frame``
+    column)."""
+    return F.aggregate(
+        F.transform(F.col("frame"), lambda x: (x * x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 @register(
     "mm_audio_energy",
     oracle=f"""
@@ -332,17 +386,9 @@ def mm_audio_energy(spark: SparkSession, d: str) -> DataFrame:
     decode → frame → per-frame feature, all map-only — a 100 TB audio
     lake frames without any shuffle, and the frame table partitions
     however the feature store wants."""
-    pcm = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
-    n_frames = F.ceil(F.size("pcm") / F.lit(float(FRAME_LEN))).cast("long")
-    frames = F.transform(
-        F.sequence(F.lit(0), n_frames - 1),
-        lambda i: F.slice(F.col("pcm"), i * FRAME_LEN + 1, FRAME_LEN),
-    )
-    energy = F.aggregate(
-        F.transform(F.col("frame"), lambda x: (x * x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    pcm = _audio_pcm()
+    frames = _audio_frames()
+    energy = _frame_energy()
     # stacked select: ``energy`` (a per-frame Σs² HOF aggregate) is
     # needed by both the energy column and rms; HOFs are
     # CodegenFallback so whole-stage subexpression elimination never
@@ -419,17 +465,9 @@ def mm_scene_cuts(spark: SparkSession, d: str) -> DataFrame:
     the per-document lag window, keyed by doc — and a 100 TB video
     lake's frame table partitions by doc_id already, so the window is
     partition-local."""
-    pcm = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
-    n_frames = F.ceil(F.size("pcm") / F.lit(float(FRAME_LEN))).cast("long")
-    frames = F.transform(
-        F.sequence(F.lit(0), n_frames - 1),
-        lambda i: F.slice(F.col("pcm"), i * FRAME_LEN + 1, FRAME_LEN),
-    )
-    energy = F.aggregate(
-        F.transform(F.col("frame"), lambda x: (x * x).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    pcm = _audio_pcm()
+    frames = _audio_frames()
+    energy = _frame_energy()
     from pyspark.sql import Window as W
 
     lagw = W.partitionBy("doc_id").orderBy("frame_idx")
@@ -1009,19 +1047,8 @@ def mm_audio_vad_segments(spark: SparkSession, d: str) -> DataFrame:
     # integers: aggregate() over the array adds the same longs SUM()
     # added over rows, and posexplode yields the same 0-based
     # frame_idx.
-    pcm = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
-    n_frames = F.ceil(F.size("pcm") / F.lit(float(FRAME_LEN))).cast("long")
-    energies = F.transform(
-        F.sequence(F.lit(0), n_frames - 1),
-        lambda i: F.aggregate(
-            F.transform(
-                F.slice(F.col("pcm"), i * FRAME_LEN + 1, FRAME_LEN),
-                lambda x: (x * x).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ),
-    )
+    pcm = _audio_pcm()
+    energies = _audio_energies()
     base = (
         load(spark, d, "documents")
         .select("doc_id", pcm.alias("pcm"))
@@ -1400,19 +1427,8 @@ def mm_audio_dynamic_range(spark: SparkSession, d: str) -> DataFrame:
     doc-keyed groupBy for the rollup — but all of a document's frames
     live in ONE source row, so the window, the aggregate and their
     exchanges were pure overhead; same integers, same IEEE ops)."""
-    pcm = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
-    n_frames = F.ceil(F.size("pcm") / F.lit(float(FRAME_LEN))).cast("long")
-    energies = F.transform(
-        F.sequence(F.lit(0), n_frames - 1),
-        lambda i: F.aggregate(
-            F.transform(
-                F.slice(F.col("pcm"), i * FRAME_LEN + 1, FRAME_LEN),
-                lambda x: (x * x).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ),
-    )
+    pcm = _audio_pcm()
+    energies = _audio_energies()
     # nested _let bindings: es, then the scalar fold (nf/te/max/min),
     # are lambda VARIABLES — every downstream reference (including
     # inside the loud-frame filter lambda) reads the bound value, so

@@ -38,11 +38,19 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # floor value only — tune() overrides with a scale-adaptive
-    # max(32, 2×defaultParallelism) when the session exposes a
-    # SparkContext (see below); this static entry keeps sessions that
-    # don't (e.g. Connect) at the local-harness default.
+    # static local-regime value. Scale-out headroom is expressed through
+    # AQE instead (r13, guide §2.2): tune() sets
+    # coalescePartitions.initialPartitionNum = max(64, 2×defaultParallelism)
+    # when the session exposes a SparkContext, and parallelismFirst=false
+    # below makes AQE size the post-shuffle partitions by BYTES
+    # (advisoryPartitionSizeInBytes), so a real cluster gets thousands of
+    # initial reduce partitions while tiny local shuffles coalesce to a
+    # handful of tasks. The r12 form (shuffle.partitions itself =
+    # 2×parallelism) kept 64 reduce TASKS alive for kilobyte shuffles at
+    # local[32] — measured ~5% suite / up to 25% per-key of pure
+    # scheduling overhead (VERDICT_r12 item 1).
     "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # restore the default broadcast threshold before every query:
     # join_bloom_runtime disables broadcasting for its own plan, and
@@ -118,19 +126,29 @@ def tune(spark: SparkSession) -> SparkSession:
                     "tune(): conf %s=%s not applied (%s) — immutable "
                     "in this deployment or unknown key", k, v, exc
                 )
-    # Scale-adaptive shuffle partitions (r12, guide §2.2): AQE
-    # partition coalescing only SHRINKS the initial count, so a
-    # constant 32 would cap every reduce stage at 32 tasks on a real
-    # cluster. Derive the floor from the live session instead:
-    # local[8] keeps 32, local[32] gets 64, a 1000-core cluster gets
-    # 2000 — and AQE still sizes the actual post-shuffle partitions by
-    # bytes. Parameterised by the session (not an env constant), so
-    # the driver's lower-core bench runs inherit the right floor
-    # automatically.
+    # Scale-adaptive shuffle parallelism via AQE (r13, guide §2.2,
+    # VERDICT_r12 item 1): AQE partition coalescing only SHRINKS the
+    # initial count, so a constant 32 would cap every reduce stage at
+    # 32 tasks on a real cluster. Express the headroom through
+    # initialPartitionNum — the pre-coalesce partition count — instead
+    # of spark.sql.shuffle.partitions itself: with
+    # parallelismFirst=false (RUNTIME_CONFS) AQE then coalesces every
+    # shuffle down to advisoryPartitionSizeInBytes-sized partitions, so
+    # the kilobyte-scale shuffles of the local bench run a handful of
+    # reduce tasks while a 1000-core cluster still fans out to 2000+
+    # initial partitions. The r12 form (shuffle.partitions =
+    # 2×parallelism) paid 64 scheduled reduce tasks per tiny shuffle at
+    # local[32]: the driver's full-suite A/B measured it ~5% total /
+    # up to 25% per-key slower than local[8] running the same code.
+    # Parameterised by the live session (not an env constant), so the
+    # driver's lower-core bench runs inherit the right value
+    # automatically. Static shuffle.partitions=32 remains the fallback
+    # for AQE-off deployments and SparkContext-less sessions (Connect).
     try:
         par = spark.sparkContext.defaultParallelism
         spark.conf.set(
-            "spark.sql.shuffle.partitions", str(max(32, 2 * par))
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(64, 2 * par)),
         )
     except Exception:
         pass  # no SparkContext (e.g. Connect) — static floor stands

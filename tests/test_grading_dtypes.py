@@ -21,7 +21,7 @@ from __future__ import annotations
 import pytest
 
 import pro_etl_spark
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, tier
 
 ORACLES = pro_etl_spark.get_oracles()
 
@@ -59,7 +59,7 @@ def _render_multiset(cols, rows):
     return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", [tier(n) for n in sorted(ORACLES)])
 def test_pandas_path_rendering_stable(name, duck):
     """fetchall() (exact) and .df() (pandas, the driver's path) must
     render identically under the driver's recipe — i.e. no oracle may
@@ -81,7 +81,7 @@ def test_pandas_path_rendering_stable(name, duck):
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", [tier(n) for n in sorted(ORACLES)])
 def test_oracle_pandas_dtype_matches_spark_family(name, spark, duck):
     """Dtype-strict guard: for every oracle-paired query, the pandas
     dtype of each oracle column must be in the same int/float family as
@@ -151,9 +151,16 @@ def test_grading_window_order_is_pinned():
         assert keys[: len(failed)] == failed, (
             "officially-failed keys must front the grading window"
         )
-        # nothing already fully green leaks into the official 50
-        assert not [k for k in keys[:50] if k in seen], (
-            "already-green keys leaked into the official window"
+        # already-green keys may enter the official 50 only once the
+        # never-sampled backlog is exhausted (r13: 493 of 518 keys are
+        # officially green, 25 remain — the window necessarily carries
+        # greens in its tail now); greens must still never DISPLACE a
+        # failed or never-sampled key
+        fresh_total = [k for k in keys if k not in seen]
+        lead = min(50, len(fresh_total))  # failed keys are not `seen`
+        assert not [k for k in keys[:lead] if k in seen], (
+            "already-green keys leaked ahead of backlog keys in the "
+            "official window"
         )
         # the reviewed r7 queue heads the backlog right after the
         # failed block, in order (minus keys already fronted)

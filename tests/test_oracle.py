@@ -45,7 +45,10 @@ def _rows_to_multiset(rows, colnames):
     )
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+from tests.conftest import tier
+
+
+@pytest.mark.parametrize("name", [tier(n) for n in sorted(ORACLES.keys())])
 def test_oracle_match(name, spark, duck):
     sdf = QUERIES[name](spark, SF_ORACLE)
     srows = sdf.collect()
