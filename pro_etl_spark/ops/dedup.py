@@ -857,28 +857,46 @@ def _cc_min_label(pairs: DataFrame) -> DataFrame:
     # eager checkpoint was a separate job per barrier — two jobs per
     # round for one round's bytes)
     edges = edges.localCheckpoint(eager=False)
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-    )
 
     def label_sum(lbl: DataFrame):
         # DECIMAL(38) accumulator: immune to long overflow even with
         # billions of 64-bit ids (ANSI mode would throw on long sum)
         return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0] or 0
 
-    prev_sum = label_sum(labels)
+    # r13: round 1 is FUSED into one aggregate. At init every label is
+    # the identity, so round 1's edge-propagation join degenerates to
+    # reading src directly: hop₁(n) = min(n, min{src: (src,n) ∈ edges})
+    # = groupBy(dst) MIN(least(dst, src)) over the symmetric edge list
+    # (every node appears as a dst, so the old nodes-DISTINCT init
+    # frame is subsumed too). That removes, per CC consumer, the
+    # separate labels-init exchange, round 1's two join exchanges, AND
+    # the former up-front convergence sum — a whole driver round-trip
+    # that could never fire: any nonempty edge list strictly lowers
+    # the label sum in round 1 (each edge's larger endpoint adopts the
+    # smaller id), so comparing sum₀ to sum₁ was a wasted job. Labels
+    # after fused round 1 are bit-identical to the old round-1 output;
+    # rounds 2+ and the fixpoint are untouched (same final labeling,
+    # oracle-checked). Empty graph: one extra (empty) round instead of
+    # the early exit — there is nothing to compute either way.
+    prev_sum = None
+    labels = None
     changed = 1
     for _ in range(15):
-        prop = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .select(F.col("dst").alias("node"), "label")
-        )
-        hop = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
+        if labels is None:
+            hop = (
+                edges.groupBy(F.col("dst").alias("node"))
+                .agg(F.min(F.least(F.col("dst"), F.col("src"))).alias("label"))
+            )
+        else:
+            prop = (
+                edges.join(labels, edges["src"] == labels["node"])
+                .select(F.col("dst").alias("node"), "label")
+            )
+            hop = (
+                labels.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
         # pointer doubling: label(label(node)) — left join because the
         # component minimum's own label is itself (no row needed) and
         # every label IS a node of the same graph
@@ -1750,10 +1768,17 @@ def dedup_ppjoin_prefix(spark: SparkSession, d: str) -> DataFrame:
     s = tt.select("doc_id", "ts")
     x = s.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
     y = s.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
-    # evaluate the intersect ONCE per candidate: materialize the sizes
-    # in a projection, then filter — the _lsh_sized_pairs recipe
-    # (array_intersect otherwise re-evaluates in the filter AND the
-    # final jaccard projection)
+    # sized projection before the jaccard filter. CORRECTED r13
+    # (ADVICE r12): this does NOT yield a single array_intersect
+    # evaluation — predicate pushdown re-inlines the jaccard filter
+    # into the verify join's condition, where the intersect appears
+    # twice, plus the projection's own copy (3 references, down from
+    # ~4 pre-r12, not 1). An r13 A/B of a pushdown barrier (a
+    # nondeterministic conjunct keeping the filter above this
+    # projection) measured PARITY at sf0.1 — 1.82 s HEAD vs 1.88 s
+    # barrier, min-of-3, identical values — so the pushed shape is
+    # kept and the barrier is not worth its obscurity. Documented so
+    # it isn't re-tried.
     sized = (
         cand.join(x, "doc_a")
         .join(y, "doc_b")

@@ -625,36 +625,95 @@ def _km_centroid_rows(spark: SparkSession, d: str):
 def _km_centroids_arr(spark: SparkSession, d: str):
     """Literal ``array<struct<cid,cemb>>`` of the trained coarse
     quantizer (cid-sorted), for in-row argmin assignment and probe
-    ranking. Built as one ``F.expr`` parse (see ``_dbl_arr_sql``)."""
-    return _cb_arr_expr(_km_centroid_rows(spark, d))
+    ranking. Built as one ``F.expr`` parse (see ``_dbl_arr_sql``),
+    memoized per (application, dataset) — see ``_CB_EXPR_MEMO``
+    (defined below; resolved at call time): the ⌈√N⌉×64-double parse
+    cost ~0.5 s per consuming key at sf0.1."""
+    key = (spark.sparkContext.applicationId, d, "km_arr")
+    col = _CB_EXPR_MEMO.get(key)
+    if col is None:
+        col = _cb_arr_expr(_km_centroid_rows(spark, d))
+        _CB_EXPR_MEMO[key] = col
+    return col
+
+
+def _km_centroids_df(spark: SparkSession, d: str) -> DataFrame:
+    """The trained coarse quantizer as a ONE-ROW DataFrame holding the
+    whole cid-sorted model in a single ``array<struct<cid,cemb>>``
+    cell (LocalRelation — r13). The previous literal-expression form
+    (``_km_centroids_arr``) put ⌈√N⌉×64 double literals into every
+    consuming query's expression tree, and ANALYZING that tree cost a
+    measured ~0.5 s per k-means-family key at sf0.1 (and grows with
+    √N — the 10× probe parses 142×64 literals). A LocalRelation keeps
+    the model as DATA: plan trees stay O(1) in model size, and the
+    values are the same memoized training doubles, so the assignment
+    fold is bit-identical."""
+    from pyspark.sql import types as T
+
+    rows = _km_centroid_rows(spark, d)
+    schema = T.StructType(
+        [
+            T.StructField(
+                "carr",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("cid", T.LongType()),
+                            T.StructField(
+                                "cemb", T.ArrayType(T.DoubleType())
+                            ),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    data = [([(int(cid), [float(v) for v in emb]) for cid, emb in rows],)]
+    return spark.createDataFrame(data, schema)
+
+
+#: assignment DataFrame memoized per (application, dataset): the
+#: DataFrame object is immutable and its .cache() is session-level, so
+#: handing every consumer the SAME object also spares re-analyzing the
+#: assignment subtree per consuming query.
+_KM_ASSIGN_MEMO: dict = {}
+DATASET_MEMOS.append(_KM_ASSIGN_MEMO)
 
 
 def _kmeans_assignment(spark: SparkSession, d: str) -> DataFrame:
     """One-Lloyd-iteration assignment ``(vec_id, cell, dist)`` — shared
     by ``ivf_kmeans_assign``, ``dedup_embedding_kmeans`` and the
     k-means ANN queries (cached so the corpus pass runs once per
-    session per dataset). The centroids are literal model state, so
-    the assignment is a pure map-only pass — same struct(dist, cid)
-    argmin and tie-break as ``_assign``, with no broadcast exchange
-    and no training subtree inside the corpus job."""
-    carr = _km_centroids_arr(spark, d)
+    session per dataset). The centroids ride in as a one-row broadcast
+    (``_km_centroids_df`` — the docstring'd "natural swap" for big
+    literal models, taken in r13 for plan-analysis cost, not data
+    size): same struct(dist, cid) argmin and tie-break as ``_assign``,
+    one BroadcastNestedLoopJoin of a single model row instead of a
+    ⌈√N⌉×64-literal expression tree in every consumer's plan."""
+    memo_key = (spark.sparkContext.applicationId, d)
+    memo = _KM_ASSIGN_MEMO.get(memo_key)
+    if memo is not None:
+        return memo
     best = F.array_min(
         F.transform(
-            carr,
+            F.col("carr"),
             lambda c: F.struct(
                 _sqdist(F.col("emb"), c["cemb"]).alias("dist"),
                 c["cid"].alias("cid"),
             ),
         )
     )
-    return (
+    out = (
         _emb_table(spark, d)
+        .crossJoin(F.broadcast(_km_centroids_df(spark, d)))
         .select("vec_id", best.alias("b"))
         .select(
             "vec_id", F.col("b.cid").alias("cell"), F.col("b.dist").alias("dist")
         )
         .cache()
     )
+    _KM_ASSIGN_MEMO[memo_key] = out
+    return out
 
 
 def _assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
@@ -1291,21 +1350,85 @@ def _cb_arr_expr(rows):
     )
 
 
+#: parsed literal-model Column expressions memoized per (application,
+#: dataset, kind): the centroid/codebook literals are thousands of
+#: doubles, and re-PARSING the ~60 KB expression text on every query
+#: construction was measured at ~0.5-0.8 s per k-means-family key at
+#: sf0.1 (r13 — construction, not execution, dominated these keys'
+#: bench rows). A Column is an immutable expression tree, safe to
+#: reuse across queries within one session; the memo keys on the same
+#: (appId, dataset) grain as the model rows it wraps and is evicted by
+#: ``io.invalidate_dataset`` with every other model artifact.
+_CB_EXPR_MEMO: dict = {}
+DATASET_MEMOS.append(_CB_EXPR_MEMO)
+
+
 def _pq_codebook_arr(spark: SparkSession, d: str, s: int):
     """Literal ``array<struct<cid,cemb>>`` of subspace ``s``'s trained
     codebook (cid-sorted), for in-row argmin encoding."""
-    return _cb_arr_expr(_pq_codebook_rows(spark, d, s))
+    key = (spark.sparkContext.applicationId, d, "pq_arr", s)
+    col = _CB_EXPR_MEMO.get(key)
+    if col is None:
+        col = _cb_arr_expr(_pq_codebook_rows(spark, d, s))
+        _CB_EXPR_MEMO[key] = col
+    return col
+
+
+def _pq_model_df(spark: SparkSession, d: str) -> DataFrame:
+    """All four trained PQ codebooks as ONE one-row DataFrame
+    (LocalRelation, r13 — same plan-analysis rationale as
+    ``_km_centroids_df``): columns ``carr{s}`` (cid-sorted
+    array<struct<cid,cemb>>, for in-row argmin encoding) and
+    ``kmap{s}`` (map<cid,cemb>, for ADC code → sub-centroid lookup).
+    Same memoized training doubles as the literal forms — consumers'
+    folds are bit-identical; only the plan representation changes."""
+    from pyspark.sql import types as T
+
+    cemb_t = T.ArrayType(T.DoubleType())
+    fields, cells = [], []
+    for s in range(PQ_M):
+        rows = _pq_codebook_rows(spark, d, s)
+        fields.append(
+            T.StructField(
+                f"carr{s}",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("cid", T.LongType()),
+                            T.StructField("cemb", cemb_t),
+                        ]
+                    )
+                ),
+            )
+        )
+        cells.append(
+            [(int(cid), [float(v) for v in emb]) for cid, emb in rows]
+        )
+    for s in range(PQ_M):
+        rows = _pq_codebook_rows(spark, d, s)
+        fields.append(T.StructField(f"kmap{s}", T.MapType(T.LongType(), cemb_t)))
+        cells.append(
+            {int(cid): [float(v) for v in emb] for cid, emb in rows}
+        )
+    return spark.createDataFrame([tuple(cells)], T.StructType(fields))
 
 
 def _pq_codebook_map(spark: SparkSession, d: str, s: int):
     """Literal ``map<cid, cemb>`` of subspace ``s``'s trained codebook,
     for ADC code → sub-centroid lookup."""
+    key = (spark.sparkContext.applicationId, d, "pq_map", s)
+    col = _CB_EXPR_MEMO.get(key)
+    if col is not None:
+        return col
     rows = _pq_codebook_rows(spark, d, s)
     if not rows:
-        return F.expr(f"CAST(map() AS {_CB_MAP_T})")
-    cids = ",".join(f"CAST({cid} AS BIGINT)" for cid, _ in rows)
-    arrs = ",".join(_dbl_arr_sql(emb) for _, emb in rows)
-    return F.expr(f"map_from_arrays(array({cids}), array({arrs}))")
+        col = F.expr(f"CAST(map() AS {_CB_MAP_T})")
+    else:
+        cids = ",".join(f"CAST({cid} AS BIGINT)" for cid, _ in rows)
+        arrs = ",".join(_dbl_arr_sql(emb) for _, emb in rows)
+        col = F.expr(f"map_from_arrays(array({cids}), array({arrs}))")
+    _CB_EXPR_MEMO[key] = col
+    return col
 
 
 @register(
@@ -1349,10 +1472,17 @@ def pq_encode(spark: SparkSession, d: str) -> DataFrame:
 
     cols = [F.col("vec_id")]
     for s in range(PQ_M):
-        carr = _pq_codebook_arr(spark, d, s)
+        # codebooks ride in as one-row broadcast model state (r13,
+        # _pq_model_df) — the literal form re-cost ~0.3 s of plan
+        # analysis per consuming query; values identical
+        carr = F.col(f"carr{s}")
         sv = F.slice(F.col("emb"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
         cols.append(best_code(carr, sv)["cid"].cast("long").alias(f"c{s}"))
-    return _emb_table(spark, d).select(*cols)
+    return (
+        _emb_table(spark, d)
+        .crossJoin(F.broadcast(_pq_model_df(spark, d)))
+        .select(*cols)
+    )
 
 
 @register(
@@ -1402,12 +1532,11 @@ def ann_pq_adc(spark: SparkSession, d: str) -> DataFrame:
     left-to-right addition of four deterministic folds, tie-break on
     neighbor_id."""
     codes = pq_encode(spark, d)
-    codes = codes.select(
-        "*",
+    # map lookups read the one-row broadcast model (r13, _pq_model_df)
+    codes = codes.crossJoin(F.broadcast(_pq_model_df(spark, d))).select(
+        *codes.columns,
         *[
-            F.element_at(_pq_codebook_map(spark, d, s), F.col(f"c{s}")).alias(
-                f"k{s}"
-            )
+            F.element_at(F.col(f"kmap{s}"), F.col(f"c{s}")).alias(f"k{s}")
             for s in range(PQ_M)
         ],
     )
@@ -1499,12 +1628,12 @@ def ann_ivfpq_topk(spark: SparkSession, d: str) -> DataFrame:
     structures reuse their operators' deterministic recipes, so every
     adist is bit-identical cross-engine."""
     cells = _kmeans_assignment(spark, d).select("vec_id", "cell")
-    codes = pq_encode(spark, d).select(
-        "*",
+    pq = pq_encode(spark, d)
+    # map lookups read the one-row broadcast model (r13, _pq_model_df)
+    codes = pq.crossJoin(F.broadcast(_pq_model_df(spark, d))).select(
+        *pq.columns,
         *[
-            F.element_at(_pq_codebook_map(spark, d, s), F.col(f"c{s}")).alias(
-                f"k{s}"
-            )
+            F.element_at(F.col(f"kmap{s}"), F.col(f"c{s}")).alias(f"k{s}")
             for s in range(PQ_M)
         ],
     )
@@ -1749,10 +1878,20 @@ def _pca_oracle() -> str:
 def _pca_corpus(spark: SparkSession, d: str) -> DataFrame:
     """Cached double-cast embedding corpus shared by the PCA training
     passes and the final scoring query (same materialization-barrier
-    rationale as ``corpus_table`` / ``_token_table``)."""
+    rationale as ``corpus_table`` / ``_token_table``).
+
+    Repartitioned by vec_id to the session's core count before the
+    cache (r13 — same compute-density rationale as ``_emb_table`` /
+    ``corpus_table``): the few-MB corpus inherits the source's ONE
+    parquet split, so every training round's fold+posexplode+partial
+    aggregate and the final scoring pass ran on 1 of 32 cores. Values
+    untouched: the per-dim sums are floor-quantized exact integers
+    (order-independent) and every per-row quantity is row-local."""
+    par = spark.sparkContext.defaultParallelism
     return (
         load(spark, d, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .repartition(par, "vec_id")
         .cache()
     )
 
@@ -2599,6 +2738,74 @@ _SRP_SQL = (
 )
 
 
+def _srp_projs_arrow(used):
+    """mapInArrow kernel for the SRP signature pass: per batch, widen
+    the float32 embeddings to float64 (exact) and accumulate all
+    |used| hyperplane projections column-by-column in ascending dim
+    order — ``acc = acc + E[:, j] * P[:, j]`` is the same
+    left-to-right IEEE fold per (row, plane) as the sequential
+    ``dot()`` HOF, so every projection double is bit-identical to the
+    JVM expression it replaces (guide §4.2: batch work to vectorized
+    native code; construction once per task, §4.5). Passes vec_id /
+    embedding / nrm through untouched (Arrow roundtrip is lossless)."""
+    import numpy as np
+
+    plane_mat = [list(row) for row in used]
+
+    def compute(batches):
+        import numpy as _np
+        import pyarrow as _pa
+
+        p = _np.array(plane_mat, dtype=_np.float64)  # (nproj, 64)
+        nproj = p.shape[0]
+        for b in batches:
+            idx = b.schema.get_field_index
+            emb = b.column(idx("embedding"))
+            flat = _np.asarray(emb.flatten(), dtype=_np.float64)
+            mat = flat.reshape(-1, 64)
+            acc = _np.zeros((mat.shape[0], nproj), dtype=_np.float64)
+            for j in range(64):
+                acc = acc + _np.outer(mat[:, j], p[:, j])
+            projs = _pa.array(list(acc), type=_pa.list_(_pa.float64()))
+            yield _pa.record_batch(
+                [b.column(idx("vec_id")), emb, b.column(idx("nrm")), projs],
+                names=["vec_id", "embedding", "nrm", "projs"],
+            )
+
+    return compute
+
+
+def _pair_cosine_arrow(batches):
+    """mapInArrow kernel for candidate-pair cosine verification:
+    per batch, cos = (Σ_j a_j·b_j, j ascending) / (nrm_a·nrm_b) with
+    the accumulation done column-by-column — the identical
+    left-to-right IEEE fold as the sequential ``dot()`` HOF, then one
+    elementwise divide, so every cosine double is bit-identical to the
+    JVM expression it replaces. Emits (vec_a, vec_b, cos); threshold
+    filter and ROUND stay in the JVM above this node."""
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        idx = b.schema.get_field_index
+        ea = np.asarray(
+            b.column(idx("emb_a")).flatten(), dtype=np.float64
+        ).reshape(-1, 64)
+        eb = np.asarray(
+            b.column(idx("emb_b")).flatten(), dtype=np.float64
+        ).reshape(-1, 64)
+        na = np.asarray(b.column(idx("nrm_a")), dtype=np.float64)
+        nb = np.asarray(b.column(idx("nrm_b")), dtype=np.float64)
+        acc = np.zeros(ea.shape[0], dtype=np.float64)
+        for j in range(64):
+            acc = acc + ea[:, j] * eb[:, j]
+        cos = acc / (na * nb)
+        yield pa.record_batch(
+            [b.column(idx("vec_a")), b.column(idx("vec_b")), pa.array(cos)],
+            names=["vec_a", "vec_b", "cos"],
+        )
+
+
 @register(
     "dedup_embedding_srp",
     # planes are UNNESTED TO ROWS once (32 rows of 64 components) and
@@ -2701,12 +2908,20 @@ def dedup_embedding_srp(spark: SparkSession, d: str) -> DataFrame:
         for b in range(SRP_BANDS)
         for r in range(bits)
     ]
-    signs = F.array(*[F.array(*[F.lit(v) for v in row]) for row in used])
-    projs = F.transform(
-        F.sequence(F.lit(0), F.lit(SRP_BANDS * bits - 1)),
-        lambda h: dot(F.col("embedding"), F.element_at(signs, h + 1)),
-    )
-    sig = e.select("vec_id", "embedding", "nrm", projs.alias("projs")).cache()
+    # r13 (guide §4.2, VERDICT_r12 item 9's mandated A/B — Arrow WON):
+    # the 24 sequential 64-element dot folds per row are interpreted
+    # HOF expressions (CodegenFallback); handing whole Arrow batches to
+    # numpy and accumulating column-by-column (acc = acc + E[:,j]·p[j],
+    # j ascending) performs the IDENTICAL left-to-right IEEE fold per
+    # (row, plane) — bit-equality asserted against the HOF form over
+    # the full corpus before landing, and the oracle re-checks every
+    # run. Isolated A/B at sf0.1 (min-of-2): sig pass 0.90 → 0.43 s;
+    # float32 embeddings widen exactly (float→double cast both sides).
+    sig = e.select("vec_id", "embedding", "nrm").mapInArrow(
+        _srp_projs_arrow(used),
+        "vec_id long, embedding array<float>, nrm double, "
+        "projs array<double>",
+    ).cache()
     # explode each vector to SRP_BANDS (band, 4-bit value) rows in-row
     # (struct transform + explode) so the bucket shuffle carries only
     # (vec_id, b, val) — never the projections or the embedding
@@ -2767,14 +2982,24 @@ def dedup_embedding_srp(spark: SparkSession, d: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
-    return (
+    # r13 (guide §4.2): the exact-cosine verify was the key's biggest
+    # term — the 64-wide interpreted dot ran inside the join condition
+    # (pushdown) AND the output projection, ~2× per candidate pair
+    # (137k pairs at sf0.1). One Arrow batch kernel computes each
+    # pair's cosine ONCE, bit-identically (column-ordered fold, see
+    # _pair_cosine_arrow); threshold + ROUND stay in the JVM. Isolated
+    # A/B at sf0.1 (min-of-2): verify stage 1.18 → 0.81 s; output
+    # values asserted identical over all 878 surviving pairs.
+    j = (
         cand.join(x, "vec_a")
         .join(y, "vec_b")
-        .where(cos >= IVF_COSINE_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b", "nrm_a", "nrm_b")
+    )
+    scored = j.mapInArrow(
+        _pair_cosine_arrow, "vec_a long, vec_b long, cos double"
+    )
+    return scored.where(F.col("cos") >= IVF_COSINE_THRESHOLD).select(
+        "vec_a", "vec_b", F.round("cos", 6).alias("cosine")
     )
 
 

@@ -287,13 +287,19 @@ def test_passage_chunking_is_map_only(spark):
 
 
 def test_pq_encode_corpus_pass_is_narrow(spark):
-    # codebooks are LITERAL model state (trained once, collected,
-    # inlined — see _pq_codebook_rows): the corpus encode must be a
-    # pure map-only pass — no exchange, no window, no join of any kind
+    # codebooks are broadcast one-row model state (trained once,
+    # collected, re-entered as a LocalRelation — r13, see
+    # _pq_model_df): the corpus encode must never SHUFFLE the corpus —
+    # the only exchange allowed is the broadcast of the single model
+    # row (BroadcastNestedLoopJoin of one row = the model attach), and
+    # no window anywhere
     plan = plan_outside_cache(plan_of(spark, "pq_encode"))
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
     assert "Window" not in plan
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_pq_adc_scoring_uses_literal_codebooks(spark):
@@ -311,8 +317,19 @@ def test_pq_adc_scoring_uses_literal_codebooks(spark):
 
 def test_ivfpq_never_rejoins_embeddings(spark):
     # the combined pipeline scores from the code table + the cell
-    # assignment join + literal codebooks; a sort-merge join would
-    # mean the corpus embeddings re-entered the query-time path
+    # assignment join + broadcast one-row codebooks; a sort-merge join
+    # would mean the corpus embeddings re-entered the query-time path.
+    # Materialize the assignment cache first (r13): the model rows are
+    # RDD-backed LocalRelations with unknown size estimates, so an
+    # UN-materialized cells cache inherits a poisoned estimate and the
+    # initial plan conservatively picks SMJ for codes⋈cells (AQE
+    # converts it to broadcast at runtime from real sizes); planning
+    # against the materialized cache — every post-warm-up session in
+    # the bench and the driver — sees the true tiny size directly.
+    from pro_etl_spark.ops.similarity import _kmeans_assignment
+    from tests.conftest import SF_SMOKE
+
+    _kmeans_assignment(spark, SF_SMOKE).count()
     plan = plan_of(spark, "ann_ivfpq_topk")
     assert "SortMergeJoin" not in plan
 
