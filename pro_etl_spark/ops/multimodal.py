@@ -888,15 +888,19 @@ def mm_phash(spark: SparkSession, d: str) -> DataFrame:
         "doc_id", F.md5("text").alias("key")
     )
     coef = {(u, x): c for u, x, c in _PHASH_BASIS}
-    # stage 1: the 64-cell luma grid as plain columns (codegen'd md5)
-    s1 = docs.select(
+    # stage 1: the 64-cell luma grid as plain columns (codegen'd md5).
+    # Built as ONE selectExpr (r13): the Column-builder form issued
+    # ~6500 py4j round-trips (64 × hash60's conv/substring/md5 chain),
+    # ~1.2 s of pure construction per bench row; one parse call builds
+    # the IDENTICAL expressions JVM-side (same conv/substring/md5/%/
+    # cast ops — hash60's documented SQL spelling).
+    s1 = docs.selectExpr(
         "doc_id",
         *[
-            (
-                hash60(F.concat(F.col("key"), F.lit(f":ph:{k}"))) % 256
-            )
-            .cast("double")
-            .alias(f"v{k}")
+            "CAST(CAST(conv(substring(md5(concat(key, ':ph:"
+            + str(k)
+            + "')), 1, 15), 16, 10) AS BIGINT) % 256 AS DOUBLE) AS v"
+            + str(k)
             for k in range(64)
         ],
     )

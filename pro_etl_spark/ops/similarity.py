@@ -513,17 +513,23 @@ def _emb_table(spark: SparkSession, d: str) -> DataFrame:
     exactly this). At 100 TB the corpus arrives with thousands of
     splits and this reshape is a no-op by comparison; partition by
     compute cost, not bytes, for vector work."""
+    from pro_etl_spark.ops.dedup import _df_memo
+
     par = spark.sparkContext.defaultParallelism
-    return (
-        load(spark, d, "embeddings")
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("embedding"), lambda x: F.round(x.cast("double"), 6)
-            ).alias("emb"),
-        )
-        .repartition(par, "vec_id")
-        .cache()
+    return _df_memo(
+        spark, d, "emb_table",
+        lambda: (
+            load(spark, d, "embeddings")
+            .select(
+                "vec_id",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.round(x.cast("double"), 6),
+                ).alias("emb"),
+            )
+            .repartition(par, "vec_id")
+            .cache()
+        ),
     )
 
 
@@ -1887,12 +1893,20 @@ def _pca_corpus(spark: SparkSession, d: str) -> DataFrame:
     aggregate and the final scoring pass ran on 1 of 32 cores. Values
     untouched: the per-dim sums are floor-quantized exact integers
     (order-independent) and every per-row quantity is row-local."""
+    from pro_etl_spark.ops.dedup import _df_memo
+
     par = spark.sparkContext.defaultParallelism
-    return (
-        load(spark, d, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-        .repartition(par, "vec_id")
-        .cache()
+    return _df_memo(
+        spark, d, "pca_corpus",
+        lambda: (
+            load(spark, d, "embeddings")
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("emb"),
+            )
+            .repartition(par, "vec_id")
+            .cache()
+        ),
     )
 
 
@@ -3497,17 +3511,21 @@ _BQ_HI_SQL = """CAST(list_sum(list_transform(range(33, 65),
               THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END)) AS BIGINT)"""
 
 
-def _bq_pack(e, lo_dim: int, hi_dim: int):
+def _bq_pack(col_name: str, lo_dim: int, hi_dim: int):
     """Pack sign bits of dims [lo_dim, hi_dim) into one BIGINT —
     exact integer sum of distinct powers of two, identical to the
-    oracle's list_sum fold."""
-    acc = F.lit(0).cast("long")
-    for i in range(lo_dim, hi_dim):
-        acc = acc + F.when(
-            F.element_at(e, i + 1).cast("double") >= 0,
-            F.lit(1 << (i - lo_dim)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    return acc
+    oracle's list_sum fold. Built as ONE F.expr parse (r13): the
+    Column-builder form issued ~400 py4j round-trips (32 chained
+    when/element_at/cast terms per pack), ~1 s of pure construction
+    per bench row; the SQL spelling parses the identical CASE/cast/add
+    chain in a single call."""
+    terms = " + ".join(
+        f"(CASE WHEN CAST(element_at({col_name}, {i + 1}) AS DOUBLE)"
+        f" >= 0 THEN CAST({1 << (i - lo_dim)} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(lo_dim, hi_dim)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
 
 @register(
@@ -3566,8 +3584,8 @@ def ann_binary_quant(spark: SparkSession, d: str) -> DataFrame:
         "vec_id",
         "embedding",
         "nrm",
-        _bq_pack(F.col("embedding"), 0, 32).alias("lo"),
-        _bq_pack(F.col("embedding"), 32, 64).alias("hi"),
+        _bq_pack("embedding", 0, 32).alias("lo"),
+        _bq_pack("embedding", 32, 64).alias("hi"),
     )
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
